@@ -1,0 +1,131 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.units._
+
+/** 2-D table of named columns with per-column units — the Spark-native
+  * analog of `EnergyDataFrame(pandas.DataFrame)`
+  * (`/root/reference/energy_pandas/energypandas.py:817-827`).
+  *
+  * Per-column units live in the wrapper (`unitsMap`) and are mirrored to
+  * `StructField.metadata` on materialization. Mixed-unit frames are
+  * allowed (`energypandas.py:980-991`).
+  */
+final case class EnergyFrame(
+    df: DataFrame,
+    indexCols: Seq[String],
+    unitsMap: Map[String, EUnit] = Map.empty,
+    meta: Map[String, String] = Map.empty,
+    baseYear: Int = 2018
+) {
+
+  def valueCols: Seq[String] = df.columns.filterNot(indexCols.contains).toSeq
+
+  /** Column slice -> EnergySeries with that column's units + all extra
+    * metadata (`energypandas.py:841-843,872-893`). Unit fan-in: when the
+    * requested name has no unit but ALL columns share one unit, that unit
+    * is inherited (`energypandas.py:152-158`, SURVEY §1.4.5). */
+  def apply(colName: String): EnergySeries = {
+    val u = unitsMap.get(colName).orElse {
+      val distinct = unitsMap.values.map(_.canonical).toSet
+      if (unitsMap.nonEmpty && distinct.size == 1) Some(unitsMap.values.head)
+      else None
+    }
+    EnergySeries(df.select(indexCols.map(col) :+ col(colName): _*),
+      indexCols, colName, u, meta, baseYear = baseYear)
+  }
+
+  /** Per-column conversion to a single target unit
+    * (`energypandas.py:960-991`): one projection, per-column literal
+    * (slope, intercept) — constant-folded, no UDF. */
+  def toUnits(target: String): EnergyFrame = {
+    val to = UnitRegistry.parse(target)
+    val projected = valueCols.map { c =>
+      unitsMap.get(c) match {
+        case Some(from) =>
+          val (k, b) = UnitRegistry.conversion(from, to)
+          (col(c) * lit(k) + lit(b)).as(c)
+        case None => col(c)
+      }
+    }
+    copy(df = df.select(indexCols.map(col) ++ projected: _*),
+      unitsMap = valueCols.map(_ -> to).toMap)
+  }
+
+  def toIp: EnergyFrame = convertVia(UnitRegistry.toIpUnit)
+  def toSi: EnergyFrame = convertVia(UnitRegistry.toSiUnit)
+
+  private def convertVia(table: EUnit => Option[EUnit]): EnergyFrame = {
+    var newUnits = unitsMap
+    val projected = valueCols.map { c =>
+      unitsMap.get(c).flatMap(from => table(from).map((from, _))) match {
+        case Some((from, to)) =>
+          val (k, b) = UnitRegistry.conversion(from, to)
+          newUnits = newUnits.updated(c, to)
+          (col(c) * lit(k) + lit(b)).as(c)
+        case None => col(c) // silent passthrough (energypandas.py:659-662)
+      }
+    }
+    copy(df = df.select(indexCols.map(col) ++ projected: _*), unitsMap = newUnits)
+  }
+
+  /** Min-max scale each column independently (`energypandas.py:993-1008`):
+    * ONE aggregate action computes every column's (min, max), then one
+    * projection — two stages regardless of column count. */
+  def normalize(): EnergyFrame = {
+    val aggs = valueCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val projected = valueCols.zipWithIndex.map { case (c, i) =>
+      val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
+      val e = if (hi == lo) lit(0.0) else (col(c) - lit(lo)) / lit(hi - lo)
+      e.as(c)
+    }
+    val dimless = UnitRegistry.parse("dimensionless")
+    copy(df = df.select(indexCols.map(col) ++ projected: _*),
+      unitsMap = valueCols.map(_ -> dimless).toMap)
+  }
+
+  /** Row-wise aggregate across columns keeping shared units
+    * (`tests/test_energypandas.py:242-244`): pure row expression, no
+    * shuffle. */
+  def rowMean(as: String = "mean"): EnergySeries = {
+    val summed = valueCols.map(col).reduce(_ + _) / lit(valueCols.size)
+    sharedUnitSeries(summed, as)
+  }
+
+  def rowSum(as: String = "sum"): EnergySeries =
+    sharedUnitSeries(valueCols.map(col).reduce(_ + _), as)
+
+  private def sharedUnitSeries(e: Column, as: String): EnergySeries = {
+    val distinct = unitsMap.values.map(_.canonical).toSet
+    val u = if (distinct.size == 1) Some(unitsMap.values.head) else None
+    EnergySeries(df.select(indexCols.map(col) :+ e.as(as): _*),
+      indexCols, as, u, meta, baseYear = baseYear)
+  }
+
+  def sumAll(): Double = {
+    val total = valueCols.map(c => sum(col(c))).reduce(_ + _)
+    df.agg(coalesce(total, lit(0.0))).head().getDouble(0)
+  }
+
+  /** DataFrame with per-column units mirrored into field metadata. */
+  def toDF: DataFrame = {
+    val projected = df.columns.toSeq.map { c =>
+      unitsMap.get(c) match {
+        case Some(u) =>
+          val m = new MetadataBuilder().putString("units", u.raw).build()
+          col(c).as(c, m)
+        case None => col(c)
+      }
+    }
+    df.select(projected: _*)
+  }
+
+  def show(n: Int = 20): Unit = {
+    df.show(n)
+    if (unitsMap.nonEmpty)
+      println(unitsMap.map { case (c, u) => s"$c: ${u.raw}" }.mkString("units: ", ", ", ""))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{EnergyFrame, EnergySeries}
+import graft.units.{MultipleUnitsError, UnitRegistry}
+
+/** EnergyPlus ReportData ingestion: tidy rows
+  * `(Month, Day, Hour, Minute, Interval, Value, Units, Name[, KeyValue,
+  * TimeIndex])` -> time-indexed series / wide frame.
+  *
+  * Spark-first re-expression of the reference's `from_reportdata`
+  * (`/root/reference/energy_pandas/energypandas.py:231-309` series
+  * variant, `:895-946` frame variant): one lazy select/groupBy/pivot
+  * chain; the scalar steps (timestamp assembly, interval shift) fuse into
+  * the scan stage under whole-stage codegen and the groupBy/pivot is the
+  * only shuffle.
+  */
+object ReportData {
+
+  /** EnergyPlus timestamps are period-END; subtracting `Interval` minutes
+    * shifts to period-start (`energypandas.py:277-279`). Assembled from
+    * date parts against `baseYear` (`energypandas.py:268-276`); built as
+    * day-zero timestamp + minute arithmetic so EnergyPlus' 1-24 hour
+    * convention cannot overflow `make_timestamp`. */
+  def assembleTimestamp(baseYear: Int, month: Column, day: Column,
+      hour: Column, minute: Column, intervalMinutes: Column): Column =
+    make_timestamp(lit(baseYear), month, day, lit(0), lit(0), lit(0)) +
+      make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
+        hour * lit(60) + minute - intervalMinutes, lit(0))
+
+  /** Mixed-unit guard (`energypandas.py:283-288`): one tiny agg action.
+    * Returns the single unit string, or the override. */
+  private def resolveUnits(df: DataFrame, unitsOverride: Option[String])
+      : Option[String] = unitsOverride.orElse {
+    val distinct = df.select("Units").distinct().limit(3).collect().map(_.getString(0))
+    if (distinct.length > 1)
+      throw new MultipleUnitsError(
+        s"The DataFrame contains mixed units: ${distinct.mkString(", ")}")
+    distinct.headOption
+  }
+
+  /** Series variant (`energypandas.py:231-309`). `aggFunc=None` keeps the
+    * `(ts, Name)` two-column key (`energypandas.py:292-294`). */
+  def toSeries(
+      df: DataFrame,
+      name: Option[String] = None,
+      baseYear: Int = 2018,
+      units: Option[String] = None,
+      normalize: Boolean = false,
+      sortValues: Boolean = false,
+      ascending: Boolean = false,
+      toUnits: Option[String] = None,
+      aggFunc: Option[String] = Some("sum")
+  ): EnergySeries = {
+    val unit = resolveUnits(df, units)
+    val ts = assembleTimestamp(baseYear, col("Month"), col("Day"),
+      col("Hour"), col("Minute"), col("Interval"))
+    val stamped = df.withColumn("ts", ts)
+
+    val series = aggFunc match {
+      case Some(fn) =>
+        val grouped = stamped.groupBy(col("ts"))
+          .agg(expr(s"$fn(Value)").as("Value"))
+        EnergySeries(grouped, Seq("ts"), "Value",
+          unit.map(UnitRegistry.parse), baseYear = baseYear, name = name)
+      case None =>
+        EnergySeries(stamped.select(col("ts"), col("Name"), col("Value")),
+          Seq("ts", "Name"), "Value",
+          unit.map(UnitRegistry.parse), baseYear = baseYear, name = name)
+    }
+
+    val normalized = if (normalize) series.normalize() else series
+    val sorted =
+      if (sortValues)
+        normalized.copy(df = normalized.df.orderBy(
+          if (ascending) col("Value").asc else col("Value").desc))
+      else normalized
+    // to_units applies only when not normalized (energypandas.py:307-308)
+    toUnits.filter(_ => !normalize).map(sorted.toUnits).getOrElse(sorted)
+  }
+
+  /** Frame variant (`energypandas.py:895-946`): wide frame with one column
+    * per `KeyValue`. The reference pivots with pandas' default aggfunc
+    * (mean, `energypandas.py:915-917`) and re-collapses the date parts per
+    * `TimeIndex` by mean (`:918-923`); here both pivots are ONE
+    * groupBy("TimeIndex") — a single shuffle. */
+  def toFrame(
+      df: DataFrame,
+      baseYear: Int = 2018,
+      units: Option[String] = None,
+      normalize: Boolean = false,
+      sortValues: Boolean = false,
+      toUnits: Option[String] = None,
+      keyValues: Seq[String] = Seq.empty
+  ): EnergyFrame = {
+    val unit = resolveUnits(df, units)
+    val keys =
+      if (keyValues.nonEmpty) keyValues
+      else df.select("KeyValue").distinct().orderBy("KeyValue")
+        .collect().map(_.getString(0)).toSeq
+
+    // one shuffle: pivot cells (mean per key) + date-part means together
+    val perKey = keys.map(k =>
+      avg(when(col("KeyValue") === lit(k), col("Value"))).as(k))
+    val dateParts = Seq("Month", "Day", "Hour", "Minute", "Interval")
+      .map(c => avg(col(c)).as(c))
+    val wide = df.groupBy(col("TimeIndex")).agg((perKey ++ dateParts).head,
+      (perKey ++ dateParts).tail: _*)
+
+    val ts = assembleTimestamp(baseYear,
+      col("Month").cast("int"), col("Day").cast("int"),
+      col("Hour").cast("int"), col("Minute").cast("int"),
+      col("Interval").cast("int"))
+    val stamped = wide.withColumn("ts", ts)
+      .select(col("ts") +: keys.map(col): _*)
+
+    val u = unit.map(UnitRegistry.parse)
+    val frame = EnergyFrame(stamped, Seq("ts"),
+      u.map(uu => keys.map(_ -> uu).toMap).getOrElse(Map.empty),
+      baseYear = baseYear)
+
+    // order differs from the series variant (energypandas.py:940-945)
+    val converted = toUnits.map(frame.toUnits).getOrElse(frame)
+    val normalized = if (normalize) converted.normalize() else converted
+    if (sortValues)
+      normalized.copy(df = normalized.df.orderBy(col(keys.head).desc))
+    else normalized
+  }
+}
