@@ -1,13 +1,553 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{DetAgg, EnergyFrame, EnergySeries}
+import graft.operators.{Dedup, Discretize, Multimodal, Similarity, TextOps}
+import graft.sources.ReportData
+import graft.streaming.StreamOps
+import graft.units.UnitRegistry
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the extended LLM-pipeline scope), each with equivalent
+  * DuckDB oracle SQL in `oracleSql`.
+  *
+  * Cross-engine determinism rules used throughout (see DetAgg):
+  *  - double aggregation goes through DECIMAL(30,6) (exact, associative);
+  *  - per-row double arithmetic is written with the SAME association order
+  *    on both sides;
+  *  - timestamps are normalized to naive UTC wall time on output
+  *    (Tables.ntzOut) to match DuckDB's zone-less timestamps;
+  *  - every ranking has an explicit unique tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
+
+  /** Shortest round-trip double literal for oracle SQL. */
+  private def d17(x: Double): String = x.toString
+
+  private val dSum = DetAgg.sqlSum _
+  private val dAvg = DetAgg.sqlAvg _
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def eventsSeries(s: SparkSession, dir: String): EnergySeries =
+    EnergySeries(t(s, dir, "events").select(col("event_id"), col("value")),
+      Seq("event_id"), "value", Some(UnitRegistry.parse("degC")))
+
+  private def eventsTsSeries(s: SparkSession, dir: String): EnergySeries =
+    EnergySeries(t(s, dir, "events").select(col("ts"), col("event_type"),
+      col("value")), Seq("ts"), "value")
+
+  // ======================================================== flagship entry
+
+  /** Flagship on sf0.001: ReportData-style ingest of the events stream →
+    * tumbling-hour load profile per event_type. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    out(StreamOps.tumblingAgg(t(spark, "/root/testdata/sf0.001", "events")))
+
+  // ============================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S3: from_reportdata (series variant)
+    "q01_reportdata_series" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tidy = ev.select(
+        month(col("ts")).as("Month"), dayofmonth(col("ts")).as("Day"),
+        hour(col("ts")).as("Hour"), minute(col("ts")).as("Minute"),
+        lit(60).as("Interval"), col("value").cast(DetAgg.Dec).as("Value"),
+        lit("J").as("Units"), col("event_type").as("Name"))
+      val series = ReportData.toSeries(tidy, baseYear = 2024,
+        units = Some("J"))
+      out(series.df.select(col("ts"),
+        col("Value").cast("double").as("value")))
+    }),
+    // ---- S5: from_reportdata (frame variant, wide pivot per KeyValue)
+    "q02_reportdata_frame" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tidy = ev.select(
+        floor(unix_timestamp(col("ts")) / 60).as("TimeIndex"),
+        month(col("ts")).as("Month"), dayofmonth(col("ts")).as("Day"),
+        hour(col("ts")).as("Hour"), minute(col("ts")).as("Minute"),
+        lit(1).as("Interval"), col("value").as("Value"),
+        lit("J").as("Units"), col("event_type").as("KeyValue"))
+      out(ReportData.toFrame(tidy, baseYear = 2024, units = Some("J"),
+        keyValues = EventTypes).df)
+    }),
+    // ---- S2: with_timeindex (generated fixed-step index)
+    "q03_with_timeindex" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      out(EnergySeries.withTimeIndex(s,
+        ev.select(col("event_id").as("id"), col("value")), "value",
+        baseYear = 2018, stepSeconds = 3600).df)
+    }),
+    // ---- P3: to_units (affine degC → K)
+    "q04_to_units" -> ((s, dir) =>
+      eventsSeries(s, dir).toUnits("K").df),
+    // ---- P5: to_ip (SI→IP table lookup, W → Btu/h)
+    "q05_to_ip" -> ((s, dir) =>
+      eventsSeries(s, dir).copy(units = Some(UnitRegistry.parse("W"))).toIp.df),
+    // ---- P6: source_side conditional split
+    "q06_source_side" -> ((s, dir) =>
+      eventsSeries(s, dir).sourceSide(Some(3.0), Some(4.0)).df),
+    // ---- P8/A7: normalize (global min-max scale)
+    "q07_normalize" -> ((s, dir) =>
+      eventsSeries(s, dir).normalize().df),
+    // ---- A6/O1/O2: load-duration curve (distributed sort + rank)
+    "q08_ldc" -> ((s, dir) =>
+      eventsSeries(s, dir).ldc.df),
+    // ---- P7: ldc_source
+    "q09_ldc_source" -> ((s, dir) =>
+      eventsSeries(s, dir).ldcSource(4.0, 4.0).df),
+    // ---- A5: monthly resample (calendar-month mean)
+    "q10_monthly" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      out(EnergySeries(li.select(col("l_shipdate").as("ts"),
+        col("l_quantity").as("value")), Seq("ts"), "value").monthly.df)
+    }),
+    // ---- A5 generalized: tumbling-window resample
+    "q11_resample" -> ((s, dir) =>
+      out(eventsTsSeries(s, dir).resample("6 hours").df)),
+    // ---- A2: p_max per group
+    "q12_pmax" -> ((s, dir) =>
+      eventsTsSeries(s, dir).pMaxBy("event_type")),
+    // ---- A3: capacity factor per group
+    "q13_capacity_factor" -> ((s, dir) =>
+      eventsTsSeries(s, dir).capacityFactorBy("event_type")),
+    // ---- A4: time_at_min (idxmin) per group
+    "q14_time_at_min" -> ((s, dir) =>
+      out(eventsTsSeries(s, dir).timeAtMinBy("event_type"))),
+    // ---- J2: index-alignment arithmetic (full-outer join on index)
+    "q15_align_arith" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def minuteSeries(typ: String) = EnergySeries(
+        ev.where(col("event_type") === typ)
+          .groupBy(date_trunc("minute", col("ts")).as("ts"))
+          .agg(DetAgg.detSum(col("value")).as("value")), Seq("ts"), "value")
+      out((minuteSeries("click") + minuteSeries("view")).df)
+    }),
+    // ---- W1/V1: day × hour period matrix (heatmap data layer)
+    "q16_day_hour_matrix" -> ((s, dir) =>
+      eventsTsSeries(s, dir).toDayHourMatrix),
+    // ---- M1: discretize (typical-period mean profile, k=1)
+    "q17_discretize_mean" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = EnergySeries(
+        ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+          .agg(DetAgg.detAvg(col("value")).as("value")), Seq("ts"), "value")
+      out(Discretize.discretize(hourly, noTypicalPeriods = 1,
+        periodLength = 24).df)
+    }),
+    // ---- M1: discretize via spark.ml KMeans (k=4; no SQL oracle)
+    "q18_discretize_kmeans" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = EnergySeries(
+        ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+          .agg(DetAgg.detAvg(col("value")).as("value")), Seq("ts"), "value")
+      out(Discretize.discretize(hourly, noTypicalPeriods = 4,
+        periodLength = 24).df)
+    }),
+    // ---- inherited relational surface: groupBy-agg (TPC-H Q1 shape)
+    "q19_groupby_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        DetAgg.detSum(col("l_quantity")).as("sum_qty"),
+        DetAgg.detSum(col("l_extendedprice")).as("sum_base_price"),
+        DetAgg.detSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        (DetAgg.detSum(col("l_quantity")) / count(col("l_quantity")))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+    }),
+    // ---- inherited relational surface: multi-way broadcast join
+    "q20_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(DetAgg.detSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    }),
+    // ---- O3: top-k with deterministic tie-break
+    "q21_topk_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(DetAgg.detSum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+        .limit(10)
+    }),
+    // ---- O4: set ops (EXCEPT)
+    "q22_setops_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select(col("user_id")).distinct()
+        .except(ev.where(col("event_type") === "purchase")
+          .select(col("user_id")).distinct())
+    }),
+    // ---- semi-structured: JSON prop extraction + aggregation
+    "q23_json_props" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long"))
+          .as("k_sum"))
+    }),
+    // ---- dedup: exact (content-hash groupBy)
+    "q24_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    // ---- dedup: MinHash + LSH banding (no SQL oracle: xxhash64)
+    "q25_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 3, bands = 8, rowsPerBand = 2, minEstJaccard = 0.5)),
+    // ---- dedup: SimHash blocking + Hamming (no SQL oracle: xxhash64)
+    "q26_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 3, prefixBits = 16, maxHamming = 8)),
+    // ---- dedup: exact n-gram Jaccard pairs (inverted-index join)
+    "q27_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000000)),
+    // ---- dedup: embedding-cosine near-duplicate pairs
+    "q28_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4)),
+    // ---- similarity: exact brute-force cosine top-k
+    "q29_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5)
+    }),
+    // ---- similarity: LSH-bucketed approximate top-k (no SQL oracle)
+    "q30_sim_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, numPlanes = 8, dim = 64)
+    }),
+    // ---- text: quality scoring + token counting
+    "q31_text_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextOps.wordCount(col("text")).cast("long").as("n_words"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    }),
+    // ---- text: language identification heuristic
+    "q32_langid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))
+    }),
+    // ---- text: canonical fingerprint dedup key
+    "q34_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    }),
+    // ---- multimodal: binary payload + typed metadata
+    "q35_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        "text", "text/plain")
+      media.select(col("doc_id"),
+        col("media_meta.media_type").as("media_type"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.sha256").as("sha256"))
+    }),
+    // ---- multimodal: per-partition (stub) decode / feature extraction
+    "q36_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        "text", "text/plain")
+      Multimodal.extractFeatures(media, "doc_id").toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"))
+    }),
+    // ---- streaming semantics (batch-checkable): tumbling window
+    "q37_stream_tumbling" -> ((s, dir) =>
+      out(StreamOps.tumblingAgg(t(s, dir, "events")))),
+    // ---- streaming semantics: per-user session windows
+    "q38_stream_session" -> ((s, dir) =>
+      out(StreamOps.sessionAgg(t(s, dir, "events"), gap = "5 minutes"))),
+    // ---- streaming semantics: sliding window
+    "q39_stream_sliding" -> ((s, dir) =>
+      out(StreamOps.slidingAgg(t(s, dir, "events"), "1 hour", "15 minutes"))),
+    // ---- S4/A8: frame row-wise aggregate
+    "q40_frame_row_sum" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_tax"),
+        col("l_discount"))
+      EnergyFrame(li, Seq("l_orderkey", "l_linenumber"))
+        .rowSum("row_total").df
+    }),
+    // ---- P8 (frame): per-column min-max normalize
+    "q41_frame_normalize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_tax"),
+        col("l_discount"))
+      EnergyFrame(li, Seq("l_orderkey", "l_linenumber")).normalize().df
+    }),
+    // ---- P4 (frame): per-column unit conversion
+    "q42_frame_to_units" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_tax"))
+      val degC = UnitRegistry.parse("degC")
+      EnergyFrame(li, Seq("l_orderkey", "l_linenumber"),
+        Map("l_quantity" -> degC, "l_tax" -> degC)).toUnits("K").df
+    })
+  )
+
+  // =========================================================== oracle SQL
+
+  def oracleSql: Map[String, String] = {
+    val (ipK, ipB) = UnitRegistry.conversion(UnitRegistry.parse("W"),
+      UnitRegistry.parse("Btu/h"))
+    val hk3 = 1.0 - 1.0 / 3.0; val ck4 = 1.0 + 1.0 / 4.0
+    val hk4 = 1.0 - 1.0 / 4.0; val ck4b = 1.0 + 1.0 / 4.0
+
+    val cells = (0 until 24).map(h =>
+      s"${dSum(s"CASE WHEN hour(ts) = $h THEN value END")} / COUNT(CASE WHEN hour(ts) = $h THEN value END) AS h$h")
+      .mkString(",\n  ")
+
+    val frameCells = EventTypes.map(k =>
+      s"${dSum(s"CASE WHEN KeyValue = '$k' THEN Value END")} / COUNT(CASE WHEN KeyValue = '$k' THEN Value END) AS $k")
+      .mkString(",\n    ")
+
+    def cos(a: String, b: String) =
+      s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+    val langScores = TextOps.LangMarkers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      lang -> s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($set)))"
+    }
+    val bestExpr = s"greatest(${langScores.map(_._2).mkString(", ")})"
+    val langCase = langScores.map { case (lang, sc) =>
+      s"WHEN $sc = best AND $sc > 0 THEN '$lang'"
+    }.mkString(" ")
+
+    Map(
+      "q01_reportdata_series" ->
+        s"""SELECT make_timestamp(2024, month(ts), day(ts), 0, 0, 0)
+           |     + to_minutes(CAST(hour(ts)*60 + minute(ts) - 60 AS BIGINT)) AS ts,
+           |     ${dSum("value")} AS value
+           |FROM events GROUP BY 1""".stripMargin,
+      "q02_reportdata_frame" ->
+        s"""WITH tidy AS (
+           |  SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS TimeIndex,
+           |    month(ts) AS m, day(ts) AS d, hour(ts) AS h, minute(ts) AS mi,
+           |    value AS Value, event_type AS KeyValue
+           |  FROM events),
+           |g AS (
+           |  SELECT TimeIndex, min(m) AS m, min(d) AS d, min(h) AS h, min(mi) AS mi,
+           |    $frameCells
+           |  FROM tidy GROUP BY 1)
+           |SELECT make_timestamp(2024, m, d, 0, 0, 0)
+           |     + to_minutes(CAST(h*60 + mi - 1 AS BIGINT)) AS ts,
+           |  click, error, purchase, signup, view
+           |FROM g""".stripMargin,
+      "q03_with_timeindex" ->
+        "SELECT TIMESTAMP '2018-01-01 00:00:00' + to_seconds(event_id * 3600) AS ts, value FROM events",
+      "q04_to_units" ->
+        "SELECT event_id, value * 1.0 + 273.15 AS value FROM events",
+      "q05_to_ip" ->
+        s"SELECT event_id, value * ${d17(ipK)} + ${d17(ipB)} AS value FROM events",
+      "q06_source_side" ->
+        s"SELECT event_id, CASE WHEN value > 0 THEN value * ${d17(hk3)} ELSE value * ${d17(ck4)} END AS value FROM events",
+      "q07_normalize" ->
+        """SELECT event_id,
+          |  (value - (SELECT min(value) FROM events))
+          |  / ((SELECT max(value) FROM events) - (SELECT min(value) FROM events)) AS value
+          |FROM events""".stripMargin,
+      "q08_ldc" ->
+        "SELECT CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS idx, value FROM events",
+      "q09_ldc_source" ->
+        s"""SELECT CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS idx,
+           |  CASE WHEN value > 0 THEN value * ${d17(hk4)} ELSE value * ${d17(ck4b)} END AS value
+           |FROM events""".stripMargin,
+      "q10_monthly" ->
+        s"""SELECT last_day(CAST(l_shipdate AS DATE)) AS ts,
+           |  ${dAvg("l_quantity")} AS value
+           |FROM lineitem GROUP BY 1""".stripMargin,
+      "q11_resample" ->
+        s"""SELECT time_bucket(INTERVAL '6 hours', ts) AS ts,
+           |  ${dAvg("value")} AS value
+           |FROM events GROUP BY 1""".stripMargin,
+      "q12_pmax" ->
+        "SELECT event_type, max(value) AS value FROM events GROUP BY 1",
+      "q13_capacity_factor" ->
+        s"""SELECT event_type, (${dAvg("value")}) / max(value) AS capacity_factor
+           |FROM events GROUP BY 1""".stripMargin,
+      "q14_time_at_min" ->
+        """SELECT event_type, min(ts) AS ts FROM (
+          |  SELECT event_type, ts, value,
+          |    min(value) OVER (PARTITION BY event_type) AS mv
+          |  FROM events) WHERE value = mv GROUP BY 1""".stripMargin,
+      "q15_align_arith" ->
+        s"""WITH a AS (SELECT date_trunc('minute', ts) AS ts, ${dSum("value")} AS v
+           |           FROM events WHERE event_type = 'click' GROUP BY 1),
+           |     b AS (SELECT date_trunc('minute', ts) AS ts, ${dSum("value")} AS v
+           |           FROM events WHERE event_type = 'view' GROUP BY 1)
+           |SELECT COALESCE(a.ts, b.ts) AS ts, a.v + b.v AS value
+           |FROM a FULL JOIN b ON a.ts = b.ts""".stripMargin,
+      "q16_day_hour_matrix" ->
+        s"SELECT CAST(ts AS DATE) AS period_date,\n  $cells\nFROM events GROUP BY 1",
+      "q17_discretize_mean" ->
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts, ${dAvg("value")} AS v
+           |           FROM events GROUP BY 1),
+           |s AS (SELECT ts, v,
+           |        CAST(floor((epoch(ts) - (SELECT min(epoch(ts)) FROM h)) / 3600) AS BIGINT) % 24 AS slot
+           |      FROM h),
+           |p AS (SELECT slot, ${dAvg("v")} AS pv FROM s GROUP BY 1)
+           |SELECT s.ts AS ts, p.pv AS value FROM s JOIN p USING (slot)""".stripMargin,
+      "q19_groupby_agg" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dSum("l_quantity")} AS sum_qty,
+           |  ${dSum("l_extendedprice")} AS sum_base_price,
+           |  ${dSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           |  ${dSum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+           |  CAST(count(*) AS BIGINT) AS count_order
+           |FROM lineitem GROUP BY 1, 2""".stripMargin,
+      "q20_join_revenue" ->
+        s"""SELECT n_name, ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY 1""".stripMargin,
+      "q21_topk_customers" ->
+        s"""SELECT o_custkey, ${dSum("o_totalprice")} AS total_spend
+           |FROM orders GROUP BY 1
+           |ORDER BY total_spend DESC, o_custkey ASC LIMIT 10""".stripMargin,
+      "q22_setops_except" ->
+        """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          |EXCEPT
+          |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+      "q23_json_props" ->
+        """SELECT event_type,
+          |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+          |FROM events GROUP BY 1""".stripMargin,
+      "q24_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+          |  CAST(count(*) AS BIGINT) AS n_copies
+          |FROM documents GROUP BY text""".stripMargin,
+      "q27_dedup_ngram" ->
+        """WITH docs AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(words) - 2, 0)),
+          |    i -> array_to_string(words[i:i+2], ' '))) AS sh
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+          |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+          |pairs AS (
+          |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
+          |    count(*) AS n_inter
+          |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT a, b, jaccard FROM (
+          |  SELECT a, b, n_inter / (na + nb - n_inter) AS jaccard FROM pairs)
+          |WHERE jaccard >= 0.5""".stripMargin,
+      "q28_embed_neardup" ->
+        s"""SELECT a, b, cos_sim FROM (
+           |  SELECT x.vec_id AS a, y.vec_id AS b,
+           |    round(${cos("x.embedding", "y.embedding")}, 6) AS cos_sim
+           |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+           |WHERE cos_sim >= 0.4""".stripMargin,
+      "q29_sim_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT query_id, c.vec_id AS neighbor_id,
+           |    round(${cos("qv", "c.embedding")}, 6) AS cos_sim
+           |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != query_id),
+           |ranked AS (SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+           |  AS BIGINT) AS rank FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q31_text_quality" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+          |    CAST(length(text) AS DOUBLE) AS nc,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
+          |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS nd,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+          |  FROM documents)
+          |SELECT doc_id, n_words, n_tokens,
+          |  round(least(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+          |                   ELSE nc / 10000.0 + 0.01 END, 1.0) * 0.25
+          |    + (alpha / greatest(nc, 1.0)) * 0.25
+          |    + (CASE WHEN alpha / greatest(nw, 1.0) >= 3
+          |             AND alpha / greatest(nw, 1.0) <= 10
+          |            THEN 1.0 ELSE 0.5 END) * 0.25
+          |    + (nd / greatest(nw, 1.0)) * 0.25, 6) AS quality
+          |FROM c""".stripMargin,
+      "q32_langid" ->
+        s"""WITH sc AS (SELECT doc_id, lang, $bestExpr AS best, text
+           |            FROM documents)
+           |SELECT doc_id, lang,
+           |  CASE $langCase ELSE 'und' END AS pred_lang
+           |FROM sc""".stripMargin,
+      "q34_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(array_to_string(list_sort(list_distinct(
+          |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+          |FROM documents""".stripMargin,
+      "q35_multimodal_meta" ->
+        """SELECT doc_id, 'text/plain' AS media_type,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  sha256(text) AS sha256
+          |FROM documents""".stripMargin,
+      "q36_multimodal_decode" ->
+        """SELECT doc_id, 'text/plain' AS media_type,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+          |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INTEGER) AS height
+          |FROM documents""".stripMargin,
+      "q37_stream_tumbling" ->
+        s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           |  CAST(count(*) AS BIGINT) AS n_events, ${dSum("value")} AS total
+           |FROM events GROUP BY 1, 2""".stripMargin,
+      "q38_stream_session" ->
+        s"""WITH x AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |y AS (SELECT *, SUM(new_sess) OVER (
+           |        PARTITION BY user_id ORDER BY ts
+           |        ROWS UNBOUNDED PRECEDING) AS sess FROM x)
+           |SELECT min(ts) AS session_start,
+           |  max(ts) + INTERVAL 5 MINUTE AS session_end, user_id,
+           |  CAST(count(*) AS BIGINT) AS n_events, ${dSum("value")} AS total
+           |FROM y GROUP BY user_id, sess""".stripMargin,
+      "q39_stream_sliding" ->
+        s"""WITH w AS (
+           |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           |           - to_minutes(CAST(o * 15 AS BIGINT)) AS window_start,
+           |    event_type, value
+           |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) u)
+           |SELECT window_start, event_type, ${dAvg("value")} AS mean_value
+           |FROM w GROUP BY 1, 2""".stripMargin,
+      "q40_frame_row_sum" ->
+        "SELECT l_orderkey, l_linenumber, l_quantity + l_tax + l_discount AS row_total FROM lineitem",
+      "q41_frame_normalize" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  (l_quantity - mnq) / (mxq - mnq) AS l_quantity,
+          |  (l_tax - mnt) / (mxt - mnt) AS l_tax,
+          |  (l_discount - mnd) / (mxd - mnd) AS l_discount
+          |FROM lineitem CROSS JOIN (
+          |  SELECT min(l_quantity) AS mnq, max(l_quantity) AS mxq,
+          |    min(l_tax) AS mnt, max(l_tax) AS mxt,
+          |    min(l_discount) AS mnd, max(l_discount) AS mxd
+          |  FROM lineitem) m""".stripMargin,
+      "q42_frame_to_units" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  l_quantity * 1.0 + 273.15 AS l_quantity,
+          |  l_tax * 1.0 + 273.15 AS l_tax
+          |FROM lineitem""".stripMargin
+    )
+  }
 }

@@ -153,23 +153,56 @@ final case class EnergySeries(
 
   /** Calendar-month mean downsample (`energypandas.py:610-616`); label is
     * the month end like pandas `resample("ME")`. Shuffles once on ~12 keys
-    * with map-side partial aggregation. */
+    * with map-side partial aggregation; the mean runs through DetAgg so
+    * the result is run- and engine-deterministic. */
   def monthly: EnergySeries = {
     require(indexCols.nonEmpty, "monthly requires a time index")
     val ts = idx.head
     val out = df
       .groupBy(last_day(date_trunc("month", ts)).as(indexCols.head))
-      .agg(avg(v).as(valueCol))
+      .agg(DetAgg.detAvg(v).as(valueCol))
     copy(df = out, frequency = Some("M"))
   }
 
-  /** Generic time resample: tumbling window of `duration` with mean/sum. */
+  /** Generic time resample: tumbling window of `duration` with a
+    * deterministic mean ("avg", default) or exact sum ("sum"). */
   def resample(duration: String, how: String = "avg"): EnergySeries = {
     val ts = idx.head
+    val agg = how match {
+      case "avg" | "mean" => DetAgg.detAvg(v)
+      case "sum" => DetAgg.detSum(v)
+      case other => expr(s"$other($valueCol)")
+    }
     val out = df
       .groupBy(window(ts, duration).getField("start").as(indexCols.head))
-      .agg(expr(s"$how($valueCol)").as(valueCol))
+      .agg(agg.as(valueCol))
     copy(df = out, frequency = Some(duration))
+  }
+
+  /** Per-group capacity factor mean/max (`energypandas.py:618-622`
+    * generalized to a grouped DataFrame result). */
+  def capacityFactorBy(groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg((DetAgg.detAvg(v) / max(v)).as("capacity_factor"))
+
+  /** Per-group index label of the minimum value (`energypandas.py:629-631`
+    * grouped). Deterministic under value ties: the struct min orders by
+    * (value, index), so the earliest index among the minima wins. */
+  def timeAtMinBy(groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(min(struct(v, idx.head)).getField(indexCols.head).as(indexCols.head))
+
+  /** Calendar day × hour-of-day matrix (the plot2d/plot3d heatmap data
+    * layer, `energypandas.py:679-802`): rows = dates, 24 columns h0..h23
+    * of deterministic hourly means. One shuffle (the groupBy); the pivot
+    * is a fixed 24-expression projection, no second pass. */
+  def toDayHourMatrix: DataFrame = {
+    val ts = idx.head
+    val cells = (0 until 24).map { h =>
+      val cell = when(hour(ts) === h, v)
+      (DetAgg.detSum(cell) / count(cell)).as(s"h$h")
+    }
+    df.groupBy(to_date(ts).as("period_date")).agg(cells.head, cells.tail: _*)
   }
 
   // --------------------------------------------------------- align-arith
@@ -257,10 +290,12 @@ object EnergySeries {
   def withTimeIndex(spark: SparkSession, values: DataFrame, valueCol: String,
       baseYear: Int = 2018, stepSeconds: Long = 3600,
       units: Option[String] = None): EnergySeries = {
-    // values must carry an ordinal "id" column 0..n-1
-    val start = java.sql.Timestamp.valueOf(s"$baseYear-01-01 00:00:00")
+    // values must carry an ordinal "id" column 0..n-1; the start epoch is
+    // computed in UTC so the result is independent of the JVM default zone
+    val startEpoch = java.time.LocalDateTime.of(baseYear, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
     val df = values.withColumn("ts",
-      timestamp_seconds(lit(start.getTime / 1000) + col("id") * lit(stepSeconds)))
+      timestamp_seconds(lit(startEpoch) + col("id") * lit(stepSeconds)))
       .select(col("ts"), col(valueCol))
     EnergySeries(df, Seq("ts"), valueCol,
       units.map(UnitRegistry.parse), frequency = Some(s"${stepSeconds}s"),

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Beyond the reference's surface (energy-pandas has no dedup), these are
+  * the standard LLM-training-data cleaning passes, each expressed as
+  * declarative Column pipelines — no Scala UDFs, everything stays inside
+  * whole-stage codegen, and every shuffle is on an explicit key so the
+  * plan scales: at 100 TB the exact/minhash/simhash paths are single
+  * hash-partitioned shuffles on (hash) / (band, signature); nothing is
+  * ever collected to the driver.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one row per distinct text, keeping the
+    * lowest id (deterministic winner). One shuffle keyed by the md5 —
+    * uniform 128-bit keys, no skew; map-side partial min/count. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of `textCol` as an array column. Pure SQL
+    * higher-order functions: split → transform over a sliding index. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    // index i -> words[i..i+n) joined; sequence is empty when too short
+    filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(i + n <= size(words),
+          array_join(slice(words, i + 1, lit(n)), " "))),
+      x => x.isNotNull)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations, the
+    * min of xxhash64(shingle, seed) over the document's shingle set.
+    * Computed per-row with higher-order functions — no explode, no
+    * shuffle; the signature is an array<long> column. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      array_min(transform(array_distinct(shingles),
+        s => xxhash64(s, seed))))
+
+  /** MinHash + LSH banding near-dup candidate pairs: split the signature
+    * into `bands` bands of `rowsPerBand`, hash each band, and join
+    * documents sharing any band bucket. The band-bucket join is the only
+    * shuffle and is keyed by (band, bucket) — at 100 TB this is the
+    * textbook banded-LSH layout; hot buckets (boilerplate docs) can be
+    * salted or capped upstream. Returns candidate pairs (a < b) with the
+    * exact signature-agreement fraction (a MinHash estimate of Jaccard).
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), shingleLen), numHashes)
+        .as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"),
+            b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("b"), col("sig").as("sig_b"))
+    val pairs = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          x === y), c => c)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+    pairs.where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash fingerprint: 64-bit signature where bit i is the sign of the
+    * sum over shingles of (+1 if bit i of xxhash64(shingle) set else -1).
+    * Expressed with aggregate/transform over the shingle array — per-row,
+    * shuffle-free. */
+  def simhash(shingles: Column): Column = {
+    // shiftleft/shiftright take a literal Int in the Scala DSL; the SQL
+    // builtins accept a column shift amount, reached via call_function
+    def shr(x: Column, n: Column) = call_function("shiftright", x, n)
+    def shl(x: Column, n: Column) = call_function("shiftleft", x, n)
+    val bitVotes = aggregate(
+      array_distinct(shingles),
+      array_repeat(lit(0L), 64),
+      (acc, s) => {
+        val h = xxhash64(s)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
+          a + when(shr(h, i).bitwiseAND(lit(1L)) === lit(1L),
+            lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(bitVotes, sequence(lit(0), lit(63)), (v, i) =>
+        when(v > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: group by a prefix of the simhash (cheap
+    * blocking), then pairwise Hamming distance within blocks. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, prefixBits: Int = 16, maxHamming: Int = 8)
+      : DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(wordShingles(col(textCol), shingleLen)).as("sim"))
+    val blocked = sigs.withColumn("block",
+      shiftrightunsigned(col("sim"), 64 - prefixBits))
+    val l = blocked.select(col("block"), col("id").as("a"), col("sim").as("sim_a"))
+    val r = blocked.select(col("block"), col("id").as("b"), col("sim").as("sim_b"))
+    l.join(r, Seq("block")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-n-gram Jaccard near-dup pairs. Candidate generation by
+    * shared shingle (explode + self-join on the shingle — the classic
+    * inverted-index join), then |∩| / |∪| from the per-doc distinct
+    * shingle counts. At 100 TB the candidate join is keyed by shingle;
+    * stop-shingles (appearing in > docFreqCap docs) are dropped first,
+    * which is both the skew guard and the standard quality trick. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, minJaccard: Double = 0.8,
+      docFreqCap: Int = 1000): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleLen)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inverted = docs.select(col("id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val pruned = inverted.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shingle")))
+      .where(col("df") <= docFreqCap).drop("df")
+    val l = pruned.select(col("shingle"), col("id").as("a"), col("n_sh").as("na"))
+    val r = pruned.select(col("shingle"), col("id").as("b"), col("n_sh").as("nb"))
+    val inter = l.join(r, Seq("shingle")).where(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("n_inter"))
+    inter.select(col("a"), col("b"),
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

@@ -64,10 +64,11 @@ object Discretize {
         model.transform(features).select(col("__period"), col("__cluster"))
       }
 
-    // mean representation: slot-wise mean over the cluster's member periods
+    // mean representation: slot-wise deterministic mean over the cluster's
+    // member periods (DetAgg: exact decimal accumulation)
     val withCluster = long.join(broadcast(assigned), Seq("__period"))
     val profiles = withCluster.groupBy("__cluster", "__slot")
-      .agg(avg(col(v)).as("__profile"))
+      .agg(graft.core.DetAgg.detAvg(col(v)).as("__profile"))
 
     val predicted = withCluster
       .join(broadcast(profiles), Seq("__cluster", "__slot"))

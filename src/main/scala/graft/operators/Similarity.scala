@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (a broadcast nested-loop
+  * of queries × corpus — correct at any corpus size when the query set is
+  * small); the random-hyperplane LSH variant is the scale path: bucket the
+  * corpus once, then only compare within matching buckets, turning the
+  * quadratic scan into a bucket-keyed equi-join.
+  *
+  * All vector math is SQL higher-order functions (`zip_with` +
+  * `aggregate`) over doubles — sequential left-fold, so results are
+  * deterministic; no UDFs, no ml.Vector conversions on the hot path.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<float/double> columns,
+    * accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, z) => acc + z)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself). The query side is broadcast; the
+    * per-query ranking window partitions by query id, so the shuffle is
+    * keyed by query — fine for interactive query sets. Ties broken by
+    * (rounded cosine desc, corpus id asc) for full determinism. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) bucket id: `planes` is a
+    * driver-seeded matrix of unit-less hyperplane normals emitted as
+    * literal arrays; bit i = sign of <v, plane_i>. The corpus is bucketed
+    * in one codegen'd projection — at scale, persist/bucket the output by
+    * `bucket` and every subsequent lookup is a bucket-pruned scan. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Deterministic pseudo-random hyperplanes (driver-side, seeded). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH-bucketed approximate top-k: compare queries only against corpus
+    * vectors in the same hyperplane bucket (single equi-join on bucket),
+    * then rank as in [[cosineTopK]]. Recall grows with fewer planes /
+    * multiple tables; this single-table variant is the minimal scale
+    * shape. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+    * Exact all-pairs within label blocks would be O(n²); this exact
+    * variant is for oracle-checkable scales, the LSH bucket join above is
+    * the 100 TB path. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure Column expressions
+  * (regexp/array builtins) — codegen-friendly, shuffle-free per-row maps
+  * that scale linearly with the corpus. */
+object TextOps {
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token (the usual pre-tokenizer shape). */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, mean word
+    * length band, and repetition (distinct-word ratio). Deterministic
+    * integer/double arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast(DoubleType)
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words).cast(DoubleType)
+    val nDistinct = size(array_distinct(words)).cast(DoubleType)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+      .cast(DoubleType)
+    val lengthOk = when(nChars >= 100 && nChars <= 10000, 1.0)
+      .otherwise(nChars / 10000.0 + 0.01)
+    val alphaRatio = alpha / greatest(nChars, lit(1.0))
+    val meanWordLen = alpha / greatest(nWords, lit(1.0))
+    val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 10, 1.0)
+      .otherwise(0.5)
+    val distinctRatio = nDistinct / greatest(nWords, lit(1.0))
+    round(least(lengthOk, lit(1.0)) * lit(0.25)
+      + alphaRatio * lit(0.25)
+      + wordLenOk * lit(0.25)
+      + distinctRatio * lit(0.25), 6)
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose — the point is the distributed shape
+    * (per-row scoring against a broadcast-literal table), not the model. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Predicted language: the marker set with the highest hit count,
+    * earliest language winning ties (deterministic); "und" when no marker
+    * hits at all. */
+  def langId(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(words, w =>
+        ms.map(m => w === lit(m)).reduce(_ || _)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight nests the first language's `when` outermost, so the FIRST
+    // max-scoring language wins ties deterministically
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical content fingerprint: lowercase, collapse whitespace, sort
+    * the distinct words, md5 — robust to word order and repetition (the
+    * classic "fingerprint" clustering key). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(
+      split(lower(trim(text)), "\\s+"))), " "))
+}

@@ -100,11 +100,16 @@ object ReportData {
       else df.select("KeyValue").distinct().orderBy("KeyValue")
         .collect().map(_.getString(0)).toSeq
 
-    // one shuffle: pivot cells (mean per key) + date-part means together
-    val perKey = keys.map(k =>
-      avg(when(col("KeyValue") === lit(k), col("Value"))).as(k))
+    // one shuffle: pivot cells (deterministic mean per key, see DetAgg) +
+    // date parts together. The date parts are constant within a TimeIndex,
+    // so min == the reference's pivot_table mean (energypandas.py:918-923)
+    // without float division.
+    val perKey = keys.map { k =>
+      val cell = when(col("KeyValue") === lit(k), col("Value"))
+      (graft.core.DetAgg.detSum(cell) / count(cell)).as(k)
+    }
     val dateParts = Seq("Month", "Day", "Hour", "Minute", "Interval")
-      .map(c => avg(col(c)).as(c))
+      .map(c => min(col(c)).as(c))
     val wide = df.groupBy(col("TimeIndex")).agg((perKey ++ dateParts).head,
       (perKey ++ dateParts).tail: _*)
 

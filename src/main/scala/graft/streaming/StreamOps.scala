@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.DetAgg
+
+/** Structured-Streaming layer over the events schema
+  * `(event_id, ts, user_id, event_type, value, props)`.
+  *
+  * The reference is batch-only (SURVEY §2.11); these transforms give the
+  * engine its streaming story. Each is written against a plain DataFrame
+  * so the SAME code runs in batch (unit-testable, oracle-checkable) and on
+  * a `readStream` source — the Structured Streaming contract. Watermarks
+  * bound state; aggregations are keyed by (window, event_type) / session,
+  * so state partitions by key and scales horizontally.
+  */
+object StreamOps {
+
+  /** Tumbling-window count + deterministic sum per event_type. On a
+    * stream, `withWatermark` bounds the window state to `watermark` of
+    * lateness. */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), DetAgg.detSum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total"))
+  }
+
+  /** Sliding-window mean value per event_type. */
+  def slidingAgg(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: Option[String] = None)
+      : DataFrame = {
+    val src = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    src.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(DetAgg.detAvg(col("value")).as("mean_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("mean_value"))
+  }
+
+  /** Per-user session windows with a fixed inactivity gap: native
+    * `session_window` keeps the same semantics in batch and streaming
+    * (merging state per user key). */
+  def sessionAgg(events: DataFrame, gap: String = "5 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), DetAgg.detSum(col("value")).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("total"))
+  }
+}
