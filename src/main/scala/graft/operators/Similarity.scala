@@ -37,12 +37,17 @@ object Similarity {
     * (rounded cosine desc, corpus id asc) for full determinism. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Norms are projected BELOW the join so each side's norm is computed
+    // once per row, not once per pair (3× fewer vector folds).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -77,13 +82,16 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = randomPlanes(numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -97,11 +105,14 @@ object Similarity {
     * the 100 TB path. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
     a.crossJoin(b).where(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }
