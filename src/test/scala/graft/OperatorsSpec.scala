@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.EnergySeries
+import graft.operators._
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words appear in this one here"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("discretize k=1 is the slot-mean profile and preserves the total") {
+    val es = EnergySeries.rangeSeries(spark, 100, 2018, Some("degC"))
+    val d = Discretize.discretize(es, noTypicalPeriods = 1, periodLength = 24)
+    // complete periods: slot s of periods {0..3} -> mean 36+s; slots 0..3
+    // also include the tail period 4 -> mean 48+s. Total is preserved.
+    assert(math.abs(d.sum() - 4950.0) < 1e-6)
+    val bySlot = d.df.orderBy("ts").collect().map(_.getDouble(1))
+    assert(bySlot(4) == 40.0) // slot 4: mean(4,28,52,76) = 40
+    assert(bySlot(0) == 48.0) // slot 0: mean(0,24,48,72,96) = 48
+  }
+
+  test("discretize k>1 clusters periods deterministically") {
+    val es = EnergySeries.rangeSeries(spark, 96, 2018, Some("degC"))
+    val d = Discretize.discretize(es, noTypicalPeriods = 2, periodLength = 24,
+      seed = 42L)
+    assert(d.df.count() == 96)
+    // deterministic under a fixed seed
+    val again = Discretize.discretize(es, 2, 24, seed = 42L)
+    assert(d.df.except(again.df).count() == 0)
+  }
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // keep_id = min(0, 3)
+  }
+
+  test("minhash LSH finds exact and near duplicates") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(exact.exists(_._3 == 1.0)) // identical docs agree on every hash
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L)) // near-dup found
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L)) // unrelated not paired
+  }
+
+  test("simhash: identical docs distance 0, near-dups closer than unrelated") {
+    // blocked pair join: exact dups share every bit and every block
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 3L)) == 0)
+    // signature quality (pre-blocking): one changed word in a 50-word doc
+    // stays measurably closer than an unrelated doc
+    val long0 = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val sigDf = Seq((0L, long0), (1L, long0.replace("tok25", "changed")),
+      (2L, (100 until 150).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = sigDf.select($"doc_id",
+        Dedup.simhash(Dedup.wordShingles($"text", 3)).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 1L) < ham(0L, 2L) && ham(0L, 1L) < ham(1L, 2L))
+  }
+
+  test("ngram Jaccard computes exact overlap") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      minJaccard = 0.1, docFreqCap = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    // docs 0/1: 9 words -> 7 distinct 3-grams each (6 shared), J = 6/8
+    assert(math.abs(pairs((0L, 1L)) - 0.75) < 1e-12)
+  }
+
+  test("cosine top-k ranks by similarity with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.where($"vec_id" === 0),
+      "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(3L, 1L, 2L))
+  }
+
+  test("hyperplane LSH buckets identical vectors together") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val planes = Similarity.randomPlanes(6, 8)
+    val b = vecs.select($"vec_id",
+      Similarity.hyperplaneBucket($"embedding", planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+  }
+
+  test("text ops: counts, quality bounds, langid, fingerprint") {
+    val t = lit("The quick brown fox! It runs 42 km.")
+    val row = docs.limit(1).select(
+      TextOps.wordCount(t).as("w"), TextOps.tokenCount(t).as("t"),
+      TextOps.qualityScore(t).as("q"), TextOps.langId(t).as("l"),
+      TextOps.fingerprint(lit("b a a b")).as("f1"),
+      TextOps.fingerprint(lit("a b")).as("f2")).head()
+    assert(row.getAs[Int]("w") == 8)
+    assert(row.getAs[Int]("t") == 10) // 7 letter runs + "42" + "!" + "."
+    assert(row.getAs[Double]("q") >= 0.0 && row.getAs[Double]("q") <= 1.0)
+    assert(row.getAs[String]("l") == "en")
+    assert(row.getAs[String]("f1") == row.getAs[String]("f2")) // order/dup-proof
+  }
+
+  test("multimodal: payload metadata + deterministic stub decode") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    assert(media.columns.toSeq == Seq("doc_id", "payload", "media_meta"))
+    val f = Multimodal.extractFeatures(media, "doc_id")
+      .collect().map(m => m.doc_id -> m).toMap
+    val d0 = f(0L)
+    assert(d0.n_bytes == 43L)
+    assert(d0.width == (43 % 640) + 1 && d0.height == ((43 * 31) % 480) + 1)
+    assert(d0.mean_luma > 0 && d0.mean_luma < 1)
+    // identical payloads -> identical features
+    assert(f(3L).mean_luma == d0.mean_luma && f(3L).sha_eq(d0))
+  }
+
+  implicit class MediaOps(m: Multimodal.MediaFeature) {
+    def sha_eq(o: Multimodal.MediaFeature): Boolean =
+      m.n_bytes == o.n_bytes && m.width == o.width && m.height == o.height
+  }
+}

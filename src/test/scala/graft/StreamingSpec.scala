@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** The StreamOps transforms must produce the same answers on a real
+  * stream (MemoryStream + watermark) as in batch — the Structured
+  * Streaming contract the engine relies on. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def ev(id: Long, minute: Int, typ: String, user: Long = 1L,
+      value: Double = 1.0): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), user, typ,
+      value, "{}")
+
+  val events = Seq(
+    ev(0, 1, "click"), ev(1, 2, "click", value = 2.0), ev(2, 5, "view"),
+    ev(3, 30, "click"), ev(4, 59, "view", value = 3.0))
+
+  test("tumbling window agg: stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = StreamOps.tumblingAgg(stream.toDF(), "15 minutes",
+        watermark = Some("1 minute"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.sql(
+      "SELECT * FROM tumbling ORDER BY window_start, event_type").collect()
+    val batch = StreamOps.tumblingAgg(events.toDF(), "15 minutes")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(batch.length == 4) // windows 0,30,45 / types split window 0
+  }
+
+  test("session windows merge within the gap") {
+    val sessions = StreamOps.sessionAgg(events.toDF(), gap = "5 minutes")
+      .orderBy("session_start").collect()
+    // user 1: events at 1,2,5 chain (gaps < 5m); 30 alone; 59 alone
+    assert(sessions.length == 3)
+    assert(sessions.head.getAs[Long]("n_events") == 3L)
+    assert(sessions.head.getAs[Double]("total") == 4.0)
+  }
+
+  test("sliding windows overlap correctly") {
+    val w = StreamOps.slidingAgg(events.toDF(), "1 hour", "15 minutes")
+    // event at minute 59 appears in windows starting 00,15,30,45
+    val hits = w.where($"event_type" === "view" && $"mean_value" === 3.0)
+      .count()
+    assert(hits >= 1)
+    val starts = w.select("window_start").distinct().count()
+    assert(starts >= 4)
+  }
+}
