@@ -19,9 +19,19 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<float/double> columns,
-    * accumulated in double. */
+  /** Dot product of two array<float/double> columns, accumulated in
+    * double in element order — a native codegen'd Catalyst expression
+    * (graft.functions.VectorDot); bit-identical to the sequential
+    * higher-order-function fold but ~5× faster on all-pairs scans. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.VectorDot(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(a),
+        org.apache.spark.sql.graftshim.ColumnShim.expression(b)))
+
+  /** The pure-SQL higher-order-function formulation (kept as the
+    * portability fallback and for plan-comparison tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, z) => acc + z)
