@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{DetAgg, EnergyFrame, EnergySeries}
-import graft.operators.{Dedup, Discretize, Multimodal, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Discretize, Multimodal, Similarity, TextOps, WindowOps}
 import graft.sources.ReportData
 import graft.streaming.StreamOps
 import graft.units.UnitRegistry
@@ -210,7 +210,7 @@ object SparkEntry {
     // ---- dedup: exact n-gram Jaccard pairs (inverted-index join)
     "q27_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000000)),
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = Int.MaxValue)),
     // ---- dedup: embedding-cosine near-duplicate pairs
     "q28_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
@@ -295,7 +295,29 @@ object SparkEntry {
       val degC = UnitRegistry.parse("degC")
       EnergyFrame(li, Seq("l_orderkey", "l_linenumber"),
         Map("l_quantity" -> degC, "l_tax" -> degC)).toUnits("K").df
-    })
+    }),
+    // ---- as-of join (backward, inclusive): latest prior signup per user
+    "q43_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"))
+      out(AsofJoin.backward(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        signups, "user_id", "ts", Seq("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("r_ts").as("last_signup_ts")))
+    }),
+    // ---- window functions: trailing rolling mean per event_type
+    "q44_rolling_mean" -> ((s, dir) =>
+      WindowOps.rollingMean(t(s, dir, "events"), "value", n = 4,
+        partitionCols = Seq("event_type"),
+        orderCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("rolling_mean"))),
+    // ---- window functions: running total per user
+    "q45_running_total" -> ((s, dir) =>
+      WindowOps.runningTotal(t(s, dir, "events"), "value",
+        partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("running_total")))
   )
 
   // =========================================================== oracle SQL
@@ -547,7 +569,26 @@ object SparkEntry {
         """SELECT l_orderkey, l_linenumber,
           |  l_quantity * 1.0 + 273.15 AS l_quantity,
           |  l_tax * 1.0 + 273.15 AS l_tax
-          |FROM lineitem""".stripMargin
+          |FROM lineitem""".stripMargin,
+      "q43_asof_join" ->
+        """SELECT l.event_id, l.user_id, l.ts, r.ts AS last_signup_ts
+          |FROM events l ASOF LEFT JOIN (
+          |  SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+          |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+      "q44_rolling_mean" ->
+        """SELECT event_id,
+          |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+          |    / COUNT(value) OVER w AS rolling_mean
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+          |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q45_running_total" ->
+        """SELECT event_id,
+          |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+          |    AS running_total
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |             ROWS UNBOUNDED PRECEDING)""".stripMargin
     )
   }
 }

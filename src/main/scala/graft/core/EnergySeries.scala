@@ -233,6 +233,17 @@ final case class EnergySeries(
 
   def sum(): Double = df.agg(coalesce(org.apache.spark.sql.functions.sum(v), lit(0.0))).head().getDouble(0)
 
+  /** Elementwise transform via a Column expression — the declarative
+    * `apply(lambda)` analog (`energypandas.py:278,363,378`); stays inside
+    * codegen, unlike a UDF. */
+  def mapValues(f: Column => Column): EnergySeries =
+    finalized(df.withColumn(valueCol, f(v)))
+
+  /** Exact multiset equality with another series (`equals`,
+    * tests/test_energypandas.py:87,207-212). */
+  def seriesEquals(other: EnergySeries): Boolean =
+    df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
+
   // ------------------------------------------------------------- reshape
 
   /** Period matrix (tsam `unstackToPeriods` analog, `energypandas.py:503`,

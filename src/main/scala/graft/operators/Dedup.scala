@@ -151,10 +151,14 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
     val inverted = docs.select(col("id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
-    val pruned = inverted.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("shingle")))
-      .where(col("df") <= docFreqCap).drop("df")
+    // stop-shingle pruning costs a shuffle; skip it entirely when the cap
+    // is unbounded
+    val pruned =
+      if (docFreqCap == Int.MaxValue) inverted
+      else inverted.withColumn("df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("shingle")))
+        .where(col("df") <= docFreqCap).drop("df")
     val l = pruned.select(col("shingle"), col("id").as("a"), col("n_sh").as("na"))
     val r = pruned.select(col("shingle"), col("id").as("b"), col("n_sh").as("nb"))
     val inter = l.join(r, Seq("shingle")).where(col("a") < col("b"))

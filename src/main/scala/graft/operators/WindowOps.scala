@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.DetAgg
+
+/** Ordered-window analytics (rolling means, running totals). The frames
+  * accumulate through DECIMAL like DetAgg, so window results are exact
+  * and engine/run-deterministic regardless of how the engine associates
+  * the frame sum. Windows partition by an explicit key — state per key is
+  * bounded, and the shuffle is the partition key, so these scale
+  * horizontally (a global unpartitioned window would not). */
+object WindowOps {
+
+  /** Trailing `n`-row mean of `valueCol` within each partition, ordered by
+    * `orderCols` (include a unique tie-breaker for determinism). */
+  def rollingMean(df: DataFrame, valueCol: String, n: Int,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      as: String = "rolling_mean"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.withColumn(as,
+      sum(col(valueCol).cast(DetAgg.Dec)).over(w).cast("double") /
+        count(col(valueCol)).over(w))
+  }
+
+  /** Running total of `valueCol` within each partition. */
+  def runningTotal(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      as: String = "running_total"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as,
+      sum(col(valueCol).cast(DetAgg.Dec)).over(w).cast("double"))
+  }
+}
