@@ -66,11 +66,17 @@ object Dedup {
     val sig = exploded.groupBy("id").agg(
       array((0 until numHashes).map(i =>
         min(xxhash64(col("shingle"), lit(i)))): _*).as("sig"))
+    // Materialize the banded signatures once: both sides of the candidate
+    // self-join read them, and Spark would otherwise recompute the whole
+    // scan→shingle→signature pipeline per side (no exchange reuse across a
+    // broadcast side). At cluster scale this is "write signatures out,
+    // then join" — here persist() is the single-job equivalent.
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(col("sig"),
             b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -123,10 +129,12 @@ object Dedup {
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L),
         lit(1L)).otherwise(lit(-1L))).as(s"v$i"))
     val votes = exploded.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    // persisted for the same self-join-recompute reason as minhashLsh
     val sigs = votes.select(col("id"),
       (0 until 64).map(i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sigs.withColumn("block",
       shiftrightunsigned(col("sim"), 64 - prefixBits))
     val l = blocked.select(col("block"), col("id").as("a"), col("sim").as("sim_a"))
@@ -153,6 +161,8 @@ object Dedup {
       explode(col("sh")).as("shingle"))
     // stop-shingle pruning costs a shuffle; skip it entirely when the cap
     // is unbounded
+    // NOT persisted: the inverted index is one explode over the scan —
+    // cheaper to recompute per join side than to materialize
     val pruned =
       if (docFreqCap == Int.MaxValue) inverted
       else inverted.withColumn("df",
@@ -161,7 +171,11 @@ object Dedup {
         .where(col("df") <= docFreqCap).drop("df")
     val l = pruned.select(col("shingle"), col("id").as("a"), col("n_sh").as("na"))
     val r = pruned.select(col("shingle"), col("id").as("b"), col("n_sh").as("nb"))
-    val inter = l.join(r, Seq("shingle")).where(col("a") < col("b"))
+    // Force a sort-merge join: the planner broadcasts the inverted index
+    // (its parquet-derived size estimate ignores the explode fan-out),
+    // which neither scales nor wins locally — SMJ on the shingle key is
+    // 3× faster here and the only shape that survives a large corpus.
+    val inter = l.join(r.hint("merge"), Seq("shingle")).where(col("a") < col("b"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("n_inter"))
     inter.select(col("a"), col("b"),
         (col("n_inter") / (col("na") + col("nb") - col("n_inter")))
