@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{DetAgg, EnergyFrame, EnergySeries}
-import graft.operators.{AsofJoin, Dedup, Discretize, Multimodal, Similarity, TextOps, WindowOps}
+import graft.operators.{AsofJoin, Dedup, Discretize, Multimodal, RangeJoin, Similarity, TextOps, WindowOps}
 import graft.sources.ReportData
-import graft.streaming.StreamOps
+import graft.streaming.{StatefulSessions, StreamOps}
 import graft.units.UnitRegistry
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -317,7 +317,22 @@ object SparkEntry {
     "q45_running_total" -> ((s, dir) =>
       WindowOps.runningTotal(t(s, dir, "events"), "value",
         partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
-        .select(col("event_id"), col("running_total")))
+        .select(col("event_id"), col("running_total"))),
+    // ---- range join: overlapping cross-user session intervals
+    "q46_range_overlap" -> ((s, dir) => {
+      val sess = StreamOps.sessionAgg(t(s, dir, "events"), gap = "5 minutes")
+        .select(col("user_id"), col("session_start"), col("session_end"))
+      RangeJoin.overlapJoin(sess, sess, Seq("user_id"),
+          "session_start", "session_end", bucketSec = 3600L)
+        .where(col("a_user_id") < col("b_user_id"))
+        .groupBy(col("a_user_id"), col("b_user_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
+    // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
+    "q47_stateful_sessions" -> ((s, dir) =>
+      out(StatefulSessions.batch(t(s, dir, "events")).toDF()
+        .select(col("session_start"), col("session_end"), col("user_id"),
+          col("n_events"), col("total"))))
   )
 
   // =========================================================== oracle SQL
@@ -588,7 +603,41 @@ object SparkEntry {
           |    AS running_total
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-          |             ROWS UNBOUNDED PRECEDING)""".stripMargin
+          |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+      "q46_range_overlap" ->
+        """WITH x AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |y AS (SELECT *, SUM(new_sess) OVER (
+          |        PARTITION BY user_id ORDER BY ts
+          |        ROWS UNBOUNDED PRECEDING) AS sess FROM x),
+          |sessions AS (
+          |  SELECT user_id, min(ts) AS s, max(ts) + INTERVAL 5 MINUTE AS e
+          |  FROM y GROUP BY user_id, sess)
+          |SELECT a.user_id AS a_user_id, b.user_id AS b_user_id,
+          |  CAST(count(*) AS BIGINT) AS n_overlaps
+          |FROM sessions a JOIN sessions b
+          |  ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+          |GROUP BY 1, 2""".stripMargin,
+      "q47_stateful_sessions" ->
+        s"""WITH x AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |y AS (SELECT *, SUM(new_sess) OVER (
+           |        PARTITION BY user_id ORDER BY ts
+           |        ROWS UNBOUNDED PRECEDING) AS sess FROM x)
+           |SELECT min(ts) AS session_start,
+           |  max(ts) + INTERVAL 5 MINUTE AS session_end, user_id,
+           |  CAST(count(*) AS BIGINT) AS n_events, ${dSum("value")} AS total
+           |FROM y GROUP BY user_id, sess""".stripMargin
     )
   }
 }

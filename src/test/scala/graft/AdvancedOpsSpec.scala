@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, RangeJoin}
+import graft.streaming.{StatefulSessions, StreamOps}
+
+class AdvancedOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def events = Seq(
+    ev(0, 1, 1L), ev(1, 2, 1L, 2.0), ev(2, 5, 1L), ev(3, 30, 1L),
+    ev(4, 3, 2L), ev(5, 40, 2L, 3.0))
+
+  def ev(id: Long, minute: Int, user: Long, value: Double = 1.0): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), user,
+      "click", value, "{}")
+
+  test("stateful sessionizer (batch) matches native session_window") {
+    val df = events.toDF()
+    val custom = StatefulSessions.batch(df).toDF()
+      .select("session_start", "session_end", "user_id", "n_events", "total")
+      .orderBy("user_id", "session_start").collect()
+    val native = StreamOps.sessionAgg(df, "5 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(custom.map(_.toString).toSeq == native.map(_.toString).toSeq)
+  }
+
+  test("stateful sessionizer respects the per-session event cap") {
+    val sessions = StatefulSessions.batch(events.toDF(), maxEvents = 2)
+      .where($"user_id" === 1L).orderBy("session_start").collect()
+    // user 1 gap-sessions: {0,1,2}, {3}; cap 2 splits the first
+    assert(sessions.map(_.n_events).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("stateful sessionizer on a stream closes sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StatefulSessions.streaming(
+        stream.toDF().withWatermark("ts", "1 minute")).toDF()
+      .writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode("append").start()
+    stream.addData(events.filter(_.event_id <= 2): _*)
+    q.processAllAvailable()
+    // watermark still near minute 5 -> open session not yet emitted
+    stream.addData(ev(6, 45, 1L))
+    q.processAllAvailable()
+    stream.addData(ev(7, 59, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.sql("SELECT * FROM stateful_sessions").collect()
+    // the minute-1..5 session (3 events) must have closed by timeout
+    assert(emitted.exists(r => r.getAs[Long]("n_events") == 3L))
+  }
+
+  test("as-of join picks the latest prior right row, inclusive at ties") {
+    val left = Seq((1L, ts("00:10"), "l1"), (1L, ts("00:20"), "l2"),
+      (2L, ts("00:10"), "l3")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("00:10"), "r_a"), (1L, ts("00:15"), "r_b"))
+      .toDF("k", "ts", "payload")
+    val j = AsofJoin.backward(left, right, "k", "ts", Seq("payload"))
+      .orderBy("k", "ts").collect()
+    assert(j(0).getAs[String]("r_payload") == "r_a") // inclusive at equal ts
+    assert(j(1).getAs[String]("r_payload") == "r_b") // latest prior
+    assert(j(2).isNullAt(j(2).fieldIndex("r_payload"))) // no match -> null
+  }
+
+  test("range join finds exactly the overlapping interval pairs") {
+    val a = Seq((1L, ts("00:00"), ts("01:00")), (2L, ts("02:00"), ts("03:00")))
+      .toDF("id", "s", "e")
+    val b = Seq((10L, ts("00:30"), ts("02:30")), (20L, ts("05:00"), ts("06:00")))
+      .toDF("id", "s", "e")
+    val j = RangeJoin.overlapJoin(a, b, Seq("id"), "s", "e", bucketSec = 900L)
+      .select("a_id", "b_id").orderBy("a_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(j == Seq((1L, 10L), (2L, 10L))) // 10 overlaps both; 20 neither
+    // boundary-touching intervals (half-open) do NOT overlap
+    val c = Seq((3L, ts("01:00"), ts("02:00"))).toDF("id", "s", "e")
+    assert(RangeJoin.overlapJoin(a, c, Seq("id"), "s", "e").count() == 0)
+  }
+
+  def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+}
