@@ -227,6 +227,12 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, numPlanes = 8, dim = 64)
     }),
+    // ---- similarity: IVF coarse-quantized top-k (no SQL oracle: KMeans)
+    "q33_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
     // ---- text: quality scoring + token counting
     "q31_text_quality" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

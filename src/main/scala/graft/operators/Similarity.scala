@@ -109,6 +109,64 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and ranks only those vectors. The classic
+    * billion-scale ANN layout: the corpus is scanned once to assign
+    * cells (then persisted/bucketed by cell in a real deployment), and
+    * every query touches ~nprobe/nlist of the data.
+    *
+    * Centroids are fit with spark.ml KMeans (seeded, on the corpus or a
+    * sample); cell assignment and probe selection are pure expressions
+    * over the centroid literals — no UDFs, no per-row ml calls.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fitDf = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(fitDf)
+    val centroids: Seq[Seq[Double]] = model.clusterCenters.toSeq
+      .map(_.toArray.toSeq)
+
+    // squared L2 distance to each centroid, as literal-array expressions
+    def dist2(vec: Column, c: Seq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
+    }
+    def cellOf(vec: Column): Column = {
+      val ds = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(vec, c).as("d"), lit(i).as("cell"))
+      }
+      array_min(array(ds: _*)).getField("cell")
+    }
+    def probeCells(vec: Column): Column = {
+      val ds = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(vec, c).as("d"), lit(i).as("cell"))
+      }
+      transform(slice(array_sort(array(ds: _*)), 1, nprobe),
+        s => s.getField("cell"))
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"), cellOf(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"),
+        explode(probeCells(col(vecCol))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
     * Exact all-pairs within label blocks would be O(n²); this exact
     * variant is for oracle-checkable scales, the LSH bucket join above is

@@ -89,6 +89,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(top.map(_.getLong(2)).toSeq == Seq(3L, 1L, 2L))
   }
 
+  test("IVF top-k finds in-cluster neighbors") {
+    // three well-separated clusters along different axes
+    def v(axis: Int, jitter: Float): Array[Float] =
+      Array.tabulate(8)(i => if (i == axis) 10.0f + jitter else jitter * 0.1f)
+    val vecs = (0 until 12).map(i => (i.toLong, v(i % 3, (i / 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(vecs, vecs.where($"vec_id" === 0),
+      "vec_id", "embedding", k = 3, nlist = 3, nprobe = 1, seed = 7L)
+      .orderBy("rank").collect()
+    // neighbors of vec 0 (axis 0) are exactly the other axis-0 vectors
+    assert(top.map(_.getLong(2)).toSet == Set(3L, 6L, 9L))
+  }
+
   test("hyperplane LSH buckets identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
