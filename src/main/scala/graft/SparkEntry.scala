@@ -151,6 +151,19 @@ object SparkEntry {
       out(Discretize.discretize(hourly, noTypicalPeriods = 4,
         periodLength = 24).df)
     }),
+    // ---- M1 (frame): joint discretize over a 2-column frame (k=1)
+    "q48_discretize_frame" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def cell(typ: String) = {
+        val c = when(col("event_type") === typ, col("value"))
+        (DetAgg.detSum(c) / count(c)).as(typ)
+      }
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .agg(cell("click"), cell("view"))
+      val frame = EnergyFrame(hourly, Seq("ts"))
+      out(Discretize.discretizeFrame(frame, noTypicalPeriods = 1,
+        periodLength = 24).df)
+    }),
     // ---- inherited relational surface: groupBy-agg (TPC-H Q1 shape)
     "q19_groupby_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -443,6 +456,20 @@ object SparkEntry {
            |      FROM h),
            |p AS (SELECT slot, ${dAvg("v")} AS pv FROM s GROUP BY 1)
            |SELECT s.ts AS ts, p.pv AS value FROM s JOIN p USING (slot)""".stripMargin,
+      "q48_discretize_frame" -> {
+        def cell(typ: String) =
+          s"${dSum(s"CASE WHEN event_type = '$typ' THEN value END")} / COUNT(CASE WHEN event_type = '$typ' THEN value END)"
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts,
+           |    ${cell("click")} AS click, ${cell("view")} AS view
+           |  FROM events GROUP BY 1),
+           |s AS (SELECT ts, click, view,
+           |    CAST(floor((epoch(ts) - (SELECT min(epoch(ts)) FROM h)) / 3600) AS BIGINT) % 24 AS slot
+           |  FROM h),
+           |p AS (SELECT slot, ${dAvg("click")} AS p_click, ${dAvg("view")} AS p_view
+           |      FROM s GROUP BY 1)
+           |SELECT s.ts AS ts, p.p_click AS click, p.p_view AS view
+           |FROM s JOIN p USING (slot)""".stripMargin
+      },
       "q19_groupby_agg" ->
         s"""SELECT l_returnflag, l_linestatus,
            |  ${dSum("l_quantity")} AS sum_qty,

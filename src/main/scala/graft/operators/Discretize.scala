@@ -76,4 +76,65 @@ object Discretize {
 
     series.copy(df = predicted)
   }
+
+  /** Frame variant (`energypandas.py:1118-1147`): clusters periods JOINTLY
+    * across all value columns (the tsam behavior — one cluster assignment
+    * per period, features = concatenated per-column slot vectors), then
+    * writes each column's cluster profile back. Long-format melt → one
+    * pivot for the feature matrix → shared assignment → per-(cluster,
+    * slot, column) mean profiles → re-widen. */
+  def discretizeFrame(frame: graft.core.EnergyFrame, noTypicalPeriods: Int,
+      periodLength: Int = 24, seed: Long = 42L): graft.core.EnergyFrame = {
+    val ts = frame.indexCols.head
+    val cols = frame.valueCols
+    require(cols.nonEmpty, "frame has no value columns")
+
+    val long = cols.map(c => frame.df.select(col(ts), lit(c).as("__col"),
+        col(c).cast("double").as("__v"))).reduce(_ unionByName _)
+    val firstTs = frame.df.select(col(ts)).orderBy(col(ts).asc).limit(2)
+      .collect().map(_.getTimestamp(0).getTime / 1000)
+    require(firstTs.length >= 2, "need at least 2 rows")
+    val stepSeconds = firstTs(1) - firstTs(0)
+    val stamped = long.withColumn("__step",
+        ((unix_timestamp(col(ts)) - lit(firstTs(0))) / lit(stepSeconds))
+          .cast(LongType))
+      .withColumn("__period", (col("__step") / periodLength).cast(LongType))
+      .withColumn("__slot", pmod(col("__step"), lit(periodLength))
+        .cast(IntegerType))
+      .cache()
+
+    val assigned: DataFrame =
+      if (noTypicalPeriods <= 1)
+        stamped.select(col("__period")).distinct()
+          .withColumn("__cluster", lit(0))
+      else {
+        val featKeys = for (c <- cols; s <- 0 until periodLength)
+          yield s"${c}__$s"
+        val keyed = stamped.withColumn("__sc",
+          concat_ws("__", col("__col"), col("__slot")))
+        val matrix = keyed.groupBy("__period")
+          .pivot("__sc", featKeys).agg(first(col("__v")))
+        val means = matrix.select(featKeys.map(c => avg(col(c)).as(c)): _*)
+          .head()
+        val filled = featKeys.zipWithIndex.foldLeft(matrix) {
+          case (d, (c, i)) => d.withColumn(c, coalesce(col(c),
+            lit(if (means.isNullAt(i)) 0.0 else means.getDouble(i))))
+        }
+        val features = new VectorAssembler().setInputCols(featKeys.toArray)
+          .setOutputCol("__features").transform(filled)
+        val model = new KMeans().setK(noTypicalPeriods).setSeed(seed)
+          .setFeaturesCol("__features").setPredictionCol("__cluster")
+          .fit(features)
+        model.transform(features).select(col("__period"), col("__cluster"))
+      }
+
+    val withCluster = stamped.join(broadcast(assigned), Seq("__period"))
+    val profiles = withCluster.groupBy("__cluster", "__col", "__slot")
+      .agg(graft.core.DetAgg.detAvg(col("__v")).as("__profile"))
+    val predicted = withCluster
+      .join(broadcast(profiles), Seq("__cluster", "__col", "__slot"))
+    val wide = predicted.groupBy(col(ts))
+      .pivot("__col", cols).agg(first(col("__profile")))
+    frame.copy(df = wide)
+  }
 }
