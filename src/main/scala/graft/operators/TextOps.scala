@@ -77,4 +77,17 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(
       split(lower(trim(text)), "\\s+"))), " "))
+
+  /** Order-sensitive polynomial rolling hash over the word sequence
+    * (base-P Horner fold of per-word xxhash64) — the streaming-friendly
+    * fingerprint: O(1) per word, content+order sensitive, pure
+    * higher-order functions. */
+  def rollingHash(text: Column): Column = {
+    // modular Horner fold (Mersenne prime 2^31-1): products stay far below
+    // Long.MaxValue, so it is ANSI-mode safe (no wraparound arithmetic)
+    val M = 2147483647L
+    aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
+      (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), lit(M)),
+        lit(M)))
+  }
 }

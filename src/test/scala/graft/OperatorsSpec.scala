@@ -126,6 +126,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(row.getAs[Double]("q") >= 0.0 && row.getAs[Double]("q") <= 1.0)
     assert(row.getAs[String]("l") == "en")
     assert(row.getAs[String]("f1") == row.getAs[String]("f2")) // order/dup-proof
+    // rolling hash IS order-sensitive, unlike the canonical fingerprint
+    val rh = docs.limit(1).select(
+      TextOps.rollingHash(lit("a b")).as("h1"),
+      TextOps.rollingHash(lit("b a")).as("h2"),
+      TextOps.rollingHash(lit("a b")).as("h3")).head()
+    assert(rh.getLong(0) != rh.getLong(1) && rh.getLong(0) == rh.getLong(2))
+  }
+
+  test("mixed-unit ReportData raises MultipleUnitsError") {
+    val tidy = Seq((1, 1, 1, 0, 60, 1.0, "J", "a"), (1, 1, 2, 0, 60, 2.0, "W", "a"))
+      .toDF("Month", "Day", "Hour", "Minute", "Interval", "Value", "Units", "Name")
+    intercept[graft.units.MultipleUnitsError] {
+      graft.sources.ReportData.toSeries(tidy)
+    }
+    // an explicit override skips the guard
+    assert(graft.sources.ReportData.toSeries(tidy, units = Some("J"))
+      .df.count() == 2)
   }
 
   test("multimodal: payload metadata + deterministic stub decode") {
