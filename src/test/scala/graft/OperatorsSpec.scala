@@ -89,6 +89,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(top.map(_.getLong(2)).toSeq == Seq(3L, 1L, 2L))
   }
 
+  test("vec_dot is SQL-callable via GraftExtensions and codegen-exact") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       vec_dot(CAST(array(1.5, 2.5) AS ARRAY<FLOAT>),
+        |               CAST(array(2.0, 4.0) AS ARRAY<FLOAT>)) AS f""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 13.0)
+  }
+
   test("IVF top-k finds in-cluster neighbors") {
     // three well-separated clusters along different axes
     def v(axis: Int, jitter: Float): Array[Float] =

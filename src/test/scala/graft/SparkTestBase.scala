@@ -15,6 +15,7 @@ object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
