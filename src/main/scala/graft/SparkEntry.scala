@@ -337,6 +337,24 @@ object SparkEntry {
       WindowOps.runningTotal(t(s, dir, "events"), "value",
         partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
         .select(col("event_id"), col("running_total"))),
+    // ---- relational: Q5-shaped selective multi-join (pushdown showcase)
+    "q49_filtered_multijoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val cu = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(DetAgg.detSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
     // ---- range join: overlapping cross-user session intervals
     "q46_range_overlap" -> ((s, dir) => {
       val sess = StreamOps.sessionAgg(t(s, dir, "events"), gap = "5 minutes")
@@ -637,6 +655,19 @@ object SparkEntry {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+      "q49_filtered_multijoin" ->
+        s"""SELECT n_name,
+           |  ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |  AND c_mktsegment = 'BUILDING'
+           |GROUP BY 1""".stripMargin,
       "q46_range_overlap" ->
         """WITH x AS (
           |  SELECT user_id, ts,

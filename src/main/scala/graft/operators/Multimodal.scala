@@ -67,6 +67,20 @@ object Multimodal {
       }
   }
 
+  /** STUB resize plan: computes the target dimensions and scale factors
+    * for each media row without decoding (a real implementation resizes
+    * inside the per-partition decode). Pure expressions — the point is
+    * that geometry/metadata transforms never touch payload bytes. */
+  def resizePlan(features: Dataset[MediaFeature], maxDim: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest => fGreatest}
+    val f = features.toDF()
+    f.withColumn("scale",
+        when(fGreatest(col("width"), col("height")) <= maxDim, 1.0)
+          .otherwise(lit(maxDim.toDouble) / fGreatest(col("width"), col("height"))))
+      .withColumn("out_width", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", ceil(col("height") * col("scale")).cast("int"))
+  }
+
   /** Fixed-rate frame sampling plan for video payloads: explodes a frame
     * index per payload WITHOUT decoding — the downstream decode then runs
     * per (payload, frame_idx) row, which is the unit that parallelizes. */

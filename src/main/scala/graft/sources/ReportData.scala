@@ -18,6 +18,25 @@ import graft.units.{MultipleUnitsError, UnitRegistry}
   */
 object ReportData {
 
+  /** ReportData CSV schema (the shape EnergyPlus SQL exports / the tests
+    * construct): explicit schema, no inference pass over the data. */
+  val CsvSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Month", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("Day", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("Hour", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("Minute", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("Interval", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("Value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("Units", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("Name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("KeyValue", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("TimeIndex", org.apache.spark.sql.types.LongType)))
+
+  /** Read ReportData-shaped CSV (header, explicit schema). */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(CsvSchema).csv(path)
+
   /** EnergyPlus timestamps are period-END; subtracting `Interval` minutes
     * shifts to period-start (`energypandas.py:277-279`). Assembled from
     * date parts against `baseYear` (`energypandas.py:268-276`); built as

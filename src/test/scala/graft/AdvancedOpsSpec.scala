@@ -81,4 +81,44 @@ class AdvancedOpsSpec extends SparkTestBase {
   }
 
   def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+  test("salted join equals plain join (skew mitigation is transparent)") {
+    import graft.operators.SkewJoin
+    // hot key: 90% of big rows share key 1
+    val big = (0 until 1000).map(i => (if (i < 900) 1L else i.toLong % 7, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", saltFactor = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("ReportData CSV source round-trips through toSeries") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "rd.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("Month,Day,Hour,Minute,Interval,Value,Units,Name,KeyValue,TimeIndex")
+    w.println("1,1,1,0,60,10.5,J,meter,Z1,1")
+    w.println("1,1,2,0,60,2.5,J,meter,Z1,2")
+    w.close()
+    val df = graft.sources.ReportData.readCsv(spark, f.getAbsolutePath)
+    val series = graft.sources.ReportData.toSeries(df, baseYear = 2018)
+    val rows = series.df.orderBy("ts").collect()
+    assert(rows.length == 2 && rows.head.getDouble(1) == 10.5)
+    assert(rows.head.getTimestamp(0).toInstant.toString
+      .startsWith("2018-01-01T00:00:00")) // hour 1 minus 60-min interval
+  }
+
+  test("multimodal resize plan computes bounded dimensions") {
+    import graft.operators.Multimodal
+    val docs = Seq((0L, "x" * 700)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "image/fake")
+    val resized = Multimodal.resizePlan(
+      Multimodal.extractFeatures(media, "doc_id"), maxDim = 32).head()
+    val w = resized.getAs[Int]("out_width")
+    val h = resized.getAs[Int]("out_height")
+    assert(w <= 32 && h <= 32 && w > 0 && h > 0)
+  }
 }
