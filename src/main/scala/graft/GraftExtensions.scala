@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import graft.functions.{RewriteHofDotProduct, VectorDot}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
-  * expressions as SQL functions, so `spark.sql("... vec_dot(a, b) ...")`
-  * works next to the Column API. Attach with
+  * expressions as SQL functions (`vec_dot`) and the optimizer rule that
+  * rewrites the portable higher-order-function dot-product idiom into the
+  * codegen'd expression. Attach with
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -16,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -99,6 +99,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getDouble(1) == 13.0)
   }
 
+  test("optimizer rewrites the HOF dot idiom into VectorDot") {
+    // non-foldable input (from range) so earlier optimizer batches can't
+    // constant-fold the whole expression away before the rewrite runs
+    val vecs = spark.range(1).select(
+      array((col("id") + 1).cast("float"), (col("id") + 2).cast("float")).as("a"),
+      array((col("id") + 3).cast("float"), (col("id") + 4).cast("float")).as("b"))
+    val q = vecs.select(Similarity.dotHof($"a", $"b").as("d"))
+    assert(q.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.VectorDot])))
+    assert(q.head().getDouble(0) == 11.0)
+  }
+
   test("IVF top-k finds in-cluster neighbors") {
     // three well-separated clusters along different axes
     def v(axis: Int, jitter: Float): Array[Float] =
