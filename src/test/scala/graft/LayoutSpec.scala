@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** Proves the storage-layout claims in SCALE.md: bucketed tables join and
+  * aggregate with no Exchange in the physical plan. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join and aggregate without a shuffle") {
+    val a = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("va"))
+    val b = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("vb"))
+    Layout.writeBucketed(a, "graft_bucket_a", "k", 4)
+    Layout.writeBucketed(b, "graft_bucket_b", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(j.count() == 1000)
+      // groupBy on the bucket key is also exchange-free
+      val g = spark.table("graft_bucket_a").groupBy("k").agg(sum("va"))
+      assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
+  test("partitioned write prunes files under a partition predicate") {
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = spark.range(100).select($"id",
+      (col("id") % 4).cast("int").as("bucket_day"))
+    Layout.writePartitioned(df, path, "bucket_day")
+    val pruned = spark.read.parquet(path).where($"bucket_day" === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 25)
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("bucket_day#") || scan.contains("bucket_day ="))
+  }
+}

@@ -17,6 +17,8 @@ object SparkTestBase {
       .master("local[4]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
