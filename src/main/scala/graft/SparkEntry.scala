@@ -337,6 +337,19 @@ object SparkEntry {
       WindowOps.runningTotal(t(s, dir, "events"), "value",
         partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
         .select(col("event_id"), col("running_total"))),
+    // ---- A1 (agg_func dict): multi-aggregate ReportData ingest
+    "q50_multi_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tidy = ev.select(
+        month(col("ts")).as("Month"), dayofmonth(col("ts")).as("Day"),
+        hour(col("ts")).as("Hour"), lit(0).as("Minute"),
+        lit(0).as("Interval"), col("value").as("Value"),
+        lit("J").as("Units"))
+      out(ReportData.toAggFrame(tidy,
+        Map("sum_value" -> "sum", "mean_value" -> "avg",
+          "max_value" -> "max", "n" -> "count"),
+        baseYear = 2024, units = Some("J")).df)
+    }),
     // ---- relational: Q5-shaped selective multi-join (pushdown showcase)
     "q49_filtered_multijoin" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -655,6 +668,14 @@ object SparkEntry {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+      "q50_multi_agg" ->
+        s"""SELECT make_timestamp(2024, month(ts), day(ts), 0, 0, 0)
+           |     + to_minutes(CAST(hour(ts)*60 AS BIGINT)) AS ts,
+           |  ${dSum("value")} AS sum_value,
+           |  ${dAvg("value")} AS mean_value,
+           |  max(value) AS max_value,
+           |  CAST(count(value) AS BIGINT) AS n
+           |FROM events GROUP BY 1""".stripMargin,
       "q49_filtered_multijoin" ->
         s"""SELECT n_name,
            |  ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue,

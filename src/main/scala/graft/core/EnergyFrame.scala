@@ -110,6 +110,19 @@ final case class EnergyFrame(
     df.agg(coalesce(total, lit(0.0))).head().getDouble(0)
   }
 
+  /** Day × hour matrices for EVERY value column in one pass (the plot2d
+    * frame data layer, `energypandas.py:1010-1108`): output has a
+    * `<col>_h<hour>` deterministic-mean cell per (column, hour). */
+  def toDayHourMatrices: DataFrame = {
+    val ts = col(indexCols.head)
+    val cells = for (c <- valueCols; h <- 0 until 24) yield {
+      val cell = when(hour(ts) === h, col(c))
+      (sum(cell.cast(DetAgg.Dec)).cast("double") / count(cell))
+        .as(s"${c}_h$h")
+    }
+    df.groupBy(to_date(ts).as("period_date")).agg(cells.head, cells.tail: _*)
+  }
+
   /** DataFrame with per-column units mirrored into field metadata. */
   def toDF: DataFrame = {
     val projected = df.columns.toSeq.map { c =>

@@ -280,6 +280,20 @@ final case class EnergySeries(
     firstTs(1) - firstTs(0)
   }
 
+  /** Positional row slice [start, start+len) in index order — the `iloc`
+    * analog (SURVEY §2.2 P2). Row numbers come from zipWithIndex over the
+    * index-sorted partitions (per-partition offsets, no global window). */
+  def slicePositional(start: Long, len: Long): EnergySeries = {
+    val sorted = df.orderBy(idx.map(_.asc): _*)
+    val spark = df.sparkSession
+    val schema = sorted.schema
+    val withPos = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.filter { case (_, i) =>
+        i >= start && i < start + len
+      }.map(_._1), schema)
+    finalized(withPos)
+  }
+
   /** Series -> single-column frame (`energypandas.py:76-87`). */
   def toFrame: EnergyFrame = {
     val n = name.getOrElse(valueCol)

@@ -99,6 +99,31 @@ object ReportData {
     toUnits.filter(_ => !normalize).map(sorted.toUnits).getOrElse(sorted)
   }
 
+  /** Multi-aggregate ingest — the reference's `agg_func` list/dict form
+    * (`energypandas.py:289-291`: any pandas-accepted aggregate, incl. a
+    * dict of name → function): one groupBy over the assembled timestamp
+    * producing a named column per aggregate. Deterministic aggregates
+    * ("sum"/"avg") route through DetAgg. */
+  def toAggFrame(df: DataFrame, aggs: Map[String, String],
+      baseYear: Int = 2018, units: Option[String] = None)
+      : graft.core.EnergyFrame = {
+    val unit = resolveUnits(df, units)
+    val ts = assembleTimestamp(baseYear, col("Month"), col("Day"),
+      col("Hour"), col("Minute"), col("Interval"))
+    val exprs = aggs.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (fn match {
+        case "sum" => graft.core.DetAgg.detSum(col("Value"))
+        case "avg" | "mean" => graft.core.DetAgg.detAvg(col("Value"))
+        case other => expr(s"$other(Value)")
+      }).as(name)
+    }
+    val out = df.withColumn("ts", ts).groupBy(col("ts"))
+      .agg(exprs.head, exprs.tail: _*)
+    graft.core.EnergyFrame(out, Seq("ts"),
+      unit.map(u => aggs.keys.map(_ -> UnitRegistry.parse(u)).toMap)
+        .getOrElse(Map.empty), baseYear = baseYear)
+  }
+
   /** Frame variant (`energypandas.py:895-946`): wide frame with one column
     * per `KeyValue`. The reference pivots with pandas' default aggfunc
     * (mean, `energypandas.py:915-917`) and re-collapses the date parts per

@@ -125,6 +125,22 @@ class EnergySeriesSpec extends SparkTestBase {
     assert(math.abs(rm.sum() - 1.5 * 4950.0) < 1e-9)
   }
 
+  test("positional slice (iloc analog) follows index order") {
+    val s = es().slicePositional(10, 5)
+    val rows = s.df.orderBy("ts").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(10.0, 11.0, 12.0, 13.0, 14.0))
+  }
+
+  test("frame: per-column day-hour matrices in one pass") {
+    val f = es(Some("degC")).toFrame
+    val two = graft.core.EnergyFrame(
+      f.df.withColumn("doubled", col("value") * 2), Seq("ts"))
+    val m = two.toDayHourMatrices.orderBy("period_date").collect()
+    assert(m.length == 5)
+    assert(m.head.getAs[Double]("value_h3") == 3.0)
+    assert(m.head.getAs[Double]("doubled_h3") == 6.0)
+  }
+
   test("frame: normalize resets units to dimensionless (documented deviation)") {
     val f = es(Some("degC")).toFrame.normalize()
     assert(f.unitsMap.values.forall(_.isDimensionless))
