@@ -240,6 +240,10 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, numPlanes = 8, dim = 64)
     }),
+    // ---- dedup: LSH-bucketed embedding near-dup (scale path; no oracle)
+    "q51_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, numPlanes = 6)),
     // ---- similarity: IVF coarse-quantized top-k (no SQL oracle: KMeans)
     "q33_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

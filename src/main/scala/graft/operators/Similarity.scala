@@ -167,6 +167,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** LSH-bucketed near-duplicate pairs — the 100 TB path for
+    * [[cosineNearDupPairs]]: only vectors sharing a hyperplane bucket are
+    * compared (one bucket-keyed self-join of the bucketed corpus).
+    * Recall < 1 by construction; fewer planes or multiple tables raise it. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim, seed)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("n"),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = bucketed.select(col("bucket"), col("id").as("a"),
+      col("v").as("va"), col("n").as("na"))
+    val r = bucketed.select(col("bucket"), col("id").as("b"),
+      col("v").as("vb"), col("n").as("nb"))
+    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
     * Exact all-pairs within label blocks would be O(n²); this exact
     * variant is for oracle-checkable scales, the LSH bucket join above is
