@@ -382,6 +382,32 @@ object SparkEntry {
         .groupBy(col("a_user_id"), col("b_user_id"))
         .agg(count(lit(1)).as("n_overlaps"))
     }),
+    // ---- window functions: consecutive delta (lag)
+    "q52_lag_delta" -> ((s, dir) =>
+      WindowOps.delta(t(s, dir, "events"), "value",
+        partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("delta"))),
+    // ---- distinct aggregation
+    "q53_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+    // ---- grouping sets: rollup with deterministic sums
+    "q54_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(DetAgg.detSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))),
+    // ---- set ops: INTERSECT
+    "q56_setops_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select(col("user_id")).distinct()
+        .intersect(ev.where(col("event_type") === "purchase")
+          .select(col("user_id")).distinct())
+    }),
+    // ---- V3 data layer: per-group day × hour matrices
+    "q57_day_hour_by_type" -> ((s, dir) =>
+      eventsTsSeries(s, dir).toDayHourMatrixBy("event_type")),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -693,6 +719,31 @@ object SparkEntry {
            |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
            |  AND c_mktsegment = 'BUILDING'
            |GROUP BY 1""".stripMargin,
+      "q52_lag_delta" ->
+        """SELECT event_id,
+          |  value - lag(value) OVER (PARTITION BY user_id
+          |                           ORDER BY ts, event_id) AS delta
+          |FROM events""".stripMargin,
+      "q53_count_distinct" ->
+        """SELECT event_type,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM events GROUP BY 1""".stripMargin,
+      "q54_rollup" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dSum("l_quantity")} AS sum_qty,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q56_setops_intersect" ->
+        """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          |INTERSECT
+          |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+      "q57_day_hour_by_type" -> {
+        val cells = (0 until 24).map(h =>
+          s"${dSum(s"CASE WHEN hour(ts) = $h THEN value END")} / COUNT(CASE WHEN hour(ts) = $h THEN value END) AS h$h")
+          .mkString(",\n  ")
+        s"SELECT event_type, CAST(ts AS DATE) AS period_date,\n  $cells\nFROM events GROUP BY 1, 2"
+      },
       "q46_range_overlap" ->
         """WITH x AS (
           |  SELECT user_id, ts,

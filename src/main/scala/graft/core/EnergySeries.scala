@@ -205,6 +205,19 @@ final case class EnergySeries(
     df.groupBy(to_date(ts).as("period_date")).agg(cells.head, cells.tail: _*)
   }
 
+  /** Per-group day × hour matrices (the plot3d data layer,
+    * `energypandas.py:414-601`: one ridge/surface per level-0 group) —
+    * same single shuffle, with the group column as an extra key. */
+  def toDayHourMatrixBy(groupCol: String): DataFrame = {
+    val ts = idx.head
+    val cells = (0 until 24).map { h =>
+      val cell = when(hour(ts) === h, v)
+      (DetAgg.detSum(cell) / count(cell)).as(s"h$h")
+    }
+    df.groupBy(col(groupCol), to_date(ts).as("period_date"))
+      .agg(cells.head, cells.tail: _*)
+  }
+
   // --------------------------------------------------------- align-arith
 
   /** Index-alignment arithmetic (`energypandas.py:54-57`): full-outer

@@ -26,6 +26,15 @@ object WindowOps {
         count(col(valueCol)).over(w))
   }
 
+  /** Consecutive-row delta of `valueCol` within each partition (lag-based;
+    * NULL for each partition's first row). */
+  def delta(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+      orderCols: Seq[String], as: String = "delta"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn(as, col(valueCol) - lag(col(valueCol), 1).over(w))
+  }
+
   /** Running total of `valueCol` within each partition. */
   def runningTotal(df: DataFrame, valueCol: String,
       partitionCols: Seq[String], orderCols: Seq[String],
