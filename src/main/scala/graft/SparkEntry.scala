@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{DetAgg, EnergyFrame, EnergySeries}
-import graft.operators.{AsofJoin, Dedup, Discretize, Multimodal, RangeJoin, Similarity, TextOps, WindowOps}
+import graft.operators.{AsofJoin, Dedup, Discretize, Multimodal, RangeJoin, Sampling, Similarity, TextOps, WindowOps}
 import graft.sources.ReportData
 import graft.streaming.{StatefulSessions, StreamOps}
 import graft.units.UnitRegistry
@@ -408,6 +408,20 @@ object SparkEntry {
     // ---- V3 data layer: per-group day × hour matrices
     "q57_day_hour_by_type" -> ((s, dir) =>
       eventsTsSeries(s, dir).toDayHourMatrixBy("event_type")),
+    // ---- quantiles (exact interpolated percentiles)
+    "q55_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"))),
+    // ---- deterministic hash-priority sampling (reproducible pipelines)
+    "q58_sample_per_source" -> ((s, dir) =>
+      Sampling.samplePerGroup(t(s, dir, "documents"), "source", "doc_id",
+        k = 3).select(col("source"), col("doc_id"))),
+    // ---- sketches: HLL approximate distinct (no oracle: approx)
+    "q59_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -734,6 +748,18 @@ object SparkEntry {
            |  ${dSum("l_quantity")} AS sum_qty,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q55_quantiles" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.5) AS p50,
+          |  quantile_cont(l_quantity, 0.9) AS p90,
+          |  quantile_cont(l_extendedprice, 0.5) AS price_p50
+          |FROM lineitem GROUP BY 1""".stripMargin,
+      "q58_sample_per_source" ->
+        """SELECT source, doc_id FROM (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
+          |  FROM documents) WHERE rn <= 3""".stripMargin,
       "q56_setops_intersect" ->
         """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
           |INTERSECT
