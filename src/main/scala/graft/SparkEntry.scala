@@ -422,6 +422,34 @@ object SparkEntry {
     "q59_approx_distinct" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))),
+    // ---- text: fixed-window chunking with overlap
+    "q60_chunking" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          explode(TextOps.chunkWords(col("text"), chunkSize = 64,
+            overlap = 16)).as("c"))
+        .select(col("doc_id"),
+          col("c.start_word").cast("long").as("start_word"),
+          col("c.chunk_text").as("chunk_text"))
+    }),
+    // ---- end-to-end corpus curation: dedup → quality → language → chunk
+    "q61_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = docs.withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")
+            .orderBy(col("doc_id").asc)))
+        .where(col("rk") === 1).drop("rk", "fp")
+      val scored = deduped
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("pred_lang", TextOps.langId(col("text")))
+        .where(col("quality") >= 0.5 && col("pred_lang") === "en")
+      scored.select(col("doc_id"), col("quality"),
+          explode(TextOps.chunkWords(col("text"), 64, 16)).as("c"))
+        .select(col("doc_id"), col("quality"),
+          col("c.start_word").cast("long").as("start_word"),
+          col("c.chunk_text").as("chunk_text"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -748,6 +776,51 @@ object SparkEntry {
            |  ${dSum("l_quantity")} AS sum_qty,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q60_chunking" ->
+        """WITH w AS (SELECT doc_id,
+          |    string_split_regex(trim(text), '\s+') AS words FROM documents)
+          |SELECT doc_id, CAST(start_word AS BIGINT) AS start_word,
+          |  array_to_string(words[start_word+1 : start_word+64], ' ') AS chunk_text
+          |FROM (SELECT doc_id, words,
+          |        unnest(generate_series(0, greatest(len(words)-1, 0), 48)) AS start_word
+          |      FROM w)""".stripMargin,
+      "q61_curation_pipeline" -> {
+        val qualityExpr =
+          """round(least(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+            |                 ELSE nc / 10000.0 + 0.01 END, 1.0) * 0.25
+            |  + (alpha / greatest(nc, 1.0)) * 0.25
+            |  + (CASE WHEN alpha / greatest(nw, 1.0) >= 3
+            |           AND alpha / greatest(nw, 1.0) <= 10
+            |          THEN 1.0 ELSE 0.5 END) * 0.25
+            |  + (nd / greatest(nw, 1.0)) * 0.25, 6)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT doc_id, text,
+           |    md5(array_to_string(list_sort(list_distinct(
+           |      string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp
+           |  FROM documents),
+           |dedup AS (SELECT doc_id, text FROM (
+           |  SELECT doc_id, text,
+           |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+           |  FROM base) WHERE rk = 1),
+           |c AS (SELECT doc_id, text,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+           |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS nd,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+           |  FROM dedup),
+           |c2 AS (SELECT *, $bestExpr AS best FROM c),
+           |scored AS (SELECT doc_id, text, $qualityExpr AS quality,
+           |    CASE $langCase ELSE 'und' END AS pred_lang FROM c2),
+           |filt AS (SELECT doc_id, quality, text FROM scored
+           |         WHERE quality >= 0.5 AND pred_lang = 'en'),
+           |w AS (SELECT doc_id, quality,
+           |        string_split_regex(trim(text), '\\s+') AS words FROM filt)
+           |SELECT doc_id, quality, CAST(start_word AS BIGINT) AS start_word,
+           |  array_to_string(words[start_word+1 : start_word+64], ' ') AS chunk_text
+           |FROM (SELECT doc_id, quality, words,
+           |        unnest(generate_series(0, greatest(len(words)-1, 0), 48)) AS start_word
+           |      FROM w)""".stripMargin
+      },
       "q55_quantiles" ->
         """SELECT l_returnflag,
           |  quantile_cont(l_quantity, 0.5) AS p50,

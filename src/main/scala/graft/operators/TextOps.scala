@@ -78,6 +78,21 @@ object TextOps {
     md5(array_join(array_sort(array_distinct(
       split(lower(trim(text)), "\\s+"))), " "))
 
+  /** Word-window chunking for training pipelines: fixed `chunkSize`-word
+    * chunks advancing by `chunkSize - overlap` words. Returns an array of
+    * (start_word, chunk_text) structs — explode downstream. Pure
+    * higher-order functions, per-row, shuffle-free. */
+  def chunkWords(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val words = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(0), greatest(size(words) - 1, lit(0)), lit(step)),
+      start => struct(start.as("start_word"),
+        array_join(slice(words, start + 1, lit(chunkSize)), " ")
+          .as("chunk_text")))
+  }
+
   /** Order-sensitive polynomial rolling hash over the word sequence
     * (base-P Horner fold of per-word xxhash64) — the streaming-friendly
     * fingerprint: O(1) per word, content+order sensitive, pure

@@ -50,6 +50,23 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.head.getAs[Double]("total") == 4.0)
   }
 
+  test("streaming writes to a parquet sink with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val q = stream.toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    stream.addData(events: _*)
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == events.size)
+    // checkpoint metadata exists -> restartable exactly-once sink
+    assert(new java.io.File(ckDir, "offsets").listFiles().nonEmpty)
+  }
+
   test("sliding windows overlap correctly") {
     val w = StreamOps.slidingAgg(events.toDF(), "1 hour", "15 minutes")
     // event at minute 59 appears in windows starting 00,15,30,45
