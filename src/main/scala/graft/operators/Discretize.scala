@@ -55,9 +55,13 @@ object Discretize {
         val filled = slotCols.zipWithIndex.foldLeft(matrix) { case (d, (c, i)) =>
           d.withColumn(c, coalesce(col(c), lit(means.getDouble(i))))
         }
+        // the matrix has rows/periodLength rows — orders of magnitude
+        // smaller than the input. Sorting + a single partition makes the
+        // k-means|| init independent of the session's parallelism, so the
+        // clustering is deterministic across cluster layouts.
         val features = new VectorAssembler()
           .setInputCols(slotCols.toArray).setOutputCol("__features")
-          .transform(filled)
+          .transform(filled.orderBy("__period").coalesce(1))
         val model = new KMeans().setK(noTypicalPeriods).setSeed(seed)
           .setFeaturesCol("__features").setPredictionCol("__cluster")
           .fit(features)
@@ -120,8 +124,11 @@ object Discretize {
           case (d, (c, i)) => d.withColumn(c, coalesce(col(c),
             lit(if (means.isNullAt(i)) 0.0 else means.getDouble(i))))
         }
+        // sorted single partition: deterministic across parallelism (see
+        // the series variant above)
         val features = new VectorAssembler().setInputCols(featKeys.toArray)
-          .setOutputCol("__features").transform(filled)
+          .setOutputCol("__features")
+          .transform(filled.orderBy("__period").coalesce(1))
         val model = new KMeans().setK(noTypicalPeriods).setSeed(seed)
           .setFeaturesCol("__features").setPredictionCol("__cluster")
           .fit(features)

@@ -125,7 +125,11 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val fitDf = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    // fit the coarse quantizer on a bounded, deterministically-ordered
+    // sample (standard IVF practice at scale; also makes the centroids
+    // independent of the session's parallelism)
+    val fitDf = corpus.orderBy(col(idCol)).limit(4096).coalesce(1)
+      .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").fit(fitDf)
     val centroids: Seq[Seq[Double]] = model.clusterCenters.toSeq
