@@ -125,6 +125,13 @@ class EnergySeriesSpec extends SparkTestBase {
     assert(math.abs(rm.sum() - 1.5 * 4950.0) < 1e-9)
   }
 
+  test("units metadata survives a parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    es(Some("kW")).toDF.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("value").metadata.getString("units") == "kW")
+  }
+
   test("positional slice (iloc analog) follows index order") {
     val s = es().slicePositional(10, 5)
     val rows = s.df.orderBy("ts").collect()
