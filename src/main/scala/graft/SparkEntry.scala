@@ -408,6 +408,13 @@ object SparkEntry {
     // ---- V3 data layer: per-group day × hour matrices
     "q57_day_hour_by_type" -> ((s, dir) =>
       eventsTsSeries(s, dir).toDayHourMatrixBy("event_type")),
+    // ---- custom typed Aggregator: quantity-weighted mean price
+    "q62_weighted_mean" -> ((s, dir) => {
+      val wm = udaf(graft.functions.WeightedMean)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(wm(col("l_extendedprice"), col("l_quantity"))
+          .as("qty_weighted_price"))
+    }),
     // ---- quantiles (exact interpolated percentiles)
     "q55_quantiles" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
@@ -821,6 +828,11 @@ object SparkEntry {
            |        unnest(generate_series(0, greatest(len(words)-1, 0), 48)) AS start_word
            |      FROM w)""".stripMargin
       },
+      "q62_weighted_mean" ->
+        s"""SELECT l_returnflag,
+           |  ${dSum("l_extendedprice * l_quantity")} / ${dSum("l_quantity")}
+           |    AS qty_weighted_price
+           |FROM lineitem GROUP BY 1""".stripMargin,
       "q55_quantiles" ->
         """SELECT l_returnflag,
           |  quantile_cont(l_quantity, 0.5) AS p50,

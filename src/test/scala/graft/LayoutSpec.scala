@@ -31,6 +31,25 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = spark.range(1000).select($"id",
+      (col("id") % 10).cast("int").as("part_key"))
+    Layout.writePartitioned(fact, path, "part_key")
+    // the dim must be a file source with a surviving selective Filter,
+    // otherwise the DPP rule sees no predicate to derive pruning from
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    spark.range(10).select($"id".cast("int").as("part_key"),
+        when($"id" < 2, "keep").otherwise("drop").as("tag"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where($"tag" === "keep")
+    val j = spark.read.parquet(path).join(dim, "part_key")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    assert(j.count() == 200)
+  }
+
   test("partitioned write prunes files under a partition predicate") {
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = spark.range(100).select($"id",
