@@ -37,6 +37,12 @@ final case class EnergyFrame(
       indexCols, colName, u, meta, baseYear = baseYear)
   }
 
+  /** Column-subset slice -> frame keeping each column's units — the
+    * `edf[["a", "b"]]` form (`energypandas.py:841-843`). */
+  def selectCols(names: String*): EnergyFrame =
+    copy(df = df.select((indexCols ++ names).map(col): _*),
+      unitsMap = unitsMap.view.filterKeys(names.contains).toMap)
+
   /** Per-column conversion to a single target unit
     * (`energypandas.py:960-991`): one projection, per-column literal
     * (slope, intercept) — constant-folded, no UDF. */

@@ -148,6 +148,18 @@ class EnergySeriesSpec extends SparkTestBase {
     assert(m.head.getAs[Double]("doubled_h3") == 6.0)
   }
 
+  test("frame: column-subset slice keeps per-column units") {
+    val f = es(Some("degC")).toFrame
+    val two = graft.core.EnergyFrame(
+      f.df.withColumn("power", col("value") * 2), Seq("ts"),
+      Map("value" -> UnitRegistry.parse("degC"),
+        "power" -> UnitRegistry.parse("kW")))
+    val sliced = two.selectCols("power")
+    assert(sliced.valueCols == Seq("power"))
+    assert(sliced.unitsMap.keySet == Set("power"))
+    assert(sliced.unitsMap("power").canonical == UnitRegistry.parse("kW").canonical)
+  }
+
   test("frame: normalize resets units to dimensionless (documented deviation)") {
     val f = es(Some("degC")).toFrame.normalize()
     assert(f.unitsMap.values.forall(_.isDimensionless))
