@@ -408,6 +408,13 @@ object SparkEntry {
     // ---- V3 data layer: per-group day × hour matrices
     "q57_day_hour_by_type" -> ((s, dir) =>
       eventsTsSeries(s, dir).toDayHourMatrixBy("event_type")),
+    // ---- reshape: wide → long melt (inverse of the ingest pivot)
+    "q63_melt" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_tax"),
+        col("l_discount"))
+      EnergyFrame(li, Seq("l_orderkey", "l_linenumber")).melt()
+    }),
     // ---- custom typed Aggregator: quantity-weighted mean price
     "q62_weighted_mean" -> ((s, dir) => {
       val wm = udaf(graft.functions.WeightedMean)
@@ -828,6 +835,12 @@ object SparkEntry {
            |        unnest(generate_series(0, greatest(len(words)-1, 0), 48)) AS start_word
            |      FROM w)""".stripMargin
       },
+      "q63_melt" ->
+        """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
       "q62_weighted_mean" ->
         s"""SELECT l_returnflag,
            |  ${dSum("l_extendedprice * l_quantity")} / ${dSum("l_quantity")}

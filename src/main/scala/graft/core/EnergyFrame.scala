@@ -129,6 +129,15 @@ final case class EnergyFrame(
     df.groupBy(to_date(ts).as("period_date")).agg(cells.head, cells.tail: _*)
   }
 
+  /** Wide → long reshape (pandas `melt` / the inverse of the ingest
+    * pivot): one row per (index, column) with the column name in
+    * `metricCol`. Uses Spark's native unpivot — a generator projection,
+    * no shuffle. */
+  def melt(metricCol: String = "metric", valueCol: String = "value")
+      : DataFrame =
+    df.unpivot(indexCols.map(col).toArray,
+      valueCols.map(col).toArray, metricCol, valueCol)
+
   /** DataFrame with per-column units mirrored into field metadata. */
   def toDF: DataFrame = {
     val projected = df.columns.toSeq.map { c =>
