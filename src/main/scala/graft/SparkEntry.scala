@@ -408,6 +408,29 @@ object SparkEntry {
     // ---- V3 data layer: per-group day × hour matrices
     "q57_day_hour_by_type" -> ((s, dir) =>
       eventsTsSeries(s, dir).toDayHourMatrixBy("event_type")),
+    // ---- star-schema rollup touching region → nation → supplier
+    "q64_region_rollup" -> ((s, dir) => {
+      val reg = t(s, dir, "region")
+      val nat = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          DetAgg.detSum(col("s_acctbal")).as("total_acctbal"),
+          (DetAgg.detSum(col("s_acctbal")) / count(col("s_acctbal")))
+            .as("avg_acctbal"))
+    }),
+    // ---- part-dimension join: revenue by brand
+    "q65_brand_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(DetAgg.detSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          DetAgg.detSum(col("l_quantity")).as("total_qty"))
+    }),
     // ---- reshape: wide → long melt (inverse of the ingest pivot)
     "q63_melt" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"),
@@ -835,6 +858,20 @@ object SparkEntry {
            |        unnest(generate_series(0, greatest(len(words)-1, 0), 48)) AS start_word
            |      FROM w)""".stripMargin
       },
+      "q64_region_rollup" ->
+        s"""SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           |  ${dSum("s_acctbal")} AS total_acctbal,
+           |  ${dAvg("s_acctbal")} AS avg_acctbal
+           |FROM supplier
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1""".stripMargin,
+      "q65_brand_revenue" ->
+        s"""SELECT p_brand,
+           |  ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  ${dSum("l_quantity")} AS total_qty
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY 1""".stripMargin,
       "q63_melt" ->
         """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
           |UNION ALL
