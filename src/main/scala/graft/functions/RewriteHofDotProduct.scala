@@ -11,14 +11,14 @@ import org.apache.spark.sql.types.DoubleType
   *               (acc, z) -> acc + z) }}}
   *
   * into the codegen'd [[VectorDot]] expression. Users (and SQL authors)
-  * can write the portable HOF form and still get the fused loop — the
-  * same accumulation order, so results are identical.
+  * can write the portable HOF form and still get the fused loop.
   *
-  * Precondition (documented, not checkable statically): inputs are
-  * equal-length arrays with non-null elements — embedding-vector
-  * semantics. With null elements the HOF form returns null while
-  * VectorDot treats the pair as skippable; graft's vector columns never
-  * contain null elements.
+  * The rewrite is semantics-preserving for EVERY input, not just
+  * well-formed embeddings: VectorDot returns null on unequal array
+  * lengths and on null elements — exactly what the zip_with + fold form
+  * produces (zip_with pads the shorter array with nulls; null * x and
+  * acc + null are null) — and accumulates left-to-right in double, so
+  * results are bit-identical.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 

@@ -17,17 +17,32 @@ import org.apache.spark.sql.types._
   * left-to-right double accumulation semantics so results are bit-identical
   * to the fold (and to the DuckDB oracle's sequential list_dot_product).
   *
-  * Semantics: null input array → null; element count = min(len(a), len(b));
-  * elements are assumed non-null (embedding vectors).
+  * Semantics match the HOF fold EXACTLY for every input (this is what makes
+  * the [[RewriteHofDotProduct]] optimizer rule sound, not just fast):
+  *  - null input array → null;
+  *  - unequal lengths → null (zip_with pads the shorter side with nulls,
+  *    null * x → null, acc + null → null);
+  *  - any null element in the compared range → null (same propagation).
+  * The per-element null check is skipped at codegen time when the array
+  * schema says containsNull=false, so embedding-typed columns keep the
+  * branch-free loop.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def prettyName: String = "vec_dot"
   override def dataType: DataType = DoubleType
+  // null also on length mismatch / null elements, regardless of child
+  // nullability
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -46,7 +61,15 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if ((elemNullable(left) || elemNullable(right)) && {
+        var i = 0; var hasNull = false
+        while (i < n && !hasNull) {
+          hasNull = x.isNullAt(i) || y.isNullAt(i); i += 1
+        }
+        hasNull
+      }) return null
     var acc = 0.0
     var i = 0
     (elemType(left), elemType(right)) match {
@@ -73,13 +96,22 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(elemType(left), a, i)} * ${getter(elemType(right), b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ${getter(elemType(left), a, i)} * ${getter(elemType(right), b, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -38,8 +38,14 @@ object AsofJoin {
       .withColumn("__side", lit(0))
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
 
+    // The payload columns are the final sort keys so that when several
+    // right rows share the same (key, ts) the winning payload is
+    // deterministic across runs and partitionings (the greatest payload
+    // tuple wins); ts and __side alone would leave the tie to shuffle
+    // order.
+    val tieBreak = rPayload.map(c => col(s"$rightPrefix$c").asc_nulls_first)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc +: col("__side").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rPayload.foldLeft(unioned) { (d, c) =>
       d.withColumn(s"$rightPrefix$c",

@@ -179,6 +179,10 @@ object Similarity {
       threshold: Double, numPlanes: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = randomPlanes(numPlanes, dim, seed)
+    // persisted because both join sides read it (columnar cache beats
+    // localCheckpoint's row blocks 6×). Cache-lifetime contract: callers
+    // running many such queries clear the cache after consuming the pairs
+    // (Bench/Verify do).
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         l2Norm(col(vecCol)).as("n"),
         hyperplaneBucket(col(vecCol), planes).as("bucket"))

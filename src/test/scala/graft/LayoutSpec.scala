@@ -59,6 +59,6 @@ class LayoutSpec extends SparkTestBase {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(pruned.count() == 25)
     assert(scan.contains("PartitionFilters") &&
-      scan.contains("bucket_day#") || scan.contains("bucket_day ="))
+      (scan.contains("bucket_day#") || scan.contains("bucket_day =")))
   }
 }
