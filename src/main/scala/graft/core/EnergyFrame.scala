@@ -112,7 +112,7 @@ final case class EnergyFrame(
   }
 
   def sumAll(): Double = {
-    val total = valueCols.map(c => sum(col(c))).reduce(_ + _)
+    val total = valueCols.map(c => DetAgg.detSum(col(c))).reduce(_ + _)
     df.agg(coalesce(total, lit(0.0))).head().getDouble(0)
   }
 

@@ -244,7 +244,8 @@ final case class EnergySeries(
   def *(k: Double): EnergySeries = finalized(df.withColumn(valueCol, v * lit(k)))
   def /(k: Double): EnergySeries = finalized(df.withColumn(valueCol, v / lit(k)))
 
-  def sum(): Double = df.agg(coalesce(org.apache.spark.sql.functions.sum(v), lit(0.0))).head().getDouble(0)
+  def sum(): Double =
+    df.agg(coalesce(DetAgg.detSum(v), lit(0.0))).head().getDouble(0)
 
   /** Elementwise transform via a Column expression — the declarative
     * `apply(lambda)` analog (`energypandas.py:278,363,378`); stays inside

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Optimizer rule: rewrites the higher-order-function dot-product idiom
   *
@@ -28,6 +28,14 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
       case other => other.semanticEquals(v) && other.dataType == DoubleType
     }
 
+  /** VectorDot's eval/codegen only handle float/double element arrays;
+    * the HOF idiom is legal over any numeric element type (the lambda
+    * casts), so the rewrite must not fire for e.g. array<int> inputs. */
+  private def isFloatingArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -38,7 +46,8 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             LambdaFunction(Add(accRef, elemRef, _),
               Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
             LambdaFunction(finish, Seq(fin: NamedLambdaVariable), _))
-          if isDoubleCastOf(mx, x) && isDoubleCastOf(my, y) &&
+          if isFloatingArray(a) && isFloatingArray(b) &&
+            isDoubleCastOf(mx, x) && isDoubleCastOf(my, y) &&
             accRef.semanticEquals(acc) && elemRef.semanticEquals(elem) &&
             finish.semanticEquals(fin) =>
         VectorDot(a, b)

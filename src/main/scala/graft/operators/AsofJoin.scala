@@ -27,30 +27,34 @@ object AsofJoin {
       tsCol: String, payloadCols: Seq[String], rightPrefix: String = "r_")
       : DataFrame = {
     val rPayload = (tsCol +: payloadCols).distinct
-    val l2 = rPayload.foldLeft(left.withColumn("__side", lit(1))) {
-      (d, c) => d.withColumn(s"$rightPrefix$c", lit(null).cast(
-        right.schema(c).dataType))
-    }
-    val r2base = right.select((keyCol +: rPayload).map(col): _*)
-    val r2 = rPayload.foldLeft(r2base) { (d, c) =>
-      d.withColumnRenamed(c, s"$rightPrefix$c")
-    }.withColumn(tsCol, col(s"$rightPrefix$tsCol"))
+    // The whole right payload travels as ONE struct column, so a single
+    // running `last` carries it: the result row is row-atomic — every
+    // filled column comes from the SAME right row, even when tied right
+    // rows interleave nulls across payload columns.
+    val structT = org.apache.spark.sql.types.StructType(rPayload.map(c =>
+      org.apache.spark.sql.types.StructField(s"$rightPrefix$c",
+        right.schema(c).dataType)))
+    val l2 = left.withColumn("__side", lit(1))
+      .withColumn("__rs", lit(null).cast(structT))
+    val r2 = right.select(col(keyCol), col(tsCol),
+        struct(rPayload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+          .as("__rs"))
       .withColumn("__side", lit(0))
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
 
-    // The payload columns are the final sort keys so that when several
-    // right rows share the same (key, ts) the winning payload is
-    // deterministic across runs and partitionings (the greatest payload
-    // tuple wins); ts and __side alone would leave the tie to shuffle
-    // order.
-    val tieBreak = rPayload.map(c => col(s"$rightPrefix$c").asc_nulls_first)
+    // The payload struct is the final sort key so that when several right
+    // rows share the same (key, ts) the winner is deterministic across
+    // runs and partitionings (the greatest payload struct wins, compared
+    // lexicographically); ts and __side alone would leave the tie to
+    // shuffle order.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc +: col("__side").asc +: tieBreak: _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__rs").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rPayload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"$rightPrefix$c",
-        last(col(s"$rightPrefix$c"), ignoreNulls = true).over(w))
+    val filled = unioned
+      .withColumn("__rs", last(col("__rs"), ignoreNulls = true).over(w))
+    val unpacked = rPayload.foldLeft(filled) { (d, c) =>
+      d.withColumn(s"$rightPrefix$c", col("__rs").getField(s"$rightPrefix$c"))
     }
-    filled.where(col("__side") === 1).drop("__side")
+    unpacked.where(col("__side") === 1).drop("__side", "__rs")
   }
 }

@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.EnergySeries
 
+/** Clustering method for the period vectors. */
+sealed trait ClusterMethod
+object ClusterMethod {
+  /** Seeded k-means (tsam `clusterMethod='k_means'` analog). */
+  case object KMeansMethod extends ClusterMethod
+  /** Ward-linkage agglomerative (tsam's default `'hierarchical'`). */
+  case object Hierarchical extends ClusterMethod
+}
+
 /** Typical-period clustering — the Spark-native re-expression of the
   * reference's `discretize_tsam`
   * (`/root/reference/energy_pandas/energypandas.py:384-412`, frame variant
@@ -31,8 +40,61 @@ import graft.core.EnergySeries
   */
 object Discretize {
 
+  /** Above this many period rows the cluster fit falls back to spark.ml
+    * KMeans (distributed). Below it — which is every realistic input,
+    * since the matrix shrinks by periodLength and a century of hourly
+    * data is ~36 500 rows — the already-aggregated matrix is collected
+    * and fit with [[LocalKMeans]] on the driver: one bounded collect
+    * (100k × periodLength doubles), zero scheduler round-trips, exactly
+    * how tsam runs sklearn in-process on the same matrix. */
+  val MaxLocalRows = 100000
+
+  /** Collect the (sorted) period feature matrix if it is small enough;
+    * None → caller takes the distributed fallback. Rows are
+    * (periodId, features). */
+  private def collectMatrix(matrix: DataFrame, featCols: Seq[String])
+      : Option[(Array[Long], Array[Array[Double]])] = {
+    val rows = matrix.orderBy("__period")
+      .select(col("__period") +: featCols.map(c => col(c).cast(DoubleType)): _*)
+      .limit(MaxLocalRows + 1).collect()
+    if (rows.length > MaxLocalRows) None
+    else Some((rows.map(_.getLong(0)),
+      rows.map(r => Array.tabulate(featCols.size)(i => r.getDouble(i + 1)))))
+  }
+
+  /** Fit cluster assignments for the padded period matrix: driver-side
+    * (LocalKMeans / LocalWard) when bounded, spark.ml KMeans above
+    * [[MaxLocalRows]]. Returns (__period, __cluster). */
+  private def assignClusters(filled: DataFrame, featCols: Seq[String], k: Int,
+      seed: Long, method: ClusterMethod): DataFrame = {
+    val spark = filled.sparkSession
+    collectMatrix(filled, featCols) match {
+      case Some((periods, points)) =>
+        val assign = method match {
+          case ClusterMethod.Hierarchical => LocalWard.fit(points, k)
+          case ClusterMethod.KMeansMethod => LocalKMeans.fit(points, k, seed)._1
+        }
+        import spark.implicits._
+        periods.zip(assign).toSeq.toDF("__period", "__cluster")
+      case None =>
+        require(method == ClusterMethod.KMeansMethod,
+          s"hierarchical clustering needs the period matrix on the driver " +
+            s"(<= $MaxLocalRows periods); use k-means above that")
+        // distributed fallback: sorted single partition keeps the
+        // k-means|| init independent of session parallelism (DEVIATIONS §9)
+        val features = new VectorAssembler()
+          .setInputCols(featCols.toArray).setOutputCol("__features")
+          .transform(filled.orderBy("__period").coalesce(1))
+        val model = new KMeans().setK(k).setSeed(seed)
+          .setFeaturesCol("__features").setPredictionCol("__cluster")
+          .fit(features)
+        model.transform(features).select(col("__period"), col("__cluster"))
+    }
+  }
+
   def discretize(series: EnergySeries, noTypicalPeriods: Int,
-      periodLength: Int = 24, seed: Long = 42L): EnergySeries = {
+      periodLength: Int = 24, seed: Long = 42L,
+      method: ClusterMethod = ClusterMethod.KMeansMethod): EnergySeries = {
     require(series.indexCols.nonEmpty, "discretize requires a time index")
     val v = series.valueCol
     val long = series.withStepColumn
@@ -55,17 +117,7 @@ object Discretize {
         val filled = slotCols.zipWithIndex.foldLeft(matrix) { case (d, (c, i)) =>
           d.withColumn(c, coalesce(col(c), lit(means.getDouble(i))))
         }
-        // the matrix has rows/periodLength rows — orders of magnitude
-        // smaller than the input. Sorting + a single partition makes the
-        // k-means|| init independent of the session's parallelism, so the
-        // clustering is deterministic across cluster layouts.
-        val features = new VectorAssembler()
-          .setInputCols(slotCols.toArray).setOutputCol("__features")
-          .transform(filled.orderBy("__period").coalesce(1))
-        val model = new KMeans().setK(noTypicalPeriods).setSeed(seed)
-          .setFeaturesCol("__features").setPredictionCol("__cluster")
-          .fit(features)
-        model.transform(features).select(col("__period"), col("__cluster"))
+        assignClusters(filled, slotCols, noTypicalPeriods, seed, method)
       }
 
     // mean representation: slot-wise deterministic mean over the cluster's
@@ -88,7 +140,9 @@ object Discretize {
     * pivot for the feature matrix → shared assignment → per-(cluster,
     * slot, column) mean profiles → re-widen. */
   def discretizeFrame(frame: graft.core.EnergyFrame, noTypicalPeriods: Int,
-      periodLength: Int = 24, seed: Long = 42L): graft.core.EnergyFrame = {
+      periodLength: Int = 24, seed: Long = 42L,
+      method: ClusterMethod = ClusterMethod.KMeansMethod)
+      : graft.core.EnergyFrame = {
     val ts = frame.indexCols.head
     val cols = frame.valueCols
     require(cols.nonEmpty, "frame has no value columns")
@@ -124,15 +178,7 @@ object Discretize {
           case (d, (c, i)) => d.withColumn(c, coalesce(col(c),
             lit(if (means.isNullAt(i)) 0.0 else means.getDouble(i))))
         }
-        // sorted single partition: deterministic across parallelism (see
-        // the series variant above)
-        val features = new VectorAssembler().setInputCols(featKeys.toArray)
-          .setOutputCol("__features")
-          .transform(filled.orderBy("__period").coalesce(1))
-        val model = new KMeans().setK(noTypicalPeriods).setSeed(seed)
-          .setFeaturesCol("__features").setPredictionCol("__cluster")
-          .fit(features)
-        model.transform(features).select(col("__period"), col("__cluster"))
+        assignClusters(filled, featKeys, noTypicalPeriods, seed, method)
       }
 
     val withCluster = stamped.join(broadcast(assigned), Seq("__period"))

@@ -116,24 +116,22 @@ object Similarity {
     * cells (then persisted/bucketed by cell in a real deployment), and
     * every query touches ~nprobe/nlist of the data.
     *
-    * Centroids are fit with spark.ml KMeans (seeded, on the corpus or a
-    * sample); cell assignment and probe selection are pure expressions
-    * over the centroid literals — no UDFs, no per-row ml calls.
+    * Centroids are fit with [[LocalKMeans]] on a bounded,
+    * deterministically-ordered sample collected to the driver (standard
+    * IVF practice — the quantizer training set is a sample regardless of
+    * corpus size, and an in-process fit costs zero Spark jobs where
+    * spark.ml's k-means|| pays dozens of scheduler round-trips); cell
+    * assignment and probe selection are pure expressions over the
+    * centroid literals — no UDFs, no per-row ml calls.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // fit the coarse quantizer on a bounded, deterministically-ordered
-    // sample (standard IVF practice at scale; also makes the centroids
-    // independent of the session's parallelism)
-    val fitDf = corpus.orderBy(col(idCol)).limit(4096).coalesce(1)
-      .select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").fit(fitDf)
-    val centroids: Seq[Seq[Double]] = model.clusterCenters.toSeq
-      .map(_.toArray.toSeq)
+    val sample = corpus.orderBy(col(idCol)).limit(4096)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids: Seq[Seq[Double]] =
+      LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
 
     // squared L2 distance to each centroid, as literal-array expressions
     def dist2(vec: Column, c: Seq[Double]): Column = {
