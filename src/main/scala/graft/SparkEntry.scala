@@ -35,6 +35,24 @@ object SparkEntry {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Recall gate for approximate operators (hash-seeded, hence not
+    * directly SQL-checkable): the fraction of EXACT-result keys the
+    * approximate operator recovers, emitted as one deterministic row the
+    * DuckDB oracle reproduces — `n_exact` is SQL-computable from the
+    * exact definition, and `recall_ok` is 1 iff recall >= threshold
+    * (seeded operators + DetAgg make the recall a constant of the
+    * dataset, so the gate is stable run-to-run). */
+  private def recallGate(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String], threshold: Double): DataFrame = {
+    val hits = approx.select(keys.map(col): _*).distinct()
+      .withColumn("__hit", lit(1))
+    exact.select(keys.map(col): _*)
+      .join(hits, keys, "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (coalesce(sum(col("__hit")), lit(0)).cast("double") / count(lit(1))
+          >= lit(threshold)).cast("long").as("recall_ok"))
+  }
+
   private def eventsSeries(s: SparkSession, dir: String): EnergySeries =
     EnergySeries(t(s, dir, "events").select(col("event_id"), col("value")),
       Seq("event_id"), "value", Some(UnitRegistry.parse("degC")))
@@ -142,14 +160,24 @@ object SparkEntry {
       out(Discretize.discretize(hourly, noTypicalPeriods = 1,
         periodLength = 24).df)
     }),
-    // ---- M1: discretize via spark.ml KMeans (k=4; no SQL oracle)
+    // ---- M1: discretize via seeded k-means (k=4). The clustering is not
+    // SQL-expressible, but the mean representation is sum-preserving for
+    // ANY assignment (each (cluster, slot) group mean × its count sums to
+    // the group's total), so the oracle checks the row count + that exact
+    // invariant.
     "q18_discretize_kmeans" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val hourly = EnergySeries(
         ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
           .agg(DetAgg.detAvg(col("value")).as("value")), Seq("ts"), "value")
-      out(Discretize.discretize(hourly, noTypicalPeriods = 4,
-        periodLength = 24).df)
+      val disc = Discretize.discretize(hourly, noTypicalPeriods = 4,
+        periodLength = 24)
+      val p = disc.df.agg(DetAgg.detSum(col("value")).as("__ps"),
+        count(lit(1)).as("n_rows"))
+      val o = hourly.df.agg(DetAgg.detSum(col("value")).as("__os"))
+      p.crossJoin(o).select(col("n_rows"),
+        (abs(col("__ps") - col("__os")) <= lit(0.01))
+          .cast("long").as("sums_match"))
     }),
     // ---- M1 (frame): joint discretize over a 2-column frame (k=1)
     "q48_discretize_frame" -> ((s, dir) => {
@@ -212,18 +240,34 @@ object SparkEntry {
     // ---- dedup: exact (content-hash groupBy)
     "q24_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
-    // ---- dedup: MinHash + LSH banding (no SQL oracle: xxhash64)
-    "q25_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 3, bands = 8, rowsPerBand = 2, minEstJaccard = 0.5)),
-    // ---- dedup: SimHash blocking + Hamming (no SQL oracle: xxhash64)
-    "q26_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 3, prefixBits = 16, maxHamming = 8)),
-    // ---- dedup: exact n-gram Jaccard pairs (inverted-index join)
+    // ---- dedup: MinHash + LSH banding, gated on recall against the
+    // exact n-gram Jaccard pairs (xxhash64 has no DuckDB twin, so the
+    // oracle checks the recall invariant instead)
+    "q25_dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      recallGate(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000),
+        Dedup.minhashLsh(docs, "text", "doc_id",
+          shingleLen = 3, bands = 8, rowsPerBand = 2, minEstJaccard = 0.35),
+        Seq("a", "b"), threshold = 0.8)
+    }),
+    // ---- dedup: SimHash blocking + Hamming, gated on recall against the
+    // exact high-similarity (j >= 0.8) pairs
+    "q26_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      recallGate(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.8, docFreqCap = 1000),
+        Dedup.simhashPairs(docs, "text", "doc_id",
+          shingleLen = 3, bands = 4, maxHamming = 8),
+        Seq("a", "b"), threshold = 0.5) // measured 0.76 at sf0.01
+    }),
+    // ---- dedup: exact n-gram Jaccard pairs (inverted-index join; the
+    // df <= 1000 skew cap is active and mirrored in the oracle)
     "q27_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 3, minJaccard = 0.5, docFreqCap = Int.MaxValue)),
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)),
     // ---- dedup: embedding-cosine near-duplicate pairs
     "q28_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
@@ -234,21 +278,39 @@ object SparkEntry {
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
         "embedding", k = 5)
     }),
-    // ---- similarity: LSH-bucketed approximate top-k (no SQL oracle)
+    // ---- similarity: LSH-bucketed approximate top-k, gated on recall
+    // against the exact brute-force top-k (single-table LSH trades
+    // recall for the bucket-pruned scan; the gate pins the floor)
     "q30_sim_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
-        "embedding", k = 5, numPlanes = 8, dim = 64)
+      val q = emb.where(col("vec_id") < 10)
+      recallGate(
+        Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5),
+        Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5,
+          numPlanes = 4, numTables = 8, dim = 64),
+        Seq("query_id", "neighbor_id"), threshold = 0.3) // measured 0.52
     }),
-    // ---- dedup: LSH-bucketed embedding near-dup (scale path; no oracle)
-    "q51_embed_neardup_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.3, numPlanes = 6)),
-    // ---- similarity: IVF coarse-quantized top-k (no SQL oracle: KMeans)
+    // ---- dedup: LSH-bucketed embedding near-dup (scale path), gated on
+    // recall against the exact all-pairs variant
+    "q51_embed_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      recallGate(
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.3),
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.3, numPlanes = 4, numTables = 8),
+        Seq("a", "b"), threshold = 0.5) // measured 0.705 at sf0.01
+    }),
+    // ---- similarity: IVF coarse-quantized top-k, gated on recall
+    // against the exact brute-force top-k
     "q33_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
-        "embedding", k = 5, nlist = 16, nprobe = 4)
+      val q = emb.where(col("vec_id") < 10)
+      recallGate(
+        Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5),
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 6),
+        Seq("query_id", "neighbor_id"), threshold = 0.4) // measured 0.64
     }),
     // ---- text: quality scoring + token counting
     "q31_text_quality" -> ((s, dir) => {
@@ -455,10 +517,16 @@ object SparkEntry {
     "q58_sample_per_source" -> ((s, dir) =>
       Sampling.samplePerGroup(t(s, dir, "documents"), "source", "doc_id",
         k = 3).select(col("source"), col("doc_id"))),
-    // ---- sketches: HLL approximate distinct (no oracle: approx)
+    // ---- sketches: HLL approximate distinct, gated against the exact
+    // distinct count (HLL is deterministic for a given input; the oracle
+    // checks the exact counts + the error-bound invariant)
     "q59_approx_distinct" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))),
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__approx") - col("n_users")).cast("double")
+            / col("n_users") <= lit(0.1)).cast("long").as("within_tol"))),
     // ---- text: fixed-window chunking with overlap
     "q60_chunking" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -512,6 +580,53 @@ object SparkEntry {
 
     def cos(a: String, b: String) =
       s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+    // exact n-gram Jaccard pairs (shared by q27 and the q25/q26 recall
+    // gates); mirrors the engine's df-cap pre-filter (2 <= df <= 1000)
+    def ngramPairsSql(minJ: Double): String =
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(words) - 2, 0)),
+         |    i -> array_to_string(words[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+         |elig AS (SELECT shingle FROM ex GROUP BY shingle
+         |         HAVING count(*) BETWEEN 2 AND 1000),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
+         |    count(*) AS n_inter
+         |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         |  WHERE l.shingle IN (SELECT shingle FROM elig)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a, b, n_inter / (na + nb - n_inter) AS jaccard FROM pairs)
+         |WHERE jaccard >= $minJ""".stripMargin
+
+    // exact embedding near-dup pairs (q28 + the q51 recall gate)
+    def neardupSql(threshold: Double): String =
+      s"""SELECT a, b, cos_sim FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(${cos("x.embedding", "y.embedding")}, 6) AS cos_sim
+         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+         |WHERE cos_sim >= $threshold""".stripMargin
+
+    // exact brute-force top-k (q29 + the q30/q33 recall gates)
+    val topkSql: String =
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(${cos("qv", "c.embedding")}, 6) AS cos_sim
+         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != query_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+         |  AS BIGINT) AS rank FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM ranked WHERE rank <= 5""".stripMargin
+
+    def gateSql(innerSql: String): String =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(1 AS BIGINT) AS recall_ok FROM ($innerSql)""".stripMargin
 
     val langScores = TextOps.LangMarkers.map { case (lang, ms) =>
       val set = ms.map(m => s"'$m'").mkString(", ")
@@ -640,39 +755,24 @@ object SparkEntry {
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
           |  CAST(count(*) AS BIGINT) AS n_copies
           |FROM documents GROUP BY text""".stripMargin,
-      "q27_dedup_ngram" ->
-        """WITH docs AS (
-          |  SELECT doc_id, list_distinct(list_transform(
-          |    generate_series(1, greatest(len(words) - 2, 0)),
-          |    i -> array_to_string(words[i:i+2], ' '))) AS sh
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-          |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
-          |pairs AS (
-          |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
-          |    count(*) AS n_inter
-          |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-          |  GROUP BY 1, 2, 3, 4)
-          |SELECT a, b, jaccard FROM (
-          |  SELECT a, b, n_inter / (na + nb - n_inter) AS jaccard FROM pairs)
-          |WHERE jaccard >= 0.5""".stripMargin,
-      "q28_embed_neardup" ->
-        s"""SELECT a, b, cos_sim FROM (
-           |  SELECT x.vec_id AS a, y.vec_id AS b,
-           |    round(${cos("x.embedding", "y.embedding")}, 6) AS cos_sim
-           |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-           |WHERE cos_sim >= 0.4""".stripMargin,
-      "q29_sim_topk" ->
-        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           |           FROM embeddings WHERE vec_id < 10),
-           |scored AS (
-           |  SELECT query_id, c.vec_id AS neighbor_id,
-           |    round(${cos("qv", "c.embedding")}, 6) AS cos_sim
-           |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != query_id),
-           |ranked AS (SELECT *, CAST(row_number() OVER (
-           |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
-           |  AS BIGINT) AS rank FROM scored)
-           |SELECT query_id, rank, neighbor_id, cos_sim
-           |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q27_dedup_ngram" -> ngramPairsSql(0.5),
+      "q25_dedup_minhash" -> gateSql(ngramPairsSql(0.5)),
+      "q26_dedup_simhash" -> gateSql(ngramPairsSql(0.8)),
+      "q28_embed_neardup" -> neardupSql(0.4),
+      "q51_embed_neardup_lsh" -> gateSql(neardupSql(0.3)),
+      "q29_sim_topk" -> topkSql,
+      "q30_sim_lsh" -> gateSql(topkSql),
+      "q33_sim_ivf" -> gateSql(topkSql),
+      "q18_discretize_kmeans" ->
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts, ${dAvg("value")} AS v
+           |           FROM events GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(1 AS BIGINT) AS sums_match FROM h""".stripMargin,
+      "q59_approx_distinct" ->
+        """SELECT event_type,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |  CAST(1 AS BIGINT) AS within_tol
+          |FROM events GROUP BY 1""".stripMargin,
       "q31_text_quality" ->
         """WITH c AS (
           |  SELECT doc_id,

@@ -22,9 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free blocks persisted inside the query (cache-lifetime contract
-      // of the dedup/similarity operators) so nothing accumulates over
-      // the 60+ query dump
+      // free blocks persisted inside the query (the dedup/similarity
+      // operators' paired release) so nothing accumulates over the 60+
+      // query dump
+      graft.operators.Dedup.releaseIntermediates()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

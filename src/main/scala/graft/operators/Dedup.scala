@@ -16,6 +16,33 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  // ---- persist lifecycle -------------------------------------------------
+  // Several operators persist an intermediate both sides of a self-join
+  // read (columnar cache beats recompute and localCheckpoint; see the
+  // per-site comments). Every persist goes through tracked(), so callers
+  // have an explicit paired release: consume the returned pairs, then
+  // releaseIntermediates(). Bench/Verify (and long-lived sessions) call it
+  // between queries; leaving entries cached is never required for
+  // correctness.
+  private val persistedIntermediates =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[operators] def tracked(df: DataFrame): DataFrame =
+    persistedIntermediates.synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedIntermediates += p
+      p
+    }
+
+  /** Unpersist every intermediate cached by dedup/similarity operators
+    * since the last release (the paired release for their internal
+    * `persist`s). */
+  def releaseIntermediates(): Unit =
+    persistedIntermediates.synchronized {
+      persistedIntermediates.foreach(_.unpersist(blocking = false))
+      persistedIntermediates.clear()
+    }
+
   /** Exact dedup via content hash: one row per distinct text, keeping the
     * lowest id (deterministic winner). One shuffle keyed by the md5 —
     * uniform 128-bit keys, no skew; map-side partial min/count. */
@@ -72,16 +99,13 @@ object Dedup {
     // broadcast side). At cluster scale this is "write signatures out,
     // then join" — here persist() is the single-job equivalent (columnar
     // cache; measured 6× faster than localCheckpoint's row-serialized
-    // blocks). Cache lifetime contract: the entry lives until the caller
-    // unpersists or clears the cache — long-lived sessions running many
-    // such queries should `spark.catalog.clearCache()` after consuming
-    // the pairs (Bench/Verify do).
-    val banded = sig.select(col("id"), col("sig"),
+    // blocks). Release path: Dedup.releaseIntermediates() after the pairs
+    // are consumed (Bench/Verify do).
+    val banded = tracked(sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(col("sig"),
             b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -118,11 +142,18 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: group by a prefix of the simhash (cheap
-    * blocking), then pairwise Hamming distance within blocks. */
+  /** SimHash near-dup pairs with MULTI-BAND blocking: the 64-bit
+    * signature is split into `bands` equal bands, candidates are pairs
+    * sharing ANY band (the standard Hamming-space LSH: a pair within
+    * `maxHamming` of each other has a good chance — and, when
+    * maxHamming < bands, a guarantee — of agreeing on a whole band),
+    * then exact Hamming distance filters within candidates. A single
+    * (band, value) equi-join; one-prefix blocking loses every pair whose
+    * disagreement touches the prefix. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 3, prefixBits: Int = 16, maxHamming: Int = 8)
+      shingleLen: Int = 3, bands: Int = 4, maxHamming: Int = 8)
       : DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
     // Same explode + hash-aggregate shape as minhashLsh: 64 codegen'd
     // sum(±1) bit votes per doc id, then one projection assembles the
     // 64-bit signature from the vote signs.
@@ -135,19 +166,26 @@ object Dedup {
         lit(1L)).otherwise(lit(-1L))).as(s"v$i"))
     val votes = exploded.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
     // persisted for the same self-join-recompute reason (and with the
-    // same cache-lifetime contract) as minhashLsh
-    val sigs = votes.select(col("id"),
+    // same release path) as minhashLsh
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = votes.select(col("id"),
       (0 until 64).map(i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = sigs.withColumn("block",
-      shiftrightunsigned(col("sim"), 64 - prefixBits))
-    val l = blocked.select(col("block"), col("id").as("a"), col("sim").as("sim_a"))
-    val r = blocked.select(col("block"), col("id").as("b"), col("sim").as("sim_b"))
-    l.join(r, Seq("block")).where(col("a") < col("b"))
+    val blocked = tracked(sig.select(col("id"), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          call_function("shiftrightunsigned", col("sim"), b * lit(bandBits))
+            .bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "block"))
+    val l = blocked.select(col("band"), col("block"),
+      col("id").as("a"), col("sim").as("sim_a"))
+    val r = blocked.select(col("band"), col("block"),
+      col("id").as("b"), col("sim").as("sim_b"))
+    l.join(r, Seq("band", "block")).where(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct() // a pair may collide in several bands
       .where(col("hamming") <= maxHamming)
   }
 
@@ -161,9 +199,11 @@ object Dedup {
     * the shingle pipeline is computed once (not once per join side), and
     * both shuffles are pure hash exchanges — no sort anywhere, where a
     * sort-merge self-join sorts the full exploded index twice. The
-    * `docFreqCap` posting-list cap is the skew guard: a boilerplate
-    * shingle shared by m docs would emit m²/2 pairs; capping df is both
-    * the standard quality trick and what bounds the group state at 100 TB.
+    * `docFreqCap` skew guard is applied as a PRE-filter (df count +
+    * semi-join) before the posting-list aggregation: a boilerplate
+    * shingle shared by m docs would emit m²/2 pairs and materialize an
+    * m-row aggregation buffer without it; pre-filtering df is both the
+    * standard quality trick and what bounds the group state at 100 TB.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, minJaccard: Double = 0.8,
@@ -173,12 +213,26 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
     val inverted = docs.select(col("id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
+    // Document frequency FIRST (a map-side-combinable count whose shuffle
+    // carries only (shingle, partial count)), then a semi-join keeps only
+    // shingles with 2 <= df <= docFreqCap. Singleton shingles — the vast
+    // majority — and boilerplate shingles above the cap never reach the
+    // posting-list aggregation, so its collect_list buffer is bounded by
+    // docFreqCap rows per group at any corpus size. The semi-join and the
+    // groupBy below share the hash partitioning on `shingle`, so the
+    // pruning costs one extra (small) exchange, not a re-shuffle of the
+    // full index.
+    val eligible = inverted.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= docFreqCap)
+      .select(col("shingle"))
     // posting list per shingle, sorted by (id, n_sh) so emitted pairs are
     // (a < b) by construction and fully deterministic
-    val postings = inverted.groupBy("shingle")
+    val postings = inverted
+      .join(eligible, Seq("shingle"), "left_semi")
+      .groupBy("shingle")
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh"))))
         .as("ds"))
-      .where(size(col("ds")) >= 2 && size(col("ds")) <= docFreqCap)
     // stream pairs (i < j) with two generators — the m²/2 pairs of a
     // posting list are never materialized as one array
     val pairs = postings

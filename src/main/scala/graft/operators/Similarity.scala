@@ -82,26 +82,41 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** (table, bucket) keys for `numTables` independent hyperplane tables —
+    * the standard multi-table LSH layout: per-table collision probability
+    * is (1 − θ/π)^numPlanes, and tables union, so recall is
+    * 1 − (1 − p)^numTables. Emitted as one generator column; the
+    * candidate join is a single equi-join on (table, bucket). */
+  private def tableKeys(vec: Column, numPlanes: Int, numTables: Int,
+      dim: Int, seed: Long): Column =
+    explode(array((0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneBucket(vec, randomPlanes(numPlanes, dim, seed + t))
+          .as("bkt"))
+    }: _*))
+
   /** LSH-bucketed approximate top-k: compare queries only against corpus
-    * vectors in the same hyperplane bucket (single equi-join on bucket),
-    * then rank as in [[cosineTopK]]. Recall grows with fewer planes /
-    * multiple tables; this single-table variant is the minimal scale
-    * shape. */
+    * vectors sharing a bucket in ANY of `numTables` hyperplane tables
+    * (one equi-join on (table, bucket), then a per-pair dedup), ranked as
+    * in [[cosineTopK]]. numPlanes trades candidate volume for per-table
+    * recall; numTables buys recall back at linear cost. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = randomPlanes(numPlanes, dim, seed)
+      vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 8,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb"))
+    // score per candidate, then collapse multi-table duplicates with a
+    // (query, neighbor) aggregate — the score is identical across tables,
+    // so max() is a dedup, not a choice
+    val scored = c.join(broadcast(q), Seq("tb"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-          .as("cos_sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -170,38 +185,45 @@ object Similarity {
   }
 
   /** LSH-bucketed near-duplicate pairs — the 100 TB path for
-    * [[cosineNearDupPairs]]: only vectors sharing a hyperplane bucket are
-    * compared (one bucket-keyed self-join of the bucketed corpus).
-    * Recall < 1 by construction; fewer planes or multiple tables raise it. */
+    * [[cosineNearDupPairs]]: only vectors sharing a bucket in ANY of
+    * `numTables` hyperplane tables are compared (one self-join of the
+    * bucketed corpus keyed by (table, bucket), multi-table duplicates
+    * collapsed by a (a, b) aggregate). Recall < 1 by construction:
+    * per-table collision is (1 − θ/π)^numPlanes, unioned across tables —
+    * at real near-dup thresholds (cos ≥ 0.9) a handful of tables reach
+    * ≥ 0.99 recall while still pruning hard. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = randomPlanes(numPlanes, dim, seed)
+      threshold: Double, numPlanes: Int = 4, numTables: Int = 8,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
     // persisted because both join sides read it (columnar cache beats
-    // localCheckpoint's row blocks 6×). Cache-lifetime contract: callers
-    // running many such queries clear the cache after consuming the pairs
+    // localCheckpoint's row blocks 6×); release path =
+    // Dedup.releaseIntermediates() after the pairs are consumed
     // (Bench/Verify do).
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        l2Norm(col(vecCol)).as("n"),
-        hyperplaneBucket(col(vecCol), planes).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = bucketed.select(col("bucket"), col("id").as("a"),
+    val bucketed = Dedup.tracked(df.select(col(idCol).as("id"),
+      col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
+      tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb")))
+    val l = bucketed.select(col("tb"), col("id").as("a"),
       col("v").as("va"), col("n").as("na"))
-    val r = bucketed.select(col("bucket"), col("id").as("b"),
+    val r = bucketed.select(col("tb"), col("id").as("b"),
       col("v").as("vb"), col("n").as("nb"))
-    l.join(r, Seq("bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-          .as("cos_sim"))
+    l.join(r, Seq("tb")).where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
-    * Exact all-pairs within label blocks would be O(n²); this exact
-    * variant is for oracle-checkable scales, the LSH bucket join above is
-    * the 100 TB path. */
+    * Exact all-pairs — O(n²) by construction: a VALIDATION-scale tool
+    * (ground truth for the LSH recall gates), guarded by `maxRows` so it
+    * cannot be pointed at a large corpus by accident. The LSH bucket
+    * join above is the 100 TB path. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Int = 100000): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is the exact O(n^2) validation tool (corpus > " +
+        s"$maxRows rows); use lshNearDupPairs for the scale path")
     val a = df.select(col(idCol).as("a"), col(vecCol).as("va"),
       l2Norm(col(vecCol)).as("na"))
     val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"),

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Diagnostic: prints the actual recall of each approximate operator
+  * against its exact ground truth at a given sf dir, so the thresholds in
+  * SparkEntry's recall gates are set with measured margin, not guessed.
+  *
+  * Usage: sbt "runMain graft.tools.RecallProbe /root/testdata/sf0.01"
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def recall(name: String, exact: DataFrame, approx: DataFrame,
+        keys: Seq[String]): Unit = {
+      val e = exact.select(keys.map(col): _*).distinct().cache()
+      val a = approx.select(keys.map(col): _*).distinct()
+      val nExact = e.count()
+      val nHit = e.join(a, keys, "left_semi").count()
+      val r = if (nExact == 0) Double.NaN else nHit.toDouble / nExact
+      println(f"$name%-22s n_exact=$nExact%5d n_hit=$nHit%5d recall=$r%.3f")
+      e.unpersist()
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+    }
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+
+    recall("q25_minhash",
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5, 1000),
+      Dedup.minhashLsh(docs, "text", "doc_id", 3, 8, 2, 0.35),
+      Seq("a", "b"))
+    recall("q26_simhash",
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8, 1000),
+      Dedup.simhashPairs(docs, "text", "doc_id",
+        shingleLen = 3, bands = 4, maxHamming = 8),
+      Seq("a", "b"))
+    recall("q30_lsh_topk",
+      Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5,
+        numPlanes = 4, numTables = 8, dim = 64),
+      Seq("query_id", "neighbor_id"))
+    for (nprobe <- Seq(4, 6, 8))
+      recall(s"q33_ivf_topk_np$nprobe",
+        Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, nprobe),
+        Seq("query_id", "neighbor_id"))
+    recall("q51_lsh_neardup",
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3),
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", threshold = 0.3,
+        numPlanes = 4, numTables = 8),
+      Seq("a", "b"))
+    spark.stop()
+  }
+}
