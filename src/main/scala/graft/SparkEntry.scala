@@ -555,6 +555,35 @@ object SparkEntry {
           col("c.start_word").cast("long").as("start_word"),
           col("c.chunk_text").as("chunk_text"))
     }),
+    // ---- bucketed storage layout: write both join sides bucketed by the
+    // join key, then join AND aggregate on that key with ZERO Exchange in
+    // the physical plan (asserted — the plan guard fails the query if a
+    // shuffle sneaks in). This is the pay-the-shuffle-once-at-write-time
+    // layout SCALE.md §storage prescribes for repeatedly-joined fact
+    // tables; the oracle checks the join result itself.
+    "q66_bucketed_join" -> ((s, dir) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_layout " +
+        "LOCATION '/tmp/graft_layout_db'")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      graft.sources.Layout.writeBucketed(li,
+        "graft_layout.lineitem_b", "l_orderkey", 8)
+      graft.sources.Layout.writeBucketed(o,
+        "graft_layout.orders_b", "o_orderkey", 8)
+      val j = s.table("graft_layout.lineitem_b").hint("merge")
+        .join(s.table("graft_layout.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("o_custkey")).as("o_custkey"),
+          DetAgg.detSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join+agg must be shuffle-free, got:\n$plan")
+      j
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -773,6 +802,12 @@ object SparkEntry {
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
           |  CAST(1 AS BIGINT) AS within_tol
           |FROM events GROUP BY 1""".stripMargin,
+      "q66_bucketed_join" ->
+        s"""SELECT l_orderkey, min(o_custkey) AS o_custkey,
+           |  ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1""".stripMargin,
       "q31_text_quality" ->
         """WITH c AS (
           |  SELECT doc_id,

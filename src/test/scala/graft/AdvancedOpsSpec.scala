@@ -43,15 +43,33 @@ class AdvancedOpsSpec extends SparkTestBase {
       .outputMode("append").start()
     stream.addData(events.filter(_.event_id <= 2): _*)
     q.processAllAvailable()
-    // watermark still near minute 5 -> open session not yet emitted
+    // watermark still near minute 4 (max 5 − 1m delay): the minute-1..5
+    // session stays OPEN in state — nothing may be emitted yet
+    assert(spark.sql("SELECT * FROM stateful_sessions").isEmpty)
     stream.addData(ev(6, 45, 1L))
     q.processAllAvailable()
+    // watermark passed last(5) + gap(5m): the open session is flushed by
+    // the event-time timeout — with exact bounds and decimal-exact total
+    val flushed = spark.sql(
+      "SELECT * FROM stateful_sessions WHERE user_id = 1").collect()
+    assert(flushed.length == 1)
+    assert(flushed.head.getAs[Timestamp]("session_start") ==
+      Timestamp.valueOf("2024-01-01 00:01:00"))
+    assert(flushed.head.getAs[Timestamp]("session_end") ==
+      Timestamp.valueOf("2024-01-01 00:10:00")) // last(00:05) + gap
+    assert(flushed.head.getAs[Long]("n_events") == 3L)
+    assert(flushed.head.getAs[Double]("total") == 4.0)
     stream.addData(ev(7, 59, 1L))
     q.processAllAvailable()
     q.stop()
-    val emitted = spark.sql("SELECT * FROM stateful_sessions").collect()
-    // the minute-1..5 session (3 events) must have closed by timeout
-    assert(emitted.exists(r => r.getAs[Long]("n_events") == 3L))
+    // watermark 58 passed 45 + gap: the minute-45 session flushed too;
+    // the minute-59 one is still open and must NOT appear
+    val all = spark.sql("SELECT * FROM stateful_sessions WHERE user_id = 1")
+      .orderBy("session_start").collect()
+    assert(all.length == 2)
+    assert(all(1).getAs[Timestamp]("session_start") ==
+      Timestamp.valueOf("2024-01-01 00:45:00"))
+    assert(all(1).getAs[Long]("n_events") == 1L)
   }
 
   test("as-of join picks the latest prior right row, inclusive at ties") {

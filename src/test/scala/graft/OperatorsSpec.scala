@@ -36,6 +36,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(d.df.except(again.df).count() == 0)
   }
 
+  test("discretize hierarchical (Ward) separates period types exactly") {
+    // 4 days, alternating low/high profiles: each cluster holds two
+    // IDENTICAL periods, so the cluster-mean profile must reproduce the
+    // original series bit-for-bit — this pins the assignment itself, the
+    // part tsam's default clusterMethod='hierarchical' contributes
+    // (energypandas.py:384-412; DEVIATIONS §1 covers the golden value).
+    val vals = (0 until 96).map { i =>
+      val day = i / 24; val slot = i % 24
+      (i.toLong, if (day % 2 == 0) slot.toDouble else 100.0 + slot)
+    }
+    val es = EnergySeries.withTimeIndex(spark, vals.toDF("id", "value"),
+      "value", baseYear = 2018, stepSeconds = 3600)
+    val d = Discretize.discretize(es, noTypicalPeriods = 2,
+      periodLength = 24, method = ClusterMethod.Hierarchical)
+    val orig = es.df.orderBy("ts").collect().map(_.getDouble(1))
+    val pred = d.df.orderBy("ts").collect().map(_.getDouble(1))
+    assert(pred.toSeq == orig.toSeq)
+    // and it is deterministic (no seed involved at all)
+    val again = Discretize.discretize(es, 2, 24,
+      method = ClusterMethod.Hierarchical)
+    assert(d.df.except(again.df).count() == 0)
+  }
+
+  test("LocalWard merges nearest clusters first, labels by appearance") {
+    val pts = Array(Array(0.0, 0.0), Array(0.1, 0.0), Array(10.0, 0.0),
+      Array(10.1, 0.0), Array(5.0, 8.0))
+    assert(LocalWard.fit(pts, 3).toSeq == Seq(0, 0, 1, 1, 2))
+    assert(LocalWard.fit(pts, 5).toSeq == Seq(0, 1, 2, 3, 4)) // k = n
+    assert(LocalWard.fit(pts, 1).toSeq == Seq(0, 0, 0, 0, 0))
+  }
+
   test("exact dedup groups identical texts, keeps lowest id") {
     val out = Dedup.exact(docs, "text", "doc_id").collect()
     assert(out.length == 4)
@@ -77,6 +108,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs((0L, 3L)) == 1.0)
     // docs 0/1: 9 words -> 7 distinct 3-grams each (6 shared), J = 6/8
     assert(math.abs(pairs((0L, 1L)) - 0.75) < 1e-12)
+  }
+
+  test("cosineNearDupPairs enforces its validation-scale row guard") {
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.5,
+        maxRows = 2)
+    }
+    val ok = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.5,
+      maxRows = 10)
+    assert(ok.collect().exists(r =>
+      r.getLong(0) == 0L && r.getLong(1) == 1L)) // near-identical pair
   }
 
   test("cosine top-k ranks by similarity with deterministic ties") {
