@@ -555,6 +555,21 @@ object SparkEntry {
           col("c.start_word").cast("long").as("start_word"),
           col("c.chunk_text").as("chunk_text"))
     }),
+    // ---- dedup groups: connected components over the exact near-dup
+    // pairs (hash-min label propagation; one shuffle per round, rounds =
+    // graph diameter) — every document labeled with its group's minimum
+    // doc_id, singletons with their own id. Oracle = recursive CTE
+    // transitive closure over the same pairs.
+    "q67_dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+      val comp = Dedup.duplicateComponents(pairs, "a", "b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
     // ---- bucketed storage layout: write both join sides bucketed by the
     // join key, then join AND aggregate on that key with ZERO Exchange in
     // the physical plan (asserted — the plan guard fails the query if a
@@ -564,6 +579,17 @@ object SparkEntry {
     "q66_bucketed_join" -> ((s, dir) => {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_layout " +
         "LOCATION '/tmp/graft_layout_db'")
+      // a fresh session's in-memory catalog does not know tables a prior
+      // session wrote; drop AND clear the managed locations or the write
+      // fails with LOCATION_ALREADY_EXISTS
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(); ()
+      }
+      Seq("lineitem_b", "orders_b").foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS graft_layout.$n")
+        rmrf(new java.io.File(s"/tmp/graft_layout_db/$n"))
+      }
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -808,6 +834,17 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_items
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1""".stripMargin,
+      "q67_dedup_groups" ->
+        s"""WITH RECURSIVE np AS (${ngramPairsSql(0.5)}),
+           |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src)
+           |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
       "q31_text_quality" ->
         """WITH c AS (
           |  SELECT doc_id,

@@ -110,6 +110,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 0.75) < 1e-12)
   }
 
+  test("duplicateComponents labels transitive groups with the min id") {
+    // chain 1-2, 2-3 plus separate pair 7-9: hash-min needs >1 round for
+    // the chain, so this exercises the iteration + convergence check
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")
+    val comp = Dedup.duplicateComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    Dedup.releaseIntermediates()
+  }
+
   test("cosineNearDupPairs enforces its validation-scale row guard") {
     val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
       (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
