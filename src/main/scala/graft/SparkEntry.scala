@@ -610,6 +610,38 @@ object SparkEntry {
         s"bucketed join+agg must be shuffle-free, got:\n$plan")
       j
     }),
+    // ---- text: Gopher-style repetition filters (dup-word fraction,
+    // top-bigram fraction) — per-row array expressions, shuffle-free
+    "q68_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.dupWordFrac(col("text")).as("dup_word_frac"),
+        TextOps.topBigramFrac(col("text")).as("top_bigram_frac"))),
+    // ---- corpus vocabulary: top terms by occurrence with doc frequency
+    "q69_vocab" -> ((s, dir) => {
+      val words = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      words.groupBy("word")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("word").asc).limit(100)
+    }),
+    // ---- TF-IDF: each document's top-scoring term (tf × ln(N/df))
+    "q70_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfq = w.groupBy("word").agg(count_distinct(col("doc_id")).as("dfc"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfq, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * log(col("n").cast("double") / col("dfc")), 6)
+            .as("score"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)
+      scored.withColumn("rn", row_number().over(win)).where(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_term"), col("score"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -834,6 +866,41 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_items
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1""".stripMargin,
+      "q68_repetition" ->
+        """WITH w AS (SELECT doc_id, text,
+          |    string_split_regex(trim(text), '\s+') AS words FROM documents),
+          |b AS (SELECT doc_id, text, words,
+          |    list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+          |      i -> array_to_string(words[i:i+1], ' ')) AS bg
+          |  FROM w)
+          |SELECT doc_id,
+          |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+          |       ELSE round(1.0 - len(list_distinct(words)) / len(words), 6)
+          |  END AS dup_word_frac,
+          |  CASE WHEN len(bg) <= 0 THEN 0.0
+          |       ELSE round(list_max(list_transform(list_distinct(bg),
+          |              x -> len(list_filter(bg, y -> y = x)))) / len(bg), 6)
+          |  END AS top_bigram_frac
+          |FROM b""".stripMargin,
+      "q69_vocab" ->
+        """SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM (SELECT doc_id,
+          |        unnest(string_split_regex(trim(text), '\s+')) AS word
+          |      FROM documents)
+          |GROUP BY 1 ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
+      "q70_tfidf" ->
+        """WITH w AS (SELECT doc_id,
+          |    unnest(string_split_regex(trim(text), '\s+')) AS word
+          |  FROM documents),
+          |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+          |dfq AS (SELECT word, count(DISTINCT doc_id) AS dfc FROM w GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |s AS (SELECT doc_id, word, round(tf * ln(n.n / dfc), 6) AS score
+          |      FROM tf JOIN dfq USING (word) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, word ASC) AS rn FROM s)
+          |SELECT doc_id, word AS top_term, score FROM r WHERE rn = 1""".stripMargin,
       "q67_dedup_groups" ->
         s"""WITH RECURSIVE np AS (${ngramPairsSql(0.5)}),
            |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),

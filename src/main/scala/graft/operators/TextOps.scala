@@ -15,6 +15,26 @@ object TextOps {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Duplicate-word fraction (1 − distinct/total) — the basic Gopher-rule
+    * repetition signal; 0 for empty docs. Per-row array ops, no shuffle. */
+  def dupWordFrac(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, 0.0).otherwise(
+      round(lit(1.0) - size(array_distinct(words)).cast(DoubleType)
+        / size(words), 6))
+  }
+
+  /** Fraction of word 2-grams taken by the single most frequent 2-gram —
+    * the "top n-gram ratio" repetition filter from the Gopher/MassiveText
+    * quality rules. O(distinct²) per row via higher-order functions —
+    * bounded by document length, still shuffle-free. */
+  def topBigramFrac(text: Column): Column = {
+    val bg = Dedup.wordShingles(text, 2)
+    when(size(bg) <= 0, 0.0).otherwise(
+      round(array_max(transform(array_distinct(bg), b =>
+        size(filter(bg, x => x === b)))).cast(DoubleType) / size(bg), 6))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token (the usual pre-tokenizer shape). */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
