@@ -610,6 +610,34 @@ object SparkEntry {
         s"bucketed join+agg must be shuffle-free, got:\n$plan")
       j
     }),
+    // ---- M1 (hierarchical): Ward-linkage discretize through the same
+    // sum-preservation gate as q18 (the assignment itself is pinned by
+    // OperatorsSpec's exact-reconstruction test)
+    "q71_discretize_hier" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = EnergySeries(
+        ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+          .agg(DetAgg.detAvg(col("value")).as("value")), Seq("ts"), "value")
+      val disc = Discretize.discretize(hourly, noTypicalPeriods = 3,
+        periodLength = 24,
+        method = graft.operators.ClusterMethod.Hierarchical)
+      val p = disc.df.agg(DetAgg.detSum(col("value")).as("__ps"),
+        count(lit(1)).as("n_rows"))
+      val o = hourly.df.agg(DetAgg.detSum(col("value")).as("__os"))
+      p.crossJoin(o).select(col("n_rows"),
+        (abs(col("__ps") - col("__os")) <= lit(0.01))
+          .cast("long").as("sums_match"))
+    }),
+    // ---- stream-stream interval join (attribution shape): purchases
+    // matched to same-user clicks within a 10-minute lookback; batch
+    // twin of the watermarked streaming join (StreamingSpec)
+    "q72_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      out(StreamOps.intervalJoin(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"),
+        "user_id", lookback = "10 minutes"))
+    }),
     // ---- text: Gopher-style repetition filters (dup-word fraction,
     // top-bigram fraction) — per-row array expressions, shuffle-free
     "q68_repetition" -> ((s, dir) =>
@@ -866,6 +894,18 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_items
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1""".stripMargin,
+      "q71_discretize_hier" ->
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts, ${dAvg("value")} AS v
+           |           FROM events GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(1 AS BIGINT) AS sums_match FROM h""".stripMargin,
+      "q72_interval_join" ->
+        """SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts,
+          |  r.event_id AS r_event_id, r.ts AS r_ts, r.value AS r_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+          |JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          |  ON l.user_id = r.user_id
+          | AND r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts""".stripMargin,
       "q68_repetition" ->
         """WITH w AS (SELECT doc_id, text,
           |    string_split_regex(trim(text), '\s+') AS words FROM documents),

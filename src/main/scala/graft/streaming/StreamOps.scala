@@ -51,4 +51,36 @@ object StreamOps {
         col("session_window.end").as("session_end"), col("user_id"),
         col("n_events"), col("total"))
   }
+
+  /** Stream-stream inner join: each left event matched to right events of
+    * the same user within `[left.ts − lookback, left.ts]` — the
+    * attribution-join shape (e.g. purchase ← preceding clicks). The
+    * event-time bound is what lets Structured Streaming drop state: with
+    * watermarks on BOTH sides, a buffered row is released once the other
+    * side's watermark passes its join horizon. Same code runs in batch
+    * (plain interval equi-join, oracle-checkable). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lookback: String = "10 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val l0 = left.select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+      col("event_id").as("l_event_id"))
+    val r0 = right.select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+      col("event_id").as("r_event_id"), col("value").as("r_value"))
+    val l = watermark.map(l0.withWatermark("l_ts", _)).getOrElse(l0)
+    val r = watermark.map(r0.withWatermark("r_ts", _)).getOrElse(r0)
+    l.join(r, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+      col("r_ts") <= col("l_ts"))
+      .select(col("l_key").as("user_id"), col("l_event_id"), col("l_ts"),
+        col("r_event_id"), col("r_ts"), col("r_value"))
+  }
+
+  /** Streaming dedup keyed by `idCols` with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only until
+    * the watermark passes it — the streaming twin of the batch exact-dedup
+    * operator (unbounded `dropDuplicates` state would OOM a real stream). */
+  def dedupStream(events: DataFrame, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
 }

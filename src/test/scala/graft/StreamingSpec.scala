@@ -50,6 +50,50 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.head.getAs[Double]("total") == 4.0)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(ev(10, 20, "purchase", user = 1L),
+      ev(11, 40, "purchase", user = 2L))
+    val clicks = Seq(ev(0, 12, "click", user = 1L, value = 2.0),
+      ev(1, 15, "click", user = 1L), ev(2, 19, "click", user = 2L),
+      ev(3, 45, "click", user = 2L)) // after the purchase -> no match
+    val ls = MemoryStream[Ev]; val rs = MemoryStream[Ev]
+    val q = StreamOps.intervalJoin(ls.toDF(), rs.toDF(), "user_id",
+        lookback = "10 minutes", watermark = Some("1 minute"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    ls.addData(purchases: _*); rs.addData(clicks: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM ssjoin ORDER BY l_event_id, r_event_id").collect()
+    val batch = StreamOps.intervalJoin(purchases.toDF(), clicks.toDF(),
+      "user_id", lookback = "10 minutes")
+      .orderBy("l_event_id", "r_event_id").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    // purchase@20 u1 <- clicks@12,15; u2 purchase@40 has no click in
+    // [30, 40]; click@45 is after the purchase
+    assert(batch.map(r => (r.getAs[Long]("l_event_id"),
+      r.getAs[Long]("r_event_id"))).toSeq == Seq((10L, 0L), (10L, 1L)))
+  }
+
+  test("streaming dedup within the watermark drops cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(stream.toDF(), "10 minutes",
+        Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    stream.addData(ev(1, 1, "click"))
+    q.processAllAvailable()
+    // same event_id again in a LATER micro-batch, still inside the
+    // watermark horizon -> suppressed by the keyed state
+    stream.addData(ev(1, 1, "click"), ev(2, 3, "view"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.sql("SELECT event_id FROM dedup_stream")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("streaming writes to a parquet sink with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
