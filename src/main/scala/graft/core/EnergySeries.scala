@@ -275,13 +275,17 @@ final case class EnergySeries(
   }
 
   /** step = ordinal position along the (regular) time axis, derived from
-    * timestamp arithmetic against the series start. */
+    * timestamp arithmetic against the series start. The first two sorted
+    * timestamps give BOTH the origin and the step — one driver action,
+    * not an infer-freq action plus a min(ts) aggregate. */
   private[graft] def withStepColumn: DataFrame = {
     val ts = idx.head
-    val stepSeconds = inferStepSeconds
-    val t0 = df.agg(min(ts)).head().getTimestamp(0)
+    val first2 = df.select(ts).orderBy(ts.asc).limit(2)
+      .collect().map(_.getTimestamp(0).getTime / 1000)
+    require(first2.length >= 2, "need at least 2 rows to infer frequency")
+    val stepSeconds = first2(1) - first2(0)
     df.withColumn("__step",
-      ((unix_timestamp(ts) - lit(t0.getTime / 1000)) / lit(stepSeconds))
+      ((unix_timestamp(ts) - lit(first2(0))) / lit(stepSeconds))
         .cast(LongType))
   }
 
@@ -295,17 +299,12 @@ final case class EnergySeries(
   }
 
   /** Positional row slice [start, start+len) in index order — the `iloc`
-    * analog (SURVEY §2.2 P2). Row numbers come from zipWithIndex over the
-    * index-sorted partitions (per-partition offsets, no global window). */
+    * analog (SURVEY §2.2 P2). Declarative sort + OFFSET/LIMIT: Catalyst
+    * plans it (partial sorts + limit pushout), no RDD round-trip and no
+    * global window. */
   def slicePositional(start: Long, len: Long): EnergySeries = {
     val sorted = df.orderBy(idx.map(_.asc): _*)
-    val spark = df.sparkSession
-    val schema = sorted.schema
-    val withPos = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.filter { case (_, i) =>
-        i >= start && i < start + len
-      }.map(_._1), schema)
-    finalized(withPos)
+    finalized(sorted.offset(start.toInt).limit(len.toInt))
   }
 
   /** Series -> single-column frame (`energypandas.py:76-87`). */

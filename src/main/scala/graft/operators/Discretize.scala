@@ -34,9 +34,11 @@ object ClusterMethod {
   * mean profile and is sum-preserving over complete periods.
   *
   * Scale: clustering runs on the period×slot matrix (rows/periodLength
-  * rows) via spark.ml — distributed; the write-back is two joins on
-  * (period) and (cluster, slot) — both tiny dimension joins that Spark
-  * broadcasts.
+  * rows — inherently reduced), fit in-process on the driver
+  * ([[LocalKMeans]] / [[LocalWard]], one bounded collect, mirroring
+  * tsam's in-process sklearn) with spark.ml as the distributed fallback
+  * above [[MaxLocalRows]]; the write-back is two joins on (period) and
+  * (cluster, slot) — both tiny dimension joins that Spark broadcasts.
   */
 object Discretize {
 
@@ -49,26 +51,40 @@ object Discretize {
     * how tsam runs sklearn in-process on the same matrix. */
   val MaxLocalRows = 100000
 
-  /** Collect the (sorted) period feature matrix if it is small enough;
-    * None → caller takes the distributed fallback. Rows are
-    * (periodId, features). */
+  /** Collect the (sorted) period feature matrix if it is small enough,
+    * padding missing slots (incomplete trailing period) with the slot
+    * mean ON THE DRIVER — one collect serves padding AND the fit, so the
+    * whole clustering step costs a single Spark job. None → caller takes
+    * the distributed fallback. */
   private def collectMatrix(matrix: DataFrame, featCols: Seq[String])
       : Option[(Array[Long], Array[Array[Double]])] = {
     val rows = matrix.orderBy("__period")
       .select(col("__period") +: featCols.map(c => col(c).cast(DoubleType)): _*)
       .limit(MaxLocalRows + 1).collect()
     if (rows.length > MaxLocalRows) None
-    else Some((rows.map(_.getLong(0)),
-      rows.map(r => Array.tabulate(featCols.size)(i => r.getDouble(i + 1)))))
+    else {
+      val dim = featCols.size
+      val pts = rows.map(r => Array.tabulate(dim)(i =>
+        if (r.isNullAt(i + 1)) Double.NaN else r.getDouble(i + 1)))
+      var j = 0
+      while (j < dim) { // slot mean over present values, sequential = det.
+        var s = 0.0; var n = 0
+        pts.foreach { p => if (!p(j).isNaN) { s += p(j); n += 1 } }
+        val m = if (n > 0) s / n else 0.0
+        pts.foreach { p => if (p(j).isNaN) p(j) = m }
+        j += 1
+      }
+      Some((rows.map(_.getLong(0)), pts))
+    }
   }
 
-  /** Fit cluster assignments for the padded period matrix: driver-side
-    * (LocalKMeans / LocalWard) when bounded, spark.ml KMeans above
-    * [[MaxLocalRows]]. Returns (__period, __cluster). */
-  private def assignClusters(filled: DataFrame, featCols: Seq[String], k: Int,
+  /** Fit cluster assignments for the (possibly unpadded) period matrix:
+    * driver-side (LocalKMeans / LocalWard) when bounded, spark.ml KMeans
+    * above [[MaxLocalRows]]. Returns (__period, __cluster). */
+  private def assignClusters(matrix: DataFrame, featCols: Seq[String], k: Int,
       seed: Long, method: ClusterMethod): DataFrame = {
-    val spark = filled.sparkSession
-    collectMatrix(filled, featCols) match {
+    val spark = matrix.sparkSession
+    collectMatrix(matrix, featCols) match {
       case Some((periods, points)) =>
         val assign = method match {
           case ClusterMethod.Hierarchical => LocalWard.fit(points, k)
@@ -80,8 +96,15 @@ object Discretize {
         require(method == ClusterMethod.KMeansMethod,
           s"hierarchical clustering needs the period matrix on the driver " +
             s"(<= $MaxLocalRows periods); use k-means above that")
-        // distributed fallback: sorted single partition keeps the
-        // k-means|| init independent of session parallelism (DEVIATIONS §9)
+        // pad missing slots with the slot mean, then fit distributed:
+        // sorted single partition keeps the k-means|| init independent of
+        // session parallelism (DEVIATIONS §9)
+        val means = matrix.select(featCols.map(c => avg(col(c)).as(c)): _*)
+          .head()
+        val filled = featCols.zipWithIndex.foldLeft(matrix) {
+          case (d, (c, i)) => d.withColumn(c, coalesce(col(c),
+            lit(if (means.isNullAt(i)) 0.0 else means.getDouble(i))))
+        }
         val features = new VectorAssembler()
           .setInputCols(featCols.toArray).setOutputCol("__features")
           .transform(filled.orderBy("__period").coalesce(1))
@@ -112,12 +135,7 @@ object Discretize {
       if (noTypicalPeriods <= 1) {
         matrix.select(col("__period"), lit(0).as("__cluster"))
       } else {
-        // pad missing slots (incomplete trailing period) with the slot mean
-        val means = matrix.select(slotCols.map(c => avg(col(c)).as(c)): _*).head()
-        val filled = slotCols.zipWithIndex.foldLeft(matrix) { case (d, (c, i)) =>
-          d.withColumn(c, coalesce(col(c), lit(means.getDouble(i))))
-        }
-        assignClusters(filled, slotCols, noTypicalPeriods, seed, method)
+        assignClusters(matrix, slotCols, noTypicalPeriods, seed, method)
       }
 
     // mean representation: slot-wise deterministic mean over the cluster's
@@ -172,13 +190,7 @@ object Discretize {
           concat_ws("__", col("__col"), col("__slot")))
         val matrix = keyed.groupBy("__period")
           .pivot("__sc", featKeys).agg(first(col("__v")))
-        val means = matrix.select(featKeys.map(c => avg(col(c)).as(c)): _*)
-          .head()
-        val filled = featKeys.zipWithIndex.foldLeft(matrix) {
-          case (d, (c, i)) => d.withColumn(c, coalesce(col(c),
-            lit(if (means.isNullAt(i)) 0.0 else means.getDouble(i))))
-        }
-        assignClusters(filled, featKeys, noTypicalPeriods, seed, method)
+        assignClusters(matrix, featKeys, noTypicalPeriods, seed, method)
       }
 
     val withCluster = stamped.join(broadcast(assigned), Seq("__period"))

@@ -165,6 +165,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(q.head().getDouble(0) == 11.0)
   }
 
+  test("HOF dot over int arrays is NOT rewritten and still evaluates") {
+    // VectorDot only handles float/double elements; the rewrite must
+    // leave the legal int-array HOF form alone (ADVICE r3)
+    val vecs = spark.range(1).select(
+      array((col("id") + 1).cast("int"), (col("id") + 2).cast("int")).as("a"),
+      array((col("id") + 3).cast("int"), (col("id") + 4).cast("int")).as("b"))
+    val q = vecs.select(Similarity.dotHof($"a", $"b").as("d"))
+    assert(!q.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.VectorDot])))
+    assert(q.head().getDouble(0) == 11.0)
+  }
+
   test("IVF top-k finds in-cluster neighbors") {
     // three well-separated clusters along different axes
     def v(axis: Int, jitter: Float): Array[Float] =

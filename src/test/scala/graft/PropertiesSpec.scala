@@ -63,4 +63,67 @@ class PropertiesSpec extends SparkTestBase {
       }
     }, n = 20)
   }
+
+  // ---- clustering algorithm properties (pure driver code, no Spark) ----
+
+  private val pointsGen: Gen[Array[Array[Double]]] = for {
+    n <- Gen.choose(2, 12)
+    dim <- Gen.choose(1, 3)
+    pts <- Gen.listOfN(n,
+      Gen.listOfN(dim, Gen.choose(-100.0, 100.0)).map(_.toArray))
+  } yield pts.toArray
+
+  /** Naive Ward reference: recompute every merge cost from cluster
+    * members (ΔSSE = n₁n₂/(n₁+n₂)·‖c₁−c₂‖²), lowest (i, j) on ties —
+    * the textbook definition, O(n⁴)-ish but fine at property sizes. */
+  private def naiveWard(points: Array[Array[Double]], k: Int): Array[Int] = {
+    val dim = points(0).length
+    var clusters = points.indices.map(i => List(i)).toList
+    while (clusters.size > math.min(k, points.length)) {
+      def centroid(c: List[Int]) = {
+        val s = new Array[Double](dim)
+        c.foreach(i => (0 until dim).foreach(d => s(d) += points(i)(d)))
+        s.map(_ / c.size)
+      }
+      var best = Double.MaxValue; var bi = -1; var bj = -1
+      for (i <- clusters.indices; j <- i + 1 until clusters.size) {
+        val (a, b) = (clusters(i), clusters(j))
+        val (ca, cb) = (centroid(a), centroid(b))
+        val d2 = (0 until dim).map(d => (ca(d) - cb(d)) * (ca(d) - cb(d))).sum
+        val cost = a.size.toDouble * b.size / (a.size + b.size) * d2 / 2.0
+        if (cost < best) { best = cost; bi = i; bj = j }
+      }
+      val merged = clusters(bi) ++ clusters(bj)
+      clusters = clusters.zipWithIndex
+        .collect { case (c, x) if x != bi && x != bj => c } :+ merged
+      // keep deterministic ordering: sort clusters by min member
+      clusters = clusters.sortBy(_.min)
+    }
+    val label = new Array[Int](points.length)
+    clusters.sortBy(_.min).zipWithIndex.foreach { case (c, x) =>
+      c.foreach(i => label(i) = x)
+    }
+    // renumber by first appearance to match LocalWard's convention
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    label.map(l => seen.getOrElseUpdate(l, seen.size))
+  }
+
+  test("property: LocalWard (Lance-Williams) matches naive Ward merges") {
+    check(Prop.forAll(pointsGen, Gen.choose(1, 4)) { (pts, k) =>
+      graft.operators.LocalWard.fit(pts, k).toSeq == naiveWard(pts, k).toSeq
+    }, n = 60)
+  }
+
+  test("property: LocalKMeans converges with each point at its nearest center") {
+    check(Prop.forAll(pointsGen, Gen.choose(1, 4),
+        Gen.choose(0L, 1000L)) { (pts, k, seed) =>
+      val (assign, centers) = graft.operators.LocalKMeans.fit(pts, k, seed)
+      def d2(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      pts.indices.forall { i =>
+        val mine = d2(pts(i), centers(assign(i)))
+        centers.indices.forall(c => mine <= d2(pts(i), centers(c)) + 1e-9)
+      }
+    }, n = 60)
+  }
 }
