@@ -527,6 +527,12 @@ object SparkEntry {
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users")).cast("double")
             / col("n_users") <= lit(0.1)).cast("long").as("within_tol"))),
+    // ---- training-data source mixing: deterministic weighted sample
+    // (60/30/... mixture proportions via hash-priority per source)
+    "q73_weighted_mix" -> ((s, dir) =>
+      Sampling.weightedMix(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        total = 40).select(col("source"), col("doc_id"))),
     // ---- text: fixed-window chunking with overlap
     "q60_chunking" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1174,6 +1180,14 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q73_weighted_mix" ->
+        """SELECT source, doc_id FROM (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 12
+          |  WHEN 'src2' THEN 8 WHEN 'src3' THEN 4 ELSE 0 END""".stripMargin,
       "q56_setops_intersect" ->
         """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
           |INTERSECT

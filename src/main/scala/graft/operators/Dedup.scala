@@ -216,10 +216,15 @@ object Dedup {
     val edges = tracked(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
+    // label sum as the convergence scalar — exact decimal accumulation so
+    // 64-bit ids can never wrap the sum into a false fixpoint
+    def labelSum(d: DataFrame): java.math.BigDecimal =
+      d.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -228,10 +233,10 @@ object Dedup {
       val next = labels.union(prop).groupBy("id")
         .agg(min(col("component")).as("component"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
     }

@@ -21,4 +21,23 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k).drop("__rn")
   }
+
+  /** Training-data source mixing: draw a deterministic sample whose
+    * per-group sizes follow the given weights (nₘ = ⌊weightₘ × total⌋) —
+    * the "mixture proportions" step of corpus assembly (e.g. 60% web,
+    * 30% code, 10% books), with the same hash-priority reproducibility
+    * as [[samplePerGroup]]. Groups short of their allocation contribute
+    * everything they have. One window shuffle keyed by the group. */
+  def weightedMix(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], total: Long,
+      salt: String = "graft"): DataFrame = {
+    val priority = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(priority.asc, col(idCol).asc)
+    val alloc = weights.foldLeft(lit(0L)) { case (acc, (g, wt)) =>
+      when(col(groupCol) === g, lit((wt * total).toLong)).otherwise(acc)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= alloc).drop("__rn")
+  }
 }
