@@ -527,6 +527,23 @@ object SparkEntry {
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users")).cast("double")
             / col("n_users") <= lit(0.1)).cast("long").as("within_tol"))),
+    // ---- A5 (frame): tumbling-window resample over every value column
+    "q74_frame_resample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def cell(typ: String) = {
+        val c = when(col("event_type") === typ, col("value"))
+        (DetAgg.detSum(c) / count(c)).as(typ)
+      }
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .agg(cell("click"), cell("view"))
+      out(EnergyFrame(hourly, Seq("ts")).resample("1 day").df)
+    }),
+    // ---- A5 (frame): calendar-month mean per column, month-end labels
+    "q75_frame_monthly" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      out(EnergyFrame(li.select(col("l_shipdate").as("ts"),
+        col("l_quantity"), col("l_extendedprice")), Seq("ts")).monthly.df)
+    }),
     // ---- training-data source mixing: deterministic weighted sample
     // (60/30/... mixture proportions via hash-priority per source)
     "q73_weighted_mix" -> ((s, dir) =>
@@ -1180,6 +1197,21 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q74_frame_resample" -> {
+        def cell(typ: String) =
+          s"${dSum(s"CASE WHEN event_type = '$typ' THEN value END")} / COUNT(CASE WHEN event_type = '$typ' THEN value END)"
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts,
+           |    ${cell("click")} AS click, ${cell("view")} AS view
+           |  FROM events GROUP BY 1)
+           |SELECT time_bucket(INTERVAL '1 day', ts) AS ts,
+           |  ${dAvg("click")} AS click, ${dAvg("view")} AS view
+           |FROM h GROUP BY 1""".stripMargin
+      },
+      "q75_frame_monthly" ->
+        s"""SELECT last_day(CAST(l_shipdate AS DATE)) AS ts,
+           |  ${dAvg("l_quantity")} AS l_quantity,
+           |  ${dAvg("l_extendedprice")} AS l_extendedprice
+           |FROM lineitem GROUP BY 1""".stripMargin,
       "q73_weighted_mix" ->
         """SELECT source, doc_id FROM (
           |  SELECT source, doc_id,

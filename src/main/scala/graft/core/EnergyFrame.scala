@@ -111,6 +111,26 @@ final case class EnergyFrame(
       indexCols, as, u, meta, baseYear = baseYear)
   }
 
+  /** Calendar-month mean per column, labeled at month end — the frame
+    * twin of `EnergySeries.monthly` (pandas frames inherit `resample`;
+    * SURVEY §2.4 A5). One shuffle on ~12 keys, DetAgg means. */
+  def monthly: EnergyFrame = {
+    require(indexCols.nonEmpty, "monthly requires a time index")
+    val ts = col(indexCols.head)
+    val aggs = valueCols.map(c => DetAgg.detAvg(col(c)).as(c))
+    copy(df = df.groupBy(last_day(date_trunc("month", ts))
+      .as(indexCols.head)).agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Generic tumbling-window resample over every value column. */
+  def resample(duration: String): EnergyFrame = {
+    require(indexCols.nonEmpty, "resample requires a time index")
+    val ts = col(indexCols.head)
+    val aggs = valueCols.map(c => DetAgg.detAvg(col(c)).as(c))
+    copy(df = df.groupBy(window(ts, duration).getField("start")
+      .as(indexCols.head)).agg(aggs.head, aggs.tail: _*))
+  }
+
   def sumAll(): Double = {
     val total = valueCols.map(c => DetAgg.detSum(col(c))).reduce(_ + _)
     df.agg(coalesce(total, lit(0.0))).head().getDouble(0)

@@ -15,25 +15,37 @@ object TextOps {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Let-binding idiom for expensive array subexpressions: wrapping the
+    * value in `array(...)` and consuming it through a single-element HOF
+    * binds it to a lambda variable, so it is evaluated ONCE per row no
+    * matter how many times the body references it. Without this, every
+    * reference — especially references inside nested lambda bodies,
+    * which re-evaluate per outer element — re-runs the whole pipeline
+    * (topBigramFrac went O(W²) pipeline evaluations per row: 143 s for
+    * 5 000 docs at sf0.1; 0.6 s with the binding). */
+  private def bindArray(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Duplicate-word fraction (1 − distinct/total) — the basic Gopher-rule
     * repetition signal; 0 for empty docs. Per-row array ops, no shuffle. */
-  def dupWordFrac(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    when(length(trim(text)) === 0, 0.0).otherwise(
-      round(lit(1.0) - size(array_distinct(words)).cast(DoubleType)
-        / size(words), 6))
-  }
+  def dupWordFrac(text: Column): Column =
+    bindArray(split(trim(text), "\\s+")) { words =>
+      when(length(trim(text)) === 0, 0.0).otherwise(
+        round(lit(1.0) - size(array_distinct(words)).cast(DoubleType)
+          / size(words), 6))
+    }
 
   /** Fraction of word 2-grams taken by the single most frequent 2-gram —
     * the "top n-gram ratio" repetition filter from the Gopher/MassiveText
-    * quality rules. O(distinct²) per row via higher-order functions —
-    * bounded by document length, still shuffle-free. */
-  def topBigramFrac(text: Column): Column = {
-    val bg = Dedup.wordShingles(text, 2)
-    when(size(bg) <= 0, 0.0).otherwise(
-      round(array_max(transform(array_distinct(bg), b =>
-        size(filter(bg, x => x === b)))).cast(DoubleType) / size(bg), 6))
-  }
+    * quality rules. O(distinct²) comparisons per row via higher-order
+    * functions over the ONE materialized bigram array — bounded by
+    * document length, shuffle-free. */
+  def topBigramFrac(text: Column): Column =
+    bindArray(Dedup.wordShingles(text, 2)) { bg =>
+      when(size(bg) <= 0, 0.0).otherwise(
+        round(array_max(transform(array_distinct(bg), b =>
+          size(filter(bg, x => x === b)))).cast(DoubleType) / size(bg), 6))
+    }
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token (the usual pre-tokenizer shape). */
