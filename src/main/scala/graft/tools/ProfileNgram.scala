@@ -11,6 +11,7 @@ object ProfileNgram {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.codegen.maxFields", "512")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -16,6 +16,7 @@ object RecallProbe {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[8]")
       .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.codegen.maxFields", "512")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -16,6 +16,7 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.codegen.maxFields", "512")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
