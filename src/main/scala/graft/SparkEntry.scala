@@ -527,6 +527,28 @@ object SparkEntry {
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users")).cast("double")
             / col("n_users") <= lit(0.1)).cast("long").as("within_tol"))),
+    // ---- salted skew join through the gate: identical result set to
+    // the plain equi-join (the salt fans hot keys across reducers)
+    "q76_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.operators.SkewJoin.saltedEquiJoin(li, o, "l_orderkey",
+          saltFactor = 8)
+        .groupBy(col("o_custkey"))
+        .agg(DetAgg.detSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    // ---- multimodal: resize geometry plan (no payload decode touched)
+    "q77_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        "text", "text/plain")
+      Multimodal.resizePlan(Multimodal.extractFeatures(media, "doc_id"),
+          maxDim = 256)
+        .select(col("doc_id"), col("width"), col("height"), col("scale"),
+          col("out_width"), col("out_height"))
+    }),
     // ---- A5 (frame): tumbling-window resample over every value column
     "q74_frame_resample" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1197,6 +1219,23 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q76_salted_join" ->
+        s"""SELECT o_custkey,
+           |  ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1""".stripMargin,
+      "q77_multimodal_resize" ->
+        """WITH f AS (SELECT doc_id,
+          |    CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+          |    CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INTEGER) AS height
+          |  FROM documents),
+          |s AS (SELECT *, CASE WHEN greatest(width, height) <= 256 THEN 1.0
+          |        ELSE 256.0 / greatest(width, height) END AS scale FROM f)
+          |SELECT doc_id, width, height, scale,
+          |  CAST(ceil(width * scale) AS INTEGER) AS out_width,
+          |  CAST(ceil(height * scale) AS INTEGER) AS out_height
+          |FROM s""".stripMargin,
       "q74_frame_resample" -> {
         def cell(typ: String) =
           s"${dSum(s"CASE WHEN event_type = '$typ' THEN value END")} / COUNT(CASE WHEN event_type = '$typ' THEN value END)"
