@@ -527,6 +527,11 @@ object SparkEntry {
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users")).cast("double")
             / col("n_users") <= lit(0.1)).cast("long").as("within_tol"))),
+    // ---- dedup: exact shared-substring pairs (char-window inverted
+    // index — the copied-passage signal token Jaccard dilutes away)
+    "q78_shared_substring" -> ((s, dir) =>
+      Dedup.sharedSubstringPairs(t(s, dir, "documents"), "text", "doc_id",
+        windowLen = 50, minShared = 1, docFreqCap = 1000)),
     // ---- salted skew join through the gate: identical result set to
     // the plain equi-join (the salt fans hot keys across reducers)
     "q76_salted_join" -> ((s, dir) => {
@@ -1219,6 +1224,23 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q78_shared_substring" ->
+        """WITH w AS (
+          |  SELECT DISTINCT doc_id, win FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE length(text) >= 50)),
+          |elig AS (SELECT win FROM w GROUP BY win
+          |         HAVING count(*) BETWEEN 2 AND 1000),
+          |pairs AS (
+          |  SELECT l.doc_id AS a, r.doc_id AS b,
+          |    CAST(count(*) AS BIGINT) AS n_shared
+          |  FROM w l JOIN w r ON l.win = r.win AND l.doc_id < r.doc_id
+          |  WHERE l.win IN (SELECT win FROM elig)
+          |  GROUP BY 1, 2)
+          |SELECT a, b, n_shared FROM pairs WHERE n_shared >= 1""".stripMargin,
       "q76_salted_join" ->
         s"""SELECT o_custkey,
            |  ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -192,6 +192,41 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Exact shared-substring pairs: documents sharing at least one exact
+    * character window of `windowLen` (the "substring duplication" signal
+    * of training-data dedup — catches copied passages inside otherwise
+    * distinct documents, which token-level Jaccard dilutes away). Same
+    * inverted-index shape as [[ngramJaccardPairs]], keyed by the md5 of
+    * each distinct window: one explode, a df-capped posting build, pair
+    * streaming, and a (a, b) count — reports how many distinct windows
+    * each pair shares. */
+  def sharedSubstringPairs(df: DataFrame, textCol: String, idCol: String,
+      windowLen: Int = 50, minShared: Int = 1, docFreqCap: Int = 1000)
+      : DataFrame = {
+    // distinct windows per doc, hashed: transform over the start index
+    // sequence(1, 0) DESCENDS in Spark — docs shorter than the window
+    // must yield an empty array explicitly, not a bogus partial window
+    val nWin = length(col(textCol)) - (windowLen - 1)
+    val windows = tracked(df.select(col(idCol).as("id"),
+      when(length(col(textCol)) >= windowLen,
+        array_distinct(transform(sequence(lit(1), nWin),
+          i => md5(col(textCol).substr(i, lit(windowLen))))))
+        .otherwise(array().cast(ArrayType(StringType))).as("ws")))
+    val inverted = windows.select(col("id"), explode(col("ws")).as("w"))
+    val eligible = inverted.groupBy("w").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= docFreqCap)
+      .select(col("w"))
+    val postings = inverted.join(eligible, Seq("w"), "left_semi")
+      .groupBy("w").agg(array_sort(collect_list(col("id"))).as("ds"))
+    val pairs = postings
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("b"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components over near-duplicate pairs — turns pairwise
     * dedup output into dedup GROUPS: one canonical id (the minimum
     * reachable id) per set of transitively-linked documents, which is

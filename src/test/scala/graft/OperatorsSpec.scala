@@ -110,6 +110,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 0.75) < 1e-12)
   }
 
+  test("shared-substring pairs catch copied passages, skip short docs") {
+    val pairs = Dedup.sharedSubstringPairs(docs, "text", "doc_id",
+        windowLen = 20, minShared = 1, docFreqCap = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // 0 and 3 are identical: every one of the 24 20-char windows shared
+    assert(pairs((0L, 3L)) == 24L)
+    // 0 and 1 share the 40-char prefix -> its 21 interior windows
+    assert(pairs((0L, 1L)) == 21L)
+    // unrelated doc 2 pairs with nobody; doc 4 is shorter than the window
+    assert(!pairs.keys.exists(k => k._1 == 2L || k._2 == 2L))
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
+    Dedup.releaseIntermediates()
+  }
+
   test("duplicateComponents labels transitive groups with the min id") {
     // chain 1-2, 2-3 plus separate pair 7-9: hash-min needs >1 round for
     // the chain, so this exercises the iteration + convergence check

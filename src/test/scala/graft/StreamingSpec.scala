@@ -94,6 +94,34 @@ class StreamingSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("streaming curation composes: fingerprint dedup then chunking") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // reuse the Ev schema: props carries the "document text"
+    def doc(id: Long, minute: Int, text: String) =
+      Ev(id, Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), id,
+        "doc", 0.0, text)
+    val curated = stream.toDF()
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("props")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("event_id").as("doc_id"),
+        explode(graft.operators.TextOps.chunkWords(col("props"), 4, 1))
+          .as("c"))
+      .select(col("doc_id"), col("c.start_word"), col("c.chunk_text"))
+    val q = curated.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    stream.addData(doc(0, 1, "alpha beta gamma delta epsilon zeta"))
+    q.processAllAvailable()
+    // same content again (different id, later micro-batch) -> deduped
+    stream.addData(doc(1, 2, "alpha beta gamma delta epsilon zeta"),
+      doc(2, 3, "one two three"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT DISTINCT doc_id FROM cur_stream")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(0L, 2L)) // doc 1 suppressed by the fp-keyed state
+  }
+
   test("streaming writes to a parquet sink with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
