@@ -527,6 +527,29 @@ object SparkEntry {
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users")).cast("double")
             / col("n_users") <= lit(0.1)).cast("long").as("within_tol"))),
+    // ---- data-quality column profile: one aggregate pass computing
+    // per-column null/distinct/range stats (the pipeline-observability
+    // staple — runs as a single map-side-combinable aggregate)
+    "q79_column_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_n"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        DetAgg.detAvg(col(c)).as(s"${c}_mean")))
+      li.agg(aggs.head, aggs.tail: _*)
+    }),
+    // ---- sketches: approximate percentile gated against the exact one
+    // (same oracle pattern as q59: the t-digest is deterministic for a
+    // given input; the gate pins the error bound)
+    "q80_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__ap"))
+        .select(col("l_returnflag"), round(col("exact_p50"), 6).as("exact_p50"),
+          (abs(col("__ap") - col("exact_p50")) / col("exact_p50") <= lit(0.05))
+            .cast("long").as("within_tol"))),
     // ---- dedup: exact shared-substring pairs (char-window inverted
     // index — the copied-passage signal token Jaccard dilutes away)
     "q78_shared_substring" -> ((s, dir) =>
@@ -1224,6 +1247,20 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q79_column_profile" -> {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val cells = cols.map(c =>
+          s"""CAST(count($c) AS BIGINT) AS ${c}_n,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_distinct,
+             |  min($c) AS ${c}_min, max($c) AS ${c}_max,
+             |  ${dAvg(c)} AS ${c}_mean""".stripMargin).mkString(",\n  ")
+        s"SELECT $cells\nFROM lineitem"
+      },
+      "q80_approx_quantile" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+          |  CAST(1 AS BIGINT) AS within_tol
+          |FROM lineitem GROUP BY 1""".stripMargin,
       "q78_shared_substring" ->
         """WITH w AS (
           |  SELECT DISTINCT doc_id, win FROM (
