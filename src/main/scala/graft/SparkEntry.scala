@@ -527,6 +527,44 @@ object SparkEntry {
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users")).cast("double")
             / col("n_users") <= lit(0.1)).cast("long").as("within_tol"))),
+    // ---- relational surface: LEFT SEMI (EXISTS) join
+    "q81_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    // ---- relational surface: LEFT ANTI (NOT EXISTS) join
+    "q82_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    // ---- relational surface: LEFT OUTER join with aggregated right side
+    "q83_left_join" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__n"),
+          DetAgg.detSum(col("o_totalprice")).as("total_spend"))
+      t(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("__n"), lit(0L)).as("n_orders"),
+          col("total_spend"))
+    }),
+    // ---- relational surface: ranking window functions with explicit
+    // tie-breaks (rank / dense_rank / ntile within nation)
+    "q84_rank_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      t(s, dir, "supplier").select(col("s_nationkey"), col("s_suppkey"),
+        col("s_acctbal"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
     // ---- data-quality column profile: one aggregate pass computing
     // per-column null/distinct/range stats (the pipeline-observability
     // staple — runs as a single map-side-combinable aggregate)
@@ -1247,6 +1285,31 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q81_semi_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey
+          |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+      "q82_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey)""".stripMargin,
+      "q83_left_join" ->
+        s"""SELECT c_custkey,
+           |  CAST(COALESCE(n, 0) AS BIGINT) AS n_orders, total_spend
+           |FROM customer LEFT JOIN (
+           |  SELECT o_custkey, count(*) AS n,
+           |    ${dSum("o_totalprice")} AS total_spend
+           |  FROM orders GROUP BY 1) s ON c_custkey = o_custkey""".stripMargin,
+      "q84_rank_window" ->
+        """SELECT s_nationkey, s_suppkey, s_acctbal,
+          |  CAST(rank() OVER w AS BIGINT) AS rnk,
+          |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          |FROM supplier
+          |WINDOW w AS (PARTITION BY s_nationkey
+          |             ORDER BY s_acctbal DESC, s_suppkey ASC)""".stripMargin,
       "q79_column_profile" -> {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         val cells = cols.map(c =>
