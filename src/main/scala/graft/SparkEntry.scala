@@ -571,12 +571,18 @@ object SparkEntry {
     "q79_column_profile" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.flatMap(c => Seq(
+      // base stats in ONE pass; each distinct count as its OWN two-stage
+      // partial-distinct aggregate (a single multi-distinct aggregate
+      // would Expand every input row once per distinct column — a
+      // 5× row blowup through the shuffle)
+      val baseAggs = cols.flatMap(c => Seq(
         count(col(c)).as(s"${c}_n"),
-        count_distinct(col(c)).as(s"${c}_distinct"),
         min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
         DetAgg.detAvg(col(c)).as(s"${c}_mean")))
-      li.agg(aggs.head, aggs.tail: _*)
+      cols.foldLeft(li.agg(baseAggs.head, baseAggs.tail: _*)) { (acc, c) =>
+        acc.crossJoin(broadcast(
+          li.agg(count_distinct(col(c)).as(s"${c}_distinct"))))
+      }
     }),
     // ---- sketches: approximate percentile gated against the exact one
     // (same oracle pattern as q59: the t-digest is deterministic for a
