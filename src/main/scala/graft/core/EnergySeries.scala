@@ -99,7 +99,7 @@ final case class EnergySeries(
       StructField("idx", LongType, nullable = false),
       StructField(valueCol, sorted.schema(valueCol).dataType)))
     val withRank = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, i) =>
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
         org.apache.spark.sql.Row(i, row.get(0))
       }, schema)
     copy(df = withRank, indexCols = Seq("idx"), frequency = None)

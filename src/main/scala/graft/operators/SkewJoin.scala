@@ -22,7 +22,8 @@ object SkewJoin {
     // deterministic salt: hash of the whole big row (not the key, which
     // is constant within a hot group)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)),
+        lit(saltFactor))
         .cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
