@@ -136,17 +136,24 @@ final case class EnergyFrame(
     df.agg(coalesce(total, lit(0.0))).head().getDouble(0)
   }
 
-  /** Day × hour matrices for EVERY value column in one pass (the plot2d
-    * frame data layer, `energypandas.py:1010-1108`): output has a
-    * `<col>_h<hour>` deterministic-mean cell per (column, hour). */
+  /** Day × hour matrices for EVERY value column (the plot2d frame data
+    * layer, `energypandas.py:1010-1108`): a `<col>_h<hour>`
+    * deterministic-mean cell per (column, hour). Two-stage like the
+    * series variant: aggregate on the natural (date, hour) key first
+    * (no per-row CASE fan-out across columns × 24 cells), then pivot
+    * the tiny per-hour aggregate. */
   def toDayHourMatrices: DataFrame = {
     val ts = col(indexCols.head)
-    val cells = for (c <- valueCols; h <- 0 until 24) yield {
-      val cell = when(hour(ts) === h, col(c))
-      (sum(cell.cast(DetAgg.Dec)).cast("double") / count(cell))
-        .as(s"${c}_h$h")
-    }
-    df.groupBy(to_date(ts).as("period_date")).agg(cells.head, cells.tail: _*)
+    val colAggs = valueCols.flatMap(c => Seq(
+      sum(col(c).cast(DetAgg.Dec)).as(s"__s_$c"),
+      count(col(c)).as(s"__c_$c")))
+    val hourly = df.groupBy(to_date(ts).as("period_date"),
+        hour(ts).as("__h"))
+      .agg(colAggs.head, colAggs.tail: _*)
+    val cells = for (c <- valueCols; h <- 0 until 24) yield
+      (max(when(col("__h") === h, col(s"__s_$c"))).cast("double") /
+        max(when(col("__h") === h, col(s"__c_$c")))).as(s"${c}_h$h")
+    hourly.groupBy(col("period_date")).agg(cells.head, cells.tail: _*)
   }
 
   /** Wide → long reshape (pandas `melt` / the inverse of the ingest

@@ -196,25 +196,32 @@ final case class EnergySeries(
     * layer, `energypandas.py:679-802`): rows = dates, 24 columns h0..h23
     * of deterministic hourly means. One shuffle (the groupBy); the pivot
     * is a fixed 24-expression projection, no second pass. */
-  def toDayHourMatrix: DataFrame = {
-    val ts = idx.head
-    val cells = (0 until 24).map { h =>
-      val cell = when(hour(ts) === h, v)
-      (DetAgg.detSum(cell) / count(cell)).as(s"h$h")
-    }
-    df.groupBy(to_date(ts).as("period_date")).agg(cells.head, cells.tail: _*)
-  }
+  def toDayHourMatrix: DataFrame =
+    dayHourMatrix(Seq.empty)
 
   /** Per-group day × hour matrices (the plot3d data layer,
     * `energypandas.py:414-601`: one ridge/surface per level-0 group) —
-    * same single shuffle, with the group column as an extra key. */
-  def toDayHourMatrixBy(groupCol: String): DataFrame = {
+    * the group column is just an extra key. */
+  def toDayHourMatrixBy(groupCol: String): DataFrame =
+    dayHourMatrix(Seq(groupCol))
+
+  /** Two-stage matrix build: stage 1 aggregates on the NATURAL key
+    * (…, date, hour) — one hash probe per input row, no per-row CASE
+    * fan-out (the single-aggregate form evaluates 24 `when` cells per
+    * row, i.e. 24× the expression work through the big scan); stage 2
+    * pivots the TINY per-hour aggregate (rows = dates × 24) into the 24
+    * columns. The second shuffle moves the aggregate, not the data. */
+  private def dayHourMatrix(extraKeys: Seq[String]): DataFrame = {
     val ts = idx.head
+    val keys = extraKeys.map(col) :+ to_date(ts).as("period_date")
+    val hourly = df.groupBy(keys :+ hour(ts).as("__h"): _*)
+      .agg(org.apache.spark.sql.functions.sum(v.cast(DetAgg.Dec)).as("__s"),
+        count(v).as("__c"))
     val cells = (0 until 24).map { h =>
-      val cell = when(hour(ts) === h, v)
-      (DetAgg.detSum(cell) / count(cell)).as(s"h$h")
+      (max(when(col("__h") === h, col("__s"))).cast(DoubleType) /
+        max(when(col("__h") === h, col("__c")))).as(s"h$h")
     }
-    df.groupBy(col(groupCol), to_date(ts).as("period_date"))
+    hourly.groupBy(extraKeys.map(col) :+ col("period_date"): _*)
       .agg(cells.head, cells.tail: _*)
   }
 
