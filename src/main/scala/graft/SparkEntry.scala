@@ -115,6 +115,16 @@ object SparkEntry {
     // ---- P8/A7: normalize (global min-max scale)
     "q07_normalize" -> ((s, dir) =>
       eventsSeries(s, dir).normalize().df),
+    // ---- P8 extension: z-score standardization
+    "q85_standardize" -> ((s, dir) =>
+      eventsSeries(s, dir).standardize().df),
+    // ---- decontamination: training docs sharing an exact 50-char
+    // window with the (broadcast) benchmark set
+    "q86_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedDocs(docs.where(col("doc_id") >= 10),
+        docs.where(col("doc_id") < 10), "text", "doc_id", windowLen = 50)
+    }),
     // ---- A6/O1/O2: load-duration curve (distributed sort + rank)
     "q08_ldc" -> ((s, dir) =>
       eventsSeries(s, dir).ldc.df),
@@ -1291,6 +1301,31 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q85_standardize" ->
+        s"""WITH st AS (SELECT ${dSum("value")} AS s,
+           |    ${dSum("value * value")} AS q,
+           |    CAST(count(value) AS DOUBLE) AS n FROM events)
+           |SELECT event_id,
+           |  (value - (s / n)) / sqrt(q / n - (s / n) * (s / n)) AS value
+           |FROM events, st""".stripMargin,
+      "q86_decontaminate" ->
+        """WITH tw AS (
+          |  SELECT DISTINCT doc_id, win FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE doc_id >= 10 AND length(text) >= 50)),
+          |bw AS (
+          |  SELECT DISTINCT win FROM (
+          |    SELECT unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE doc_id < 10 AND length(text) >= 50))
+          |SELECT doc_id AS id,
+          |  CAST(count(*) AS BIGINT) AS n_contaminated_windows
+          |FROM tw WHERE win IN (SELECT win FROM bw)
+          |GROUP BY 1""".stripMargin,
       "q81_semi_join" ->
         """SELECT c_custkey, c_name FROM customer
           |WHERE EXISTS (SELECT 1 FROM orders

@@ -84,6 +84,22 @@ final case class EnergySeries(
       units = Some(UnitRegistry.parse("dimensionless")))
   }
 
+  /** Z-score standardization ((x − μ)/σ, population σ) — the scaling
+    * twin of min-max [[normalize]] for ML feature prep. μ and σ come
+    * from ONE decimal-routed aggregate (Σx, Σx², n — exact and
+    * associative, so the literals are identical on every run and
+    * engine); the projection is constant-folded literal arithmetic. */
+  def standardize(): EnergySeries = {
+    val r = df.agg(DetAgg.detSum(v).as("__s"),
+      DetAgg.detSum(v * v).as("__q"), count(v).as("__n")).head()
+    val n = r.getLong(2).toDouble
+    val m = r.getDouble(0) / n
+    val sd = math.sqrt(r.getDouble(1) / n - m * m)
+    val scaled = if (sd == 0.0) lit(0.0) else (v - lit(m)) / lit(sd)
+    copy(df = df.withColumn(valueCol, scaled),
+      units = Some(UnitRegistry.parse("dimensionless")))
+  }
+
   /** Load-duration curve (`energypandas.py:641-644`): sort descending and
     * replace the time index with rank 0..n-1.
     *

@@ -227,6 +227,30 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Benchmark decontamination: training documents sharing an exact
+    * character window with any document of a (small) evaluation/benchmark
+    * set — the standard "n-gram overlap" contamination check run before
+    * training. The benchmark side's window set is tiny by construction,
+    * so the probe is a broadcast semi-join against the training corpus's
+    * window stream: ONE pass over the training data, no self-join.
+    * Returns (train id, n_contaminated_windows). */
+  def contaminatedDocs(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, windowLen: Int = 50): DataFrame = {
+    def windows(df: DataFrame): DataFrame = {
+      val nWin = length(col(textCol)) - (windowLen - 1)
+      df.select(col(idCol).as("id"),
+        explode(when(length(col(textCol)) >= windowLen,
+          array_distinct(transform(sequence(lit(1), nWin),
+            i => md5(col(textCol).substr(i, lit(windowLen))))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("w"))
+    }
+    val benchWindows = windows(bench).select(col("w")).distinct()
+    windows(train)
+      .join(broadcast(benchWindows), Seq("w"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated_windows"))
+  }
+
   /** Connected components over near-duplicate pairs — turns pairwise
     * dedup output into dedup GROUPS: one canonical id (the minimum
     * reachable id) per set of transitively-linked documents, which is
