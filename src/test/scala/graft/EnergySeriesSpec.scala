@@ -18,6 +18,15 @@ class EnergySeriesSpec extends SparkTestBase {
     assert(n.units.exists(_.isDimensionless))
   }
 
+  test("standardize: zero mean, unit variance, dimensionless") {
+    val z = es().standardize()
+    assert(math.abs(z.sum()) < 1e-6) // mean 0 => sum 0
+    // population variance of z is 1: sum(z^2) == n
+    val sq = z.mapValues(v => v * v)
+    assert(math.abs(sq.sum() - 100.0) < 1e-6)
+    assert(z.units.exists(_.isDimensionless))
+  }
+
   test("to_units kelvin identity: == es + 273.15 (test_energypandas.py:80-87)") {
     val k = es().toUnits("kelvin")
     val added = es().+(273.15)

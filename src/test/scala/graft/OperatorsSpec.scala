@@ -110,6 +110,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 0.75) < 1e-12)
   }
 
+  test("contaminatedDocs flags training docs overlapping the benchmark") {
+    val bench = docs.where($"doc_id" === 0L) // "benchmark" = doc 0's text
+    val train = docs.where($"doc_id" > 0L)
+    val hits = Dedup.contaminatedDocs(train, bench, "text", "doc_id",
+        windowLen = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(3L) == 24L) // exact copy: all 24 windows contaminated
+    assert(hits.contains(1L) && hits(1L) == 21L) // shared 40-char prefix
+    assert(!hits.contains(2L) && !hits.contains(4L))
+  }
+
+  test("weightedMix draws floor(weight*total) per group, deterministically") {
+    val rows = (0 until 40).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "g")
+    val mix = Sampling.weightedMix(rows, "g", "id",
+      Map("g0" -> 0.5, "g1" -> 0.3, "g2" -> 0.2), total = 10)
+    val counts = mix.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 5L, "g1" -> 3L, "g2" -> 2L)) // g3 absent
+    val again = Sampling.weightedMix(rows, "g", "id",
+      Map("g0" -> 0.5, "g1" -> 0.3, "g2" -> 0.2), total = 10)
+    assert(mix.except(again).count() == 0)
+  }
+
   test("shared-substring pairs catch copied passages, skip short docs") {
     val pairs = Dedup.sharedSubstringPairs(docs, "text", "doc_id",
         windowLen = 20, minShared = 1, docFreqCap = 100)
