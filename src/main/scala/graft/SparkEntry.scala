@@ -768,9 +768,11 @@ object SparkEntry {
     // ---- text: Gopher-style repetition filters (dup-word fraction,
     // top-bigram fraction) — per-row array expressions, shuffle-free
     "q68_repetition" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextOps.dupWordFrac(col("text")).as("dup_word_frac"),
-        TextOps.topBigramFrac(col("text")).as("top_bigram_frac"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.repetitionScores(col("text")).as("__r"))
+        .select(col("doc_id"), col("__r.dup_word_frac").as("dup_word_frac"),
+          col("__r.top_bigram_frac").as("top_bigram_frac"))),
     // ---- corpus vocabulary: top terms by occurrence with doc frequency
     "q69_vocab" -> ((s, dir) => {
       val words = t(s, dir, "documents").select(col("doc_id"),

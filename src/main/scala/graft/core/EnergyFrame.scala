@@ -111,6 +111,27 @@ final case class EnergyFrame(
       indexCols, as, u, meta, baseYear = baseYear)
   }
 
+  /** Z-score standardization per column — the frame twin of
+    * `EnergySeries.standardize`: one decimal-routed aggregate computes
+    * every column's (Σx, Σx², n), then a single literal projection.
+    * Units become dimensionless (same policy as normalize). */
+  def standardize(): EnergyFrame = {
+    val aggs = valueCols.flatMap(c => Seq(
+      DetAgg.detSum(col(c)).as(s"__s_$c"),
+      DetAgg.detSum(col(c) * col(c)).as(s"__q_$c"),
+      count(col(c)).as(s"__n_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = valueCols.map { c =>
+      val n = r.getAs[Long](s"__n_$c").toDouble
+      val m = r.getAs[Double](s"__s_$c") / n
+      val sd = math.sqrt(r.getAs[Double](s"__q_$c") / n - m * m)
+      (if (sd == 0.0) lit(0.0) else (col(c) - lit(m)) / lit(sd)).as(c)
+    }
+    copy(df = df.select(indexCols.map(col) ++ scaled: _*),
+      unitsMap = valueCols.map(_ -> UnitRegistry.parse("dimensionless"))
+        .toMap)
+  }
+
   /** Calendar-month mean per column, labeled at month end — the frame
     * twin of `EnergySeries.monthly` (pandas frames inherit `resample`;
     * SURVEY §2.4 A5). One shuffle on ~12 keys, DetAgg means. */

@@ -35,28 +35,50 @@ object TextOps {
           / size(words), 6))
     }
 
+  /** Longest equal-run in a SORTED array divided by its size — the
+    * "fraction taken by the most frequent element" kernel shared by the
+    * repetition filters: O(n) after the sort, shuffle-free. */
+  private def topElementFrac(sorted: Column): Column =
+    when(size(sorted) <= 0, 0.0).otherwise {
+      // fold over positions 1..n-1 carrying (current run, best run)
+      val runs = aggregate(
+        sequence(lit(1), size(sorted) - 1),
+        struct(lit(1).as("run"), lit(1).as("best")),
+        (st, i) => {
+          val run = when(
+            element_at(sorted, i + 1) === element_at(sorted, i),
+            st.getField("run") + 1).otherwise(lit(1))
+          struct(run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        })
+      round(when(size(sorted) === 1, lit(1.0)).otherwise(
+        runs.getField("best").cast(DoubleType) / size(sorted)), 6)
+    }
+
   /** Fraction of word 2-grams taken by the single most frequent 2-gram —
     * the "top n-gram ratio" repetition filter from the Gopher/MassiveText
     * quality rules. Sort the bigrams once, then the longest run of equal
     * adjacent elements IS the top count — O(W log W) per row instead of
     * the O(distinct · W) count-per-distinct scan, shuffle-free. */
   def topBigramFrac(text: Column): Column =
-    bindArray(array_sort(Dedup.wordShingles(text, 2))) { sorted =>
-      when(size(sorted) <= 0, 0.0).otherwise {
-        // fold over positions 1..n-1 carrying (current run, best run)
-        val runs = aggregate(
-          sequence(lit(1), size(sorted) - 1),
-          struct(lit(1).as("run"), lit(1).as("best")),
-          (st, i) => {
-            val run = when(
-              element_at(sorted, i + 1) === element_at(sorted, i),
-              st.getField("run") + 1).otherwise(lit(1))
-            struct(run.as("run"),
-              greatest(st.getField("best"), run).as("best"))
-          })
-        round(when(size(sorted) === 1, lit(1.0)).otherwise(
-          runs.getField("best").cast(DoubleType) / size(sorted)), 6)
-      }
+    bindArray(array_sort(Dedup.wordShingles(text, 2)))(topElementFrac)
+
+  /** Both repetition signals from ONE split (and one bigram build):
+    * returns struct(dup_word_frac, top_bigram_frac). Computing the two
+    * metrics as separate expressions re-runs the split per metric. */
+  def repetitionScores(text: Column): Column =
+    bindArray(split(trim(text), "\\s+")) { words =>
+      val bigrams = filter(
+        transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
+          i => when(i + 2 <= size(words),
+            array_join(slice(words, i + 1, lit(2)), " "))),
+        x => x.isNotNull)
+      val dup = when(length(trim(text)) === 0, 0.0).otherwise(
+        round(lit(1.0) - size(array_distinct(words)).cast(DoubleType)
+          / size(words), 6))
+      struct(dup.as("dup_word_frac"),
+        bindArray(array_sort(bigrams))(topElementFrac)
+          .as("top_bigram_frac"))
     }
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
