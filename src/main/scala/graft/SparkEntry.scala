@@ -799,6 +799,37 @@ object SparkEntry {
       scored.withColumn("rn", row_number().over(win)).where(col("rn") === 1)
         .select(col("doc_id"), col("word").as("top_term"), col("score"))
     }),
+    // ---- end-to-end curation v2: decontaminate against the benchmark
+    // set -> transitive dedup groups (keep the group representative) ->
+    // quality + repetition + language filter -> chunk. Every stage is an
+    // individually-oracled operator; this composes them the way a real
+    // training-data pipeline runs them.
+    "q87_curation_v2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") < 10)
+      val train = docs.where(col("doc_id") >= 10)
+      val contaminated = Dedup.contaminatedDocs(train, bench, "text",
+        "doc_id", windowLen = 50).select(col("id").as("doc_id"))
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val pairs = Dedup.ngramJaccardPairs(clean, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+      val comp = Dedup.duplicateComponents(pairs, "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      val reps = clean.join(comp, Seq("doc_id"), "left")
+        .where(col("component").isNull || col("component") === col("doc_id"))
+        .drop("component")
+      val scored = reps
+        .withColumn("__r", TextOps.repetitionScores(col("text")))
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .where(col("quality") >= 0.5 &&
+          col("__r.top_bigram_frac") <= 0.2 &&
+          TextOps.langId(col("text")) === "en")
+      scored.select(col("doc_id"),
+          explode(TextOps.chunkWords(col("text"), 64, 16)).as("c"))
+        .select(col("doc_id"),
+          col("c.start_word").cast("long").as("start_word"),
+          col("c.chunk_text").as("chunk_text"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1303,6 +1334,84 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
           |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q87_curation_v2" -> {
+        val qualityExpr =
+          """round(least(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+            |                 ELSE nc / 10000.0 + 0.01 END, 1.0) * 0.25
+            |  + (alpha / greatest(nc, 1.0)) * 0.25
+            |  + (CASE WHEN alpha / greatest(nw, 1.0) >= 3
+            |           AND alpha / greatest(nw, 1.0) <= 10
+            |          THEN 1.0 ELSE 0.5 END) * 0.25
+            |  + (nd / greatest(nw, 1.0)) * 0.25, 6)""".stripMargin
+        def winSql(cond: String, withDoc: Boolean): String = {
+          val sel = if (withDoc) "doc_id, win" else "win"
+          s"""SELECT DISTINCT $sel FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(
+             |        generate_series(1, greatest(length(text) - 49, 0)),
+             |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+             |    FROM documents WHERE $cond AND length(text) >= 50)""".stripMargin
+        }
+        s"""WITH RECURSIVE
+           |tw AS (${winSql("doc_id >= 10", withDoc = true)}),
+           |bw AS (${winSql("doc_id < 10", withDoc = false)}),
+           |contaminated AS (SELECT DISTINCT doc_id FROM tw
+           |                 WHERE win IN (SELECT win FROM bw)),
+           |clean AS (SELECT * FROM documents WHERE doc_id >= 10
+           |          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |cdocs AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(words) - 2, 0)),
+           |    i -> array_to_string(words[i:i+2], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM clean)),
+           |cex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM cdocs),
+           |celig AS (SELECT shingle FROM cex GROUP BY shingle
+           |          HAVING count(*) BETWEEN 2 AND 1000),
+           |cpairs AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
+           |    count(*) AS n_inter
+           |  FROM cex l JOIN cex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           |  WHERE l.shingle IN (SELECT shingle FROM celig)
+           |  GROUP BY 1, 2, 3, 4),
+           |np AS (SELECT a, b FROM (
+           |  SELECT a, b, n_inter / (na + nb - n_inter) AS j FROM cpairs)
+           |  WHERE j >= 0.5),
+           |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src),
+           |reps AS (SELECT c.* FROM clean c LEFT JOIN comp USING (doc_id)
+           |         WHERE comp.component IS NULL OR comp.component = c.doc_id),
+           |c1 AS (SELECT doc_id, text,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+           |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS nd,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    string_split_regex(trim(text), '\\s+') AS words
+           |  FROM reps),
+           |c2 AS (SELECT *, $bestExpr AS best,
+           |    list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+           |      i -> array_to_string(words[i:i+1], ' ')) AS bg
+           |  FROM c1),
+           |scored AS (SELECT doc_id, words, $qualityExpr AS quality,
+           |    CASE $langCase ELSE 'und' END AS pred_lang,
+           |    CASE WHEN len(bg) <= 0 THEN 0.0
+           |         ELSE round(list_max(list_transform(list_distinct(bg),
+           |                x -> len(list_filter(bg, y -> y = x)))) / len(bg), 6)
+           |    END AS tb
+           |  FROM c2),
+           |filt AS (SELECT doc_id, words FROM scored
+           |         WHERE quality >= 0.5 AND tb <= 0.2 AND pred_lang = 'en')
+           |SELECT doc_id, CAST(start_word AS BIGINT) AS start_word,
+           |  array_to_string(words[start_word+1 : start_word+64], ' ') AS chunk_text
+           |FROM (SELECT doc_id, words,
+           |        unnest(generate_series(0, greatest(len(words) - 1, 0), 48))
+           |          AS start_word
+           |      FROM filt)""".stripMargin
+      },
       "q85_standardize" ->
         s"""WITH st AS (SELECT ${dSum("value")} AS s,
            |    ${dSum("value * value")} AS q,
