@@ -810,7 +810,11 @@ object SparkEntry {
       val train = docs.where(col("doc_id") >= 10)
       val contaminated = Dedup.contaminatedDocs(train, bench, "text",
         "doc_id", windowLen = 50).select(col("id").as("doc_id"))
+      // cached: the decontamination scan (window explode + semi-join) is
+      // read by the pair build, the representative join, and the filter
+      // chain — recomputing it per consumer tripled the query
       val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.ngramJaccardPairs(clean, "text", "doc_id",
         shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
       val comp = Dedup.duplicateComponents(pairs, "a", "b")
