@@ -110,6 +110,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 0.75) < 1e-12)
   }
 
+  test("repetition scores match a naive local model on random texts") {
+    val rng = new scala.util.Random(7)
+    val texts = (0 until 200).map { i =>
+      val n = 1 + rng.nextInt(12)
+      (i.toLong, Seq.fill(n)("abc".charAt(rng.nextInt(3)).toString)
+        .mkString(" "))
+    }
+    def naive(t: String): (Double, Double) = {
+      val ws = t.split("\\s+").toSeq
+      val dup = BigDecimal(1.0 - ws.distinct.size.toDouble / ws.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val bg = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val top =
+        if (bg.isEmpty) 0.0
+        else BigDecimal(bg.groupBy(identity).values.map(_.size).max.toDouble
+          / bg.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (dup, top)
+    }
+    val got = texts.toDF("id", "text")
+      .select($"id", TextOps.repetitionScores($"text").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getDouble(0), r.getStruct(1).getDouble(1))).toMap
+    texts.foreach { case (id, t) =>
+      val (ed, et) = naive(t)
+      val (gd, gt) = got(id)
+      assert(math.abs(gd - ed) < 1e-9 && math.abs(gt - et) < 1e-9,
+        s"id=$id text='$t' expected=($ed,$et) got=($gd,$gt)")
+    }
+  }
+
+  test("ngram Jaccard matches a naive local model on random docs") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0 until 40).map { i =>
+      val n = 3 + rng.nextInt(10)
+      (i.toLong, Seq.fill(n)(s"w${rng.nextInt(6)}").mkString(" "))
+    }
+    def grams(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val expected = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      ga = grams(ta); gb = grams(tb)
+      inter = (ga & gb).size if ga.nonEmpty || gb.nonEmpty
+      uni = (ga | gb).size if uni > 0
+      j = inter.toDouble / uni if j >= 0.3
+    } yield (a, b) -> j).toMap
+    val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", shingleLen = 3, minJaccard = 0.3,
+        docFreqCap = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    Dedup.releaseIntermediates()
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12) }
+  }
+
   test("contaminatedDocs flags training docs overlapping the benchmark") {
     val bench = docs.where($"doc_id" === 0L) // "benchmark" = doc 0's text
     val train = docs.where($"doc_id" > 0L)
