@@ -139,4 +139,18 @@ class AdvancedOpsSpec extends SparkTestBase {
     val h = resized.getAs[Int]("out_height")
     assert(w <= 32 && h <= 32 && w > 0 && h > 0)
   }
+
+  test("multimodal frame-sample plan explodes fps x duration indices") {
+    import graft.operators.Multimodal
+    val docs = Seq((0L, "clip", 4.0), (1L, "still", 0.0))
+      .toDF("doc_id", "text", "duration_s")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "video/fake")
+      .join(docs.select($"doc_id", $"duration_s"), Seq("doc_id"))
+    val frames = Multimodal.sampleFrames(media, "doc_id", fps = 2.0,
+        durationSecondsCol = "duration_s")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames(0L) == 8L) // 4 s at 2 fps -> frame_idx 0..7
+    assert(frames(1L) == 1L) // zero duration floors at one frame
+  }
 }

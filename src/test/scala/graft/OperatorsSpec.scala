@@ -74,6 +74,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(dup.getLong(1) == 0L) // keep_id = min(0, 3)
   }
 
+  test("per-row minhash signature: identical docs agree on every hash") {
+    val sigs = docs.select($"doc_id",
+        Dedup.minhashSignature(Dedup.wordShingles($"text", 3), 16)
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(3L)) // exact duplicates
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree01 > agree02) // near-dup agrees on more hashes
+  }
+
   test("minhash LSH finds exact and near duplicates") {
     val pairs = Dedup.minhashLsh(docs, "text", "doc_id", minEstJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -129,9 +140,14 @@ class OperatorsSpec extends SparkTestBase {
       (dup, top)
     }
     val got = texts.toDF("id", "text")
-      .select($"id", TextOps.repetitionScores($"text").as("r"))
-      .collect().map(r => r.getLong(0) ->
-        (r.getStruct(1).getDouble(0), r.getStruct(1).getDouble(1))).toMap
+      .select($"id", TextOps.repetitionScores($"text").as("r"),
+        TextOps.dupWordFrac($"text").as("d"))
+      .collect().map { r =>
+        // the standalone metric must agree with the combined struct
+        assert(r.getStruct(1).getDouble(0) == r.getDouble(2))
+        r.getLong(0) -> (r.getStruct(1).getDouble(0),
+          r.getStruct(1).getDouble(1))
+      }.toMap
     texts.foreach { case (id, t) =>
       val (ed, et) = naive(t)
       val (gd, gt) = got(id)
