@@ -454,6 +454,28 @@ object SparkEntry {
         .groupBy(col("a_user_id"), col("b_user_id"))
         .agg(count(lit(1)).as("n_overlaps"))
     }),
+    // ---- window functions: forward-fill of gapped readings (pandas
+    // ffill analog; nulls synthesized deterministically on event_id)
+    "q88_forward_fill" -> ((s, dir) => {
+      val gapped = t(s, dir, "events").withColumn("v",
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")))
+      WindowOps.forwardFill(gapped, "v",
+        partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("filled"))
+    }),
+    // ---- equal-width histogram per group (profiling staple): 10 bins
+    // over the global [min, max]
+    "q89_histogram" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val r = ev.agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val width = (hi - lo) / 10.0
+      ev.groupBy(col("event_type"),
+          least(floor((col("value") - lit(lo)) / lit(width)), lit(9L))
+            .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // ---- window functions: consecutive delta (lag)
     "q52_lag_delta" -> ((s, dir) =>
       WindowOps.delta(t(s, dir, "events"), "value",
@@ -1241,6 +1263,20 @@ object SparkEntry {
            |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
            |  AND c_mktsegment = 'BUILDING'
            |GROUP BY 1""".stripMargin,
+      "q88_forward_fill" ->
+        """SELECT event_id,
+          |  last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+          |             IGNORE NULLS) OVER w AS filled
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+      "q89_histogram" ->
+        """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+          |SELECT event_type,
+          |  CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT)
+          |    AS bin,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM events, mm GROUP BY 1, 2""".stripMargin,
       "q52_lag_delta" ->
         """SELECT event_id,
           |  value - lag(value) OVER (PARTITION BY user_id

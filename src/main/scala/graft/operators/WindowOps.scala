@@ -45,4 +45,18 @@ object WindowOps {
     df.withColumn(as,
       sum(col(valueCol).cast(DetAgg.Dec)).over(w).cast("double"))
   }
+
+  /** Forward-fill (the pandas `ffill` analog): each null takes the most
+    * recent non-null value within its partition — a keyed running-last,
+    * so state per partition is one value and the shuffle is the window's
+    * partition key (scale-safe; an UNpartitioned fill would funnel
+    * everything through one task — give gap-filling a key). */
+  def forwardFill(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      as: String = "filled"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }
