@@ -276,10 +276,14 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
     // label sum as the convergence scalar — exact decimal accumulation so
-    // 64-bit ids can never wrap the sum into a false fixpoint
-    def labelSum(d: DataFrame): java.math.BigDecimal =
-      d.agg(sum(col("component").cast(DecimalType(38, 0))))
+    // 64-bit ids can never wrap the sum into a false fixpoint; an empty
+    // vertex set (no pairs at all) sums to null → zero, converging
+    // immediately
+    def labelSum(d: DataFrame): java.math.BigDecimal = {
+      val s = d.agg(sum(col("component").cast(DecimalType(38, 0))))
         .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -220,6 +220,12 @@ class OperatorsSpec extends SparkTestBase {
     Dedup.releaseIntermediates()
   }
 
+  test("duplicateComponents on an empty pair set returns no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.duplicateComponents(empty, "a", "b").count() == 0)
+    Dedup.releaseIntermediates()
+  }
+
   test("duplicateComponents labels transitive groups with the min id") {
     // chain 1-2, 2-3 plus separate pair 7-9: hash-min needs >1 round for
     // the chain, so this exercises the iteration + convergence check
