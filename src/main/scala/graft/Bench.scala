@@ -44,12 +44,30 @@ object Bench {
       val good = runs.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // The harness captures only the LAST ~2000 chars of stdout, so the one
+    // JSON line must stay well under that. With 89+ queries the full-name
+    // map no longer fits: key each timing by its "qNN" prefix (unique by
+    // construction; fall back to the full name on collision) and keep the
+    // long-name map in BENCH_DETAIL.json next to the build instead.
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val shorts = results.map { case (k, _) => shortKey(k) }
+    val unique = shorts.distinct.size == shorts.size
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (unique) shortKey(k) else k) + "\":" + f"$v%.2f"
+    }.mkString("{", ",", "}")
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    if (line.length > 1800)
+      System.err.println(s"BENCH WARNING: JSON line ${line.length} chars nears the 2000-char capture window")
+    println(line)
     spark.stop()
   }
 }
