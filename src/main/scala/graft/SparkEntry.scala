@@ -856,6 +856,22 @@ object SparkEntry {
           col("c.start_word").cast("long").as("start_word"),
           col("c.chunk_text").as("chunk_text"))
     }),
+    // ---- embedding centroids per label (dimension-wise mean, long form)
+    "q90_embed_centroid" -> ((s, dir) =>
+      Similarity.groupCentroids(t(s, dir, "embeddings"), "label",
+        "embedding")),
+    // ---- L2 normalization invariants: first normalized component + the
+    // post-normalization norm (≡ 1 up to rounding) per vector
+    "q91_l2_normalize" -> ((s, dir) => {
+      val nv = Similarity.l2Normalize(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(element_at(nv, 1), 6).as("c1"),
+        round(Similarity.l2Norm(nv), 6).as("unit_norm"))
+    }),
+    // ---- equal-frequency (decile) binning over a distributed rank
+    "q95_eqfreq_bins" -> ((s, dir) =>
+      WindowOps.equalFrequencyBins(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), k = 10)),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1511,6 +1527,31 @@ object SparkEntry {
              |  ${dAvg(c)} AS ${c}_mean""".stripMargin).mkString(",\n  ")
         s"SELECT $cells\nFROM lineitem"
       },
+      "q90_embed_centroid" ->
+        s"""SELECT label, i AS dim,
+           |  round(${dAvg("CAST(embedding[i] AS DOUBLE)")}, 6) AS centroid
+           |FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+           |GROUP BY 1, 2""".stripMargin,
+      "q91_l2_normalize" ->
+        """WITH n AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS e,
+          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          |  FROM embeddings),
+          |nv AS (SELECT vec_id, nrm, list_transform(e, x -> x / nrm) AS v
+          |       FROM n)
+          |SELECT vec_id, round(v[1], 6) AS c1,
+          |  round(sqrt(list_dot_product(v, v)), 6) AS unit_norm
+          |FROM nv""".stripMargin,
+      "q95_eqfreq_bins" ->
+        s"""WITH r AS (
+           |  SELECT l_extendedprice AS v,
+           |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+           |      l_linenumber) - 1 AS rn,
+           |    count(*) OVER () AS n
+           |  FROM lineitem)
+           |SELECT (rn * 10) // n AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(v) AS bin_min, max(v) AS bin_max, ${dSum("v")} AS bin_sum
+           |FROM r GROUP BY 1""".stripMargin,
       "q80_approx_quantile" ->
         """SELECT l_returnflag,
           |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,

@@ -40,6 +40,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Per-group dimension-wise centroid of an embedding column, in long
+    * `(group, dim, centroid)` form — the "class prototype" / cluster-mean
+    * building block. posexplode fans each row into `dim` narrow rows, but
+    * the hash aggregate on (group, dim) is map-side combinable, so what
+    * crosses the one shuffle is at most `groups × dim` partial sums per
+    * task, independent of corpus size. The mean routes through DetAgg so
+    * every engine and run produces identical bits. `dim` is 1-based. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy(col(groupCol), (col("__p") + 1).cast(LongType).as("dim"))
+      .agg(round(graft.core.DetAgg.detAvg(col("__v").cast(DoubleType)), 6)
+        .as("centroid"))
+
+  /** L2-normalize a vector column to unit length (double elements). The
+    * norm is let-bound through a single-element array so it is computed
+    * once per row, not once per element (HOF lambdas re-evaluate captured
+    * expressions per element — the O(d²) trap). Zero vectors pass through
+    * unchanged rather than dividing by zero. */
+  def l2Normalize(vec: Column): Column = {
+    val dv = transform(vec, x => x.cast(DoubleType))
+    element_at(transform(array(l2Norm(vec)), n =>
+      transform(dv, x => when(n === lit(0.0), x).otherwise(x / n))), 1)
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). The query side is broadcast; the
     * per-query ranking window partitions by query id, so the shuffle is

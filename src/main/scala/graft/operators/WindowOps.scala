@@ -46,6 +46,34 @@ object WindowOps {
       sum(col(valueCol).cast(DetAgg.Dec)).over(w).cast("double"))
   }
 
+  /** Equal-frequency (quantile) binning: every bin gets n/k consecutive
+    * rows of the value order. The global ascending rank is assigned with
+    * zipWithIndex over the range-partitioned sort output (per-partition
+    * counts + offset arithmetic — no single-partition window, same idiom
+    * as the load-duration curve), then `bin = rank·k / n` in exact long
+    * arithmetic. Two jobs (count + sort) and one shuffle each; survives
+    * any n. Ties must be broken unique by `tieCols` for determinism. */
+  def equalFrequencyBins(df: DataFrame, valueCol: String,
+      tieCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val n = df.count()
+    val sorted = df
+      .orderBy(col(valueCol).asc +: tieCols.map(col(_).asc): _*)
+      .select(col(valueCol))
+    val schema = StructType(Seq(
+      StructField("bin", LongType, nullable = false),
+      StructField(valueCol, sorted.schema(valueCol).dataType)))
+    val binned = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row(i * k / n, row.get(0))
+      }, schema)
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("bin_min"), max(col(valueCol)).as("bin_max"),
+        DetAgg.detSum(col(valueCol)).as("bin_sum"))
+  }
+
   /** Forward-fill (the pandas `ffill` analog): each null takes the most
     * recent non-null value within its partition — a keyed running-last,
     * so state per partition is one value and the shuffle is the window's
