@@ -35,6 +35,14 @@ object SparkEntry {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** RE2-compatible patterns shared by q92 and its oracle (Java regex
+    * accepts the same subset — keep it that way). */
+  private val ProfilePatterns = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "digits" -> "[0-9]+",
+    "kw_value" -> "\\bvalue\\b",
+    "kw_table" -> "\\btable\\b")
+
   /** Recall gate for approximate operators (hash-seeded, hence not
     * directly SQL-checkable): the fraction of EXACT-result keys the
     * approximate operator recovers, emitted as one deterministic row the
@@ -872,6 +880,55 @@ object SparkEntry {
     "q95_eqfreq_bins" -> ((s, dir) =>
       WindowOps.equalFrequencyBins(t(s, dir, "lineitem"), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"), k = 10)),
+    // ---- regex occurrence profile (PII/keyword scan; RE2-safe patterns)
+    "q92_pattern_profile" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id") +: TextOps.patternProfile(col("text"), ProfilePatterns): _*)),
+    // ---- deterministic stratified train/val/test split (hash bands)
+    "q93_stratified_split" -> ((s, dir) =>
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+    // ---- rolling z-score anomaly detection (trailing-window baseline)
+    "q94_anomaly_zscore" -> ((s, dir) =>
+      WindowOps.anomalyZScore(t(s, dir, "events"), "value",
+          Seq("event_type"), Seq("ts", "event_id"),
+          n = 48, minPeriods = 12, z = 3.0)
+        .select(col("event_id"), col("value"), col("zscore"),
+          col("is_anomaly"))),
+    // ---- pandas ewm analog: truncated exponentially-weighted mean
+    "q96_ewm" -> ((s, dir) =>
+      WindowOps.ewmMean(t(s, dir, "events"), "value", Seq("event_type"),
+          Seq("ts", "event_id"), alpha = 0.35, window = 16)
+        .select(col("event_id"), col("value"), col("ewm"))),
+    // ---- token-budget sequence packing into training batches
+    "q97_pack_budget" -> ((s, dir) =>
+      Sampling.packByBudget(t(s, dir, "documents"), "source", "doc_id",
+          "n_chars", budget = 16000L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_tokens"))),
+    // ---- connected components via alternating large-star/small-star
+    // contraction (log²-round convergence on ANY graph shape) — same
+    // result set as q67's hash-min propagation, same recursive-CTE oracle
+    "q98_cc_star" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+      val comp = Dedup.duplicateComponentsStar(pairs, "a", "b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
+    // ---- exact Jaccard pairs via PPJoin prefix filtering: the full
+    // true-Jaccard pair set (no df-cap exclusion), skew-safe because only
+    // each doc's rarest shingles are indexed
+    "q99_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "text",
+        "doc_id", shingleLen = 3, minJaccard = 0.5)),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1527,6 +1584,96 @@ object SparkEntry {
              |  ${dAvg(c)} AS ${c}_mean""".stripMargin).mkString(",\n  ")
         s"SELECT $cells\nFROM lineitem"
       },
+      "q98_cc_star" ->
+        s"""WITH RECURSIVE np AS (${ngramPairsSql(0.5)}),
+           |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src)
+           |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+      "q99_jaccard_prefix" ->
+        """WITH docs AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(words) - 2, 0)),
+          |    i -> array_to_string(words[i:i+2], ' '))) AS sh
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+          |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+          |pairs AS (
+          |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
+          |    count(*) AS n_inter
+          |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT a, b, jaccard FROM (
+          |  SELECT a, b, n_inter / (na + nb - n_inter) AS jaccard FROM pairs)
+          |WHERE jaccard >= 0.5""".stripMargin,
+      "q96_ewm" -> {
+        val terms = (0 until 16).map { k =>
+          val wt = d17(math.pow(1 - 0.35, k))
+          val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+          (s"coalesce($x * $wt, 0.0)",
+            s"coalesce(CASE WHEN $x IS NOT NULL THEN $wt END, 0.0)")
+        }
+        // left-associated + chains — same order as the engine's reduceLeft
+        val num = terms.map(_._1).mkString(" + ")
+        val den = terms.map(_._2).mkString(" + ")
+        s"""SELECT event_id, value, round(($num) / ($den), 6) AS ewm
+           |FROM events
+           |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin
+      },
+      "q97_pack_budget" ->
+        """WITH c AS (
+          |  SELECT source, n_chars,
+          |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |  FROM documents)
+          |SELECT source, cum // 16000 AS bin,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+          |FROM c GROUP BY 1, 2""".stripMargin,
+      "q92_pattern_profile" -> {
+        val cells = ProfilePatterns.map { case (n, re) =>
+          s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$n"
+        }.mkString(",\n  ")
+        s"SELECT doc_id,\n  $cells\nFROM documents"
+      },
+      "q93_stratified_split" ->
+        """WITH b AS (
+          |  SELECT source, n_chars,
+          |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'graft'),
+          |      1, 8) AS BIGINT) % 100 AS bucket
+          |  FROM documents)
+          |SELECT source,
+          |  CASE WHEN bucket < 80 THEN 'train'
+          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM b GROUP BY 1, 2""".stripMargin,
+      "q94_anomaly_zscore" ->
+        """WITH x AS (
+          |  SELECT event_id, value,
+          |    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+          |    CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2,
+          |    count(value) OVER w AS cnt
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+          |               ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING)),
+          |y AS (
+          |  SELECT event_id, value,
+          |    CASE WHEN cnt >= 12 THEN s1 / cnt END AS mu,
+          |    CASE WHEN cnt >= 12 THEN (s2 - s1 * s1 / cnt) / (cnt - 1) END AS var
+          |  FROM x),
+          |z AS (
+          |  SELECT event_id, value,
+          |    round((value - mu) / (CASE WHEN var > 0 THEN sqrt(var) END), 6)
+          |      AS zscore
+          |  FROM y)
+          |SELECT event_id, value, zscore,
+          |  CAST(abs(zscore) > 3.0 AS BIGINT) AS is_anomaly
+          |FROM z""".stripMargin,
       "q90_embed_centroid" ->
         s"""SELECT label, i AS dim,
            |  round(${dAvg("CAST(embedding[i] AS DOUBLE)")}, 6) AS centroid

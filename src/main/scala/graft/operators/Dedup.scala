@@ -307,6 +307,140 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14) — the variant that converges in O(log²) rounds on
+    * ANY graph shape, where plain hash-min label propagation needs
+    * diameter-many rounds. Use this when duplicate graphs can chain
+    * (translation chains, quote-of-quote threads); [[duplicateComponents]]
+    * stays the default for the shallow quasi-clique graphs dedup usually
+    * produces.
+    *
+    * Each half-round is one aggregation (per-node min neighbor) plus one
+    * equi-join — no neighborhood collect_list anywhere, so a hot node
+    * (boilerplate hub) never materializes its adjacency in one buffer.
+    * Edges stay canonical (lo < hi) and distinct between rounds.
+    * Convergence = the (count, Σsrc, Σdst) triple of the edge set is
+    * unchanged over a full round (decimal sums — exact at any id width);
+    * equivalence to hash-min is property-tested on random graphs.
+    *
+    * @return (id, component) for every vertex appearing in `pairs` */
+  def duplicateComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val a = col(aCol); val b = col(bCol)
+    val nodes = tracked(pairs.select(a.as("id"))
+      .union(pairs.select(b.as("id"))).distinct())
+    def canon(d: DataFrame): DataFrame = d.distinct()
+    def checksum(d: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = d.agg(count(lit(1)),
+        sum(col("lo").cast(DecimalType(38, 0))),
+        sum(col("hi").cast(DecimalType(38, 0)))).head()
+      def z(x: java.math.BigDecimal) =
+        if (x == null) java.math.BigDecimal.ZERO else x
+      (r.getLong(0), z(r.getDecimal(1)), z(r.getDecimal(2)))
+    }
+    // each round reads the previous round's edges from THREE plan
+    // branches, so bare persist would still grow the logical plan ~3× per
+    // round (exponential treeString, driver OOM): eager localCheckpoint
+    // materializes AND truncates lineage. (On a real cluster prefer
+    // reliable checkpoints — localCheckpoint blocks die with executors.)
+    var edges = canon(pairs.select(least(a, b).as("lo"),
+        greatest(a, b).as("hi")).where(col("lo") =!= col("hi")))
+      .localCheckpoint()
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: every node's strictly-larger neighbors re-attach to
+      // the minimum of its closed neighborhood (m <= u < v, so the new
+      // edge (m, v) is canonical by construction)
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lmin = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      val large = canon(sym.join(lmin, "u").where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")))
+      // small-star: per larger-endpoint neighborhood N (all smaller), the
+      // non-min members and the center itself attach to m = min(N) < all
+      val smin = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val joined = large.join(smin, "hi")
+      val small = canon(
+        joined.where(col("lo") =!= col("m"))
+          .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(joined.select(col("m").as("lo"), col("hi"))))
+        .localCheckpoint()
+      val cur = checksum(small)
+      edges.unpersist(blocking = false)
+      edges = small
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    // at the fixpoint the edge set is a union of stars (component-min →
+    // member); min() guards the not-yet-converged maxIters exit
+    val labels = nodes.join(edges, nodes("id") === edges("hi"), "left")
+      .groupBy(col("id")).agg(min(col("lo")).as("__p"))
+      .select(col("id"), coalesce(col("__p"), col("id")).as("component"))
+    persistedIntermediates.synchronized { persistedIntermediates += edges }
+    labels
+  }
+
+  /** Exact word-n-gram Jaccard pairs via prefix filtering (the
+    * PPJoin-family candidate generation: Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08). Index only
+    * each document's `n - ⌈t·n⌉ + 1` globally-RAREST shingles: any pair
+    * with J ≥ t must share a prefix shingle (pigeonhole over the
+    * canonical (df, shingle) order), so candidate generation touches a
+    * small slice of the index — and hot boilerplate shingles, which rank
+    * LAST in rarity order, almost never enter a prefix. The skew that
+    * [[ngramJaccardPairs]]'s docFreqCap handles by EXCLUDING shingles is
+    * handled here by construction with no semantic change: the result is
+    * the full true-Jaccard pair set. Verification computes exact |∩|
+    * via array_intersect of the two (bounded, per-doc) shingle arrays.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val shingled = tracked(df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleLen)).as("sh")))
+    val ex = shingled.where(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc shingles in canonical rarity order — the aggregation buffer
+    // is the document's own shingle set (bounded by doc length), never a
+    // posting list, so document frequency skew cannot blow it up
+    val perDoc = tracked(ex.join(dfreq, "shingle")
+      .groupBy("id", "n_sh")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+        .as("ranked")))
+    // prefix length n - ceil(t·n) + 1; the 1e-9 nudge keeps ceil from
+    // rounding an exactly-integer t·n UP off a float error, which would
+    // shorten the prefix and break completeness (one extra prefix token
+    // in the other direction only adds candidates — harmless)
+    val p = (col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9))
+      + lit(1)).cast("int")
+    val prefixes = perDoc.select(col("id"),
+      explode(transform(slice(col("ranked"), lit(1), p), x => x("shingle")))
+        .as("shingle"))
+    val cand = prefixes.as("l").join(prefixes.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    val arrays = perDoc.select(col("id"), col("n_sh"),
+      transform(col("ranked"), x => x("shingle")).as("sharr"))
+    cand
+      .join(arrays.select(col("id").as("a"), col("n_sh").as("na"),
+        col("sharr").as("sa")), Seq("a"))
+      .join(arrays.select(col("id").as("b"), col("n_sh").as("nb"),
+        col("sharr").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
+        col("na"), col("nb"))
+      .select(col("a"), col("b"),
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Exact word-n-gram Jaccard near-dup pairs. Candidate generation via
     * an inverted index: ONE hash-aggregate keyed by shingle builds each
     * shingle's posting list (sorted by doc id), pairs stream out of two

@@ -22,6 +22,44 @@ object Sampling {
       .where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic train/val/test split: each row lands in the band of
+    * the md5 hash space of its id that its bucket (0–99) falls into —
+    * stable across runs, engines, and cluster layouts, and a pure per-row
+    * projection (NO shuffle; stratification comes from grouping the
+    * result by stratum downstream, which is why hash splits beat
+    * `randomSplit` for reproducible pipelines). `bands` are
+    * (name, exclusive-upper-percent) cut points in ascending order; the
+    * last band absorbs the remainder. */
+  def hashSplit(df: DataFrame, idCol: String, bands: Seq[(String, Int)],
+      salt: String = "graft", as: String = "split"): DataFrame = {
+    require(bands.size >= 2 && bands.init.map(_._2) == bands.init.map(_._2).sorted,
+      "bands must be >= 2 ascending cut points")
+    val bucket = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(salt))), 1, 8), 16, 10).cast("long") % 100
+    val first = when(bucket < bands.head._2, bands.head._1)
+    val chained = bands.tail.init.foldLeft(first) {
+      case (acc, (name, hi)) => acc.when(bucket < hi, name)
+    }
+    df.withColumn(as, chained.otherwise(bands.last._1))
+  }
+
+  /** Token-budget sequence packing: lay documents out in deterministic id
+    * order within each group and cut a new training batch at every
+    * `budget` of cumulative token count — bin = ⌊tokens-before / budget⌋.
+    * A document straddling a boundary joins the bin its first token falls
+    * in, so bins overflow by strictly less than one document (strict
+    * first-fit is a sequential scan no engine parallelizes; this
+    * prefix-sum form is one window shuffle keyed by the group). Token
+    * counts are exact longs → engine-exact bin assignment. */
+  def packByBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budget: Long, as: String = "bin"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn(as, expr(s"CAST(__cum DIV $budget AS BIGINT)"))
+      .drop("__cum")
+  }
+
   /** Training-data source mixing: draw a deterministic sample whose
     * per-group sizes follow the given weights (nₘ = ⌊weightₘ × total⌋) —
     * the "mixture proportions" step of corpus assembly (e.g. 60% web,

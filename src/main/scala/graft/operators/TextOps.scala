@@ -10,6 +10,19 @@ import org.apache.spark.sql.types._
   * that scale linearly with the corpus. */
 object TextOps {
 
+  /** Regex occurrence profile: one long count column per named pattern —
+    * the PII / boilerplate / keyword scan of a curation pipeline. Pure
+    * per-row codegen'd expressions (regexp_extract_all + size), shuffle-
+    * free and linear in corpus size. Patterns should stay inside the
+    * RE2-compatible subset when cross-engine parity matters (Java regex
+    * accepts a superset). */
+  def patternProfile(text: Column, patterns: Seq[(String, String)])
+      : Seq[Column] =
+    patterns.map { case (name, re) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast(LongType)
+        .as(s"n_$name")
+    }
+
   /** Whitespace word count. */
   def wordCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)

@@ -46,6 +46,60 @@ object WindowOps {
       sum(col(valueCol).cast(DetAgg.Dec)).over(w).cast("double"))
   }
 
+  /** Exponentially-weighted moving mean (the pandas `ewm(alpha).mean()`
+    * analog), truncated to the trailing `window` observations: weight
+    * (1-α)^k at lag k, normalized by the sum of PRESENT weights (pandas
+    * `adjust=True`). Exact ewm is a sequential recurrence over the full
+    * prefix that no engine parallelizes; truncating bounds both state and
+    * error — (1-α)^16 < 2e-3 of the weight mass for α ≥ 0.35, below the
+    * 6-dp output rounding. Lag-chain formulation: one window shuffle,
+    * numerator and denominator accumulated left-to-right in the same
+    * order as the oracle SQL, so results are bit-identical. */
+  def ewmMean(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+      orderCols: Seq[String], alpha: Double, window: Int,
+      as: String = "ewm"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val v = col(valueCol)
+    val terms = (0 until window).map { k =>
+      val x = if (k == 0) v else lag(v, k).over(w)
+      val wt = lit(math.pow(1 - alpha, k))
+      (coalesce(x * wt, lit(0.0)), coalesce(when(x.isNotNull, wt), lit(0.0)))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    df.withColumn(as, round(num / den, 6))
+  }
+
+  /** Rolling z-score anomaly flag: each value scored against the trailing
+    * `n`-row window EXCLUDING the current row (the point under test must
+    * not contaminate its own baseline). Mean and variance derive from
+    * decimal-routed sums of v and v² — associative, so the scores are
+    * bit-identical on any engine, unlike stddev builtins whose streaming
+    * vs segment-tree accumulation orders differ. Rows with fewer than
+    * `minPeriods` trailing points (or zero variance) get NULL. One
+    * shuffle, keyed by the window partition. */
+  def anomalyZScore(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      n: Int, minPeriods: Int, z: Double): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-n, -1)
+    val v = col(valueCol)
+    val s1 = sum(v.cast(DetAgg.Dec)).over(w).cast("double")
+    val s2 = sum((v * v).cast(DetAgg.Dec)).over(w).cast("double")
+    val cnt = count(v).over(w)
+    val varC = when(cnt >= minPeriods, (s2 - s1 * s1 / cnt) / (cnt - 1))
+    val withVar = df.withColumn("__mu", when(cnt >= minPeriods, s1 / cnt))
+      .withColumn("__var", varC)
+    val sd = when(col("__var") > 0, sqrt(col("__var")))
+    val zc = round((v - col("__mu")) / sd, 6)
+    withVar.withColumn("zscore", zc)
+      .withColumn("is_anomaly", (abs(zc) > lit(z)).cast("long"))
+      .drop("__mu", "__var")
+  }
+
   /** Equal-frequency (quantile) binning: every bin gets n/k consecutive
     * rows of the value order. The global ascending rank is assigned with
     * zipWithIndex over the range-partitioned sort output (per-partition

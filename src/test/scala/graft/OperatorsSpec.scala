@@ -362,6 +362,115 @@ class OperatorsSpec extends SparkTestBase {
     assert(f(3L).mean_luma == d0.mean_luma && f(3L).sha_eq(d0))
   }
 
+  test("star-contraction CC handles deep chains and matches hash-min") {
+    // 41-node path, diameter 40: the shape where per-round hash-min
+    // propagation is slowest and star contraction's log² bound matters
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.duplicateComponentsStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 41 && star.values.forall(_ == 0L))
+    // seeded random graph: labeling equivalence with hash-min
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val viaStar = Dedup.duplicateComponentsStar(pairs, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaMin = Dedup.duplicateComponents(pairs, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaStar == viaMin)
+    // empty graph converges immediately
+    assert(Dedup.duplicateComponentsStar(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+    Dedup.releaseIntermediates()
+  }
+
+  test("prefix-filtered Jaccard equals the uncapped inverted-index pairs") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val px = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
+      shingleLen = 3, minJaccard = 0.5).orderBy("a", "b").collect().map(key).toSeq
+    val ref = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = Int.MaxValue)
+      .orderBy("a", "b").collect().map(key).toSeq
+    assert(px == ref && px.nonEmpty)
+    Dedup.releaseIntermediates()
+  }
+
+  test("hashSplit deterministically partitions into the named bands") {
+    val rows = (0L until 200L).toDF("id")
+    val bands = Seq(("train", 80), ("val", 90), ("test", 100))
+    val s1 = Sampling.hashSplit(rows, "id", bands)
+    val m = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.values.sum == 200L && m.keySet == Set("train", "val", "test"))
+    assert(m("train") > 120L && m("train") < 190L) // ~80% of 200
+    assert(s1.except(Sampling.hashSplit(rows, "id", bands)).count() == 0)
+  }
+
+  test("packByBudget cuts bins at cumulative-budget boundaries") {
+    val rows = Seq(("g", 1L, 500L), ("g", 2L, 600L), ("g", 3L, 600L),
+      ("g", 4L, 100L), ("h", 9L, 50L)).toDF("grp", "id", "tok")
+    val bins = Sampling.packByBudget(rows, "grp", "id", "tok", budget = 1000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // cum-before: 0, 500, 1100, 1700 -> bins 0, 0, 1, 1; fresh group -> 0
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 9L -> 0L))
+  }
+
+  test("ewmMean matches the closed-form truncated weights") {
+    val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+      .toDF("g", "i", "v")
+    val e = WindowOps.ewmMean(rows, "v", Seq("g"), Seq("i"),
+        alpha = 0.5, window = 4)
+      .orderBy("i").collect().map(_.getDouble(3))
+    assert(math.abs(e(0) - 10.0) < 1e-5)
+    assert(math.abs(e(1) - (20.0 + 0.5 * 10.0) / 1.5) < 1e-5)
+    assert(math.abs(e(2) - (30.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75) < 1e-5)
+  }
+
+  test("anomalyZScore nulls short baselines and flags the spike") {
+    val rows = ((1 to 20).map(i =>
+      ("a", i.toLong, if (i % 2 == 0) 2.0 else 1.0)) :+ ("a", 21L, 100.0))
+      .toDF("g", "i", "v")
+    val r = WindowOps.anomalyZScore(rows, "v", Seq("g"), Seq("i"),
+      n = 48, minPeriods = 12, z = 3.0).orderBy("i").collect()
+    assert(r.take(12).forall(_.isNullAt(3))) // cnt < minPeriods
+    assert(r(12).getDouble(3) != 0.0)        // first scored row
+    assert(r.last.getLong(4) == 1L)          // the spike
+    assert(r(13).getLong(4) == 0L)           // a normal row
+  }
+
+  test("equalFrequencyBins sizes differ by at most one and cover all rows") {
+    val rows = (0 until 103).map(i => ((i * 37) % 103).toDouble).toDF("v")
+    val bins = WindowOps.equalFrequencyBins(rows, "v", Seq("v"), k = 10)
+      .orderBy("bin").collect()
+    assert(bins.length == 10)
+    assert(bins.map(_.getLong(1)).sum == 103L)
+    assert(bins.map(_.getLong(1)).forall(n => n == 10L || n == 11L))
+    assert(bins.head.getDouble(2) == 0.0 && bins.last.getDouble(3) == 102.0)
+  }
+
+  test("groupCentroids averages per dimension; l2Normalize yields unit norm") {
+    val vecs = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(2.0f, 2.0f))).toDF("label", "embedding")
+    val c = Similarity.groupCentroids(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c == Map((0, 1L) -> 2.0, (0, 2L) -> 4.0,
+      (1, 1L) -> 2.0, (1, 2L) -> 2.0))
+    val norms = vecs.select(
+        Similarity.l2Norm(Similarity.l2Normalize(col("embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(x => math.abs(x - 1.0) < 1e-9))
+  }
+
+  test("patternProfile counts regex occurrences per row") {
+    val d = Seq((1L, "contact a@b.com and c@d.org plus 12 and 3456"))
+      .toDF("id", "text")
+    val r = d.select(col("id") +: TextOps.patternProfile(col("text"), Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "digits" -> "[0-9]+")): _*).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
+
   implicit class MediaOps(m: Multimodal.MediaFeature) {
     def sha_eq(o: Multimodal.MediaFeature): Boolean =
       m.n_bytes == o.n_bytes && m.width == o.width && m.height == o.height
