@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{DetAgg, EnergyFrame, EnergySeries}
-import graft.operators.{AsofJoin, Dedup, Discretize, Multimodal, RangeJoin, Sampling, Similarity, TextOps, WindowOps}
+import graft.operators.{Analytics, AsofJoin, Dedup, Discretize, Multimodal, RangeJoin, Sampling, Similarity, TextOps, WindowOps}
 import graft.sources.ReportData
 import graft.streaming.{StatefulSessions, StreamOps}
 import graft.units.UnitRegistry
@@ -929,6 +929,30 @@ object SparkEntry {
     "q99_jaccard_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "text",
         "doc_id", shingleLen = 3, minJaccard = 0.5)),
+    // ---- pandas df.corr() analog: pairwise-complete Pearson matrix
+    "q100_frame_corr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def cell(typ: String) =
+        (sum(when(col("event_type") === typ, col("value")).cast(DetAgg.Dec))
+          .cast("double") /
+          count(when(col("event_type") === typ, col("value")))).as(typ)
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .agg(cell("click"), cell("view"), cell("purchase"))
+      EnergyFrame(hourly, Seq("ts")).corrMatrix()
+    }),
+    // ---- group-wise OLS fit: value vs hour-of-day per event type
+    "q101_group_regression" -> ((s, dir) =>
+      Analytics.groupLinearRegression(t(s, dir, "events"),
+        Seq("event_type"), hour(col("ts")).cast("double"), col("value"))),
+    // ---- winnowing fingerprints: the SIGMOD'03 scale path for
+    // substring dedup (min-hash-per-window keeps ~2/(w+1) of the index)
+    "q102_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowedFingerprintPairs(t(s, dir, "documents"), "text",
+        "doc_id", k = 16, w = 8, minShared = 1, docFreqCap = 1000)),
+    // ---- custom state: running z-score anomaly stream (batch mode —
+    // the expanding-window twin of q94, same fold as the streaming path)
+    "q103_stream_anomaly" -> ((s, dir) =>
+      graft.streaming.StreamAnomaly.batch(t(s, dir, "events")).toDF()),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1584,6 +1608,89 @@ object SparkEntry {
              |  ${dAvg(c)} AS ${c}_mean""".stripMargin).mkString(",\n  ")
         s"SELECT $cells\nFROM lineitem"
       },
+      "q103_stream_anomaly" ->
+        """WITH x AS (
+          |  SELECT event_id, value,
+          |    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+          |    CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2,
+          |    count(value) OVER w AS cnt
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          |y AS (
+          |  SELECT event_id, value,
+          |    CASE WHEN cnt >= 12 THEN s1 / cnt END AS mu,
+          |    CASE WHEN cnt >= 12 THEN (s2 - s1 * s1 / cnt) / (cnt - 1) END AS var
+          |  FROM x),
+          |z AS (
+          |  SELECT event_id, value,
+          |    round((value - mu) / (CASE WHEN var > 0 THEN sqrt(var) END), 6)
+          |      AS zscore
+          |  FROM y)
+          |SELECT event_id, value, zscore,
+          |  CAST(abs(zscore) > 3.0 AS BIGINT) AS is_anomaly
+          |FROM z""".stripMargin,
+      "q102_winnow_pairs" ->
+        """WITH g AS (
+          |  SELECT doc_id, list_transform(
+          |    generate_series(1, greatest(length(text) - 15, 0)),
+          |    i -> md5(substr(text, CAST(i AS INTEGER), 16))) AS grams
+          |  FROM documents),
+          |f AS (
+          |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, len(grams) - 7),
+          |    j -> list_min(grams[j:j+7])))) AS fp
+          |  FROM g WHERE len(grams) >= 8),
+          |elig AS (SELECT fp FROM f GROUP BY fp
+          |         HAVING count(*) BETWEEN 2 AND 1000),
+          |pairs AS (
+          |  SELECT l.doc_id AS a, r.doc_id AS b,
+          |    CAST(count(*) AS BIGINT) AS n_shared
+          |  FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+          |  WHERE l.fp IN (SELECT fp FROM elig)
+          |  GROUP BY 1, 2)
+          |SELECT a, b, n_shared FROM pairs WHERE n_shared >= 1""".stripMargin,
+      "q100_frame_corr" -> {
+        def cell(typ: String) =
+          s"${dSum(s"CASE WHEN event_type = '$typ' THEN value END")} / COUNT(CASE WHEN event_type = '$typ' THEN value END) AS $typ"
+        def pairSel(p: (String, String)) = {
+          val (a, b) = p
+          val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |  round((n * p - sa * sb) /
+             |    sqrt((n * qa - sa * sa) * (n * qb - sb * sb)), 6) AS corr
+             |FROM (SELECT
+             |  CAST(count(CASE WHEN $both THEN 1 END) AS DOUBLE) AS n,
+             |  ${dSum(s"CASE WHEN $both THEN $a END")} AS sa,
+             |  ${dSum(s"CASE WHEN $both THEN $b END")} AS sb,
+             |  ${dSum(s"CASE WHEN $both THEN $a * $a END")} AS qa,
+             |  ${dSum(s"CASE WHEN $both THEN $b * $b END")} AS qb,
+             |  ${dSum(s"CASE WHEN $both THEN $a * $b END")} AS p
+             |FROM h)""".stripMargin
+        }
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts,
+           |    ${cell("click")}, ${cell("view")}, ${cell("purchase")}
+           |  FROM events GROUP BY 1)
+           |""".stripMargin +
+          Seq(("click", "view"), ("click", "purchase"), ("view", "purchase"))
+            .map(pairSel).mkString("\nUNION ALL\n")
+      },
+      "q101_group_regression" ->
+        s"""WITH a AS (SELECT event_type,
+           |    count(CASE WHEN hour(ts) IS NOT NULL AND value IS NOT NULL
+           |               THEN 1 END) AS n,
+           |    ${dSum("CAST(hour(ts) AS DOUBLE)")} AS sx,
+           |    ${dSum("value")} AS sy,
+           |    ${dSum("CAST(hour(ts) AS DOUBLE) * value")} AS sxy,
+           |    ${dSum("CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)")} AS sxx
+           |  FROM events GROUP BY 1),
+           |b AS (SELECT event_type, n,
+           |    CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+           |         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           |    sx, sy FROM a)
+           |SELECT event_type, CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
+           |  round((sy - slope * sx) / n, 6) AS intercept
+           |FROM b""".stripMargin,
       "q98_cc_star" ->
         s"""WITH RECURSIVE np AS (${ngramPairsSql(0.5)}),
            |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),

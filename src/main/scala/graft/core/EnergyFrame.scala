@@ -132,6 +132,41 @@ final case class EnergyFrame(
         .toMap)
   }
 
+  /** Pairwise Pearson correlation of the value columns in long
+    * `(col_a, col_b, corr)` form — the pandas `DataFrame.corr()` analog
+    * the reference's frames inherit. Pairwise-COMPLETE observations
+    * (pandas semantics): each pair's moments are conditioned on both
+    * columns being non-null, so pivot gaps don't bias the estimate. ONE
+    * decimal-routed aggregate computes every pair's six sufficient
+    * statistics (map-side combinable, one row out), then each
+    * correlation is literal arithmetic on that row — column count sets
+    * the aggregate width, never the number of passes. */
+  def corrMatrix(): DataFrame = {
+    val vc = valueCols
+    require(vc.size >= 2, "corrMatrix needs at least two value columns")
+    val pairs = for { i <- vc.indices; j <- i + 1 until vc.size }
+      yield (vc(i), vc(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      def s(e: Column, name: String) =
+        DetAgg.detSum(when(both, e)).as(s"__${name}_${a}_$b")
+      Seq(count(when(both, lit(1))).as(s"__n_${a}_$b"),
+        s(col(a), "sa"), s(col(b), "sb"),
+        s(col(a) * col(a), "qa"), s(col(b) * col(b), "qb"),
+        s(col(a) * col(b), "p"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (a, b) =>
+      def f(name: String) = col(s"__${name}_${a}_$b")
+      val n = f("n").cast(DoubleType)
+      val cov = n * f("p") - f("sa") * f("sb")
+      val va = n * f("qa") - f("sa") * f("sa")
+      val vb = n * f("qb") - f("sb") * f("sb")
+      one.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(cov / sqrt(va * vb), 6).as("corr"))
+    }.reduce(_ union _)
+  }
+
   /** Calendar-month mean per column, labeled at month end — the frame
     * twin of `EnergySeries.monthly` (pandas frames inherit `resample`;
     * SURVEY §2.4 A5). One shuffle on ~12 keys, DetAgg means. */

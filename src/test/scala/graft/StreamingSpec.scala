@@ -139,6 +139,28 @@ class StreamingSpec extends SparkTestBase {
     assert(new java.io.File(ckDir, "offsets").listFiles().nonEmpty)
   }
 
+  test("streaming anomaly scores match batch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.StreamAnomaly
+      .streaming(stream.toDF(), minPeriods = 2, z = 1.0).toDF()
+      .writeStream.format("memory").queryName("stream_anomaly")
+      .outputMode("append").start()
+    val evs = (1 to 8).map(i =>
+      ev(i.toLong, i, "click", value = if (i == 8) 50.0 else i.toDouble))
+    stream.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(4): _*) // state must carry (n, Σv, Σv²) over
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM stream_anomaly ORDER BY event_id")
+      .collect()
+    val batch = graft.streaming.StreamAnomaly
+      .batch(evs.toDF(), minPeriods = 2, z = 1.0)
+      .toDF().orderBy("event_id").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(batch.last.getLong(3) == 1L) // the spike is flagged
+  }
+
   test("sliding windows overlap correctly") {
     val w = StreamOps.slidingAgg(events.toDF(), "1 hour", "15 minutes")
     // event at minute 59 appears in windows starting 00,15,30,45
