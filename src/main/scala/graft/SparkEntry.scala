@@ -953,6 +953,70 @@ object SparkEntry {
     // the expanding-window twin of q94, same fold as the streaming path)
     "q103_stream_anomaly" -> ((s, dir) =>
       graft.streaming.StreamAnomaly.batch(t(s, dir, "events")).toDF()),
+    // ---- unigram LM quality score (CCNet-style): mean log-probability
+    // of each document's words under the corpus unigram distribution
+    "q104_lm_score" -> ((s, dir) => {
+      val words = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+      words.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          round(DetAgg.detAvg(
+            log(col("cnt").cast("double") / lit(total.toDouble))), 6)
+            .as("logprob"))
+    }),
+    // ---- corpus drift: per-source KL divergence of the word
+    // distribution vs the global one
+    "q105_source_kl" -> ((s, dir) => {
+      val words = t(s, dir, "documents").select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      val sw = words.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+      val perSource = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+      val perWord = sw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+      val n = perSource.agg(sum(col("n_s"))).head().getLong(0)
+      val p = col("c_sw").cast("double") / col("n_s").cast("double")
+      val q = col("c_w").cast("double") / lit(n.toDouble)
+      sw.join(broadcast(perSource), "source").join(perWord, "word")
+        .groupBy("source")
+        .agg(round(DetAgg.detSum(p * log(p / q)), 6).as("kl_divergence"))
+    }),
+    // ---- pandas interpolate() analog over a masked value column
+    "q106_interpolate" -> ((s, dir) => {
+      val masked = t(s, dir, "events").withColumn("v",
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      WindowOps.interpolateLinear(masked, "v", Seq("event_type"),
+          Seq("ts", "event_id"))
+        .select(col("event_id"),
+          (pmod(col("event_id"), lit(7)) === 0).cast("long").as("was_masked"),
+          col("interp"))
+    }),
+    // ---- per-group ACF at lags 1..3 (seasonality / burstiness signal)
+    "q107_autocorr" -> ((s, dir) =>
+      Analytics.autocorrelation(t(s, dir, "events"), "value",
+        Seq("event_type"), Seq("ts", "event_id"), Seq(1, 2, 3))),
+    // ---- per-doc word-distribution Shannon entropy (quality signal)
+    "q108_entropy" -> ((s, dir) =>
+      Analytics.docEntropy(t(s, dir, "documents"), "doc_id", "text")),
+    // ---- corpus Zipf fit: ln(freq) ~ ln(rank) OLS over the vocabulary
+    "q109_zipf" -> ((s, dir) =>
+      Analytics.zipfSlope(t(s, dir, "documents"), "text")),
+    // ---- per-group quantile normalization (mid-rank uniformization)
+    "q110_quantile_norm" -> ((s, dir) =>
+      Analytics.quantileNormalize(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("quantile"))),
+    // ---- missing-interval detection: gaps > 2x the group's mean spacing
+    "q111_gap_detect" -> ((s, dir) =>
+      out(Analytics.gapDetect(t(s, dir, "events"), "ts", Seq("event_type"),
+        Seq("event_id"), factor = 2.0))),
+    // ---- robust outliers: median absolute deviation report per group
+    "q112_mad_outlier" -> ((s, dir) =>
+      Analytics.madOutliers(t(s, dir, "events"), "value",
+        Seq("event_type"), cutoff = 3.0)),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1608,6 +1672,163 @@ object SparkEntry {
              |  ${dAvg(c)} AS ${c}_mean""".stripMargin).mkString(",\n  ")
         s"SELECT $cells\nFROM lineitem"
       },
+      "q104_lm_score" ->
+        s"""WITH w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |f AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+           |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  round(${dAvg("ln(CAST(cnt AS DOUBLE) / total)")}, 6) AS logprob
+           |FROM w JOIN f USING (word) CROSS JOIN t
+           |GROUP BY 1""".stripMargin,
+      "q105_source_kl" ->
+        s"""WITH w AS (SELECT source,
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),
+           |s AS (SELECT source, CAST(sum(c_sw) AS DOUBLE) AS n_s
+           |      FROM sw GROUP BY 1),
+           |g AS (SELECT word, CAST(sum(c_sw) AS DOUBLE) AS c_w
+           |      FROM sw GROUP BY 1),
+           |t AS (SELECT CAST(sum(c_sw) AS DOUBLE) AS n FROM sw)
+           |SELECT source,
+           |  round(${dSum("(CAST(c_sw AS DOUBLE) / n_s) * ln((CAST(c_sw AS DOUBLE) / n_s) / (c_w / n))")}, 6)
+           |    AS kl_divergence
+           |FROM sw JOIN s USING (source) JOIN g USING (word) CROSS JOIN t
+           |GROUP BY 1""".stripMargin,
+      "q106_interpolate" ->
+        """WITH b AS (
+          |  SELECT event_id, event_type, ts,
+          |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+          |  FROM events),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          |        ORDER BY ts, event_id) AS rn FROM b),
+          |p AS (SELECT *,
+          |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          |      OVER wp AS pr,
+          |    last_value(v IGNORE NULLS) OVER wp AS pv,
+          |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          |      OVER wn AS nr,
+          |    first_value(v IGNORE NULLS) OVER wn AS nv
+          |  FROM r
+          |  WINDOW wp AS (PARTITION BY event_type ORDER BY rn
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |  wn AS (PARTITION BY event_type ORDER BY rn
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT event_id,
+          |  CAST(event_id % 7 = 0 AS BIGINT) AS was_masked,
+          |  CASE WHEN v IS NOT NULL THEN v
+          |       WHEN pr IS NULL THEN nv
+          |       WHEN nr IS NULL THEN pv
+          |       ELSE round(pv + (nv - pv) * ((rn - pr) / (nr - pr)), 6)
+          |  END AS interp
+          |FROM p""".stripMargin,
+      "q107_autocorr" -> {
+        val lags = Seq(1, 2, 3)
+        def pair(k: Int) = s"value IS NOT NULL AND lag$k IS NOT NULL"
+        def stats(k: Int) = Seq(
+          s"count(CASE WHEN ${pair(k)} THEN 1 END) AS n$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN value END")} AS sx$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN lag$k END")} AS sy$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN value * lag$k END")} AS sxy$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN value * value END")} AS sxx$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN lag$k * lag$k END")} AS syy$k")
+        def acf(k: Int) = {
+          val n = s"CAST(n$k AS DOUBLE)"
+          val cov = s"($n * sxy$k - sx$k * sy$k)"
+          val vx = s"($n * sxx$k - sx$k * sx$k)"
+          val vy = s"($n * syy$k - sy$k * sy$k)"
+          s"round(CASE WHEN n$k >= 2 AND $vx > 0.0 AND $vy > 0.0 " +
+            s"THEN $cov / sqrt($vx * $vy) END, 6) AS acf_$k"
+        }
+        s"""WITH l AS (
+           |  SELECT event_type, value,
+           |    ${lags.map(k => s"lag(value, $k) OVER w AS lag$k").mkString(",\n    ")}
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)),
+           |a AS (
+           |  SELECT event_type,
+           |    ${lags.flatMap(stats).mkString(",\n    ")}
+           |  FROM l GROUP BY 1)
+           |SELECT event_type,
+           |  ${lags.map(acf).mkString(",\n  ")}
+           |FROM a""".stripMargin
+      },
+      "q108_entropy" -> {
+        val p = "CAST(c AS DOUBLE) / CAST(n_words AS DOUBLE)"
+        s"""WITH w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |f AS (SELECT doc_id, word, count(*) AS c FROM w
+           |      WHERE word <> '' GROUP BY 1, 2),
+           |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
+           |      FROM f GROUP BY 1)
+           |SELECT doc_id, n_words,
+           |  round(-(${dSum(s"($p) * ln($p)")}), 6) AS entropy
+           |FROM f JOIN n USING (doc_id)
+           |GROUP BY 1, 2""".stripMargin
+      },
+      "q109_zipf" -> {
+        val cov = "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+        val den = "(CAST(n AS DOUBLE) * sxx - sx * sx)"
+        s"""WITH w AS (SELECT
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |f AS (SELECT word, count(*) AS cnt FROM w
+           |      WHERE word <> '' GROUP BY 1),
+           |r AS (SELECT
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS DOUBLE)
+           |      AS rnk,
+           |    CAST(cnt AS DOUBLE) AS c
+           |  FROM f),
+           |a AS (SELECT count(*) AS n,
+           |    ${dSum("ln(rnk)")} AS sx, ${dSum("ln(c)")} AS sy,
+           |    ${dSum("ln(rnk) * ln(c)")} AS sxy,
+           |    ${dSum("ln(rnk) * ln(rnk)")} AS sxx
+           |  FROM r)
+           |SELECT CAST(n AS BIGINT) AS n_vocab,
+           |  round($cov / $den, 6) AS slope,
+           |  round((sy - ($cov / $den) * sx) / CAST(n AS DOUBLE), 6)
+           |    AS intercept
+           |FROM a""".stripMargin
+      },
+      "q110_quantile_norm" ->
+        """SELECT l_orderkey, l_linenumber, l_returnflag,
+          |  round((CAST(row_number() OVER (PARTITION BY l_returnflag
+          |      ORDER BY l_extendedprice ASC, l_orderkey ASC,
+          |        l_linenumber ASC) AS DOUBLE) - 0.5)
+          |    / CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6)
+          |    AS quantile
+          |FROM lineitem""".stripMargin,
+      "q111_gap_detect" ->
+        s"""WITH g AS (
+           |  SELECT event_type, ts,
+           |    lag(ts) OVER (PARTITION BY event_type
+           |      ORDER BY ts ASC, event_id ASC) AS prev
+           |  FROM events),
+           |d AS (SELECT *,
+           |    epoch_us(CAST(ts AS TIMESTAMP))
+           |      - epoch_us(CAST(prev AS TIMESTAMP)) AS gap_us
+           |  FROM g),
+           |a AS (SELECT event_type, ${dAvg("gap_us")} AS avg_gap
+           |      FROM d GROUP BY 1)
+           |SELECT d.event_type, prev AS gap_start, ts AS gap_end, gap_us,
+           |  round(avg_gap, 6) AS avg_gap_us
+           |FROM d JOIN a USING (event_type)
+           |WHERE CAST(gap_us AS DOUBLE) > 2.0 * avg_gap""".stripMargin,
+      "q112_mad_outlier" ->
+        """WITH m AS (SELECT event_type, round(median(value), 6) AS med
+          |      FROM events GROUP BY 1),
+          |a AS (SELECT e.event_type,
+          |      round(median(abs(e.value - m.med)), 6) AS mad
+          |    FROM events e JOIN m USING (event_type) GROUP BY 1)
+          |SELECT e.event_type, count(e.value) AS n, m.med AS median,
+          |  a.mad AS mad,
+          |  CAST(sum(CAST(abs(e.value - m.med) > 3.0 * 1.4826 * a.mad
+          |    AS BIGINT)) AS BIGINT) AS n_outliers
+          |FROM events e JOIN m USING (event_type) JOIN a USING (event_type)
+          |GROUP BY 1, 3, 4""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.core.DetAgg
 
 /** Closed-form statistical fits over groups. Everything here reduces to
@@ -31,5 +33,165 @@ object Analytics {
       .withColumn("intercept",
         round((col("__sy") - slope * col("__sx")) / n, 6))
       .drop("__sx", "__sy", "__sxy", "__sxx")
+  }
+
+  /** Per-group autocorrelation (Pearson r between the series and its
+    * k-lagged self) at each requested lag, as one `acf_<k>` column per
+    * lag. One window shuffle keyed by the group builds every lag column
+    * in a single pass (shared ordering), then one aggregate over the
+    * SAME keys — Spark reuses the window's hash partitioning, so the agg
+    * adds no second exchange. Pairs are pairwise-complete (rows where
+    * both the value and its lag are non-null). */
+  def autocorrelation(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val v = col(valueCol)
+    val lagged = lags.foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"__lag$k", lag(v, k).over(w))
+    }
+    val aggs = lags.flatMap { k =>
+      val y = col(s"__lag$k")
+      val pair = v.isNotNull && y.isNotNull
+      Seq(
+        count(when(pair, lit(1))).as(s"__n$k"),
+        DetAgg.detSum(when(pair, v)).as(s"__sx$k"),
+        DetAgg.detSum(when(pair, y)).as(s"__sy$k"),
+        DetAgg.detSum(when(pair, v * y)).as(s"__sxy$k"),
+        DetAgg.detSum(when(pair, v * v)).as(s"__sxx$k"),
+        DetAgg.detSum(when(pair, y * y)).as(s"__syy$k"))
+    }
+    val base = lagged.groupBy(partitionCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    lags.foldLeft(base) { (acc, k) =>
+      val n = col(s"__n$k").cast("double")
+      val cov = n * col(s"__sxy$k") - col(s"__sx$k") * col(s"__sy$k")
+      val vx = n * col(s"__sxx$k") - col(s"__sx$k") * col(s"__sx$k")
+      val vy = n * col(s"__syy$k") - col(s"__sy$k") * col(s"__sy$k")
+      acc.withColumn(s"acf_$k",
+        round(when(col(s"__n$k") >= 2 && vx > 0.0 && vy > 0.0,
+          cov / sqrt(vx * vy)), 6))
+        .drop(s"__n$k", s"__sx$k", s"__sy$k", s"__sxy$k", s"__sxx$k",
+          s"__syy$k")
+    }
+  }
+
+  /** Per-group robust outlier report via the median absolute deviation:
+    * a point is an outlier when |x − median| > cutoff · 1.4826 · MAD
+    * (1.4826 scales MAD to σ under normality). Three grouped aggregates
+    * over the SAME key (median, MAD, counts) — the two join-backs are
+    * broadcast (one row per group), so the input shuffles once. Exact
+    * interpolated medians, matching SQL `median()` semantics. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      cutoff: Double = 3.0): DataFrame = {
+    val v = col(valueCol)
+    // Medians round to 6 decimals BEFORE the threshold compare: the
+    // interpolated median is the one quantity here whose last ulp could
+    // differ across engines/partitionings, and a strict `>` must not
+    // hinge on it (same stability discipline as DetAgg).
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile(abs($valueCol - __med), 0.5)"), 6)
+        .as("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(v).as("n"),
+        first(col("__med")).as("median"),
+        first(col("__mad")).as("mad"),
+        sum((abs(v - col("__med")) > lit(cutoff * 1.4826) * col("__mad"))
+          .cast("long")).as("n_outliers"))
+  }
+
+  /** Per-group quantile normalization: each value maps to its mid-rank
+    * quantile (rank − 0.5)/n in (0, 1) — the standard uniformization
+    * step (rank ties broken by the caller's tie-break columns so the
+    * output is a deterministic function of the row, not the partition
+    * layout). One window shuffle keyed by the group; n comes from the
+    * same window (unbounded count), no second pass. */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], tieBreakCols: Seq[String],
+      as: String = "quantile"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tieBreakCols.map(col)).map(_.asc): _*)
+    val n = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn(as,
+      round((row_number().over(w).cast("double") - 0.5) /
+        count(lit(1)).over(n).cast("double"), 6))
+  }
+
+  /** Per-group time-gap detection: emit the (prev, current) pairs whose
+    * spacing exceeds `factor` × the group's mean spacing — the
+    * missing-interval report for a supposedly-regular feed. One window
+    * shuffle for the lag, one aggregate on the same key for the mean gap
+    * (broadcast back, one row per group). Gaps are exact integer
+    * microseconds (`unix_micros`), so the threshold compare is
+    * float-free until the final mean ratio. */
+  def gapDetect(df: DataFrame, tsCol: String, partitionCols: Seq[String],
+      tieBreakCols: Seq[String], factor: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreakCols.map(col)).map(_.asc): _*)
+    val gaps = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")))
+    val avg = gaps.groupBy(partitionCols.map(col): _*)
+      .agg(DetAgg.detAvg(col("gap_us")).as("__avg_gap"))
+    gaps.join(broadcast(avg), partitionCols)
+      .where(col("gap_us").cast("double") > lit(factor) * col("__avg_gap"))
+      .select(partitionCols.map(col) ++
+        Seq(col("__prev").as("gap_start"), col(tsCol).as("gap_end"),
+          col("gap_us"), round(col("__avg_gap"), 6).as("avg_gap_us")): _*)
+  }
+
+  /** Corpus Zipf fit: OLS slope of ln(frequency) on ln(rank) over the
+    * word-frequency table — a classic corpus-health check (natural text
+    * sits near −1). The rank is assigned by zipWithIndex over the
+    * distributed sort output (per-partition counts + offset arithmetic —
+    * no single-partition window, same pattern as `EnergySeries.ldc`), so
+    * a 100 M-word vocabulary ranks without funnelling through one task.
+    * The fit itself reuses [[groupLinearRegression]]'s one-aggregate
+    * sufficient-statistics path. */
+  def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val sorted = freq.orderBy(col("cnt").desc, col("word").asc)
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = true)))
+    val ranked = spark.createDataFrame(
+      sorted.select(col("cnt")).rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row(i + 1L, row.get(0))
+      }, schema)
+    groupLinearRegression(ranked.withColumn("__g", lit(1)), Seq("__g"),
+        log(col("rank").cast("double")), log(col("cnt").cast("double")))
+      .select(col("n").as("n_vocab"), col("slope"), col("intercept"))
+  }
+
+  /** Per-document Shannon entropy of the word distribution (nats) — the
+    * information-density quality signal (gibberish and boilerplate both
+    * score low). explode → two grouped counts keyed by doc: the second
+    * aggregate reuses the first's partitioning (both hash on doc id), so
+    * the corpus shuffles once. */
+  def docEntropy(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val counts = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("__c"))
+    val n = Window.partitionBy(col(idCol))
+    val p = col("__c").cast("double") /
+      sum(col("__c")).over(n).cast("double")
+    counts.withColumn("__plp", p * log(p))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_words"),
+        round(-DetAgg.detSum(col("__plp")), 6).as("entropy"))
   }
 }

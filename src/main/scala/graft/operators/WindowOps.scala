@@ -128,6 +128,37 @@ object WindowOps {
         DetAgg.detSum(col(valueCol)).as("bin_sum"))
   }
 
+  /** Linear interpolation of nulls (the pandas `interpolate()` analog):
+    * each null takes the straight line between its nearest non-null
+    * neighbors in the partition's row order; leading/trailing gaps take
+    * the single available endpoint. One shuffle keyed by the partition —
+    * the four neighbor lookups are running first/last aggregates sharing
+    * the same window ordering, which Spark evaluates in one pass. */
+  def interpolateLinear(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      as: String = "interp"): DataFrame = {
+    val base = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val prevW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    df.withColumn("__rn", row_number().over(base))
+      .withColumn("__pr",
+        last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(prevW))
+      .withColumn("__pv", last(v, ignoreNulls = true).over(prevW))
+      .withColumn("__nr",
+        first(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(nextW))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(nextW))
+      .withColumn(as,
+        when(v.isNotNull, v)
+          .when(col("__pr").isNull, col("__nv"))
+          .when(col("__nr").isNull, col("__pv"))
+          .otherwise(round(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__rn") - col("__pr")).cast("double") /
+              (col("__nr") - col("__pr")).cast("double")), 6)))
+      .drop("__rn", "__pr", "__pv", "__nr", "__nv")
+  }
+
   /** Forward-fill (the pandas `ffill` analog): each null takes the most
     * recent non-null value within its partition — a keyed running-last,
     * so state per partition is one value and the shuffle is the window's
