@@ -1017,6 +1017,22 @@ object SparkEntry {
     "q112_mad_outlier" -> ((s, dir) =>
       Analytics.madOutliers(t(s, dir, "events"), "value",
         Seq("event_type"), cutoff = 3.0)),
+    // ---- edit-distance near-dup pairs (blocked levenshtein kernel)
+    "q113_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "text", "doc_id",
+        maxDist = 20, prefixLen = 64, bandWidth = 8, anchorLen = 8)),
+    // ---- OLAP cube: all grouping-set rollups in one pass
+    "q114_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(DetAgg.detSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("long").as("gid"))),
+    // ---- join-key skew report: the pre-flight diagnostic for a 100 TB
+    // join (hottest-key share + Gini of the key-frequency distribution)
+    "q115_skew_report" -> ((s, dir) =>
+      Analytics.keySkewReport(t(s, dir, "events"), "user_id")),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1829,6 +1845,48 @@ object SparkEntry {
           |    AS BIGINT)) AS BIGINT) AS n_outliers
           |FROM events e JOIN m USING (event_type) JOIN a USING (event_type)
           |GROUP BY 1, 3, 4""".stripMargin,
+      "q113_edit_distance" ->
+        """WITH b AS (
+          |  SELECT doc_id AS id, substr(text, 1, 64) AS p,
+          |    length(text) // 8 AS band, substr(text, 1, 8) AS anchor
+          |  FROM documents),
+          |e AS (SELECT band, anchor FROM b GROUP BY 1, 2
+          |      HAVING count(*) BETWEEN 2 AND 1000),
+          |c AS (SELECT b.* FROM b JOIN e USING (band, anchor))
+          |SELECT x.id AS a, y.id AS b,
+          |  CAST(levenshtein(x.p, y.p) AS BIGINT) AS dist
+          |FROM c x JOIN c y ON x.band = y.band AND x.anchor = y.anchor
+          |  AND x.id < y.id
+          |WHERE abs(length(x.p) - length(y.p)) <= 20
+          |  AND levenshtein(x.p, y.p) <= 20""".stripMargin,
+      "q114_cube" -> {
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dSum("l_quantity")} AS sum_qty,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+           |    AS BIGINT) AS gid
+           |FROM lineitem
+           |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+      },
+      "q115_skew_report" -> {
+        val n = "CAST(n_keys AS DOUBLE)"
+        s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+           |      GROUP BY 1),
+           |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt ASC,
+           |        CAST(user_id AS VARCHAR) ASC) AS DOUBLE) AS rank, cnt
+           |      FROM c),
+           |k AS (SELECT count(*) AS n_keys FROM c),
+           |a AS (SELECT ${dSum("cnt")} AS tot, max(cnt) AS max_cnt,
+           |    ${dSum("rank * cnt")} AS src,
+           |    ${dSum("CASE WHEN rank > ceil((SELECT n_keys FROM k) * 0.99) THEN cnt END")}
+           |      AS top
+           |  FROM r)
+           |SELECT n_keys, CAST(tot AS BIGINT) AS n_rows, max_cnt,
+           |  round(CAST(max_cnt AS DOUBLE) / tot, 6) AS max_share,
+           |  round(coalesce(top, 0.0) / tot, 6) AS top1pct_share,
+           |  round((2.0 * src) / ($n * tot) - ($n + 1.0) / $n, 6) AS gini
+           |FROM a CROSS JOIN k""".stripMargin
+      },
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,

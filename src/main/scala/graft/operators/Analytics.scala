@@ -147,31 +147,69 @@ object Analytics {
           col("gap_us"), round(col("__avg_gap"), 6).as("avg_gap_us")): _*)
   }
 
+  /** Global 1-based rank without a single-partition window: sort
+    * distributed (Spark's range sort), then zipWithIndex — one extra
+    * per-partition-count job plus offset arithmetic, the same pattern as
+    * `EnergySeries.ldc`. Ranks a 100 M-row table without funnelling it
+    * through one task. The caller's `orderCols` must be a total order
+    * (include a tie-break) or the rank is partition-layout-dependent. */
+  def distributedRank(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = StructType(
+      StructField(rankCol, LongType, nullable = false) +:
+        sorted.schema.fields)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq((i + 1L) +: row.toSeq)
+      }, schema)
+  }
+
   /** Corpus Zipf fit: OLS slope of ln(frequency) on ln(rank) over the
     * word-frequency table — a classic corpus-health check (natural text
-    * sits near −1). The rank is assigned by zipWithIndex over the
-    * distributed sort output (per-partition counts + offset arithmetic —
-    * no single-partition window, same pattern as `EnergySeries.ldc`), so
-    * a 100 M-word vocabulary ranks without funnelling through one task.
-    * The fit itself reuses [[groupLinearRegression]]'s one-aggregate
-    * sufficient-statistics path. */
+    * sits near −1). Rank via [[distributedRank]]; the fit reuses
+    * [[groupLinearRegression]]'s one-aggregate sufficient-statistics
+    * path. */
   def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
     val freq = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val sorted = freq.orderBy(col("cnt").desc, col("word").asc)
-    val spark = docs.sparkSession
-    val schema = StructType(Seq(
-      StructField("rank", LongType, nullable = false),
-      StructField("cnt", LongType, nullable = true)))
-    val ranked = spark.createDataFrame(
-      sorted.select(col("cnt")).rdd.zipWithIndex().map { case (row, i) =>
-        org.apache.spark.sql.Row(i + 1L, row.get(0))
-      }, schema)
+    val ranked = distributedRank(freq.select(col("cnt"), col("word")),
+      Seq(col("cnt").desc, col("word").asc))
     groupLinearRegression(ranked.withColumn("__g", lit(1)), Seq("__g"),
         log(col("rank").cast("double")), log(col("cnt").cast("double")))
       .select(col("n").as("n_vocab"), col("slope"), col("intercept"))
+  }
+
+  /** Join-key skew report — the planning diagnostic you run BEFORE
+    * pointing a 100 TB join at a key: distinct keys, rows, the hottest
+    * key's share, the top-1%-of-keys share, and the Gini coefficient of
+    * the key-frequency distribution (0 = uniform, →1 = one hot key).
+    * One groupBy on the key, a [[distributedRank]] over the (much
+    * smaller) per-key count table, and one scalar aggregate. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val nKeys = counts.count()
+    val ranked = distributedRank(
+      counts.select(col("cnt"), col(keyCol).cast("string").as("__k")),
+      Seq(col("cnt").asc, col("__k").asc))
+    val topCut = math.ceil(nKeys * 0.99).toLong
+    val n = lit(nKeys.toDouble)
+    ranked.agg(
+        DetAgg.detSum(col("cnt")).as("__tot"),
+        max(col("cnt")).as("max_cnt"),
+        DetAgg.detSum(col("rank").cast("double") * col("cnt")).as("__src"),
+        DetAgg.detSum(when(col("rank") > topCut, col("cnt"))).as("__top"))
+      .select(lit(nKeys).as("n_keys"),
+        col("__tot").cast("long").as("n_rows"),
+        col("max_cnt"),
+        round(col("max_cnt").cast("double") / col("__tot"), 6)
+          .as("max_share"),
+        round(coalesce(col("__top"), lit(0.0)) / col("__tot"), 6)
+          .as("top1pct_share"),
+        round((lit(2.0) * col("__src")) / (n * col("__tot"))
+          - (n + lit(1.0)) / n, 6).as("gini"))
   }
 
   /** Per-document Shannon entropy of the word distribution (nats) — the

@@ -227,6 +227,43 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Edit-distance near-dup pairs under blocked candidate generation:
+    * candidates must share a (⌊full-length / bandWidth⌋, first-anchorLen-
+    * chars) block before the O(prefixLen²) `levenshtein` kernel runs on
+    * their `prefixLen`-char heads — the classic prefix-anchor blocking
+    * heuristic for copied-with-small-edits detection (documents that
+    * diverge in their first `anchorLen` characters are out of scope BY
+    * DESIGN; use [[minhashLsh]] for order-insensitive recall). The
+    * length-difference pre-filter is free (|len(a)−len(b)| ≤ d is a lower
+    * bound on edit distance) and prunes before the quadratic kernel.
+    * Blocks larger than `blockCap` are dropped whole — the same skew
+    * guard as the posting-list caps: one boilerplate head shared by m
+    * docs would otherwise emit m²/2 kernel calls. One shuffle to block,
+    * one equi-join on the block key; no cartesian anywhere. */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 5, prefixLen: Int = 64, bandWidth: Int = 8,
+      anchorLen: Int = 8, blockCap: Int = 1000): DataFrame = {
+    val base = tracked(df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("p"),
+      expr(s"length($textCol) div $bandWidth").as("band"),
+      substring(col(textCol), 1, anchorLen).as("anchor")))
+    val eligible = base.groupBy("band", "anchor")
+      .agg(count(lit(1)).as("__m"))
+      .where(col("__m") >= 2 && col("__m") <= blockCap)
+      .select(col("band"), col("anchor"))
+    val blocked = base.join(eligible, Seq("band", "anchor"), "left_semi")
+    val l = blocked.select(col("band"), col("anchor"), col("id").as("a"),
+      col("p").as("pa"))
+    val r = blocked.select(col("band"), col("anchor"), col("id").as("b"),
+      col("p").as("pb"))
+    l.join(r, Seq("band", "anchor"))
+      .where(col("a") < col("b"))
+      .where(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD'03) — the scale path
     * for substring-level dedup: hash every k-char gram, then keep only

@@ -170,4 +170,43 @@ class StreamingSpec extends SparkTestBase {
     val starts = w.select("window_start").distinct().count()
     assert(starts >= 4)
   }
+
+  test("streaming curation pipeline: stream == batch") {
+    // the q61/q87 shape on a live stream: fingerprint-dedup (bounded
+    // watermark state) -> quality filter -> chunk. Only the dedup stage
+    // is stateful; the rest must be identical stream/batch by
+    // construction, and this pins it across micro-batch boundaries.
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    def curate(df: org.apache.spark.sql.DataFrame, streaming: Boolean) = {
+      val fp = df.withColumn("fp", TextOps.fingerprint(col("text")))
+      val deduped =
+        if (streaming) StreamOps.dedupStream(fp, "10 minutes", Seq("fp"))
+        else fp.dropDuplicates("fp")
+      deduped.where(TextOps.wordCount(col("text")) >= 3)
+        .select(explode(TextOps.chunkWords(col("text"), 3, 1)).as("c"))
+        .select(col("c.chunk_text").as("chunk"))
+    }
+    val docs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), "alpha beta gamma delta"),
+      (2L, Timestamp.valueOf("2024-01-01 00:02:00"), "alpha beta gamma delta"),
+      (3L, Timestamp.valueOf("2024-01-01 00:03:00"), "tiny doc"),
+      (4L, Timestamp.valueOf("2024-01-01 00:04:00"), "epsilon zeta eta theta iota"))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = curate(stream.toDF().toDF("doc_id", "ts", "text"),
+        streaming = true)
+      .writeStream.format("memory").queryName("stream_curation")
+      .outputMode("append").start()
+    stream.addData(docs.take(2): _*) // dup arrives in the FIRST batch
+    q.processAllAvailable()
+    stream.addData(docs.drop(2): _*) // state must drop nothing new
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT chunk FROM stream_curation")
+      .as[String].collect().sorted.toSeq
+    val batch = curate(docs.toDF("doc_id", "ts", "text"),
+        streaming = false)
+      .as[String].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.count(_.startsWith("alpha")) == 1)
+  }
 }
