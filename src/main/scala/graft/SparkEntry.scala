@@ -1033,6 +1033,53 @@ object SparkEntry {
     // join (hottest-key share + Gini of the key-frequency distribution)
     "q115_skew_report" -> ((s, dir) =>
       Analytics.keySkewReport(t(s, dir, "events"), "user_id")),
+    // ---- sentence-level boilerplate share (cross-doc verbatim sentences)
+    "q116_sentence_dedup" -> ((s, dir) =>
+      Dedup.duplicateSentenceStats(t(s, dir, "documents"), "text",
+        "doc_id")),
+    // ---- robust scaling: (x - median) / IQR per group
+    "q117_robust_scale" -> ((s, dir) => {
+      val st = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("__med"),
+          round(expr("percentile(value, 0.75) - percentile(value, 0.25)"),
+            6).as("__iqr"))
+      t(s, dir, "events").join(broadcast(st), "event_type")
+        .select(col("event_id"), col("event_type"),
+          when(col("__iqr") =!= 0.0,
+            round((col("value") - col("__med")) / col("__iqr"), 6))
+            .as("scaled"))
+    }),
+    // ---- sorted-neighborhood candidate pairs (rank-window blocking)
+    "q118_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), "text",
+        "doc_id", window = 10, keyLen = 30, prefixLen = 64, maxDist = 20)),
+    // ---- word co-occurrence PMI (collocation mining)
+    "q119_pmi" -> ((s, dir) =>
+      Analytics.pmiPairs(t(s, dir, "documents"), "text", "doc_id",
+        minCount = 3, maxWordsPerDoc = 100)),
+    // ---- CDC-style compaction: latest record per key
+    "q120_latest_by_key" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      out(t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+    }),
+    // ---- PII redaction: scrub emails + long digit runs, count hits
+    "q121_redact" -> ((s, dir) => {
+      val emailRe = ProfilePatterns.find(_._1 == "email").get._2
+      val numRe = "[0-9]{6,}"
+      t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(numRe), lit(0)))
+          .cast("long").as("n_longnums"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          numRe, "<NUM>")).as("redacted_md5"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1886,6 +1933,85 @@ object SparkEntry {
            |  round(coalesce(top, 0.0) / tot, 6) AS top1pct_share,
            |  round((2.0 * src) / ($n * tot) - ($n + 1.0) / $n, 6) AS gini
            |FROM a CROSS JOIN k""".stripMargin
+      },
+      "q116_sentence_dedup" ->
+        """WITH s AS (
+          |  SELECT DISTINCT id, h FROM (
+          |    SELECT doc_id AS id, md5(trim(s)) AS h
+          |    FROM (SELECT doc_id,
+          |            unnest(string_split_regex(text, '[.!?]+')) AS s
+          |          FROM documents)
+          |    WHERE length(trim(s)) > 0)),
+          |d AS (SELECT h, count(*) AS df FROM s GROUP BY 1)
+          |SELECT id, CAST(count(*) AS BIGINT) AS n_sentences,
+          |  CAST(sum(CAST(df >= 2 AS BIGINT)) AS BIGINT) AS n_shared,
+          |  round(CAST(sum(CAST(df >= 2 AS BIGINT)) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+          |FROM s JOIN d USING (h)
+          |GROUP BY 1""".stripMargin,
+      "q117_robust_scale" ->
+        """WITH st AS (SELECT event_type,
+          |    round(median(value), 6) AS med,
+          |    round(quantile_cont(value, 0.75)
+          |      - quantile_cont(value, 0.25), 6) AS iqr
+          |  FROM events GROUP BY 1)
+          |SELECT event_id, e.event_type,
+          |  CASE WHEN iqr <> 0 THEN round((value - med) / iqr, 6) END
+          |    AS scaled
+          |FROM events e JOIN st USING (event_type)""".stripMargin,
+      "q118_sorted_neighborhood" ->
+        """WITH b AS (SELECT doc_id AS id,
+          |    lower(trim(substr(text, 1, 30))) AS sk,
+          |    substr(text, 1, 64) AS p
+          |  FROM documents),
+          |r AS (SELECT id, p,
+          |    row_number() OVER (ORDER BY sk ASC, id ASC) AS rank
+          |  FROM b)
+          |SELECT x.id AS a, y.id AS b,
+          |  CAST(y.rank - x.rank AS BIGINT) AS rank_dist,
+          |  CAST(levenshtein(x.p, y.p) AS BIGINT) AS dist
+          |FROM r x JOIN r y ON y.rank > x.rank AND y.rank < x.rank + 10
+          |WHERE levenshtein(x.p, y.p) <= 20""".stripMargin,
+      "q119_pmi" ->
+        s"""WITH w AS (SELECT doc_id, list_sort(list_distinct(
+           |      string_split_regex(trim(text), '\\s+')))[1:100] AS ws
+           |    FROM documents),
+           |p0 AS (SELECT unnest(flatten(list_transform(
+           |      generate_series(1, len(ws)),
+           |      i -> list_transform(generate_series(i + 1, len(ws)),
+           |        j -> [ws[i], ws[j]])))) AS pr
+           |    FROM w),
+           |p AS (SELECT pr[1] AS wa, pr[2] AS wb FROM p0
+           |      WHERE pr[1] <> '' AND pr[2] <> ''),
+           |cab AS (SELECT wa, wb, count(*) AS c_ab FROM p
+           |        GROUP BY 1, 2 HAVING count(*) >= 3),
+           |u0 AS (SELECT unnest(ws) AS w FROM w),
+           |u AS (SELECT w, count(*) AS c_w FROM u0 WHERE w <> ''
+           |      GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+           |SELECT wa, wb, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+           |  round(ln((CAST(c_ab AS DOUBLE) * nd)
+           |    / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))), 6)
+           |    AS pmi
+           |FROM cab JOIN u a ON cab.wa = a.w JOIN u b ON cab.wb = b.w
+           |CROSS JOIN n""".stripMargin,
+      "q120_latest_by_key" ->
+        """SELECT user_id, event_id, ts, value FROM (
+          |  SELECT user_id, event_id, ts, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1""".stripMargin,
+      "q121_redact" -> {
+        val emailRe = ProfilePatterns.find(_._1 == "email").get._2
+        val numRe = "[0-9]{6,}"
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$numRe')) AS BIGINT)
+           |    AS n_longnums,
+           |  md5(regexp_replace(regexp_replace(text, '$emailRe',
+           |    '<EMAIL>', 'g'), '$numRe', '<NUM>', 'g')) AS redacted_md5
+           |FROM documents""".stripMargin
       },
       "q103_stream_anomaly" ->
         """WITH x AS (

@@ -212,6 +212,46 @@ object Analytics {
           - (n + lit(1.0)) / n, 6).as("gini"))
   }
 
+  /** Pointwise mutual information of word co-occurrence (doc-level):
+    * PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over document frequencies —
+    * the collocation signal (phrases, named entities, template pairs).
+    * Pair generation reuses the posting-list generator shape: each doc's
+    * distinct-word array (capped at `maxWordsPerDoc` — the skew guard;
+    * a 10 k-distinct-word doc would otherwise emit 50 M pairs) streams
+    * its ordered pairs through posexplode+slice, then one grouped count
+    * per pair and two word-keyed joins against the unigram counts (left
+    * unhinted: the vocabulary can be 100 M rows at corpus scale, so
+    * whether it broadcasts is AQE's call, not a hardcoded hint).
+    * `minCount` prunes the long tail before the joins. */
+  def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
+      minCount: Int = 3, maxWordsPerDoc: Int = 100): DataFrame = {
+    val nDocs = docs.count().toDouble
+    val words = docs.select(col(idCol).as("id"),
+      slice(array_sort(array_distinct(
+          split(trim(col(textCol)), "\\s+"))),
+        1, maxWordsPerDoc).as("ws"))
+    val single = words.select(col("id"), explode(col("ws")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val pairs = words
+      .select(posexplode(col("ws")).as(Seq("i", "wa")), col("ws"))
+      .select(col("wa"),
+        explode(slice(col("ws"), col("i") + lit(2), size(col("ws"))))
+          .as("wb"))
+      .where(col("wa") =!= "" && col("wb") =!= "")
+      .groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    pairs
+      .join(single.withColumnRenamed("w", "wa")
+        .withColumnRenamed("c_w", "c_a"), "wa")
+      .join(single.withColumnRenamed("w", "wb")
+        .withColumnRenamed("c_w", "c_b"), "wb")
+      .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab").cast("double") * lit(nDocs)) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+          .as("pmi"))
+  }
+
   /** Per-document Shannon entropy of the word distribution (nats) — the
     * information-density quality signal (gibberish and boilerplate both
     * score low). explode → two grouped counts keyed by doc: the second

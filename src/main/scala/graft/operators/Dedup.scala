@@ -264,6 +264,65 @@ object Dedup {
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Per-document sentence-level duplication stats: the fraction of a
+    * document's distinct sentences that also appear (verbatim, after
+    * trim) in at least one OTHER document — the "boilerplate share"
+    * signal sentence-split dedup pipelines key on. Shape: explode to
+    * (doc, sentence-hash) distinct pairs, one count per hash (document
+    * frequency), one grouped roll-up per doc — two shuffles, both keyed
+    * fine-grained (hash, then doc id), no joins against raw text. */
+  def duplicateSentenceStats(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val sentences = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "[.!?]+")).as("s"))
+      .select(col("id"), trim(col("s")).as("s"))
+      .where(length(col("s")) > 0)
+      .select(col("id"), md5(col("s")).as("h"))
+      .distinct()
+    val dfreq = sentences.groupBy("h")
+      .agg(count(lit(1)).as("__df"))
+    sentences.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum((col("__df") >= 2).cast("long")).as("n_shared"),
+        round(sum((col("__df") >= 2).cast("long")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("shared_frac"))
+  }
+
+  /** Sorted-neighborhood candidate pairs (Hernández–Stolfo): sort the
+    * corpus by a normalized blocking key, slide a `window`-wide rank
+    * window, and emit the in-window pairs that pass the edit-distance
+    * kernel. The complementary blocking strategy to
+    * [[editDistancePairs]]'s anchor equality — near-dups whose keys sort
+    * adjacently are caught even when no exact prefix/band matches. Rank
+    * comes from `Analytics.distributedRank` (distributed sort +
+    * zipWithIndex, no single-partition window); the rank-window self-join
+    * runs as an equi-join on ⌊rank/window⌋ buckets (each left row probes
+    * its own and the next bucket — every |Δrank| < window pair falls in
+    * one of the two), so the plan is two shuffles and no cartesian. */
+  def sortedNeighborhoodPairs(df: DataFrame, textCol: String,
+      idCol: String, window: Int = 10, keyLen: Int = 30,
+      prefixLen: Int = 64, maxDist: Int = 20): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      lower(trim(substring(col(textCol), 1, keyLen))).as("sk"),
+      substring(col(textCol), 1, prefixLen).as("p"))
+    val ranked = Analytics.distributedRank(base,
+      Seq(col("sk").asc, col("id").asc))
+    val left = ranked.select(col("rank").as("ra"), col("id").as("a"),
+        col("p").as("pa"))
+      .withColumn("__b", explode(array(expr(s"ra div $window"),
+        expr(s"ra div $window") + 1)))
+    val right = ranked.select(expr(s"rank div $window").as("__b"),
+      col("rank").as("rb"), col("id").as("b"), col("p").as("pb"))
+    left.join(right, "__b")
+      .where(col("rb") > col("ra") && col("rb") < col("ra") + window)
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"),
+        (col("rb") - col("ra")).cast("long").as("rank_dist"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD'03) — the scale path
     * for substring-level dedup: hash every k-char gram, then keep only

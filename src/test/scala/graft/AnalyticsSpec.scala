@@ -104,6 +104,44 @@ class AnalyticsSpec extends SparkTestBase {
     assert(pairs.head.getAs[Long]("dist") == 3L) // jumps -> leaps
   }
 
+  test("pmiPairs: hand-computed PMI over a 4-doc corpus") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b d"))
+      .toDF("doc_id", "text")
+    val got = Analytics.pmiPairs(df, "text", "doc_id", minCount = 2)
+      .collect()
+    assert(got.length == 1) // only (a,b) co-occurs twice
+    val r = got.head
+    assert((r.getAs[String]("wa"), r.getAs[String]("wb")) == ("a", "b"))
+    assert(r.getAs[Long]("c_ab") == 2L && r.getAs[Long]("c_a") == 3L)
+    // PMI = ln(2*4 / (3*3))
+    assert(math.abs(r.getAs[Double]("pmi") - math.log(8.0 / 9.0)) < 1e-5)
+  }
+
+  test("duplicateSentenceStats: verbatim sentence shared across docs") {
+    val df = Seq((1L, "Hello world. Unique alpha."),
+      (2L, "Hello world. Different beta.")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSentenceStats(df, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(got.map(_.getAs[Long]("n_sentences")).toSeq == Seq(2L, 2L))
+    assert(got.map(_.getAs[Long]("n_shared")).toSeq == Seq(1L, 1L))
+    assert(got.head.getAs[Double]("shared_frac") == 0.5)
+  }
+
+  test("sortedNeighborhoodPairs: in-window near-copy found, stranger cut") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("jumps", "leaps")
+    val far = ("zebra " * 12).trim
+    val df = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+    // n=3 < window, so ALL ordered pairs are candidates; only the
+    // edit-distance kernel separates the near-copy from the stranger
+    val pairs = Dedup.sortedNeighborhoodPairs(df, "text", "doc_id",
+      window = 10, maxDist = 10).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("dist") == 3L)
+    assert(pairs.head.getAs[Long]("rank_dist") >= 1L)
+  }
+
   test("interpolateLinear fills interior gaps linearly, edges flat") {
     val df = Seq(("g", 1, Some(1.0)), ("g", 2, None), ("g", 3, None),
       ("g", 4, Some(4.0)), ("g", 5, None)).toDF("grp", "t", "v")
