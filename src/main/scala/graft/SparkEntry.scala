@@ -1080,6 +1080,34 @@ object SparkEntry {
           regexp_replace(col("text"), emailRe, "<EMAIL>"),
           numRe, "<NUM>")).as("redacted_md5"))
     }),
+    // ---- deterministic global corpus shuffle (training order): hash
+    // order via distributedRank — scale-safe, seed-reproducible
+    "q122_corpus_shuffle" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("shuf42")))
+          .as("hk"))
+      Analytics.distributedRank(keyed,
+          Seq(col("hk").asc, col("doc_id").asc), rankCol = "position")
+        .select(col("position"), col("doc_id"))
+    }),
+    // ---- perplexity-style quality cut: keep docs at or above their
+    // source's median unigram-LM score (the q104 signal as a filter)
+    "q123_lm_filter" -> ((s, dir) => {
+      val words = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+      val lp = words.join(freq, "word")
+        .groupBy("doc_id", "source")
+        .agg(round(DetAgg.detAvg(
+          log(col("cnt").cast("double") / lit(total.toDouble))), 6)
+          .as("logprob"))
+      val med = lp.groupBy("source")
+        .agg(round(expr("percentile(logprob, 0.5)"), 6).as("__med"))
+      lp.join(broadcast(med), "source")
+        .where(col("logprob") >= col("__med"))
+        .select(col("doc_id"), col("source"), col("logprob"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2013,6 +2041,27 @@ object SparkEntry {
            |    '<EMAIL>', 'g'), '$numRe', '<NUM>', 'g')) AS redacted_md5
            |FROM documents""".stripMargin
       },
+      "q122_corpus_shuffle" ->
+        """SELECT CAST(row_number() OVER (
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuf42') ASC,
+          |      doc_id ASC) AS BIGINT) AS position, doc_id
+          |FROM documents""".stripMargin,
+      "q123_lm_filter" ->
+        s"""WITH w AS (SELECT doc_id, source,
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |f AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+           |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+           |lp AS (SELECT doc_id, source,
+           |    round(${dAvg("ln(CAST(cnt AS DOUBLE) / total)")}, 6)
+           |      AS logprob
+           |  FROM w JOIN f USING (word) CROSS JOIN t
+           |  GROUP BY 1, 2),
+           |m AS (SELECT source, round(median(logprob), 6) AS med
+           |      FROM lp GROUP BY 1)
+           |SELECT doc_id, lp.source, logprob
+           |FROM lp JOIN m USING (source)
+           |WHERE logprob >= med""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,
