@@ -1108,6 +1108,41 @@ object SparkEntry {
         .where(col("logprob") >= col("__med"))
         .select(col("doc_id"), col("source"), col("logprob"))
     }),
+    // ---- two-level re-aggregation (the materialized-view pattern):
+    // daily partials roll up to monthly EXACTLY — DetAgg's decimal sums
+    // are associative, so the oracle is the DIRECT monthly aggregate
+    "q124_partial_reagg" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(DetAgg.detSum(col("value")).as("day_sum"),
+          count(col("value")).as("day_n"))
+      daily.groupBy(col("event_type"),
+          trunc(col("day"), "month").as("month"))
+        .agg(round(DetAgg.detSum(col("day_sum")), 6).as("sum_value"),
+          sum(col("day_n")).as("n"))
+    }),
+    // ---- ordered conversion funnel (view -> click -> purchase, each
+    // stage strictly after the previous and within a 3-day deadline;
+    // exact integer-µs compares)
+    "q125_funnel" -> ((s, dir) => {
+      val lim = 259200000000L // 3 days in µs
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
+      val s2 = ev.join(s1, "user_id").groupBy(col("user_id"), col("t1"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("us") > col("t1") && col("us") <= col("t1") + lim,
+          col("us"))).as("t2"))
+      val s3 = ev.join(s2, "user_id").groupBy(col("user_id"), col("t1"),
+          col("t2"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("us") > col("t2") && col("us") <= col("t2") + lim,
+          col("us"))).as("t3"))
+      s3.agg(count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked"),
+        count(col("t3")).as("n_purchased"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2062,6 +2097,34 @@ object SparkEntry {
            |SELECT doc_id, lp.source, logprob
            |FROM lp JOIN m USING (source)
            |WHERE logprob >= med""".stripMargin,
+      "q124_partial_reagg" -> {
+        // DIRECT monthly aggregate — passing proves the daily partials
+        // re-aggregate losslessly (decimal sums are associative)
+        s"""SELECT event_type,
+           |  CAST(date_trunc('month', ts) AS DATE) AS month,
+           |  round(${dSum("value")}, 6) AS sum_value,
+           |  CAST(count(value) AS BIGINT) AS n
+           |FROM events
+           |GROUP BY 1, 2""".stripMargin
+      },
+      "q125_funnel" ->
+        """WITH e AS (SELECT user_id, event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |s1 AS (SELECT user_id,
+          |    min(CASE WHEN event_type = 'view' THEN us END) AS t1
+          |  FROM e GROUP BY 1),
+          |s2 AS (SELECT e.user_id, t1,
+          |    min(CASE WHEN event_type = 'click' AND us > t1
+          |      AND us <= t1 + 259200000000 THEN us END) AS t2
+          |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2),
+          |s3 AS (SELECT e.user_id, t1, t2,
+          |    min(CASE WHEN event_type = 'purchase' AND us > t2
+          |      AND us <= t2 + 259200000000 THEN us END) AS t3
+          |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+          |SELECT CAST(count(t1) AS BIGINT) AS n_viewed,
+          |  CAST(count(t2) AS BIGINT) AS n_clicked,
+          |  CAST(count(t3) AS BIGINT) AS n_purchased
+          |FROM s3""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,
