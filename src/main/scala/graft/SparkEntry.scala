@@ -1143,6 +1143,32 @@ object SparkEntry {
         count(col("t2")).as("n_clicked"),
         count(col("t3")).as("n_purchased"))
     }),
+    // ---- SCD/CDC upsert merge (the MERGE INTO shape): one full-outer
+    // key join + column coalesce; updates win, inserts pass through
+    "q126_upsert_merge" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val updates = base.where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * lit(1.1), 6).as("o_totalprice"),
+          lit("R").as("o_orderstatus"))
+        .unionByName(base.where(pmod(col("o_orderkey"), lit(17)) === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus")))
+      val u = updates.columns.foldLeft(updates) { (d, c) =>
+        d.withColumnRenamed(c, s"u_$c")
+      }
+      base.join(u, col("o_orderkey") === col("u_o_orderkey"),
+          "full_outer")
+        .select(
+          coalesce(col("u_o_orderkey"), col("o_orderkey")).as("o_orderkey"),
+          coalesce(col("u_o_custkey"), col("o_custkey")).as("o_custkey"),
+          coalesce(col("u_o_totalprice"), col("o_totalprice"))
+            .as("o_totalprice"),
+          coalesce(col("u_o_orderstatus"), col("o_orderstatus"))
+            .as("o_orderstatus"),
+          col("u_o_orderkey").isNotNull.cast("long").as("was_upserted"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2125,6 +2151,23 @@ object SparkEntry {
           |  CAST(count(t2) AS BIGINT) AS n_clicked,
           |  CAST(count(t3) AS BIGINT) AS n_purchased
           |FROM s3""".stripMargin,
+      "q126_upsert_merge" ->
+        """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice,
+          |      o_orderstatus FROM orders),
+          |u AS (
+          |  SELECT o_orderkey, o_custkey,
+          |    round(o_totalprice * 1.1, 6) AS o_totalprice,
+          |    'R' AS o_orderstatus
+          |  FROM b WHERE o_orderkey % 10 = 0
+          |  UNION ALL
+          |  SELECT -o_orderkey, o_custkey, o_totalprice, 'N'
+          |  FROM b WHERE o_orderkey % 17 = 0)
+          |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+          |  coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+          |  coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+          |  coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+          |  CAST(u.o_orderkey IS NOT NULL AS BIGINT) AS was_upserted
+          |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,
