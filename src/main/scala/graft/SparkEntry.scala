@@ -1169,6 +1169,29 @@ object SparkEntry {
             .as("o_orderstatus"),
           col("u_o_orderkey").isNotNull.cast("long").as("was_upserted"))
     }),
+    // ---- graph analytics: triangle count over the shared-substring
+    // dedup graph (x<y<z ordering counts each triangle exactly once;
+    // two edge-keyed equi-joins, no cartesian — the edge-iterator shape)
+    "q127_triangles" -> ((s, dir) => {
+      val e = Dedup.sharedSubstringPairs(t(s, dir, "documents"), "text",
+        "doc_id", windowLen = 50, minShared = 1, docFreqCap = 1000)
+        .select(col("a"), col("b"))
+      val e1 = e.select(col("a").as("x"), col("b").as("y"))
+      val e2 = e.select(col("a").as("y"), col("b").as("z"))
+      val e3 = e.select(col("a").as("x"), col("b").as("z"))
+      val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+    // ---- per-dimension embedding quantiles (drift / collapse check)
+    "q128_dim_quantiles" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy((col("i") + 1).cast("long").as("dim"))
+        .agg(round(expr("percentile(CAST(v AS DOUBLE), 0.5)"), 6).as("p50"),
+          round(min(col("v")).cast("double"), 6).as("vmin"),
+          round(max(col("v")).cast("double"), 6).as("vmax"),
+          round(DetAgg.detAvg(col("v").cast("double")), 6).as("vmean"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2168,6 +2191,37 @@ object SparkEntry {
           |  coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
           |  CAST(u.o_orderkey IS NOT NULL AS BIGINT) AS was_upserted
           |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey""".stripMargin,
+      "q127_triangles" ->
+        """WITH w AS (
+          |  SELECT DISTINCT doc_id, win FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE length(text) >= 50)),
+          |elig AS (SELECT win FROM w GROUP BY win
+          |         HAVING count(*) BETWEEN 2 AND 1000),
+          |e AS (
+          |  SELECT l.doc_id AS a, r.doc_id AS b
+          |  FROM w l JOIN w r ON l.win = r.win AND l.doc_id < r.doc_id
+          |  WHERE l.win IN (SELECT win FROM elig)
+          |  GROUP BY 1, 2)
+          |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+          |  CAST((SELECT count(*) FROM e e1
+          |    JOIN e e2 ON e1.b = e2.a
+          |    JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT)
+          |    AS n_triangles""".stripMargin,
+      "q128_dim_quantiles" -> {
+        s"""SELECT CAST(i AS BIGINT) AS dim,
+           |  round(quantile_cont(CAST(v AS DOUBLE), 0.5), 6) AS p50,
+           |  round(CAST(min(v) AS DOUBLE), 6) AS vmin,
+           |  round(CAST(max(v) AS DOUBLE), 6) AS vmax,
+           |  round(${dAvg("CAST(v AS DOUBLE)")}, 6) AS vmean
+           |FROM (SELECT unnest(embedding) AS v,
+           |        generate_subscripts(embedding, 1) AS i
+           |      FROM embeddings)
+           |GROUP BY 1""".stripMargin
+      },
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,

@@ -75,6 +75,16 @@ object StreamOps {
         col("r_event_id"), col("r_ts"), col("r_value"))
   }
 
+  /** Stream–static dimension enrichment: broadcast-join the (bounded)
+    * dimension table onto the stream. Stateless — no watermark needed —
+    * and the canonical shape for decorating a 100 TB/day event stream
+    * with reference data: the dim broadcasts once per micro-batch, the
+    * stream never shuffles. (For a LARGE dimension, pre-bucket both
+    * sides instead; this helper is the small-dim path.) */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      keyCol: String): DataFrame =
+    events.join(broadcast(dim), keyCol)
+
   /** Streaming dedup keyed by `idCols` with bounded state:
     * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only until
     * the watermark passes it — the streaming twin of the batch exact-dedup

@@ -171,6 +171,25 @@ class StreamingSpec extends SparkTestBase {
     assert(starts >= 4)
   }
 
+  test("stream-static dim enrichment: stream == batch, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "wgt")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.enrichWithDim(df, dim, "event_type")
+        .select($"event_id", ($"value" * $"wgt").as("scored"))
+    val stream = MemoryStream[Ev]
+    val q = score(stream.toDF())
+      .writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").start()
+    stream.addData(events: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM stream_enrich ORDER BY event_id").collect()
+    val batch = score(events.toDF()).orderBy("event_id").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(batch.length == events.size) // every event matched the dim
+  }
+
   test("streaming curation pipeline: stream == batch") {
     // the q61/q87 shape on a live stream: fingerprint-dedup (bounded
     // watermark state) -> quality filter -> chunk. Only the dedup stage
