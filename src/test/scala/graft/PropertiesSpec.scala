@@ -126,4 +126,50 @@ class PropertiesSpec extends SparkTestBase {
       }
     }, n = 60)
   }
+
+  // ---- DataFrame-operator properties: each trial runs Spark jobs, so
+  // trials are few and inputs small (the oracle gate covers scale).
+
+  test("property: interpolateLinear is the identity on null-free input") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v) }
+        .toDF("grp", "t", "v")
+      val got = graft.operators.WindowOps
+        .interpolateLinear(df, "v", Seq("grp"), Seq("t"))
+        .orderBy("t").select("interp").as[Double].collect().toSeq
+      got == vs
+    }, n = 8)
+  }
+
+  test("property: quantileNormalize lands in (0,1) and preserves order") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0))) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v) }
+        .toDF("grp", "id", "v")
+      val got = graft.operators.Analytics
+        .quantileNormalize(df, "v", Seq("grp"), Seq("id"))
+        .orderBy("v", "id").select("quantile").as[Double].collect().toSeq
+      got.forall(q => q > 0.0 && q < 1.0) && got == got.sorted &&
+        got.distinct.size == got.size // ranks unique under the tie-break
+    }, n = 8)
+  }
+
+  test("property: keySkewReport gini is 0 for uniform keys, in [0,1)") {
+    import spark.implicits._
+    val countsGen = Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 20)))
+    check(Prop.forAll(countsGen, Gen.oneOf(true, false)) { (counts, unif) =>
+      val cs = if (unif) counts.map(_ => counts.head) else counts
+      val rows = cs.zipWithIndex.flatMap { case (c, k) =>
+        Seq.fill(c)(s"k$k")
+      }
+      val row = graft.operators.Analytics
+        .keySkewReport(rows.toDF("k"), "k").collect().head
+      val gini = row.getAs[Double]("gini")
+      val uniformOk = !unif || cs.isEmpty || math.abs(gini) < 1e-9
+      gini >= -1e-9 && gini < 1.0 && uniformOk &&
+        row.getAs[Long]("n_rows") == rows.size.toLong
+    }, n = 8)
+  }
 }
