@@ -1192,6 +1192,10 @@ object SparkEntry {
           round(min(col("v")).cast("double"), 6).as("vmin"),
           round(max(col("v")).cast("double"), 6).as("vmax"),
           round(DetAgg.detAvg(col("v").cast("double")), 6).as("vmean"))),
+    // ---- custom state: streaming upsert view, batch mode (the stateful
+    // twin of q120 — one O(1) record of state per key)
+    "q129_stream_latest" -> ((s, dir) =>
+      graft.streaming.StreamLatest.batch(t(s, dir, "events")).toDF()),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2222,6 +2226,13 @@ object SparkEntry {
            |      FROM embeddings)
            |GROUP BY 1""".stripMargin
       },
+      "q129_stream_latest" ->
+        """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |  event_id, value
+          |FROM (SELECT user_id, ts, event_id, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,

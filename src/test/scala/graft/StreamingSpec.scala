@@ -190,6 +190,37 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.length == events.size) // every event matched the dim
   }
 
+  test("streaming upsert view: last snapshot per key == batch compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.StreamLatest.streaming(stream.toDF()).toDF()
+      .writeStream.format("memory").queryName("stream_latest")
+      .outputMode("append").start()
+    val evs = Seq(ev(0, 1, "click", user = 1L, value = 1.0),
+      ev(1, 5, "view", user = 1L, value = 2.0),
+      ev(2, 3, "view", user = 2L, value = 3.0))
+    stream.addData(evs: _*)
+    q.processAllAvailable()
+    // batch 2: user 1 gets a NEWER event (state must advance), user 2 an
+    // OLDER one (state must hold the batch-1 winner)
+    stream.addData(ev(3, 9, "click", user = 1L, value = 9.0),
+      ev(4, 2, "click", user = 2L, value = 4.0))
+    q.processAllAvailable(); q.stop()
+    // append-mode changelog: the final snapshot per key is the row with
+    // the greatest us (snapshots are monotone under the upsert order)
+    val streamed = spark.sql(
+      """SELECT user_id, us, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM stream_latest)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin).collect()
+    val batch = graft.streaming.StreamLatest
+      .batch((evs :+ ev(3, 9, "click", user = 1L, value = 9.0)
+        :+ ev(4, 2, "click", user = 2L, value = 4.0)).toDF())
+      .toDF().orderBy("user_id").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(batch.map(_.getLong(2)).toSeq == Seq(3L, 2L)) // winning events
+  }
+
   test("streaming curation pipeline: stream == batch") {
     // the q61/q87 shape on a live stream: fingerprint-dedup (bounded
     // watermark state) -> quality filter -> chunk. Only the dedup stage
