@@ -1196,6 +1196,34 @@ object SparkEntry {
     // twin of q120 — one O(1) record of state per key)
     "q129_stream_latest" -> ((s, dir) =>
       graft.streaming.StreamLatest.batch(t(s, dir, "events")).toDF()),
+    // ---- embedding class-separation report: mean distance of each
+    // vector to its label centroid (collapse / mislabel diagnostic)
+    "q130_label_separation" -> ((s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "v0")))
+        .withColumn("v", col("v0").cast("double"))
+      val cent = dims.groupBy(col("label"), col("i"))
+        .agg(DetAgg.detAvg(col("v")).as("c"))
+      val d2 = dims.join(cent, Seq("label", "i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(DetAgg.detSum((col("v") - col("c")) * (col("v") - col("c")))
+          .as("d2"))
+      d2.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(DetAgg.detAvg(sqrt(col("d2"))), 6).as("mean_dist"))
+    }),
+    // ---- per-day approximate distinct users, error-gated (the q59
+    // sketch under a time window — the dashboard cardinality shape)
+    "q131_window_distinct" -> ((s, dir) =>
+      out(t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_users"),
+          (abs(col("__approx") - col("n_users")).cast("double")
+            / col("n_users") <= lit(0.1)).cast("long").as("within_tol")))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2233,6 +2261,25 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY user_id
           |      ORDER BY ts DESC, event_id DESC) AS rn
           |  FROM events) WHERE rn = 1""".stripMargin,
+      "q130_label_separation" -> {
+        s"""WITH d AS (SELECT vec_id, label,
+           |    generate_subscripts(embedding, 1) AS i,
+           |    CAST(unnest(embedding) AS DOUBLE) AS v
+           |  FROM embeddings),
+           |c AS (SELECT label, i, ${dAvg("v")} AS c FROM d GROUP BY 1, 2),
+           |d2 AS (SELECT vec_id, d.label,
+           |    ${dSum("(v - c) * (v - c)")} AS d2
+           |  FROM d JOIN c USING (label, i) GROUP BY 1, 2)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n,
+           |  round(${dAvg("sqrt(d2)")}, 6) AS mean_dist
+           |FROM d2 GROUP BY 1""".stripMargin
+      },
+      "q131_window_distinct" ->
+        """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+          |  event_type,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |  CAST(1 AS BIGINT) AS within_tol
+          |FROM events GROUP BY 1, 2""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,
