@@ -1224,6 +1224,10 @@ object SparkEntry {
           col("n_users"),
           (abs(col("__approx") - col("n_users")).cast("double")
             / col("n_users") <= lit(0.1)).cast("long").as("within_tol")))),
+    // ---- the reference's own workflow end-to-end: time series →
+    // daily resample → min-max normalize (S1→A5→P8 composed)
+    "q132_energy_pipeline" -> ((s, dir) =>
+      out(eventsTsSeries(s, dir).resample("1 day").normalize().df)),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2280,6 +2284,16 @@ object SparkEntry {
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
           |  CAST(1 AS BIGINT) AS within_tol
           |FROM events GROUP BY 1, 2""".stripMargin,
+      "q132_energy_pipeline" -> {
+        // CASE mirrors EnergySeries.normalize's hi == lo -> 0.0 guard
+        s"""WITH m AS (SELECT time_bucket(INTERVAL '1 day', ts) AS ts,
+           |    ${dAvg("value")} AS value
+           |  FROM events GROUP BY 1),
+           |b AS (SELECT min(value) AS mn, max(value) AS mx FROM m)
+           |SELECT ts, CASE WHEN mx = mn THEN 0.0
+           |  ELSE (value - mn) / (mx - mn) END AS value
+           |FROM m CROSS JOIN b""".stripMargin
+      },
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,
