@@ -52,15 +52,23 @@ object Bench {
     def shortKey(n: String): String = n.takeWhile(_ != '_')
     val shorts = results.map { case (k, _) => shortKey(k) }
     val unique = shorts.distinct.size == shorts.size
-    val qs = results.map { case (k, v) =>
-      "\"" + (if (unique) shortKey(k) else k) + "\":" + f"$v%.2f"
-    }.mkString("{", ",", "}")
     val detail = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    def mkLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + (if (unique) shortKey(k) else k) + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    }
+    // degrade per-query precision rather than ever exceeding the capture
+    // window (totals keep 2 decimals; the full-precision map is in
+    // BENCH_DETAIL.json regardless)
+    val line = Seq[Double => String](v => f"$v%.2f", v => f"$v%.1f")
+      .map(mkLine).find(_.length <= 1700)
+      .getOrElse(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"errors":$errors,"sf":"$sfDir"}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
