@@ -69,6 +69,18 @@ object SparkEntry {
     EnergySeries(t(s, dir, "events").select(col("ts"), col("event_type"),
       col("value")), Seq("ts"), "value")
 
+  /** Hourly (click, view) mean-value pivot — the reduced two-column
+    * matrix q133/q134 correlate (same cell formula as q100). */
+  private def hourlyXY(s: SparkSession, dir: String): DataFrame = {
+    def cell(typ: String, as: String) =
+      (sum(when(col("event_type") === typ, col("value")).cast(DetAgg.Dec))
+        .cast("double") /
+        count(when(col("event_type") === typ, col("value")))).as(as)
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("ts"))
+      .agg(cell("click", "x"), cell("view", "y"))
+  }
+
   // ======================================================== flagship entry
 
   /** Flagship on sf0.001: ReportData-style ingest of the events stream →
@@ -1233,6 +1245,18 @@ object SparkEntry {
     // daily resample → min-max normalize (S1→A5→P8 composed)
     "q132_energy_pipeline" -> ((s, dir) =>
       out(eventsTsSeries(s, dir).resample("1 day").normalize().df)),
+    // ---- pandas rolling(n).corr() analog: trailing-24h correlation of
+    // the click and view hourly profiles
+    "q133_rolling_corr" -> ((s, dir) =>
+      out(WindowOps.rollingCorrelation(hourlyXY(s, dir), "x", "y",
+          n = 24, partitionCols = Seq(), orderCols = Seq("ts"))
+        .select(col("ts"), col("roll_corr")))),
+    // ---- cross-correlation at leads 0..3: does click activity LEAD
+    // view activity? (the lagged-driver diagnostic; ACF's two-series twin)
+    "q134_xcorr" -> ((s, dir) =>
+      Analytics.crossCorrelation(hourlyXY(s, dir), "x", "y",
+        partitionCols = Seq(), orderCols = Seq("ts"),
+        leads = Seq(0, 1, 2, 3))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2298,6 +2322,65 @@ object SparkEntry {
            |SELECT ts, CASE WHEN mx = mn THEN 0.0
            |  ELSE (value - mn) / (mx - mn) END AS value
            |FROM m CROSS JOIN b""".stripMargin
+      },
+      "q133_rolling_corr" -> {
+        val both = "x IS NOT NULL AND y IS NOT NULL"
+        def dsumw(e: String) =
+          s"CAST(SUM(CAST(CASE WHEN $both THEN $e END AS DECIMAL(30,6))) OVER w AS DOUBLE)"
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts,
+           |    ${dSum("CASE WHEN event_type = 'click' THEN value END")}
+           |      / COUNT(CASE WHEN event_type = 'click' THEN value END) AS x,
+           |    ${dSum("CASE WHEN event_type = 'view' THEN value END")}
+           |      / COUNT(CASE WHEN event_type = 'view' THEN value END) AS y
+           |  FROM events GROUP BY 1),
+           |s AS (SELECT ts,
+           |    CAST(count(CASE WHEN $both THEN 1 END) OVER w AS DOUBLE) AS n,
+           |    ${dsumw("x")} AS sx, ${dsumw("y")} AS sy,
+           |    ${dsumw("x * y")} AS sxy, ${dsumw("x * x")} AS sxx,
+           |    ${dsumw("y * y")} AS syy
+           |  FROM h
+           |  WINDOW w AS (ORDER BY ts
+           |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+           |SELECT ts,
+           |  round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0.0
+           |      AND (n * syy - sy * sy) > 0.0
+           |    THEN (n * sxy - sx * sy)
+           |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+           |    END, 6) AS roll_corr
+           |FROM s""".stripMargin
+      },
+      "q134_xcorr" -> {
+        val leads = Seq(0, 1, 2, 3)
+        def pair(k: Int) = s"x IS NOT NULL AND l$k IS NOT NULL"
+        def stats(k: Int) = Seq(
+          s"count(CASE WHEN ${pair(k)} THEN 1 END) AS n$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN x END")} AS sx$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN l$k END")} AS sy$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN x * l$k END")} AS sxy$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN x * x END")} AS sxx$k",
+          s"${dSum(s"CASE WHEN ${pair(k)} THEN l$k * l$k END")} AS syy$k")
+        def xc(k: Int) = {
+          val n = s"CAST(n$k AS DOUBLE)"
+          val cov = s"($n * sxy$k - sx$k * sy$k)"
+          val vx = s"($n * sxx$k - sx$k * sx$k)"
+          val vy = s"($n * syy$k - sy$k * sy$k)"
+          s"round(CASE WHEN n$k >= 2 AND $vx > 0.0 AND $vy > 0.0 " +
+            s"THEN $cov / sqrt($vx * $vy) END, 6) AS xcorr_$k"
+        }
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts,
+           |    ${dSum("CASE WHEN event_type = 'click' THEN value END")}
+           |      / COUNT(CASE WHEN event_type = 'click' THEN value END) AS x,
+           |    ${dSum("CASE WHEN event_type = 'view' THEN value END")}
+           |      / COUNT(CASE WHEN event_type = 'view' THEN value END) AS y
+           |  FROM events GROUP BY 1),
+           |l AS (SELECT x,
+           |    ${leads.map(k => s"lead(y, $k) OVER (ORDER BY ts) AS l$k").mkString(",\n    ")}
+           |  FROM h),
+           |a AS (SELECT
+           |    ${leads.flatMap(stats).mkString(",\n    ")}
+           |  FROM l)
+           |SELECT ${leads.map(xc).mkString(",\n  ")}
+           |FROM a""".stripMargin
       },
       "q103_stream_anomaly" ->
         """WITH x AS (

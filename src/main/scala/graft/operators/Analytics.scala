@@ -78,6 +78,50 @@ object Analytics {
     }
   }
 
+  /** Cross-correlation of two columns at the given non-negative leads:
+    * for each k, Pearson r between x(t) and y(t+k) — "does x lead y by
+    * k steps?" (the lagged-driver diagnostic; [[autocorrelation]] is the
+    * x = y special case). Same one-window + same-key-aggregate shape as
+    * ACF: the lead columns share one window pass and the aggregate
+    * reuses its partitioning. */
+  def crossCorrelation(df: DataFrame, xCol: String, yCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      leads: Seq[Int]): DataFrame = {
+    require(leads.nonEmpty && leads.forall(_ >= 0) &&
+      leads.distinct.size == leads.size, "leads must be distinct and >= 0")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(xCol)
+    val led = leads.foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"__lead$k", lead(col(yCol), k).over(w))
+    }
+    val aggs = leads.flatMap { k =>
+      val y = col(s"__lead$k")
+      val pair = x.isNotNull && y.isNotNull
+      Seq(
+        count(when(pair, lit(1))).as(s"__n$k"),
+        DetAgg.detSum(when(pair, x)).as(s"__sx$k"),
+        DetAgg.detSum(when(pair, y)).as(s"__sy$k"),
+        DetAgg.detSum(when(pair, x * y)).as(s"__sxy$k"),
+        DetAgg.detSum(when(pair, x * x)).as(s"__sxx$k"),
+        DetAgg.detSum(when(pair, y * y)).as(s"__syy$k"))
+    }
+    val base =
+      if (partitionCols.isEmpty) led.agg(aggs.head, aggs.tail: _*)
+      else led.groupBy(partitionCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    leads.foldLeft(base) { (acc, k) =>
+      val n = col(s"__n$k").cast("double")
+      val cov = n * col(s"__sxy$k") - col(s"__sx$k") * col(s"__sy$k")
+      val vx = n * col(s"__sxx$k") - col(s"__sx$k") * col(s"__sx$k")
+      val vy = n * col(s"__syy$k") - col(s"__sy$k") * col(s"__sy$k")
+      acc.withColumn(s"xcorr_$k",
+        round(when(col(s"__n$k") >= 2 && vx > 0.0 && vy > 0.0,
+          cov / sqrt(vx * vy)), 6))
+        .drop(s"__n$k", s"__sx$k", s"__sy$k", s"__sxy$k", s"__sxx$k",
+          s"__syy$k")
+    }
+  }
+
   /** Per-group robust outlier report via the median absolute deviation:
     * a point is an outlier when |x − median| > cutoff · 1.4826 · MAD
     * (1.4826 scales MAD to σ under normality). Three grouped aggregates

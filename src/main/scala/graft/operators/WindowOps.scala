@@ -166,6 +166,35 @@ object WindowOps {
       .drop("__rn", "__pr", "__pv", "__nr", "__nv")
   }
 
+  /** Rolling Pearson correlation of two columns over the trailing `n`
+    * rows (the pandas `rolling(n).corr()` analog), pairwise-complete.
+    * The six sufficient statistics are window aggregates sharing ONE
+    * frame — Spark evaluates bounded-preceding ROWS frames incrementally
+    * (never the O(n²) unbounded-following shape), so cost is O(rows).
+    * With empty `partitionCols` the window is single-partition: meant
+    * for already-reduced matrices (hourly/daily pivots), same contract
+    * as `ldcWindowed`. */
+  def rollingCorrelation(df: DataFrame, xCol: String, yCol: String,
+      n: Int, partitionCols: Seq[String], orderCols: Seq[String],
+      as: String = "roll_corr"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(xCol); val y = col(yCol)
+    val pair = x.isNotNull && y.isNotNull
+    def dsumw(c: Column) =
+      sum(when(pair, c).cast(DetAgg.Dec)).over(w).cast("double")
+    val cnt = count(when(pair, lit(1))).over(w).cast("double")
+    val sx = dsumw(x); val sy = dsumw(y)
+    val sxy = dsumw(x * y); val sxx = dsumw(x * x); val syy = dsumw(y * y)
+    val cov = cnt * sxy - sx * sy
+    val vx = cnt * sxx - sx * sx
+    val vy = cnt * syy - sy * sy
+    df.withColumn(as,
+      round(when(cnt >= 2.0 && vx > 0.0 && vy > 0.0,
+        cov / sqrt(vx * vy)), 6))
+  }
+
   /** Forward-fill (the pandas `ffill` analog): each null takes the most
     * recent non-null value within its partition — a keyed running-last,
     * so state per partition is one value and the shuffle is the window's

@@ -142,6 +142,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(pairs.head.getAs[Long]("rank_dist") >= 1L)
   }
 
+  test("crossCorrelation: identical series at lead 0, inverted at lead 1") {
+    val df = (1 to 12).map(i => (i, (i % 2).toDouble, (i % 2).toDouble))
+      .toDF("t", "x", "y")
+    val row = Analytics.crossCorrelation(df, "x", "y", Seq(), Seq("t"),
+      Seq(0, 1)).collect().head
+    assert(row.getAs[Double]("xcorr_0") == 1.0)
+    assert(row.getAs[Double]("xcorr_1") == -1.0)
+  }
+
+  test("rollingCorrelation: co-linear columns give 1 once n >= 2") {
+    val df = (1 to 6).map(i => (i, i.toDouble, 2.0 * i + 3.0))
+      .toDF("t", "x", "y")
+    val got = WindowOps.rollingCorrelation(df, "x", "y", n = 3,
+        Seq(), Seq("t"))
+      .orderBy("t").select("roll_corr").collect()
+    assert(got.head.isNullAt(0)) // single point: undefined
+    assert(got.tail.forall(_.getDouble(0) == 1.0))
+  }
+
   test("interpolateLinear fills interior gaps linearly, edges flat") {
     val df = Seq(("g", 1, Some(1.0)), ("g", 2, None), ("g", 3, None),
       ("g", 4, Some(4.0)), ("g", 5, None)).toDF("grp", "t", "v")
