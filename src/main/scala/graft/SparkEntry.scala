@@ -1257,6 +1257,13 @@ object SparkEntry {
       Analytics.crossCorrelation(hourlyXY(s, dir), "x", "y",
         partitionCols = Seq(), orderCols = Seq("ts"),
         leads = Seq(0, 1, 2, 3))),
+    // ---- pandas rolling(n).quantile(0.5) analog: trailing-24 median
+    // per event type (robust smoothing band)
+    "q135_rolling_median" -> ((s, dir) =>
+      WindowOps.rollingQuantile(t(s, dir, "events"), "value", q = 0.5,
+          n = 24, Seq("event_type"), Seq("ts", "event_id"),
+          as = "roll_median")
+        .select(col("event_id"), col("event_type"), col("roll_median"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2382,6 +2389,13 @@ object SparkEntry {
            |SELECT ${leads.map(xc).mkString(",\n  ")}
            |FROM a""".stripMargin
       },
+      "q135_rolling_median" ->
+        """SELECT event_id, event_type,
+          |  round(quantile_cont(value, 0.5) OVER (
+          |    PARTITION BY event_type ORDER BY ts, event_id
+          |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+          |    AS roll_median
+          |FROM events""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,

@@ -195,6 +195,24 @@ object WindowOps {
         cov / sqrt(vx * vy)), 6))
   }
 
+  /** Rolling quantile over the trailing `n` rows (the pandas
+    * `rolling(n).quantile(q)` analog): exact interpolated percentile per
+    * bounded ROWS frame. The frame is bounded (never unbounded-
+    * following), so the per-row buffer is ≤ n values — cost O(rows · n)
+    * with O(n) state, keyed and partitioned by the caller's group. The
+    * quantile rounds to 6 decimals (the engine's strict-compare
+    * discipline for interpolated statistics). */
+  def rollingQuantile(df: DataFrame, valueCol: String, q: Double, n: Int,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      as: String = "roll_q"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.withColumn(as,
+      round(expr(s"percentile($valueCol, $q)").over(w), 6))
+  }
+
   /** Forward-fill (the pandas `ffill` analog): each null takes the most
     * recent non-null value within its partition — a keyed running-last,
     * so state per partition is one value and the shuffle is the window's

@@ -161,6 +161,14 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.tail.forall(_.getDouble(0) == 1.0))
   }
 
+  test("rollingQuantile: trailing-3 medians over 1..5") {
+    val df = (1 to 5).map(i => ("g", i, i.toDouble)).toDF("grp", "t", "v")
+    val got = WindowOps.rollingQuantile(df, "v", q = 0.5, n = 3,
+        Seq("grp"), Seq("t"))
+      .orderBy("t").select("roll_q").as[Double].collect().toSeq
+    assert(got == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
+  }
+
   test("interpolateLinear fills interior gaps linearly, edges flat") {
     val df = Seq(("g", 1, Some(1.0)), ("g", 2, None), ("g", 3, None),
       ("g", 4, Some(4.0)), ("g", 5, None)).toDF("grp", "t", "v")
