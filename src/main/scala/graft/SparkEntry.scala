@@ -1264,6 +1264,51 @@ object SparkEntry {
           n = 24, Seq("event_type"), Seq("ts", "event_id"),
           as = "roll_median")
         .select(col("event_id"), col("event_type"), col("roll_median"))),
+    // ---- dedup-group size histogram (how big are the duplicate
+    // clusters? — the dedup-health dashboard number)
+    "q136_component_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+      val comp = Dedup.duplicateComponents(pairs, "a", "b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+    }),
+    // ---- representative selection: keep the HIGHEST-QUALITY doc of
+    // each duplicate group (not min-id) — the curation-grade dedup keep
+    "q137_best_rep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+      val comp = Dedup.duplicateComponents(pairs, "a", "b")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("component"), col("doc_id"), col("quality"))
+    }),
+    // ---- approximate query processing: deterministic 10% hash sample
+    // estimates the mean; estimator and truth in one pass, reproducible
+    // on any engine (the md5 band IS the sample definition)
+    "q138_aqp_sample" -> ((s, dir) => {
+      val band = conv(substring(md5(concat(col("event_id").cast("string"),
+        lit("aqp"))), 1, 8), 16, 10).cast("long") % 100
+      val in = band < 10
+      t(s, dir, "events").agg(
+        count(when(in, lit(1))).as("n_sample"),
+        round(DetAgg.detSum(when(in, col("value")))
+          / count(when(in, col("value"))), 6).as("est_mean"),
+        round(DetAgg.detAvg(col("value")), 6).as("exact_mean"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2396,6 +2441,63 @@ object SparkEntry {
           |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
           |    AS roll_median
           |FROM events""".stripMargin,
+      "q136_component_sizes" ->
+        s"""WITH RECURSIVE np AS (${ngramPairsSql(0.5)}),
+           |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src),
+           |f AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+           |sz AS (SELECT component, count(*) AS size FROM f GROUP BY 1)
+           |SELECT CAST(size AS BIGINT) AS size,
+           |  CAST(count(*) AS BIGINT) AS n_components
+           |FROM sz GROUP BY 1""".stripMargin,
+      "q137_best_rep" ->
+        s"""WITH RECURSIVE np AS (${ngramPairsSql(0.5)}),
+           |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src),
+           |qc AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+           |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS nd,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+           |  FROM documents),
+           |q AS (SELECT doc_id,
+           |  round(least(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+           |                   ELSE nc / 10000.0 + 0.01 END, 1.0) * 0.25
+           |    + (alpha / greatest(nc, 1.0)) * 0.25
+           |    + (CASE WHEN alpha / greatest(nw, 1.0) >= 3
+           |             AND alpha / greatest(nw, 1.0) <= 10
+           |            THEN 1.0 ELSE 0.5 END) * 0.25
+           |    + (nd / greatest(nw, 1.0)) * 0.25, 6) AS quality
+           |  FROM qc),
+           |f AS (SELECT d.doc_id,
+           |    COALESCE(c.component, d.doc_id) AS component, q.quality
+           |  FROM documents d LEFT JOIN comp c USING (doc_id)
+           |  JOIN q USING (doc_id)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY component
+           |    ORDER BY quality DESC, doc_id ASC) AS rn FROM f)
+           |SELECT component, doc_id, quality FROM r WHERE rn = 1""".stripMargin,
+      "q138_aqp_sample" -> {
+        val inBand =
+          "CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'aqp'), 1, 8) AS BIGINT) % 100 < 10"
+        s"""SELECT
+           |  CAST(count(CASE WHEN $inBand THEN 1 END) AS BIGINT) AS n_sample,
+           |  round(${dSum(s"CASE WHEN $inBand THEN value END")}
+           |    / COUNT(CASE WHEN $inBand THEN value END), 6) AS est_mean,
+           |  round(${dAvg("value")}, 6) AS exact_mean
+           |FROM events""".stripMargin
+      },
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,
