@@ -1309,6 +1309,36 @@ object SparkEntry {
           / count(when(in, col("value"))), 6).as("est_mean"),
         round(DetAgg.detAvg(col("value")), 6).as("exact_mean"))
     }),
+    // ---- user-journey serialization: each user's time-ordered event
+    // sequence as one text row (behavioral-LM training shape). The
+    // struct array sorts by (us, event_id) — total order, so the
+    // serialized string is partition-independent.
+    "q139_journey" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(array_join(transform(array_sort(collect_list(
+            struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), " ").as("journey"),
+          count(lit(1)).as("n_events"))),
+    // ---- engagement retention: DAU / trailing-7-day WAU (stickiness).
+    // The day spine is tiny at any scale -> broadcast to the day-range
+    // join; per-(day, user) distinct happens BEFORE the fan-out.
+    "q140_retention" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      val wau = broadcast(days)
+        .join(du.withColumnRenamed("day", "d2"),
+          col("d2").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2498,6 +2528,26 @@ object SparkEntry {
            |  round(${dAvg("value")}, 6) AS exact_mean
            |FROM events""".stripMargin
       },
+      "q139_journey" ->
+        """SELECT user_id,
+          |  string_agg(event_type, ' '
+          |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+          |    AS journey,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM events GROUP BY 1""".stripMargin,
+      "q140_retention" ->
+        """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+          |      FROM events),
+          |days AS (SELECT DISTINCT day FROM du),
+          |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+          |        FROM days d JOIN du u
+          |          ON u.day BETWEEN d.day - 6 AND d.day
+          |        GROUP BY 1),
+          |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1)
+          |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+          |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+          |    AS stickiness
+          |FROM dau JOIN wau USING (day)""".stripMargin,
       "q103_stream_anomaly" ->
         """WITH x AS (
           |  SELECT event_id, value,
