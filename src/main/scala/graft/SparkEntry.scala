@@ -1339,6 +1339,22 @@ object SparkEntry {
           round(col("dau").cast("double") / col("wau").cast("double"), 6)
             .as("stickiness"))
     }),
+    // ---- PQ + ADC + exact re-rank ANN (Jégou TPAMI'11): the memory-
+    // side companion to IVF routing, recall-gated vs the exact top-k
+    // (cosine is scale-invariant, so the L2-normalized PQ ranking and
+    // the raw-vector exact ranking target the same neighbor set)
+    "q141_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val nemb = emb.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("embedding"))
+      val nq = nemb.where(col("vec_id") < 10)
+      recallGate(
+        Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5),
+        Similarity.pqTopK(nemb, nq, "vec_id", "embedding", k = 5,
+          m = 16, nbits = 4, shortlist = 50),
+        Seq("query_id", "neighbor_id"), threshold = 0.6) // measured 0.90
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1547,6 +1563,7 @@ object SparkEntry {
       "q29_sim_topk" -> topkSql,
       "q30_sim_lsh" -> gateSql(topkSql),
       "q33_sim_ivf" -> gateSql(topkSql),
+      "q141_pq_topk" -> gateSql(topkSql),
       "q18_discretize_kmeans" ->
         s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts, ${dAvg("value")} AS v
            |           FROM events GROUP BY 1)

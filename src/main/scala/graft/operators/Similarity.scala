@@ -209,6 +209,100 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Product-quantized ANN top-k (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI'11) — the memory-side companion
+    * to [[ivfTopK]]'s routing: the corpus is stored as m sub-vector
+    * codes (m · nbits bits per vector instead of 4·dim bytes), and each
+    * query scores candidates with the asymmetric distance computation:
+    * per-block lookup tables of query→centroid distances, summed by
+    * code index. At 100 TB this is what makes the candidate scan fit in
+    * memory — the full-precision vectors are only needed to TRAIN the
+    * codebooks (a bounded driver-side sample, same recipe as the IVF
+    * quantizer) and for optional re-ranking.
+    *
+    * Shapes: codebooks are driver [[LocalKMeans]] fits per block (zero
+    * Spark jobs); encoding and the LUTs are literal-array expressions
+    * (no UDFs — the dots go through the codegen'd VectorDot); scoring is
+    * a broadcast of the (tiny) query LUT table against the coded corpus
+    * + one window top-k. Rank by ADC distance ASC with id tie-break —
+    * deterministic, so the driver recall gate is stable. Callers who
+    * want cosine ranking should L2-normalize both sides first (then L2
+    * order == cosine order). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, nbits: Int = 4,
+      shortlist: Int = 0, sampleRows: Int = 1024, seed: Long = 42L)
+      : DataFrame = {
+    val ncent = 1 << nbits
+    val sample = corpus.orderBy(col(idCol)).limit(sampleRows)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTopK needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m blocks")
+    val sub = dim / m
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { b =>
+      val pts = sample.map(v => v.slice(b * sub, (b + 1) * sub))
+      LocalKMeans.fit(pts, ncent, seed + b)._2.toSeq.map(_.toSeq)
+    }
+    // slice is positional (1-based) and lambda-free: sub-vectors feed
+    // VectorDot directly (float array × double literal array)
+    def block(vec: Column, b: Int): Column = slice(vec, b * sub + 1, sub)
+    def dist2(xb: Column, c: Seq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      dot(xb, xb) - lit(2.0) * dot(xb, cl) + lit(c.map(x => x * x).sum)
+    }
+    def codeOf(vec: Column, b: Int): Column = {
+      val xb = block(vec, b)
+      val ds = books(b).zipWithIndex.map { case (c, i) =>
+        struct(dist2(xb, c).as("d"), lit(i).as("c"))
+      }
+      array_min(array(ds: _*)).getField("c")
+    }
+    def lutOf(vec: Column, b: Int): Column =
+      array(books(b).map(c => dist2(block(vec, b), c)): _*)
+
+    val coded = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until m).map(b => codeOf(col(vecCol), b).as(s"code$b")): _*)
+    val q = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map(b => lutOf(col(vecCol), b).as(s"lut$b")): _*)
+    val adc = (0 until m)
+      .map(b => element_at(col(s"lut$b"), col(s"code$b") + 1))
+      .reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adc, 6).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val pq = scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= math.max(k, shortlist))
+    if (shortlist <= k)
+      pq.select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+    else {
+      // exact re-rank of the ADC shortlist (the standard PQ deployment:
+      // codes prune 99%+ of the corpus, full-precision vectors score
+      // only |queries| · shortlist candidates). One id-keyed join pulls
+      // the candidate vectors; queries broadcast.
+      val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+      val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"))
+      val re = pq.select(col("query_id"), col("neighbor_id"))
+        .join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+            .as("cos_sim"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      re.withColumn("rank", row_number().over(w2).cast(LongType))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cos_sim"))
+    }
+  }
+
   /** LSH-bucketed near-duplicate pairs — the 100 TB path for
     * [[cosineNearDupPairs]]: only vectors sharing a bucket in ANY of
     * `numTables` hyperplane tables are compared (one self-join of the

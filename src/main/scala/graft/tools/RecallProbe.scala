@@ -59,6 +59,15 @@ object RecallProbe {
         Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
         Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, nprobe),
         Seq("query_id", "neighbor_id"))
+    val nemb = emb.select(col("vec_id"),
+      Similarity.l2Normalize(col("embedding")).as("embedding"))
+    val nq = nemb.where(col("vec_id") < 10)
+    for (m <- Seq(8, 16); sl <- Seq(0, 25, 50))
+      recall(s"q141_pq_topk_m${m}_sl$sl",
+        Similarity.cosineTopK(nemb, nq, "vec_id", "embedding", 5),
+        Similarity.pqTopK(nemb, nq, "vec_id", "embedding", 5,
+          m = m, nbits = 4, shortlist = sl),
+        Seq("query_id", "neighbor_id"))
     recall("q51_lsh_neardup",
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3),
       Similarity.lshNearDupPairs(emb, "vec_id", "embedding", threshold = 0.3,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, WindowOps}
+import graft.operators.{Analytics, Dedup, Similarity, WindowOps}
 
 /** Golden-value specs for the statistical / diagnostic operators — each
   * case is small enough to hand-compute, so the assertions pin exact
@@ -167,6 +167,23 @@ class AnalyticsSpec extends SparkTestBase {
         Seq("grp"), Seq("t"))
       .orderBy("t").select("roll_q").as[Double].collect().toSeq
     assert(got == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
+  }
+
+  test("pqTopK with full-width re-rank equals the exact top-k") {
+    // shortlist >= corpus means the ADC stage only PRUNES NOTHING and
+    // the exact re-rank decides everything — so the result must match
+    // cosineTopK exactly, whatever the codebooks did
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3)
+    val exact = Similarity.cosineTopK(df, q, "vec_id", "embedding", 4)
+      .orderBy("query_id", "rank").collect()
+    val pq = Similarity.pqTopK(df, q, "vec_id", "embedding", 4,
+        m = 2, nbits = 2, shortlist = 20, sampleRows = 20)
+      .orderBy("query_id", "rank").collect()
+    assert(pq.map(_.toString).toSeq == exact.map(_.toString).toSeq)
   }
 
   test("interpolateLinear fills interior gaps linearly, edges flat") {
