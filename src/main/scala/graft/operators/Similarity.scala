@@ -251,10 +251,16 @@ object Similarity {
       val cl = array(c.map(lit): _*)
       dot(xb, xb) - lit(2.0) * dot(xb, cl) + lit(c.map(x => x * x).sum)
     }
+    // argmin over centroids: the x·x term of the squared distance is
+    // constant across centroids and drops out — 16 fewer self-dots per
+    // block than scoring dist2 verbatim (the LUT keeps the full form:
+    // its values are real distances, not just an ordering)
     def codeOf(vec: Column, b: Int): Column = {
       val xb = block(vec, b)
       val ds = books(b).zipWithIndex.map { case (c, i) =>
-        struct(dist2(xb, c).as("d"), lit(i).as("c"))
+        val cl = array(c.map(lit): _*)
+        val score = lit(c.map(x => x * x).sum) - lit(2.0) * dot(xb, cl)
+        struct(score.as("d"), lit(i).as("c"))
       }
       array_min(array(ds: _*)).getField("c")
     }
