@@ -1355,6 +1355,14 @@ object SparkEntry {
           m = 16, nbits = 4, shortlist = 50),
         Seq("query_id", "neighbor_id"), threshold = 0.6) // measured 0.90
     }),
+    // ---- custom state: streaming funnel, batch mode (the stateful
+    // stream twin of q125 — same staged-min semantics, O(1)/key state)
+    "q142_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamFunnel
+        .batch(t(s, dir, "events"), deadlineUs = 259200000000L).toDF()
+        .agg(count(col("t1")).as("n_viewed"),
+          count(col("t2")).as("n_clicked"),
+          count(col("t3")).as("n_purchased"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1365,6 +1373,24 @@ object SparkEntry {
   // =========================================================== oracle SQL
 
   def oracleSql: Map[String, String] = {
+    val funnelSql =
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |  FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id, t1,
+        |    min(CASE WHEN event_type = 'click' AND us > t1
+        |      AND us <= t1 + 259200000000 THEN us END) AS t2
+        |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND us > t2
+        |      AND us <= t2 + 259200000000 THEN us END) AS t3
+        |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT CAST(count(t1) AS BIGINT) AS n_viewed,
+        |  CAST(count(t2) AS BIGINT) AS n_clicked,
+        |  CAST(count(t3) AS BIGINT) AS n_purchased
+        |FROM s3""".stripMargin
     val (ipK, ipB) = UnitRegistry.conversion(UnitRegistry.parse("W"),
       UnitRegistry.parse("Btu/h"))
     val hk3 = 1.0 - 1.0 / 3.0; val ck4 = 1.0 + 1.0 / 4.0
@@ -2320,24 +2346,10 @@ object SparkEntry {
            |FROM events
            |GROUP BY 1, 2""".stripMargin
       },
-      "q125_funnel" ->
-        """WITH e AS (SELECT user_id, event_type,
-          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-          |s1 AS (SELECT user_id,
-          |    min(CASE WHEN event_type = 'view' THEN us END) AS t1
-          |  FROM e GROUP BY 1),
-          |s2 AS (SELECT e.user_id, t1,
-          |    min(CASE WHEN event_type = 'click' AND us > t1
-          |      AND us <= t1 + 259200000000 THEN us END) AS t2
-          |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2),
-          |s3 AS (SELECT e.user_id, t1, t2,
-          |    min(CASE WHEN event_type = 'purchase' AND us > t2
-          |      AND us <= t2 + 259200000000 THEN us END) AS t3
-          |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
-          |SELECT CAST(count(t1) AS BIGINT) AS n_viewed,
-          |  CAST(count(t2) AS BIGINT) AS n_clicked,
-          |  CAST(count(t3) AS BIGINT) AS n_purchased
-          |FROM s3""".stripMargin,
+      "q125_funnel" -> funnelSql,
+      // the stateful stream twin folds the SAME staged-min semantics
+      // (q142 emits identical counts, so it shares the oracle)
+      "q142_stream_funnel" -> funnelSql,
       "q126_upsert_merge" ->
         """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice,
           |      o_orderstatus FROM orders),

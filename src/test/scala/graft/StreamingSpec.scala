@@ -221,6 +221,41 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.map(_.getLong(2)).toSeq == Seq(3L, 2L)) // winning events
   }
 
+  test("streaming funnel: stage machine advances across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val lim = 600000000L // 10 min deadline in µs
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.StreamFunnel
+      .streaming(stream.toDF(), deadlineUs = lim).toDF()
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("append").start()
+    val evs = Seq(
+      ev(0, 1, "view", user = 1L), ev(1, 5, "click", user = 1L),
+      ev(2, 2, "view", user = 2L),
+      ev(3, 30, "click", user = 2L)) // past user 2's deadline
+    stream.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    // batch 2: user 1 purchases within deadline (state must chain
+    // t1 -> t2 -> t3 across the batch boundary); user 2's late click
+    // must NOT advance
+    stream.addData(ev(4, 9, "purchase", user = 1L), evs(3))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      """SELECT user_id, t1, t2, t3 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY coalesce(t3, t2, t1, 0) DESC) AS rn
+        |  FROM stream_funnel) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin).collect()
+    val batch = graft.streaming.StreamFunnel
+      .batch((evs :+ ev(4, 9, "purchase", user = 1L)).toDF(),
+        deadlineUs = lim)
+      .toDF().select("user_id", "t1", "t2", "t3")
+      .orderBy("user_id").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(!batch(0).isNullAt(3)) // user 1 completed the funnel
+    assert(batch(1).isNullAt(2))  // user 2 never converted
+  }
+
   test("streaming curation pipeline: stream == batch") {
     // the q61/q87 shape on a live stream: fingerprint-dedup (bounded
     // watermark state) -> quality filter -> chunk. Only the dedup stage
