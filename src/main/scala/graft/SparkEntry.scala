@@ -2179,7 +2179,7 @@ object SparkEntry {
            |a AS (SELECT event_type, ${dAvg("gap_us")} AS avg_gap
            |      FROM d GROUP BY 1)
            |SELECT d.event_type, prev AS gap_start, ts AS gap_end, gap_us,
-           |  round(avg_gap, 6) AS avg_gap_us
+           |  round(avg_gap / 1000000.0, 6) AS avg_gap_sec
            |FROM d JOIN a USING (event_type)
            |WHERE CAST(gap_us AS DOUBLE) > 2.0 * avg_gap""".stripMargin,
       "q112_mad_outlier" ->

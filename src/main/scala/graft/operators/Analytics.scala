@@ -184,11 +184,17 @@ object Analytics {
         unix_micros(col(tsCol)) - unix_micros(col("__prev")))
     val avg = gaps.groupBy(partitionCols.map(col): _*)
       .agg(DetAgg.detAvg(col("gap_us")).as("__avg_gap"))
+    // the mean gap is reported in SECONDS: at µs magnitudes (1e10+),
+    // round(x, 6) sits below the double ulp and engines' rounding
+    // algorithms diverge in the last bit (DuckDB's multiply-based round
+    // overflows 2^53); dividing by 1e6 first keeps the rounding exact
+    // on both engines at any feed sparsity
     gaps.join(broadcast(avg), partitionCols)
       .where(col("gap_us").cast("double") > lit(factor) * col("__avg_gap"))
       .select(partitionCols.map(col) ++
         Seq(col("__prev").as("gap_start"), col(tsCol).as("gap_end"),
-          col("gap_us"), round(col("__avg_gap"), 6).as("avg_gap_us")): _*)
+          col("gap_us"),
+          round(col("__avg_gap") / lit(1000000.0), 6).as("avg_gap_sec")): _*)
   }
 
   /** Global 1-based rank without a single-partition window: sort
