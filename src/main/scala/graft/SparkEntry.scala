@@ -2648,10 +2648,10 @@ object SparkEntry {
         s"""WITH a AS (SELECT event_type,
            |    count(CASE WHEN hour(ts) IS NOT NULL AND value IS NOT NULL
            |               THEN 1 END) AS n,
-           |    ${dSum("CAST(hour(ts) AS DOUBLE)")} AS sx,
-           |    ${dSum("value")} AS sy,
-           |    ${dSum("CAST(hour(ts) AS DOUBLE) * value")} AS sxy,
-           |    ${dSum("CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)")} AS sxx
+           |    ${dSum("CASE WHEN hour(ts) IS NOT NULL AND value IS NOT NULL THEN CAST(hour(ts) AS DOUBLE) END")} AS sx,
+           |    ${dSum("CASE WHEN hour(ts) IS NOT NULL AND value IS NOT NULL THEN value END")} AS sy,
+           |    ${dSum("CASE WHEN hour(ts) IS NOT NULL AND value IS NOT NULL THEN CAST(hour(ts) AS DOUBLE) * value END")} AS sxy,
+           |    ${dSum("CASE WHEN hour(ts) IS NOT NULL AND value IS NOT NULL THEN CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) END")} AS sxx
            |  FROM events GROUP BY 1),
            |b AS (SELECT event_type, n,
            |    CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
@@ -2706,7 +2706,7 @@ object SparkEntry {
           |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
           |  FROM documents)
-          |SELECT source, cum // 16000 AS bin,
+          |SELECT source, CAST(cum // 16000 AS BIGINT) AS bin,
           |  CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_tokens
           |FROM c GROUP BY 1, 2""".stripMargin,

@@ -144,20 +144,22 @@ final case class EnergyFrame(
   def corrMatrix(): DataFrame = {
     val vc = valueCols
     require(vc.size >= 2, "corrMatrix needs at least two value columns")
-    val pairs = for { i <- vc.indices; j <- i + 1 until vc.size }
-      yield (vc(i), vc(j))
-    val aggs = pairs.flatMap { case (a, b) =>
+    val pairs = (for { i <- vc.indices; j <- i + 1 until vc.size }
+      yield (vc(i), vc(j))).zipWithIndex
+    // internal aliases are keyed by pair INDEX, not by joined column
+    // names — underscore-joined names can collide ("x"+"y_z" vs "x_y"+"z")
+    val aggs = pairs.flatMap { case ((a, b), k) =>
       val both = col(a).isNotNull && col(b).isNotNull
       def s(e: Column, name: String) =
-        DetAgg.detSum(when(both, e)).as(s"__${name}_${a}_$b")
-      Seq(count(when(both, lit(1))).as(s"__n_${a}_$b"),
+        DetAgg.detSum(when(both, e)).as(s"__${name}_$k")
+      Seq(count(when(both, lit(1))).as(s"__n_$k"),
         s(col(a), "sa"), s(col(b), "sb"),
         s(col(a) * col(a), "qa"), s(col(b) * col(b), "qb"),
         s(col(a) * col(b), "p"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    pairs.map { case (a, b) =>
-      def f(name: String) = col(s"__${name}_${a}_$b")
+    pairs.map { case ((a, b), k) =>
+      def f(name: String) = col(s"__${name}_$k")
       val n = f("n").cast(DoubleType)
       val cov = n * f("p") - f("sa") * f("sb")
       val va = n * f("qa") - f("sa") * f("sa")

@@ -187,7 +187,7 @@ final case class EnergySeries(
     val agg = how match {
       case "avg" | "mean" => DetAgg.detAvg(v)
       case "sum" => DetAgg.detSum(v)
-      case other => expr(s"$other($valueCol)")
+      case other => call_function(other, col(valueCol))
     }
     val out = df
       .groupBy(window(ts, duration).getField("start").as(indexCols.head))

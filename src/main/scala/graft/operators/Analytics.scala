@@ -20,11 +20,16 @@ object Analytics {
     * points, or zero x-variance, yield NULL estimates. */
   def groupLinearRegression(df: DataFrame, groupCols: Seq[String],
       xCol: Column, yCol: Column): DataFrame = {
+    // pairwise-complete: every sufficient sum is restricted to rows where
+    // BOTH x and y are present, matching n — otherwise a row with only one
+    // side non-null skews the normal equations
+    val pair = xCol.isNotNull && yCol.isNotNull
     val agg = df.groupBy(groupCols.map(col): _*)
-      .agg(count(when(xCol.isNotNull && yCol.isNotNull, lit(1))).as("n"),
-        DetAgg.detSum(xCol).as("__sx"), DetAgg.detSum(yCol).as("__sy"),
-        DetAgg.detSum(xCol * yCol).as("__sxy"),
-        DetAgg.detSum(xCol * xCol).as("__sxx"))
+      .agg(count(when(pair, lit(1))).as("n"),
+        DetAgg.detSum(when(pair, xCol)).as("__sx"),
+        DetAgg.detSum(when(pair, yCol)).as("__sy"),
+        DetAgg.detSum(when(pair, xCol * yCol)).as("__sxy"),
+        DetAgg.detSum(when(pair, xCol * xCol)).as("__sxx"))
     val n = col("n").cast("double")
     val denom = n * col("__sxx") - col("__sx") * col("__sx")
     val slope = when(col("n") >= 2 && denom =!= 0.0,
@@ -135,11 +140,13 @@ object Analytics {
     // interpolated median is the one quantity here whose last ulp could
     // differ across engines/partitionings, and a strict `>` must not
     // hinge on it (same stability discipline as DetAgg).
+    // Column-built percentile (not string-interpolated SQL) so value
+    // columns needing backticks — spaces, dots, hyphens — resolve safely
     val med = df.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("__med"))
+      .agg(round(percentile(v, lit(0.5)), 6).as("__med"))
     val withMed = df.join(broadcast(med), groupCols)
     val mad = withMed.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile(abs($valueCol - __med), 0.5)"), 6)
+      .agg(round(percentile(abs(v - col("__med")), lit(0.5)), 6)
         .as("__mad"))
     withMed.join(broadcast(mad), groupCols)
       .groupBy(groupCols.map(col): _*)

@@ -469,13 +469,15 @@ object Dedup {
     val nodes = tracked(pairs.select(a.as("id"))
       .union(pairs.select(b.as("id"))).distinct())
     def canon(d: DataFrame): DataFrame = d.distinct()
-    def checksum(d: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+    // pair-sensitive set fingerprint: Σ xxhash64(lo, hi) distinguishes
+    // edge sets that linear sums confuse ({(1,4),(2,3)} vs {(1,3),(2,4)}
+    // share count/Σlo/Σhi but not Σhash); decimal sum is overflow-free
+    def checksum(d: DataFrame): (Long, java.math.BigDecimal) = {
       val r = d.agg(count(lit(1)),
-        sum(col("lo").cast(DecimalType(38, 0))),
-        sum(col("hi").cast(DecimalType(38, 0)))).head()
+        sum(xxhash64(col("lo"), col("hi")).cast(DecimalType(38, 0)))).head()
       def z(x: java.math.BigDecimal) =
         if (x == null) java.math.BigDecimal.ZERO else x
-      (r.getLong(0), z(r.getDecimal(1)), z(r.getDecimal(2)))
+      (r.getLong(0), z(r.getDecimal(1)))
     }
     // each round reads the previous round's edges from THREE plan
     // branches, so bare persist would still grow the logical plan ~3× per

@@ -210,7 +210,7 @@ object WindowOps {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-(n - 1), Window.currentRow)
     df.withColumn(as,
-      round(expr(s"percentile($valueCol, $q)").over(w), 6))
+      round(percentile(col(valueCol), lit(q)).over(w), 6))
   }
 
   /** Forward-fill (the pandas `ffill` analog): each null takes the most
