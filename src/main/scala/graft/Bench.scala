@@ -40,6 +40,7 @@ object Bench {
       // accumulates across the 60+ query run (between queries, not between
       // the two runs — the warm second run is the steady-state number)
       graft.operators.Dedup.releaseIntermediates()
+      graft.operators.Graph.releaseIntermediates()
       spark.catalog.clearCache()
       val good = runs.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else -1.0)

@@ -1363,6 +1363,60 @@ object SparkEntry {
         .agg(count(col("t1")).as("n_viewed"),
           count(col("t2")).as("n_clicked"),
           count(col("t3")).as("n_purchased"))),
+    // ---- BM25 ranked retrieval (Okapi, +1-idf): top-10 docs for a
+    // fixed probe query — the targeted-curation / contamination-audit
+    // search primitive
+    "q143_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), "text",
+        "doc_id", Seq("spark", "hash", "merge"), k = 10)),
+    // ---- PageRank mass by power iteration on the undirected
+    // supplier–part co-occurrence graph (BSP rounds: one edge join +
+    // one hash agg each; quantized fixed-point keeps the gate exact)
+    "q144_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.pageRankMass(
+        li.select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", iters = 10)
+    }),
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES) — hash-derived uniforms, so the draw is reproducible AND
+    // oracle-checkable; chars-weighted 5 docs per source
+    "q145_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSamplePerGroup(t(s, dir, "documents"), "source",
+        "doc_id", "n_chars", k = 5)
+        .select(col("source"), col("doc_id"))),
+    // ---- count-min sketch heavy-hitter audit: the mergeable-sketch
+    // aggregate (fixed d×w state at any cardinality) point-checked
+    // against the exact top-10 under the CMS bounds
+    "q146_cms_heavy" -> ((s, dir) =>
+      graft.operators.Sketches.cmsHeavyHitterGate(t(s, dir, "events"),
+        "user_id", topK = 10)),
+    // ---- bloom-filter decontamination (broadcast-membership scale path
+    // of q86): zero-false-negative gate vs the exact window join
+    "q147_bloom_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") >= 10)
+      val bench = docs.where(col("doc_id") < 10)
+      val exact = Dedup.contaminatedDocs(train, bench, "text", "doc_id")
+      val flagged = graft.operators.Sketches.bloomContaminatedDocs(
+        train, bench, "text", "doc_id")
+      exact.join(flagged.select(col("id"), lit(1).as("__f")),
+          Seq("id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (count(lit(1)) - coalesce(sum(col("__f")), lit(0)))
+            .cast("long").as("n_missed"))
+    }),
+    // ---- CUSUM change detection over the hourly series per event type
+    // (non-linear recurrence -> per-group bounded fold, recursive-CTE
+    // oracle replays the identical quantized steps)
+    "q148_cusum" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(round(DetAgg.detAvg(col("value")), 6).as("v"))
+      Analytics.cusumReport(hourly, "v", Seq("event_type"), "hr",
+        target = 60.0, threshold = 200.0)
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2350,6 +2404,125 @@ object SparkEntry {
       // the stateful stream twin folds the SAME staged-min semantics
       // (q142 emits identical counts, so it shares the oracle)
       "q142_stream_funnel" -> funnelSql,
+      "q143_bm25" -> {
+        val terms = Seq("spark", "hash", "merge")
+        val inList = terms.map(t => s"'$t'").mkString(", ")
+        val c1 = d17(1.2 + 1.0)
+        val termSum = terms.map(t =>
+          s"coalesce(sum(CASE WHEN word = '$t' THEN s END), 0.0)")
+          .mkString("\n         + ")
+        s"""WITH w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |dl AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+           |  FROM documents),
+           |st AS (SELECT count(*) AS n_docs,
+           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+           |  WHERE word IN ($inList) GROUP BY 1, 2),
+           |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
+           |idf AS (SELECT word,
+           |    ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+           |      AS idf
+           |  FROM dfc CROSS JOIN st),
+           |sc AS (SELECT doc_id, word,
+           |    idf * (tf * $c1) /
+           |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+           |  CROSS JOIN st),
+           |pd AS (SELECT doc_id, $termSum AS tot
+           |  FROM sc GROUP BY 1),
+           |r AS (SELECT doc_id, round(tot, 6) AS score,
+           |    row_number() OVER (ORDER BY round(tot, 6) DESC, doc_id ASC)
+           |      AS rank
+           |  FROM pd)
+           |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 10""".stripMargin
+      },
+      "q144_pagerank" -> {
+        // unrolled power iteration: one chained CTE per round, each the
+        // same join+agg as the engine's BSP round, in the IDENTICAL
+        // int64 fixed-point arithmetic (units of 1e-12, damping 7/8,
+        // integer division — no floats anywhere in the loop)
+        val rounds = (1 to 10).map { i =>
+          s"""r$i AS (
+             |  SELECT s.dst AS id, d.deg,
+             |    125000000000 + (7 * SUM(r.mu // r.deg)) // 8 AS mu
+             |  FROM sym s JOIN r${i - 1} r ON s.src = r.id
+             |  JOIN deg d ON s.dst = d.id
+             |  GROUP BY s.dst, d.deg)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+           |    CAST(l_partkey * 2 + 1 AS BIGINT) AS dst FROM lineitem),
+           |sym AS (SELECT src, dst FROM e0
+           |  UNION SELECT dst AS src, src AS dst FROM e0),
+           |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+           |r0 AS (SELECT id, deg, CAST(1000000000000 AS BIGINT) AS mu
+           |  FROM deg),
+           |$rounds
+           |SELECT id, mu / 1000000000000.0 AS m FROM r10""".stripMargin
+      },
+      "q145_weighted_sample" ->
+        """SELECT source, doc_id FROM (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY ln((CAST('0x' || substring(md5(
+          |          CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) AS BIGINT)
+          |          + 1.0) / 4294967296.0) / n_chars DESC,
+          |        doc_id ASC) AS rn
+          |  FROM documents) WHERE rn <= 5""".stripMargin,
+      "q146_cms_heavy" ->
+        """WITH c AS (SELECT user_id AS key, count(*) AS n_true
+          |  FROM events GROUP BY 1),
+          |r AS (SELECT key, n_true,
+          |    row_number() OVER (ORDER BY n_true DESC, key ASC) AS rn
+          |  FROM c)
+          |SELECT key, CAST(n_true AS BIGINT) AS n_true, true AS ok
+          |FROM r WHERE rn <= 10""".stripMargin,
+      "q147_bloom_decon" ->
+        """WITH tw AS (
+          |  SELECT DISTINCT doc_id, win FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE doc_id >= 10 AND length(text) >= 50)),
+          |bw AS (
+          |  SELECT DISTINCT win FROM (
+          |    SELECT unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE doc_id < 10 AND length(text) >= 50))
+          |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+          |  CAST(0 AS BIGINT) AS n_missed
+          |FROM tw WHERE win IN (SELECT win FROM bw)""".stripMargin,
+      "q148_cusum" ->
+        s"""WITH RECURSIVE hourly AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS hr,
+           |    round(${dAvg("value")}, 6) AS v,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY date_trunc('hour', ts)) AS idx
+           |  FROM events GROUP BY 1, 2),
+           |n AS (SELECT event_type, max(idx) AS mx FROM hourly GROUP BY 1),
+           |rec AS (
+           |  SELECT event_type, 0 AS i, CAST(0 AS DOUBLE) AS s,
+           |    0 AS alarms, CAST(0 AS DOUBLE) AS maxs
+           |  FROM n
+           |  UNION ALL
+           |  SELECT r.event_type, r.i + 1,
+           |    round(greatest(CAST(0 AS DOUBLE), r.s + h.v - 60.0), 6),
+           |    r.alarms + CASE WHEN
+           |      round(greatest(CAST(0 AS DOUBLE), r.s + h.v - 60.0), 6)
+           |        > 200.0 THEN 1 ELSE 0 END,
+           |    greatest(r.maxs,
+           |      round(greatest(CAST(0 AS DOUBLE), r.s + h.v - 60.0), 6))
+           |  FROM rec r JOIN hourly h
+           |    ON h.event_type = r.event_type AND h.idx = r.i + 1)
+           |SELECT r.event_type, CAST(n.mx AS BIGINT) AS n_points,
+           |  CAST(r.alarms AS BIGINT) AS n_alarms, r.maxs AS max_cusum
+           |FROM rec r JOIN n ON n.event_type = r.event_type
+           |WHERE r.i = n.mx""".stripMargin,
       "q126_upsert_merge" ->
         """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice,
           |      o_orderstatus FROM orders),

@@ -32,6 +32,7 @@ object Verify {
       // operators' paired release) so nothing accumulates over the 60+
       // query dump
       graft.operators.Dedup.releaseIntermediates()
+      graft.operators.Graph.releaseIntermediates()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -329,4 +329,41 @@ object Analytics {
       .agg(sum(col("__c")).as("n_words"),
         round(-DetAgg.detSum(col("__plp")), 6).as("entropy"))
   }
+
+  /** Per-group CUSUM change detection (Page 1954) over a PRE-AGGREGATED
+    * ordered series: the one-sided cumulative sum
+    * `s_i = max(0, s_{i−1} + (x_i − target))` with an alarm whenever
+    * `s_i > threshold`. The recurrence is non-linear, so no window frame
+    * expresses it; instead each group's (bounded — this takes the
+    * resampled series, e.g. hourly, never raw events) sequence folds
+    * through one `aggregate` HOF over its sorted array — a single
+    * grouped shuffle, state O(1) per group, no driver loop. The
+    * streaming twin (`StreamCusum`) runs the IDENTICAL fold per key as
+    * keyed state.
+    *
+    * Determinism: each step's statistic rounds to 6 decimals before the
+    * compare and the next step (the fold is then a chain of exact
+    * decimal-representable doubles — bit-identical in any engine, which
+    * is what lets a recursive-CTE oracle replay it).
+    *
+    * @return per group: (n_points, n_alarms, max_cusum) */
+  def cusumReport(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      orderCol: String, target: Double, threshold: Double): DataFrame = {
+    val arr = sort_array(collect_list(struct(col(orderCol).as("o"),
+      col(valueCol).as("v"))))
+    val zero = struct(lit(0.0).as("s"), lit(0L).as("alarms"),
+      lit(0.0).as("maxs"))
+    val folded = aggregate(col("__arr"), zero, (acc, x) => {
+      val s2 = round(greatest(lit(0.0), acc("s") + x("v") - target), 6)
+      struct(s2.as("s"),
+        (acc("alarms") + when(s2 > threshold, 1L).otherwise(0L))
+          .as("alarms"),
+        greatest(acc("maxs"), s2).as("maxs"))
+    })
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_points"), arr.as("__arr"))
+      .select(groupCols.map(col) ++ Seq(col("n_points"),
+        folded.getField("alarms").as("n_alarms"),
+        folded.getField("maxs").as("max_cusum")): _*)
+  }
 }

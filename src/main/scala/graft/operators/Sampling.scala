@@ -78,4 +78,26 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= alloc).drop("__rn")
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group (Efraimidis &
+    * Spirakis A-ES, IPL 2006): each row draws a deterministic uniform
+    * u ∈ (0, 1] from the md5 hash of its id and keeps a priority
+    * `ln(u)/w` — the k LARGEST priorities are exactly a weight-
+    * proportional draw without replacement (u^(1/w) order, in log space
+    * to avoid pow). The uniform comes from the first 8 hex digits of the
+    * hash (+1 so u is never 0), so the sample is a pure function of
+    * (id, salt, weight): same inputs → same sample on any cluster AND in
+    * any engine that can md5 — which is what makes it oracle-checkable
+    * and audit-reproducible, unlike `rand()`-based weighted sampling.
+    * One window shuffle keyed by the group, per-row arithmetic only. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = "graft"): DataFrame = {
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(salt))), 1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    val priority = log(u) / col(weightCol)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(priority.desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, Graph, Retrieval, Sampling, Sketches}
+import graft.streaming.StreamCusum
+
+/** Round-6 operators: BM25 retrieval, integer-fixed-point PageRank,
+  * weighted sampling, sketch gates, CUSUM (batch fold + streaming twin).
+  */
+class GraphSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark hash merge spark spark", "a", 28L),
+    (2L, "spark table scan row batch", "a", 26L),
+    (3L, "sort window line value key", "a", 26L),
+    (4L, "hash merge hash merge hash", "b", 26L),
+    (5L, "the a an of to in for", "b", 21L)
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  test("bm25: docs containing query terms outrank docs without, k respected") {
+    val top = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("spark", "hash"), k = 3).collect()
+    assert(top.length == 3)
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L)) // rank column
+    val byRank = top.sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    // doc 3 and 5 contain neither term -> never retrieved
+    assert(!byRank.contains(3L) && !byRank.contains(5L))
+    // doc 1 (3×spark + 1×hash) beats doc 2 (1×spark)
+    assert(byRank.head == 1L)
+    assert(top.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("pagerank: regular graph is an exact fixed point at mass 1.0") {
+    // triangle: every node deg 2 — gather is exactly one unit, so the
+    // integer update returns unit/8 + 7·unit/8 = unit every round
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val m = Graph.pageRankMass(tri, "a", "b", iters = 5).collect()
+    assert(m.length == 3 && m.forall(_.getDouble(1) == 1.0))
+    Graph.releaseIntermediates()
+  }
+
+  test("pagerank: hub outranks leaves and mass is conserved") {
+    val star = (2L to 9L).map(i => (1L, i)).toDF("a", "b")
+    val m = Graph.pageRankMass(star, "a", "b", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) > m(2L) * 3)            // hub dominates
+    assert((2L to 9L).map(m).distinct.size == 1) // leaves symmetric
+    val total = m.values.sum
+    assert(math.abs(total - 9.0) < 1e-6) // truncation loses < 1e-12/term
+    Graph.releaseIntermediates()
+  }
+
+  test("weighted sampling: k per group, deterministic, weight-sensitive") {
+    val heavy = docs.withColumn("n_chars",
+      when($"doc_id" === 3L, lit(1000000L)).otherwise($"n_chars"))
+    val s1 = Sampling.weightedSamplePerGroup(heavy, "source", "doc_id",
+      "n_chars", k = 2).select("doc_id").as[Long].collect().sorted
+    val s2 = Sampling.weightedSamplePerGroup(heavy, "source", "doc_id",
+      "n_chars", k = 2).select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == s2.toSeq)          // reproducible
+    assert(s1.length == 4)                // 2 per source
+    assert(s1.contains(3L))               // ~sure thing at weight 1e6
+  }
+
+  test("cms heavy-hitter gate: estimates within bounds, exact counts") {
+    val ev = (1 to 400).map(i => (i.toLong % 4, "x"))
+      .toDF("user_id", "pad")
+    val gate = Sketches.cmsHeavyHitterGate(ev, "user_id", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(gate.length == 4)
+    assert(gate.forall(_._2 == 100L))
+    assert(gate.forall(_._3))
+  }
+
+  test("bloom decontamination: never misses an exactly-contaminated doc") {
+    val bench = Seq((0L, "A" * 30 + "BENCHMARK-CANARY-SEQUENCE-" + "B" * 30))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x" * 20 + "BENCHMARK-CANARY-SEQUENCE-" + "B" * 30), // copies 50+ chars
+      (11L, "clean text " * 20),
+      (12L, "A" * 30 + "BENCHMARK-CANARY-SEQUENCE-" + "B" * 10) // copies a window too
+    ).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedDocs(train, bench, "text", "doc_id")
+      .select("id").as[Long].collect().toSet
+    val flagged = Sketches.bloomContaminatedDocs(train, bench, "text",
+      "doc_id").select("id").as[Long].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(flagged)) // zero false negatives, by construction
+  }
+
+  test("cusum fold: hand-computed alarms and running maximum") {
+    val pts = Seq(("a", 1, 5.0), ("a", 2, 10.0), ("a", 3, 3.0))
+      .toDF("k", "o", "v")
+    val r = Analytics.cusumReport(pts, "v", Seq("k"), "o",
+      target = 4.0, threshold = 5.0).collect().head
+    // s: 1 -> 7 (alarm) -> 6 (alarm); max 7
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getDouble(3) == 7.0)
+  }
+
+  test("streaming cusum equals the batch fold across micro-batches") {
+    // unique minutes so both folds see a strictly-ordered sequence
+    val pts = (1 to 40).map(i => StreamCusum.Point(
+      if (i % 2 == 0) "x" else "y",
+      Timestamp.valueOf(f"2024-01-01 00:$i%02d:00"),
+      (i * 7 % 13).toDouble))
+    val batchIn = pts.map(p => (p.key, p.hr, p.v)).toDF("k", "hr", "v")
+    val expected = Analytics.cusumReport(batchIn, "v", Seq("k"), "hr",
+      target = 5.0, threshold = 8.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamCusum.Point]
+    val q = StreamCusum.streaming(stream.toDS(), target = 5.0,
+        threshold = 8.0)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").start()
+    // batch fold sorts by hr; feed the stream in the SAME event order so
+    // the two folds see identical sequences
+    val ordered = pts.sortBy(p => (p.key, p.hr.getTime))
+    stream.addData(ordered.take(20): _*)
+    q.processAllAvailable()
+    stream.addData(ordered.drop(20): _*)
+    q.processAllAvailable()
+    val last = spark.sql(
+      """SELECT key, n_points, n_alarms, max_cusum FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY n_points DESC) AS rn FROM cusum_stream) WHERE rn = 1
+        |""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(last == expected)
+  }
+}
