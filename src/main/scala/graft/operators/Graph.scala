@@ -60,9 +60,17 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(unitScale >= 3 && unitScale <= 15, "unitScale in [3, 15]")
     val unit = math.pow(10, unitScale).toLong
+    // the edge list is hash-partitioned by src ONCE and cached that way:
+    // every round's spread join then reuses the cached partitioning and
+    // shuffles only the (N-row) rank state, never the (E-row) edges —
+    // the difference between O(E) and O(N) network per round at scale.
+    // deg keeps its groupBy partitioning (same key), so the update join
+    // against the gather output (also agg-partitioned by id) is
+    // exchange-free.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
