@@ -1417,6 +1417,61 @@ object SparkEntry {
       Analytics.cusumReport(hourly, "v", Seq("event_type"), "hr",
         target = 60.0, threshold = 200.0)
     }),
+    // ---- tokenizer-sizing curve: top-50 vocabulary with cumulative
+    // corpus coverage (one vocab shuffle + TakeOrdered; the window runs
+    // over 50 rows, never the corpus)
+    "q149_vocab" -> ((s, dir) =>
+      graft.operators.Curation.vocabCoverage(t(s, dir, "documents"),
+        "text", topK = 50)),
+    // ---- OLAP rollup with grouping flags: per-(flag, status) quantity
+    // totals plus both subtotal levels in ONE pass (Spark expands the
+    // grouping sets map-side; no per-level rescan)
+    "q150_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(DetAgg.detSum(col("l_quantity")), 6).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))),
+    // ---- blocklist scrubbing: token-exact masking + per-doc hit
+    // counts, pure codegen'd per-row lambdas (zero shuffle)
+    "q151_blocklist" -> ((s, dir) =>
+      graft.operators.Curation.blocklistScrub(t(s, dir, "documents"),
+        "text", "doc_id", Seq("customer", "key", "value"))),
+    // ---- cross-document span duplication: fraction of each doc's
+    // distinct 5-grams shared with >=2 docs (exact-substring-dedup
+    // signal; counters on the gram key, no pair blowup)
+    "q152_span_dup" -> ((s, dir) =>
+      graft.operators.Curation.spanDuplication(t(s, dir, "documents"),
+        "text", "doc_id", n = 5, minDf = 2)),
+    // ---- resample-to-hourly-grid with time-weighted linear
+    // interpolation (pandas .resample("h").interpolate("time") analog)
+    "q153_resample_interp" -> ((s, dir) =>
+      out(WindowOps.resampleInterpolate(t(s, dir, "events"), "ts",
+        "value", Seq("event_type"), freq = "hour"))),
+    // ---- blocked fuzzy matching (record linkage): part names sharing
+    // their noun block within Levenshtein distance 3
+    "q154_fuzzy_match" -> ((s, dir) =>
+      graft.operators.Curation.fuzzyNamePairs(t(s, dir, "part"),
+        "p_name", maxDist = 3)),
+    // ---- first-seen dedup, batch twin of StreamDedup.streaming (the
+    // replay-safe ingest gate; one keyed window, state O(1)/key)
+    "q155_first_seen" -> ((s, dir) =>
+      out(graft.streaming.StreamDedup.batch(t(s, dir, "events")))),
+    // ---- mergeable-quantile-sketch gate: approx_percentile (the fixed
+    // -state sketch that replaces the exact sort at 100 TB) checked
+    // against the exact interpolated median per event type
+    "q156_quantile_gate" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("median"),
+          approx_percentile(col("value"), lit(0.5), lit(10000))
+            .as("__apx"))
+        .select(col("event_type"), col("median"),
+          (abs(col("__apx") - col("median")) <= lit(1.0)).cast("long")
+            .as("sketch_ok"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2523,6 +2578,111 @@ object SparkEntry {
            |  CAST(r.alarms AS BIGINT) AS n_alarms, r.maxs AS max_cusum
            |FROM rec r JOIN n ON n.event_type = r.event_type
            |WHERE r.i = n.mx""".stripMargin,
+      "q149_vocab" ->
+        """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |c AS (SELECT tok, count(*) AS cnt FROM toks
+          |      WHERE tok <> '' GROUP BY 1),
+          |tot AS (SELECT sum(cnt) AS tot FROM c),
+          |r AS (SELECT tok, cnt,
+          |        row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+          |        sum(cnt) OVER (ORDER BY cnt DESC, tok
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |          AS cum
+          |      FROM c)
+          |SELECT CAST(rank AS BIGINT) AS rank, tok,
+          |  CAST(cnt AS BIGINT) AS cnt,
+          |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+          |    AS cum_share
+          |FROM r, tot WHERE rank <= 50""".stripMargin,
+      "q150_rollup" ->
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           |  coalesce(l_linestatus, 'ALL') AS status,
+           |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           |  round(${dSum("l_quantity")}, 6) AS sum_qty,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM lineitem
+           |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+      "q151_blocklist" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '),
+          |    x -> x IN ('customer', 'key', 'value'))) AS BIGINT)
+          |    AS n_hits,
+          |  array_to_string(list_transform(string_split(text, ' '),
+          |    x -> CASE WHEN x IN ('customer', 'key', 'value')
+          |      THEN '<MASK>' ELSE x END), ' ') AS scrubbed
+          |FROM documents""".stripMargin,
+      "q152_span_dup" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+          |  FROM documents),
+          |pos AS (SELECT doc_id, w,
+          |        unnest(generate_series(1, len(w) - 4)) AS i
+          |      FROM toks WHERE len(w) >= 5),
+          |g AS (SELECT DISTINCT doc_id,
+          |        array_to_string(w[i:i+4], ' ') AS gram FROM pos),
+          |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+          |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |  round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+          |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+          |FROM g JOIN df USING (gram) GROUP BY 1""".stripMargin,
+      "q153_resample_interp" ->
+        s"""WITH obs AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+           |    round(${dAvg("value")}, 6) AS v
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+           |      date_trunc('hour', max(ts)) AS hi FROM obs GROUP BY 1),
+           |g AS (SELECT event_type,
+           |      unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+           |    FROM b),
+           |u AS (SELECT event_type, ts, v, 1 AS o FROM obs
+           |      UNION ALL
+           |      SELECT event_type, ts, CAST(NULL AS DOUBLE), 0 FROM g),
+           |w AS (SELECT event_type, ts, o,
+           |   last_value(CASE WHEN o = 1 THEN v END IGNORE NULLS) OVER
+           |     (PARTITION BY event_type ORDER BY ts ASC, o DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           |   last_value(CASE WHEN o = 1 THEN epoch_us(ts) END
+           |     IGNORE NULLS) OVER
+           |     (PARTITION BY event_type ORDER BY ts ASC, o DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           |   last_value(CASE WHEN o = 1 THEN v END IGNORE NULLS) OVER
+           |     (PARTITION BY event_type ORDER BY ts DESC, o ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+           |   last_value(CASE WHEN o = 1 THEN epoch_us(ts) END
+           |     IGNORE NULLS) OVER
+           |     (PARTITION BY event_type ORDER BY ts DESC, o ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+           | FROM u)
+           |SELECT event_type, ts,
+           |  CASE WHEN pt IS NULL THEN NULL
+           |       WHEN pt = epoch_us(ts) THEN pv
+           |       WHEN nt IS NULL THEN NULL
+           |       ELSE round(pv + (nv - pv) *
+           |         (CAST(epoch_us(ts) - pt AS DOUBLE)
+           |           / CAST(nt - pt AS DOUBLE)), 6) END AS v
+           |FROM w WHERE o = 0""".stripMargin,
+      "q154_fuzzy_match" ->
+        """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+          |b AS (SELECT name, string_split(name, ' ')[-1] AS blk
+          |      FROM names)
+          |SELECT a.name AS name_a, b2.name AS name_b,
+          |  CAST(levenshtein(a.name, b2.name) AS BIGINT) AS dist
+          |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+          |WHERE levenshtein(a.name, b2.name) <= 3""".stripMargin,
+      "q155_first_seen" ->
+        """SELECT user_id, event_type, event_id,
+          |  CAST(ts AS TIMESTAMP) AS ts, value
+          |FROM (SELECT user_id, event_type, event_id, ts, value,
+          |        row_number() OVER (PARTITION BY user_id, event_type
+          |          ORDER BY ts, event_id) AS rn
+          |      FROM events)
+          |WHERE rn = 1""".stripMargin,
+      "q156_quantile_gate" ->
+        """SELECT event_type, round(quantile_cont(value, 0.5), 6)
+          |    AS median,
+          |  CAST(1 AS BIGINT) AS sketch_ok
+          |FROM events GROUP BY 1""".stripMargin,
       "q126_upsert_merge" ->
         """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice,
           |      o_orderstatus FROM orders),

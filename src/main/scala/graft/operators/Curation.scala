@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * over the whole document set: vocabulary statistics, blocklist
+  * scrubbing, cross-document span-duplication profiling, and blocked
+  * fuzzy record matching. All are single-shuffle (or shuffle-free)
+  * designs — the per-document transforms are pure Column expressions
+  * that stay inside whole-stage codegen, and every cross-document step
+  * keys exactly one hash shuffle on a bounded-cardinality key.
+  */
+object Curation {
+
+  /** Top-`topK` vocabulary with cumulative corpus coverage — the
+    * "how many tokens cover 90 % of the corpus" curve that sizes
+    * tokenizer vocabularies.
+    *
+    * Shape at scale: ONE map-side-combined hash shuffle on the token
+    * (vocabulary-bounded output), a `TakeOrderedAndProject` for the
+    * top-k (no global sort), and the cumulative window runs over the
+    * topK rows only — the single-partition stage is K rows by
+    * construction, never corpus-sized. The corpus total rides along as
+    * a broadcast scalar, not a driver action.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame = {
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    val topk = counts.orderBy(col("cnt").desc, col("tok")).limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    topk.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("rank"), col("tok"), col("cnt"),
+        round(col("cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_share"))
+  }
+
+  /** Blocklist masking: replace every token in `terms` with `<MASK>`
+    * and report the per-document hit count. Token-exact (not substring)
+    * so "keystone" survives a "key" blocklist. Pure per-row lambda
+    * Column expressions — shuffle-free, codegen'd, and the blocklist is
+    * a literal baked into the plan (broadcast-free for the small lists
+    * this is meant for; a million-entry blocklist would use a broadcast
+    * join on the exploded token instead). */
+  def blocklistScrub(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], mask: String = "<MASK>"): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val toks = split(col(textCol), " ")
+    def hit(x: Column): Column = x.isInCollection(terms)
+    df.select(col(idCol),
+      size(filter(toks, hit(_))).cast("long").as("n_hits"),
+      array_join(transform(toks,
+        x => when(hit(x), lit(mask)).otherwise(x)), " ").as("scrubbed"))
+  }
+
+  /** Cross-document span duplication: for each document, the fraction
+    * of its distinct word-`n`-grams that occur in at least `minDf`
+    * documents corpus-wide — the signal behind exact-substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): high `dup_frac` docs are templated/boilerplate.
+    *
+    * Shape at scale: distinct (doc, gram) pairs shuffle once on the
+    * gram; the document-frequency aggregate and the back-join reuse
+    * that partitioning (co-partitioned equi-join, no second gram
+    * shuffle of the big side); the final per-doc aggregate is the only
+    * other shuffle. Hot boilerplate grams are mere counters here —
+    * no pair blowup, unlike pair-generation dedup. Documents shorter
+    * than `n` words carry no grams and drop out (callers left-join
+    * the corpus if they need them back). */
+  def spanDuplication(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, minDf: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(Dedup.wordShingles(col(textCol), n)))
+          .as("gram"))
+    // grams are distinct per doc, so count == document frequency
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    grams.join(docFreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("__dup"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("__dup").cast("double") / col("n_grams").cast("double"),
+          6).as("dup_frac"))
+  }
+
+  /** Blocked fuzzy matching over a name column — the record-linkage
+    * candidate step: names sharing a block key (their last word) are
+    * compared with exact Levenshtein distance; pairs within `maxDist`
+    * survive. Classic blocking bounds the quadratic comparison to
+    * within-block, and the distinct-names projection bounds the input
+    * to the name vocabulary, not the row count. At extreme block skew
+    * add a secondary key (e.g. name length) — the join stays an
+    * equi-join either way. */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).distinct()
+      .withColumn("__blk", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("__blk"), col("name").as("name_a"))
+    val b = names.select(col("__blk"), col("name").as("name_b"))
+    a.join(b, "__blk")
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+        .cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+}

@@ -213,6 +213,72 @@ object WindowOps {
       round(percentile(col(valueCol), lit(q)).over(w), 6))
   }
 
+  /** Resample-to-grid with time-weighted linear interpolation — the
+    * pandas `.resample(freq).interpolate("time")` analog, and the
+    * upsampling twin of [[interpolateLinear]] (which fills nulls at
+    * EXISTING rows by row index; this one generates NEW grid timestamps
+    * and weights by actual elapsed time).
+    *
+    * Per key: observations are first reduced to one value per raw
+    * timestamp (deterministic decimal mean, rounded to 6), a `freq`
+    * grid spanning [trunc(min ts), trunc(max ts)] is generated with
+    * `sequence` (no driver loop), and each grid point takes
+    * `pv + (nv − pv) · (t − pt)/(nt − pt)` from its bracketing
+    * observations via two running-last windows (one per direction) —
+    * O(rows) incremental frames, no self-join. Grid points outside the
+    * observed range (or exactly at an observation) resolve to null / the
+    * observation value respectively. Shape at scale: one keyed shuffle
+    * for the dedup aggregate, one for the windows — grid density is a
+    * constant factor, state per key is one running (value, ts) pair.
+    */
+  def resampleInterpolate(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String], freq: String = "hour",
+      as: String = "v"): DataFrame = {
+    val k = keys.map(col)
+    val obs = df.groupBy((k :+ col(tsCol)): _*)
+      .agg(round(DetAgg.detAvg(col(valueCol)), 6).as("__v"))
+    val grid = obs.groupBy(k: _*)
+      .agg(date_trunc(freq, min(col(tsCol))).as("__lo"),
+        date_trunc(freq, max(col(tsCol))).as("__hi"))
+      .select((k :+ explode(sequence(col("__lo"), col("__hi"),
+        expr(s"interval 1 $freq"))).as(tsCol)): _*)
+    val unioned = obs
+      .select((k ++ Seq(col(tsCol), col("__v"), lit(1).as("__o"))): _*)
+      .unionByName(grid
+        .select((k ++ Seq(col(tsCol), lit(null).cast("double").as("__v"),
+          lit(0).as("__o"))): _*))
+      .withColumn("__us", unix_micros(col(tsCol)))
+    // obs row sorts BEFORE the grid row at an equal timestamp going
+    // forward (so prev sees it) and AFTER it going backward (so next
+    // does not) — exact-hit grid points take the observation via the
+    // pt == t branch, never a 0/0 fraction
+    val wPrev = Window.partitionBy(k: _*)
+      .orderBy(col(tsCol).asc, col("__o").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(k: _*)
+      .orderBy(col(tsCol).desc, col("__o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def obsOnly(c: Column): Column = when(col("__o") === 1, c)
+    val bracketed = unioned
+      .withColumn("__pv", last(obsOnly(col("__v")), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("__pt", last(obsOnly(col("__us")), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("__nv", last(obsOnly(col("__v")), ignoreNulls = true)
+        .over(wNext))
+      .withColumn("__nt", last(obsOnly(col("__us")), ignoreNulls = true)
+        .over(wNext))
+    bracketed.where(col("__o") === 0)
+      .select((k ++ Seq(col(tsCol),
+        when(col("__pt").isNull, lit(null).cast("double"))
+          .when(col("__pt") === col("__us"), col("__pv"))
+          .when(col("__nt").isNull, lit(null).cast("double"))
+          .otherwise(round(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__us") - col("__pt")).cast("double") /
+              (col("__nt") - col("__pt")).cast("double")), 6))
+          .as(as))): _*)
+  }
+
   /** Forward-fill (the pandas `ffill` analog): each null takes the most
     * recent non-null value within its partition — a keyed running-last,
     * so state per partition is one value and the shuffle is the window's

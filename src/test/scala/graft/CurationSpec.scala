@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, WindowOps}
+import graft.streaming.StreamDedup
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("vocabCoverage: ranks by count then token, coverage hits 1.0") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
+    val v = Curation.vocabCoverage(docs, "text", topK = 10)
+      .orderBy("rank").collect()
+    assert(v.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 4L), (2L, "b", 3L), (3L, "c", 1L), (4L, "z", 1L)))
+    assert(v.last.getDouble(3) == 1.0)
+    assert(v.head.getDouble(3) == math.round(4.0 / 9.0 * 1e6) / 1e6)
+  }
+
+  test("vocabCoverage: topK truncates but coverage stays corpus-total") {
+    val docs = Seq((1L, "a a a b c")).toDF("doc_id", "text")
+    val v = Curation.vocabCoverage(docs, "text", topK = 1).collect()
+    assert(v.length == 1)
+    assert(v.head.getDouble(3) == 0.6) // 3 of 5 tokens, not 3 of 3
+  }
+
+  test("blocklistScrub masks token-exact only") {
+    val docs = Seq((1L, "key keystone the key"), (2L, "clean"))
+      .toDF("doc_id", "text")
+    val r = Curation.blocklistScrub(docs, "text", "doc_id", Seq("key"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 2L)
+    assert(r(0).getString(2) == "<MASK> keystone the <MASK>")
+    assert(r(1).getLong(1) == 0L)
+    assert(r(1).getString(2) == "clean")
+  }
+
+  test("spanDuplication: shared 2-gram counted once per doc, short docs drop") {
+    val docs = Seq(
+      (1L, "x y z w"),   // grams: "x y","y z","z w"
+      (2L, "x y q x y"), // distinct grams: "x y","y q","q x"
+      (3L, "solo")       // < n words -> no grams
+    ).toDF("doc_id", "text")
+    val r = Curation.spanDuplication(docs, "text", "doc_id", n = 2)
+      .orderBy("doc_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 3L && r(0).getDouble(2) == 0.333333)
+    assert(r(1).getLong(1) == 3L && r(1).getDouble(2) == 0.333333)
+  }
+
+  test("fuzzyNamePairs: blocked pairs within distance, ordered canonically") {
+    val parts = Seq("cold widget", "bold widget", "cold bolt", "old widget",
+      "anchor bracket").toDF("p_name")
+    val r = Curation.fuzzyNamePairs(parts, "p_name", maxDist = 3)
+      .orderBy("name_a", "name_b").collect()
+    // widget block: bold~cold (1 sub), bold~old (1 del), cold~old
+    // (1 del); bolt and bracket blocks are singletons; cross-block
+    // pairs never compared
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+      == Seq(("bold widget", "cold widget", 1L),
+        ("bold widget", "old widget", 1L),
+        ("cold widget", "old widget", 1L)))
+  }
+
+  test("resampleInterpolate: time-weighted values on the hourly grid") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val obs = Seq(
+      ("a", t("2024-01-01 00:30:00"), 10.0),
+      ("a", t("2024-01-01 02:30:00"), 20.0),
+      ("a", t("2024-01-01 02:30:00"), 30.0), // duplicate ts -> mean 25
+      ("b", t("2024-01-01 01:00:00"), 5.0)   // single obs, on the hour
+    ).toDF("event_type", "ts", "value")
+    val r = WindowOps.resampleInterpolate(obs, "ts", "value",
+        Seq("event_type"), freq = "hour")
+      .orderBy("event_type", "ts").collect()
+    val a = r.filter(_.getString(0) == "a")
+    // grid 00:00,01:00,02:00; 00:00 precedes first obs -> null;
+    // 01:00 is 30/120 of the way 10 -> 25; 02:00 is 90/120
+    assert(a.length == 3)
+    assert(a(0).isNullAt(2))
+    assert(a(1).getDouble(2) == 13.75)
+    assert(a(2).getDouble(2) == 21.25)
+    val b = r.filter(_.getString(0) == "b")
+    assert(b.length == 1 && b(0).getDouble(2) == 5.0) // exact-hit grid point
+  }
+
+  test("first-seen dedup: stream equals batch on ordered input, drops replays") {
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, user: Long, typ: String, minute: Int, v: Double) =
+      StreamDedup.Ev(user, typ, id,
+        Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), v)
+    val batch1 = Seq(e(1, 1, "click", 1, 1.0), e(2, 1, "click", 2, 2.0),
+      e(3, 2, "view", 3, 3.0))
+    val batch2 = Seq(e(4, 1, "click", 9, 4.0), // replayed key -> dropped
+      e(5, 3, "click", 4, 5.0))                // new key -> emitted
+
+    val stream = MemoryStream[StreamDedup.Ev]
+    val q = StreamDedup.streaming(stream.toDS())
+      .writeStream.format("memory").queryName("firstseen")
+      .outputMode("append").start()
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT event_id FROM firstseen")
+      .as[Long].collect().sorted.toSeq
+    assert(streamed == Seq(1L, 3L, 5L))
+
+    val batchRes = StreamDedup.batch((batch1 ++ batch2).toDF())
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(batchRes == streamed) // arrival order respected event time here
+  }
+}
