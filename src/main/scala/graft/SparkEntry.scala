@@ -1472,6 +1472,79 @@ object SparkEntry {
         .select(col("event_type"), col("median"),
           (abs(col("__apx") - col("median")) <= lit(1.0)).cast("long")
             .as("sketch_ok"))),
+    // ---- CDC snapshot diff: added/removed/changed keys between two
+    // snapshot views, one co-partitioned full-outer join
+    "q157_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders.where(col("o_orderkey") % 97 =!= 0)
+      val newSnap = orders.where(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Analytics.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_totalprice"))
+    }),
+    // ---- data-mixing budget: per source keep the longest docs until
+    // half the source's char mass is spent (one keyed window pass)
+    "q158_domain_budget" -> ((s, dir) =>
+      graft.operators.Curation.budgetedSelect(t(s, dir, "documents"),
+        "source", "doc_id", rankCol = "n_chars", weightCol = "n_chars",
+        share = 0.5)),
+    // ---- contrastive hard-negative mining: top-5 most-similar
+    // DIFFERENT-label neighbors per query vector
+    "q159_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+    // ---- one-pass column profiler (n / nulls / exact distinct /
+    // min / max per column, unpivoted)
+    "q160_profile" -> ((s, dir) =>
+      Analytics.profileColumns(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // ---- classical seasonal decomposition of the hourly series:
+    // centered-MA trend, zero-mean daily seasonal, residual
+    "q161_decompose" -> ((s, dir) => {
+      // floor-quantized mean (not round()) — the whole decomposition is
+      // closed under IEEE doubles, see classicalDecompose
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg((floor(DetAgg.detAvg(col("value")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("v"))
+      out(Analytics.classicalDecompose(hourly, "hr", "v",
+        Seq("event_type"), period = 24))
+    }),
+    // ---- entity resolution end-to-end: blocked fuzzy pairs ->
+    // connected components (star contraction handles name CHAINS,
+    // where plain hash-min would need diameter rounds) -> cluster id
+    // per distinct name, singletons self-labelled
+    "q162_entity_clusters" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val pairs = graft.operators.Curation.fuzzyNamePairs(part, "p_name",
+        maxDist = 3)
+      val comp = Dedup.duplicateComponentsStar(pairs, "name_a", "name_b")
+      part.select(col("p_name").as("name")).distinct()
+        .join(comp.withColumnRenamed("id", "name"), Seq("name"), "left")
+        .select(col("name"),
+          coalesce(col("component"), col("name")).as("cluster"))
+    }),
+    // ---- star-schema revenue rollup: lineitem⋈orders co-partitioned
+    // shuffle joins, nation broadcast, one hash agg (the 100 TB join
+    // plan: big-big on the key, small dims broadcast)
+    "q163_star_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(round(DetAgg.detSum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 6).as("revenue"),
+          count(lit(1)).as("n_items"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2683,6 +2756,134 @@ object SparkEntry {
           |    AS median,
           |  CAST(1 AS BIGINT) AS sketch_ok
           |FROM events GROUP BY 1""".stripMargin,
+      "q157_snapshot_diff" ->
+        """SELECT * FROM (
+          |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+          |         WHEN n.o_orderkey IS NULL THEN 'removed'
+          |         WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM
+          |                   n.o_totalprice) THEN 'changed' END AS change,
+          |    o.o_totalprice AS old_o_totalprice,
+          |    n.o_totalprice AS new_o_totalprice
+          |  FROM (SELECT o_orderkey, o_totalprice FROM orders
+          |        WHERE o_orderkey % 97 <> 0) o
+          |  FULL OUTER JOIN
+          |    (SELECT o_orderkey,
+          |       CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+          |            ELSE o_totalprice END AS o_totalprice
+          |     FROM orders WHERE o_orderkey % 89 <> 0) n
+          |  ON o.o_orderkey = n.o_orderkey)
+          |WHERE change IS NOT NULL""".stripMargin,
+      "q158_domain_budget" ->
+        """WITH r AS (SELECT source, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS rn,
+          |    sum(n_chars) OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(n_chars) OVER (PARTITION BY source) AS tot
+          |  FROM documents)
+          |SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank
+          |FROM r WHERE rn = 1 OR cum <= tot * 0.5""".stripMargin,
+      "q159_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+           |           label AS ql FROM embeddings WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT query_id, c.vec_id AS neighbor_id,
+           |    round(${cos("qv", "c.embedding")}, 6) AS cos_sim
+           |  FROM embeddings c CROSS JOIN q
+           |  WHERE c.vec_id != query_id AND c.label IS DISTINCT FROM ql),
+           |ranked AS (SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos_sim DESC,
+           |    neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q160_profile" ->
+        """SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_null,
+          |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+          |  CAST(min(l_quantity) AS DOUBLE) AS min_val,
+          |  CAST(max(l_quantity) AS DOUBLE) AS max_val
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+          |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT),
+          |  CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+          |  CAST(min(l_extendedprice) AS DOUBLE),
+          |  CAST(max(l_extendedprice) AS DOUBLE)
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'l_discount', CAST(count(*) AS BIGINT),
+          |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT),
+          |  CAST(count(DISTINCT l_discount) AS BIGINT),
+          |  CAST(min(l_discount) AS DOUBLE),
+          |  CAST(max(l_discount) AS DOUBLE)
+          |FROM lineitem""".stripMargin,
+      "q161_decompose" ->
+        s"""WITH hourly AS (SELECT event_type,
+           |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+           |    floor((${dAvg("value")}) * 1e6 + 0.5) / 1e6 AS v
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT event_type, hr, v,
+           |    count(v) OVER w24 AS cnt,
+           |    floor((CAST(sum(CAST(v AS DECIMAL(30,6))) OVER w24
+           |      AS DOUBLE) / 24) * 1e6 + 0.5) / 1e6 AS trend0
+           |  FROM hourly WINDOW w24 AS (PARTITION BY event_type
+           |    ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+           |t2 AS (SELECT event_type, hr, v,
+           |    CASE WHEN cnt = 24 THEN trend0 END AS trend,
+           |    hour(hr) % 24 AS slot FROM t),
+           |sm AS (SELECT event_type, slot,
+           |    floor((${dAvg("floor((v - trend) * 1e6 + 0.5) / 1e6")})
+           |      * 1e6 + 0.5) / 1e6 AS smean
+           |  FROM t2 WHERE trend IS NOT NULL GROUP BY 1, 2),
+           |sb AS (SELECT event_type,
+           |    floor((CAST(sum(CAST(smean AS DECIMAL(30,6))) AS DOUBLE)
+           |      / count(*)) * 1e6 + 0.5) / 1e6 AS sbar
+           |  FROM sm GROUP BY 1),
+           |se AS (SELECT sm.event_type, slot,
+           |    floor((smean - sbar) * 1e6 + 0.5) / 1e6 AS seasonal
+           |  FROM sm JOIN sb USING (event_type))
+           |SELECT t2.event_type, hr, v, trend,
+           |  CASE WHEN trend IS NOT NULL THEN seasonal END AS seasonal,
+           |  CASE WHEN trend IS NOT NULL
+           |    THEN floor((v - trend - seasonal) * 1e6 + 0.5) / 1e6
+           |    END AS resid
+           |FROM t2 LEFT JOIN se
+           |  ON se.event_type = t2.event_type AND se.slot = t2.slot"""
+          .stripMargin,
+      "q162_entity_clusters" ->
+        """WITH RECURSIVE names AS (
+          |  SELECT DISTINCT p_name AS name FROM part),
+          |bl AS (SELECT name, string_split(name, ' ')[-1] AS blk
+          |       FROM names),
+          |np AS (SELECT a.name AS a, b2.name AS b
+          |       FROM bl a JOIN bl b2
+          |         ON a.blk = b2.blk AND a.name < b2.name
+          |       WHERE levenshtein(a.name, b2.name) <= 3),
+          |edges AS (SELECT a, b FROM np
+          |          UNION SELECT b AS a, a AS b FROM np),
+          |reach(src, dst) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          |comp AS (SELECT src AS name, least(src, min(dst)) AS cluster
+          |         FROM reach GROUP BY src)
+          |SELECT n.name, coalesce(c.cluster, n.name) AS cluster
+          |FROM names n LEFT JOIN comp c USING (name)""".stripMargin,
+      "q163_star_revenue" ->
+        s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |  round(${dSum("l_extendedprice * (1.0 - l_discount)")}, 6)
+           |    AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1, 2""".stripMargin,
       "q126_upsert_merge" ->
         """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice,
           |      o_orderstatus FROM orders),

@@ -366,4 +366,106 @@ object Analytics {
         folded.getField("alarms").as("n_alarms"),
         folded.getField("maxs").as("max_cusum")): _*)
   }
+
+  /** Snapshot diff (CDC-style): classify every key as `added`,
+    * `removed`, or `changed` between two table snapshots, dropping
+    * unchanged keys. ONE full-outer shuffle join on the key — both
+    * sides hash-partition identically, so at 100 TB this is the
+    * canonical co-partitioned reconcile (bucket both snapshots by the
+    * key at write time and the exchange disappears entirely). Value
+    * equality is null-safe (`<=>`), so null→value and value→null edits
+    * count as changes. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("__in_old", lit(1))
+    val n0 = newDf.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("__in_new", lit(1))
+    val n = valueCols.foldLeft(n0)((d, c) =>
+      d.withColumnRenamed(c, s"__new_$c"))
+    val joined = o.join(n, keyCols, "full_outer")
+    val same = valueCols.map(c => col(c) <=> col(s"__new_$c"))
+      .reduce(_ && _)
+    val change = when(col("__in_old").isNull, "added")
+      .when(col("__in_new").isNull, "removed")
+      .when(!same, "changed")
+    joined.withColumn("change", change)
+      .where(col("change").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change")) ++
+        valueCols.flatMap(c => Seq(col(c).as(s"old_$c"),
+          col(s"__new_$c").as(s"new_$c"))): _*)
+  }
+
+  /** Classical (moving-average) seasonal decomposition of a keyed
+    * regular series — the statsmodels `seasonal_decompose(additive)`
+    * shape: trend = centered 24-slot rolling mean (full windows only),
+    * seasonal = per-(key, slot-of-day) mean of the detrended series
+    * normalized to sum to zero over the day, resid = v − trend −
+    * seasonal. Two keyed window passes + one (key, slot) aggregate —
+    * no iteration, no driver math; every statistic routes through
+    * DetAgg and rounds to 6 so the decomposition is engine-exact.
+    * Rows without a full trend window emit null trend/seasonal/resid
+    * (exactly the statsmodels NaN edge). */
+  def classicalDecompose(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String], period: Int = 24): DataFrame = {
+    val k = keys.map(col)
+    val half = period / 2
+    // centered window: period even -> [t-half, t+half-1] (the pandas
+    // convention for even windows with center=True)
+    val wTrend = Window.partitionBy(k: _*).orderBy(col(tsCol))
+      .rowsBetween(-half, half - 1)
+    // quantize via pure-double floor (NOT round()): round() parses the
+    // shortest decimal repr on the JVM but the exact binary in DuckDB,
+    // so a quotient landing within an ulp of a half-boundary diverges
+    // across engines; floor(x·1e6 + 0.5)/1e6 is closed under IEEE
+    // doubles — bit-identical everywhere
+    def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val withTrend = df
+      .withColumn("__cnt", count(col(valueCol)).over(wTrend))
+      .withColumn("__trend",
+        when(col("__cnt") === period,
+          r6(sum(col(valueCol).cast(DetAgg.Dec)).over(wTrend)
+            .cast("double") / period)))
+      .withColumn("__slot", hour(col(tsCol)) % period)
+    // slot means of the detrended series (statsmodels' nanmean over the
+    // trend-complete rows), centered so one period sums to zero; the
+    // (key × period) table is tiny by construction -> broadcast back
+    val detr = r6(col(valueCol) - col("__trend"))
+    val slotMeans = withTrend.where(col("__trend").isNotNull)
+      .groupBy((k :+ col("__slot")): _*)
+      .agg(r6(DetAgg.detAvg(detr)).as("__smean"))
+    val slotAdj = slotMeans.groupBy(k: _*)
+      .agg(r6(DetAgg.detSum(col("__smean")) / count(lit(1))).as("__sbar"))
+    val seasonalTbl = slotMeans.join(slotAdj, keys)
+      .withColumn("__seasonal", r6(col("__smean") - col("__sbar")))
+      .select(k ++ Seq(col("__slot"), col("__seasonal")): _*)
+    withTrend.join(broadcast(seasonalTbl), keys :+ "__slot", "left")
+      .withColumn("seasonal",
+        when(col("__trend").isNotNull, col("__seasonal")))
+      .withColumn("resid", when(col("__trend").isNotNull,
+        r6(col(valueCol) - col("__trend") - col("seasonal"))))
+      .select(k ++ Seq(col(tsCol), col(valueCol),
+        col("__trend").as("trend"), col("seasonal"), col("resid")): _*)
+  }
+
+  /** One-pass column profiler: per listed numeric column — row count,
+    * null count, exact distinct count, min, max — unpivoted to one row
+    * per column. The multi-distinct aggregate expands to one pass per
+    * distinct target under Spark's Expand, which is the exact-count
+    * trade; swap in approx_count_distinct at 100 TB when ±2 % is
+    * acceptable (kept exact here so the oracle can hash-match). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', __n_$c, __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stacked) AS " +
+      "(col_name, n, n_null, n_distinct, min_val, max_val)")
+  }
 }

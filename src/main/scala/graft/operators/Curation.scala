@@ -92,6 +92,31 @@ object Curation {
           6).as("dup_frac"))
   }
 
+  /** Per-group budgeted selection (the data-mixing primitive): within
+    * each group, rank items by `rankCol` descending (ties by `idCol`)
+    * and keep rows while the running `weightCol` total stays within
+    * `share` of the group's total weight — always keeping the top row
+    * so no group empties. One keyed window (rank + running sum share a
+    * single sort) over groups — the shuffle key is the group, state per
+    * group is one running total. This is how a corpus is cut to a
+    * token budget per domain/source before training. */
+  def budgetedSelect(df: DataFrame, groupCol: String, idCol: String,
+      rankCol: String, weightCol: String, share: Double): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col(rankCol).desc, col(idCol).asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = sum(col(weightCol)).over(
+      wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col(weightCol)).over(wAll)
+    df.select(col(groupCol), col(idCol), col(rankCol), col(weightCol))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__keep",
+        col("__rn") === 1 || cum <= tot * lit(share))
+      .where(col("__keep"))
+      .select(col(groupCol), col(idCol), col(weightCol),
+        col("__rn").as("rank"))
+  }
+
   /** Blocked fuzzy matching over a name column — the record-linkage
     * candidate step: names sharing a block key (their last word) are
     * compared with exact Levenshtein distance; pairs within `maxDist`

@@ -90,6 +90,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most-similar corpus vectors whose label DIFFERS from the query's
+    * — the highest-value negatives a retrieval/embedding trainer can
+    * sample. Same broadcast-query + keyed-ranking shape as
+    * [[cosineTopK]]; the label-mismatch predicate prunes before the
+    * ranking window, so the per-query state stays k rows. At corpus
+    * scale swap the scoring join for [[ivfTopK]] cells and keep the
+    * label filter — the mining semantics are unchanged. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"), l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("__cl"),
+      l2Norm(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        !(col("__cl") <=> col("__ql")))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) bucket id: `planes` is a
     * driver-seeded matrix of unit-less hyperplane normals emitted as
     * literal arrays; bit i = sign of <v, plane_i>. The corpus is bucketed
