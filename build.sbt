@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: a local[32] single-JVM run IS driver + 32 executors —
+  // 8g starved late queries in long benches (GC churn grew per-query
+  // times 4x by query ~130 of 163); the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 163 queries x 2 runs generate thousands of whole-stage-codegen
+  // classes; the 240m default code cache fills and turns off JIT
+  "-XX:ReservedCodeCacheSize=512m",
 )

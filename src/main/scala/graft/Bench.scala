@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a 167-query run is a LONG-LIVED driver: execution/plan metadata
+      // retained for the (disabled) UI and un-GC'd shuffle dependencies
+      // in MapOutputTracker grow per query and were inflating late
+      // queries 3-5x over their isolated times. Keep the status store
+      // tiny and let the ContextCleaner actually fire within the run.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen once on the smallest table so per-query times
@@ -42,6 +51,11 @@ object Bench {
       graft.operators.Dedup.releaseIntermediates()
       graft.operators.Graph.releaseIntermediates()
       spark.catalog.clearCache()
+      // shuffle files/statuses and localCheckpoint blocks free only when
+      // their dependency objects are GC'd — nudge the cleaner so the
+      // tracker maps stay bounded across 167 queries (outside the timed
+      // window; a mostly-dead-heap full GC is cheap)
+      System.gc()
       val good = runs.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
@@ -58,18 +72,26 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    def mkLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) =>
+    def mkLine(fmt: Double => String, keep: Int): String = {
+      val shown = results.sortBy(-_._2).take(keep)
+      val qs = shown.map { case (k, v) =>
         "\"" + (if (unique) shortKey(k) else k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      val omitted =
+        if (keep >= results.size) ""
+        else s""","omitted":${results.size - keep}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$omitted,"errors":$errors,"sf":"$sfDir"}"""
     }
-    // degrade per-query precision rather than ever exceeding the capture
-    // window (totals keep 2 decimals; the full-precision map is in
-    // BENCH_DETAIL.json regardless)
+    // the capture window caps the line: first degrade precision, then
+    // drop the FASTEST queries (slowest-first map + an "omitted" count —
+    // the informative tail survives; BENCH_DETAIL.json keeps everything)
     val line = Seq[Double => String](v => f"$v%.2f", v => f"$v%.1f")
-      .map(mkLine).find(_.length <= 1700)
-      .getOrElse(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"errors":$errors,"sf":"$sfDir"}""")
+      .map(mkLine(_, results.size)).find(_.length <= 1700)
+      .getOrElse {
+        Iterator.from(results.size - 10, -10)
+          .map(mkLine(v => f"$v%.1f", _))
+          .find(_.length <= 1700).get
+      }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))

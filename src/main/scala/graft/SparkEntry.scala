@@ -1545,6 +1545,32 @@ object SparkEntry {
         .agg(round(DetAgg.detSum(col("l_extendedprice") *
           (lit(1.0) - col("l_discount"))), 6).as("revenue"),
           count(lit(1)).as("n_items"))),
+    // ---- outlier-robust clipping at the group's [p5, p95] band
+    "q164_winsorize" -> ((s, dir) =>
+      Analytics.winsorize(t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "value", Seq("event_type"), lo = 0.05, hi = 0.95)),
+    // ---- first-order Markov transitions: what users do next, with
+    // row-normalized probabilities (one lag window + one hash agg)
+    "q165_transitions" -> ((s, dir) =>
+      Analytics.transitionMatrix(t(s, dir, "events"), "event_type",
+        Seq("user_id"), Seq("ts", "event_id"))),
+    // ---- binary-segmentation changepoint: the split maximizing the
+    // mean gap per event type, from running sums (no per-split rescan)
+    "q166_changepoint" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg((floor(DetAgg.detAvg(col("value")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("v"))
+      Analytics.changepointTop(hourly, "v", Seq("event_type"), Seq("hr"))
+    }),
+    // ---- quantity-weighted price median per return flag (lower
+    // weighted median -- the discrete, engine-exact rule)
+    "q167_weighted_median" -> ((s, dir) =>
+      Analytics.weightedMedian(t(s, dir, "lineitem"), "l_extendedprice",
+        "l_quantity", Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2874,6 +2900,65 @@ object SparkEntry {
           |         FROM reach GROUP BY src)
           |SELECT n.name, coalesce(c.cluster, n.name) AS cluster
           |FROM names n LEFT JOIN comp c USING (name)""".stripMargin,
+      "q164_winsorize" ->
+        """WITH b AS (SELECT event_type,
+          |    floor(quantile_cont(value, 0.05) * 1e6 + 0.5) / 1e6 AS lo,
+          |    floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS hi
+          |  FROM events GROUP BY 1)
+          |SELECT event_id, e.event_type, value,
+          |  least(greatest(value, lo), hi) AS clipped
+          |FROM events e JOIN b USING (event_type)""".stripMargin,
+      "q165_transitions" ->
+        """WITH p AS (SELECT user_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS from_state
+          |  FROM events),
+          |c AS (SELECT from_state, event_type AS to_state,
+          |      count(*) AS n FROM p
+          |    WHERE from_state IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+          |  floor((CAST(n AS DOUBLE) /
+          |    CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE))
+          |    * 1e6 + 0.5) / 1e6 AS p
+          |FROM c""".stripMargin,
+      "q166_changepoint" ->
+        s"""WITH hourly AS (SELECT event_type,
+           |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+           |    floor((${dAvg("value")}) * 1e6 + 0.5) / 1e6 AS v
+           |  FROM events GROUP BY 1, 2),
+           |s AS (SELECT event_type, hr,
+           |    count(*) OVER wc AS t,
+           |    CAST(sum(CAST(v AS DECIMAL(30,6))) OVER wc AS DOUBLE) AS s,
+           |    count(*) OVER wa AS n,
+           |    CAST(sum(CAST(v AS DECIMAL(30,6))) OVER wa AS DOUBLE)
+           |      AS tot
+           |  FROM hourly WINDOW
+           |    wc AS (PARTITION BY event_type ORDER BY hr
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |    wa AS (PARTITION BY event_type)),
+           |gaps AS (SELECT event_type, t, n,
+           |    floor(abs(s / t - (tot - s) / (n - t)) * 1e6 + 0.5) / 1e6
+           |      AS gap
+           |  FROM s WHERE t < n),
+           |best AS (SELECT event_type, gap AS mean_gap,
+           |    t AS split_at, n AS n_points,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY gap DESC, t ASC) AS rk FROM gaps)
+           |SELECT event_type, mean_gap, CAST(split_at AS BIGINT)
+           |    AS split_at,
+           |  CAST(n_points AS BIGINT) AS n_points
+           |FROM best WHERE rk = 1""".stripMargin,
+      "q167_weighted_median" ->
+        """WITH s AS (SELECT l_returnflag, l_extendedprice AS v,
+          |    sum(CAST(l_quantity AS DECIMAL(30,6))) OVER
+          |      (PARTITION BY l_returnflag
+          |       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          |    sum(CAST(l_quantity AS DECIMAL(30,6))) OVER
+          |      (PARTITION BY l_returnflag) AS tw
+          |  FROM lineitem)
+          |SELECT l_returnflag, min(v) AS w_median
+          |FROM s WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
       "q163_star_revenue" ->
         s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
            |  round(${dSum("l_extendedprice * (1.0 - l_discount)")}, 6)

@@ -448,6 +448,106 @@ object Analytics {
         col("__trend").as("trend"), col("seasonal"), col("resid")): _*)
   }
 
+  /** Floor-quantization to 6 decimals — pure IEEE-double ops, so both
+    * engines compute identical bits (unlike round(), which parses the
+    * shortest decimal repr on the JVM but the exact binary in DuckDB
+    * and diverges on quotients near a half-boundary). Use for any
+    * reported statistic that is a QUOTIENT; plain round stays fine for
+    * sums/differences of already-quantized values. */
+  private[operators] def q6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Per-group winsorization: clip `valueCol` to its group's
+    * [lo, hi] interpolated percentiles — the outlier-robust scaling a
+    * feature pipeline applies before normalization. The two bounds are
+    * ONE grouped aggregate (groups-sized output, broadcast back); the
+    * clip itself is a codegen'd per-row projection. Exact percentile
+    * buffers each group in the aggregate — the oracle-checkable form;
+    * at 100 TB swap in approx_percentile and keep the clip identical. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      lo: Double = 0.01, hi: Double = 0.99,
+      as: String = "clipped"): DataFrame = {
+    val g = groupCols.map(col)
+    val bounds = df.groupBy(g: _*)
+      .agg(q6(percentile(col(valueCol), lit(lo))).as("__lo"),
+        q6(percentile(col(valueCol), lit(hi))).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(as, least(greatest(col(valueCol), col("__lo")),
+        col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** First-order Markov transition matrix over an ordered event stream:
+    * per partition key the (from, to) bigram counts and row-normalized
+    * probabilities. One keyed window (lag) + one hash aggregate —
+    * the 100 TB shape for "what do users do next" sequence analytics.
+    * Order must be made total by `orderCols` (include a unique id). */
+  def transitionMatrix(df: DataFrame, stateCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val pairs = df.withColumn("__from", lag(col(stateCol), 1).over(w))
+      .where(col("__from").isNotNull)
+    val counts = pairs.groupBy(col("__from").as("from_state"),
+        col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_state"))
+    counts.withColumn("p",
+        q6(col("n").cast("double") / sum(col("n")).over(wf)
+          .cast("double")))
+      .select(col("from_state"), col("to_state"), col("n"), col("p"))
+  }
+
+  /** Single changepoint localization per key (binary segmentation,
+    * first split): the ordinal position t that maximizes the absolute
+    * mean gap |mean(v[1..t]) − mean(v[t+1..n])|, computed from running
+    * decimal sums — one keyed window pass, one argmax aggregate, no
+    * per-candidate rescan (the O(n²) naive). Ties take the earliest t.
+    * Both means are quotients -> floor-quantized before the compare so
+    * the argmax is engine-exact. */
+  def changepointTop(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val k = partitionCols.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+    val scored = df
+      .withColumn("__t", count(lit(1)).over(w))
+      .withColumn("__s", sum(col(valueCol).cast(DetAgg.Dec)).over(w)
+        .cast("double"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(col(valueCol).cast(DetAgg.Dec)).over(wAll)
+        .cast("double"))
+      .where(col("__t") < col("__n")) // a split needs a non-empty right
+      .withColumn("__gap", q6(abs(col("__s") / col("__t") -
+        (col("__tot") - col("__s")) / (col("__n") - col("__t")))))
+    scored.groupBy(k: _*)
+      .agg(max(struct(col("__gap"), (-col("__t")).as("__negt")))
+        .as("__best"), max(col("__n")).as("n_points"))
+      .select(k ++ Seq(col("__best.__gap").as("mean_gap"),
+        (-col("__best.__negt")).cast("long").as("split_at"),
+        col("n_points")): _*)
+  }
+
+  /** Per-group lower weighted median: the smallest value whose running
+    * weight reaches half the group's total (no interpolation — the
+    * discrete rule every engine agrees on). One keyed window sort;
+    * weights and totals stay in exact integer/decimal space so the
+    * threshold compare is engine-exact. */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String], tieCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    df.withColumn("__cw", sum(col(weightCol).cast(DetAgg.Dec)).over(w))
+      .withColumn("__tw", sum(col(weightCol).cast(DetAgg.Dec)).over(wAll))
+      .where(col("__cw") * 2 >= col("__tw"))
+      .groupBy(g: _*)
+      .agg(min(col(valueCol)).as("w_median"))
+  }
+
   /** One-pass column profiler: per listed numeric column — row count,
     * null count, exact distinct count, min, max — unpivoted to one row
     * per column. The multi-distinct aggregate expands to one pass per
