@@ -1571,6 +1571,13 @@ object SparkEntry {
       Analytics.weightedMedian(t(s, dir, "lineitem"), "l_extendedprice",
         "l_quantity", Seq("l_returnflag"),
         Seq("l_orderkey", "l_linenumber"))),
+    // ---- PCA eigen-spectrum of the embedding corpus: one distributed
+    // Gram pass + driver eigSym on the d×d covariance (spark.ml's own
+    // shape), emitted as the invariant gate (trace preservation +
+    // monotone non-negative spectrum) since cross-partition double
+    // reduction is not bit-stable
+    "q168_pca_gate" -> ((s, dir) =>
+      Similarity.pcaGate(t(s, dir, "embeddings"), "embedding")),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2959,6 +2966,12 @@ object SparkEntry {
           |  FROM lineitem)
           |SELECT l_returnflag, min(v) AS w_median
           |FROM s WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
+      "q168_pca_gate" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(max(len(embedding)) AS BIGINT) AS dim,
+          |  CAST(1 AS BIGINT) AS trace_ok,
+          |  CAST(1 AS BIGINT) AS monotone_ok
+          |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
       "q163_star_revenue" ->
         s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
            |  round(${dSum("l_extendedprice * (1.0 - l_discount)")}, 6)

@@ -78,8 +78,14 @@ object Curation {
     * the corpus if they need them back). */
   def spanDuplication(df: DataFrame, textCol: String, idCol: String,
       n: Int = 5, minDf: Int = 2): DataFrame = {
+    // shuffle the 8-byte xxhash64 of each gram, not the ~n-word string:
+    // halves-to-quarters the exchange bytes, and every downstream step
+    // only ever counts grams (a 64-bit collision would need ~2^32
+    // distinct grams to matter — far beyond any per-corpus vocabulary
+    // this profiles)
     val grams = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(Dedup.wordShingles(col(textCol), n)))
+        explode(array_distinct(transform(
+          Dedup.wordShingles(col(textCol), n), g => xxhash64(g))))
           .as("gram"))
     // grams are distinct per doc, so count == document frequency
     val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))

