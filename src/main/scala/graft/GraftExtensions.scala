@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RewriteHofDotProduct, VectorDot}
+import graft.functions.{JaroWinkler, RewriteHofDotProduct, VectorDot}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions (`vec_dot`) and the optimizer rule that
@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

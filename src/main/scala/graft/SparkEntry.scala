@@ -1578,6 +1578,52 @@ object SparkEntry {
     // reduction is not bit-stable
     "q168_pca_gate" -> ((s, dir) =>
       Similarity.pcaGate(t(s, dir, "embeddings"), "embedding")),
+    // ---- last-touch attribution: each purchase credits the user's
+    // most recent click within a 7-day lookback (as-of join + window
+    // guard); clicks pre-deduped per (user, ts) so ties are unique
+    "q169_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      out(AsofJoin.backward(purchases, clicks, "user_id", "ts",
+          Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("r_ts") >= col("ts") - expr("interval 7 days"),
+            col("r_click_id")).as("attributed_click")))
+    }),
+    // ---- weekly cohort retention matrix: users bucketed by first-seen
+    // ISO week, distinct-user counts per (cohort, week offset)
+    "q170_cohorts" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id")
+        .agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, "user_id")
+        .withColumn("wk_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+    // ---- Jaro-Winkler fuzzy scoring via the native codegen'd
+    // expression (Spark ships only levenshtein): blocked name pairs
+    // scored and thresholded, exact DuckDB-variant parity
+    "q171_jaro_winkler" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("name"))
+        .distinct()
+        .withColumn("__blk", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("__blk"), col("name").as("name_a"))
+      val b = names.select(col("__blk"), col("name").as("name_b"))
+      a.join(b, "__blk").where(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(graft.functions.JaroWinklerAlgo.jaroWinkler(
+            col("name_a"), col("name_b")), 6).as("jw"))
+        .where(col("jw") >= 0.8)
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -2972,6 +3018,38 @@ object SparkEntry {
           |  CAST(1 AS BIGINT) AS trace_ok,
           |  CAST(1 AS BIGINT) AS monotone_ok
           |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+      "q169_attribution" ->
+        """WITH p AS (SELECT event_id, user_id,
+          |    CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    max(event_id) AS click_id
+          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+          |SELECT p.event_id, p.user_id, p.ts,
+          |  CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.click_id END
+          |    AS attributed_click
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+      "q170_cohorts" ->
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+          |      AS wk
+          |  FROM events),
+          |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+          |SELECT cohort_wk,
+          |  CAST(datediff('day', cohort_wk, wk) // 7 AS BIGINT)
+          |    AS wk_offset,
+          |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+          |FROM uw JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+      "q171_jaro_winkler" ->
+        """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+          |b AS (SELECT name, string_split(name, ' ')[-1] AS blk
+          |      FROM names)
+          |SELECT * FROM (
+          |  SELECT a.name AS name_a, b2.name AS name_b,
+          |    round(jaro_winkler_similarity(a.name, b2.name), 6) AS jw
+          |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name)
+          |WHERE jw >= 0.8""".stripMargin,
       "q163_star_revenue" ->
         s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
            |  round(${dSum("l_extendedprice * (1.0 - l_discount)")}, 6)
