@@ -1437,7 +1437,7 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("g_flag"), col("g_status"), col("sum_qty"), col("n"))),
     // ---- blocklist scrubbing: token-exact masking + per-doc hit
-    // counts, pure codegen'd per-row lambdas (zero shuffle)
+    // counts, pure per-row lambda expressions (zero shuffle)
     "q151_blocklist" -> ((s, dir) =>
       graft.operators.Curation.blocklistScrub(t(s, dir, "documents"),
         "text", "doc_id", Seq("customer", "key", "value"))),

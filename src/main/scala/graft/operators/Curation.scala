@@ -47,7 +47,7 @@ object Curation {
   /** Blocklist masking: replace every token in `terms` with `<MASK>`
     * and report the per-document hit count. Token-exact (not substring)
     * so "keystone" survives a "key" blocklist. Pure per-row lambda
-    * Column expressions — shuffle-free, codegen'd, and the blocklist is
+    * Column expressions — shuffle-free, and the blocklist is
     * a literal baked into the plan (broadcast-free for the small lists
     * this is meant for; a million-entry blocklist would use a broadcast
     * join on the exploded token instead). */

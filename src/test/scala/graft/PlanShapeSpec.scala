@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Curation, Similarity, WindowOps}
+
+/** Explain-level assertions for the round-6 operators: the plan SHAPE is
+  * the 100 TB contract (what shuffles, what broadcasts, what stays
+  * codegen'd) — these pin it against regressions the row-level specs
+  * cannot see. */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, what: String): Int =
+    s.sliding(what.length).count(_ == what)
+
+  // range-derived input: literal Seqs constant-fold into LocalTableScan
+  // and erase the physical plan under test
+  val docs = spark.range(2).select(col("id").as("doc_id"),
+    concat_ws(" ", lit("a"), col("id").cast("string"), lit("b c d"))
+      .as("text"))
+
+  test("blocklistScrub is shuffle-free") {
+    val p = plan(Curation.blocklistScrub(docs, "text", "doc_id",
+      Seq("b")))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    // note: HOF lambdas (filter/transform) are interpreted expressions
+    // in Spark — the claim here is the SHAPE (one projection, no
+    // shuffle), not whole-stage codegen of the lambda itself
+  }
+
+  test("vocabCoverage takes top-k without a global sort") {
+    val p = plan(Curation.vocabCoverage(docs, "text", topK = 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrdered, not Sort+Limit:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange")) // the scalar total rides broadcast
+  }
+
+  test("spanDuplication has no cartesian/broadcast-nested-loop blowup") {
+    val p = plan(Curation.spanDuplication(docs, "text", "doc_id", n = 2))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("star join broadcasts the dim and shuffles the facts") {
+    val li = Seq((1L, 10L, 5.0)).toDF("l_orderkey", "l_suppkey", "v")
+    val orders = Seq((1L, 2L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((2L, 3)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((3, "A")).toDF("n_nationkey", "n_name")
+    val q = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)))
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+  }
+
+  test("winsorize bounds ride a broadcast join, clip stays codegen'd") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val p = plan(Analytics.winsorize(df, "v", Seq("g")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"group bounds must broadcast back:\n$p")
+  }
+
+  test("resampleInterpolate shuffles only on the series key") {
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:30:00"),
+      1.0)).toDF("k", "ts", "v")
+    val p = plan(WindowOps.resampleInterpolate(df, "ts", "v", Seq("k")))
+    assert(p.contains("hashpartitioning(k"),
+      s"windows must partition by the key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition stage:\n$p")
+  }
+
+  test("hardNegatives broadcasts the query side") {
+    val emb = Seq((0L, Seq(1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val p = plan(Similarity.hardNegatives(emb,
+      emb.where(col("vec_id") === 0), "vec_id", "embedding", "label", 1))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"queries must broadcast:\n$p")
+  }
+
+  test("jaro_winkler stays inside whole-stage codegen") {
+    val df = spark.range(2).select(
+      concat(lit("ab"), col("id").cast("string")).as("a"),
+      concat(lit("ad"), col("id").cast("string")).as("b"))
+    val q = df.select(graft.functions.JaroWinklerAlgo.jaroWinkler(
+      col("a"), col("b")).as("jw"))
+    val p = plan(q)
+    // the *(n) stage markers are toString's whole-stage-codegen flags;
+    // the projection carrying jaro_winkler must be inside one
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("jaro_winkler")), s"codegen lost:\n$p")
+  }
+}
