@@ -1624,6 +1624,16 @@ object SparkEntry {
             col("name_a"), col("name_b")), 6).as("jw"))
         .where(col("jw") >= 0.8)
     }),
+    // ---- native bounded-heap top-k aggregate (TypedImperativeAggregate
+    // under ObjectHashAggregate): only k rows per (task, group) cross
+    // the shuffle — the scale form of the row_number window idiom
+    "q172_native_topk" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"),
+          10).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("event_type"), (col("i") + 1).cast("long").as("rank"),
+          col("r.id").as("event_id"), col("r.score").as("value"))),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -3050,6 +3060,13 @@ object SparkEntry {
           |    round(jaro_winkler_similarity(a.name, b2.name), 6) AS jw
           |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name)
           |WHERE jw >= 0.8""".stripMargin,
+      "q172_native_topk" ->
+        """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
+          |FROM (SELECT event_type, event_id, value,
+          |        row_number() OVER (PARTITION BY event_type
+          |          ORDER BY value DESC, event_id) AS rn
+          |      FROM events)
+          |WHERE rn <= 10""".stripMargin,
       "q163_star_revenue" ->
         s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
            |  round(${dSum("l_extendedprice * (1.0 - l_discount)")}, 6)

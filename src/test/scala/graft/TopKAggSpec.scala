@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg.topK
+import graft.functions.TopKBuffer
+
+class TopKAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("buffer: bounded heap keeps the best k with deterministic ties") {
+    val b = new TopKBuffer(3)
+    Seq((1.0, 1L), (5.0, 2L), (3.0, 3L), (5.0, 4L), (2.0, 5L))
+      .foreach { case (s, i) => b.insert(s, i) }
+    assert(b.size == 3)
+    val rows = b.sortedRows.map(_.asInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow])
+    val got = rows.map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // ties on 5.0: smaller id wins rank; 5.0#4 still beats 3.0
+    assert(got == Seq((5.0, 2L), (5.0, 4L), (3.0, 3L)))
+  }
+
+  test("aggregate equals the window idiom across partitionings") {
+    val df = (1 to 500).map(i =>
+        ((i % 7).toString, (i % 83).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val viaAgg = df.repartition(13) // force multi-partition merge +
+      // partial-buffer serialization across the exchange
+      .groupBy("g").agg(topK(col("v"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("g"), col("i"), col("r.score"), col("r.id"))
+      .orderBy("g", "i").collect().toSeq
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("g"), (col("rn") - 1).as("i"), col("v"), col("id"))
+      .orderBy("g", "i").collect().toSeq
+    assert(viaAgg.map(_.toString) == viaWindow.map(_.toString))
+  }
+
+  test("k larger than the group returns the whole group, nulls skipped") {
+    val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L),
+      ("a", Some(3.0), 3L)).toDF("g", "v", "id")
+    val r = df.groupBy("g").agg(topK(col("v"), col("id"), 10).as("top"))
+      .select(size(col("top"))).head()
+    assert(r.getInt(0) == 2)
+  }
+
+  test("runs under ObjectHashAggregate with a partial stage") {
+    val df = spark.range(100).select((col("id") % 5).cast("string")
+      .as("g"), col("id").cast("double").as("v"), col("id").as("i"))
+    val q = df.groupBy("g").agg(topK(col("v"), col("i"), 3))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"wrong aggregate impl:\n$p")
+    assert(p.contains("partial_top_k") || p.contains("partial top_k")
+      || countPartial(p) >= 2, s"no map-side partial stage:\n$p")
+  }
+
+  private def countPartial(p: String): Int =
+    p.sliding("ObjectHashAggregate".length)
+      .count(_ == "ObjectHashAggregate")
+}
