@@ -59,4 +59,37 @@ class TopKAggSpec extends SparkTestBase {
   private def countPartial(p: String): Int =
     p.sliding("ObjectHashAggregate".length)
       .count(_ == "ObjectHashAggregate")
+
+  test("streaming leaderboard equals batch aggregate after replays") {
+    import graft.streaming.StreamTopK
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(StreamTopK.Scored("a", 5.0, 1), StreamTopK.Scored("a", 3.0, 2),
+      StreamTopK.Scored("b", 1.0, 3))
+    val b2 = Seq(StreamTopK.Scored("a", 4.0, 4), StreamTopK.Scored("a", 9.0, 5),
+      StreamTopK.Scored("b", 2.0, 6))
+    val stream = MemoryStream[StreamTopK.Scored]
+    val q = StreamTopK.streaming(stream.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topkboard")
+      .outputMode("update").start()
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each batch's emissions; the
+    // LAST board per key is the live leaderboard
+    val streamed = spark.sql(
+      """SELECT key, entries FROM (
+        |  SELECT key, entries,
+        |    row_number() OVER (PARTITION BY key ORDER BY mono DESC) rn
+        |  FROM (SELECT key, entries,
+        |        monotonically_increasing_id() AS mono FROM topkboard))
+        |WHERE rn = 1""".stripMargin)
+      .as[(String, Seq[(Long, Double, Long)])].collect().toMap
+    val batch = StreamTopK.batch((b1 ++ b2).toDF(), "key", "score", "id",
+        k = 2).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
+    assert(streamed("a").map(e => (e._1, e._2, e._3)) == batch("a"))
+    assert(streamed("b").map(e => (e._1, e._2, e._3)) == batch("b"))
+  }
 }
