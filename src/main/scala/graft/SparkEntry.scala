@@ -1634,6 +1634,59 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("top")).as(Seq("i", "r")))
         .select(col("event_type"), (col("i") + 1).cast("long").as("rank"),
           col("r.id").as("event_id"), col("r.score").as("value"))),
+    // ---- explicit GROUPING SETS (neither rollup nor cube): the two
+    // one-dimension marginals plus the grand total in one pass
+    "q173_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("__li_gs")
+      s.sql(s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(${dSum("l_quantity")}, 6) AS sum_qty,
+        |  count(1) AS n
+        |FROM __li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin)
+    }),
+    // ---- pandas rank(pct=True) analog: percent_rank + cume_dist per
+    // event type over the value (unique tie-break via event_id)
+    "q174_pct_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+        (floor(percent_rank().over(w) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("pct_rank"),
+        (floor(cume_dist().over(w) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("cume"))
+    }),
+    // ---- gaps-and-islands: longest consecutive-active-day streak per
+    // user (the rn-difference trick — one keyed window, no self-join)
+    "q175_longest_streak" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("__grp", datediff(col("day"), lit("1970-01-01")) -
+          row_number().over(w))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"))
+    }),
+    // ---- deterministic per-group mode: most frequent event_type per
+    // user, ties to the lexicographically smallest (DuckDB's mode()
+    // leaves ties unspecified — both sides use the explicit form)
+    "q176_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("n"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -3067,6 +3120,42 @@ object SparkEntry {
           |          ORDER BY value DESC, event_id) AS rn
           |      FROM events)
           |WHERE rn <= 10""".stripMargin,
+      "q173_grouping_sets" ->
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           |  coalesce(l_linestatus, 'ALL') AS status,
+           |  round(${dSum("l_quantity")}, 6) AS sum_qty,
+           |  CAST(count(1) AS BIGINT) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+          .stripMargin,
+      "q174_pct_rank" ->
+        """SELECT event_id, event_type,
+          |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+          |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type
+          |  ORDER BY value ASC, event_id ASC)""".stripMargin,
+      "q175_longest_streak" ->
+        """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          |  FROM events),
+          |g AS (SELECT user_id, day,
+          |    datediff('day', DATE '1970-01-01', day) -
+          |    row_number() OVER (PARTITION BY user_id ORDER BY day)
+          |      AS grp
+          |  FROM d),
+          |s AS (SELECT user_id, grp, count(*) AS len FROM g
+          |      GROUP BY 1, 2)
+          |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+          |FROM s GROUP BY 1""".stripMargin,
+      "q176_mode" ->
+        """WITH c AS (SELECT user_id, event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT user_id, event_type, n,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY n DESC, event_type) AS rn FROM c)
+          |SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT)
+          |    AS n
+          |FROM r WHERE rn = 1""".stripMargin,
       "q163_star_revenue" ->
         s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
            |  round(${dSum("l_extendedprice * (1.0 - l_discount)")}, 6)
