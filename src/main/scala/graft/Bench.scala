@@ -35,7 +35,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      def run(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -45,6 +45,16 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val first = (1 to 2).map(_ => run())
+      // this shared box takes multi-second external contention bursts;
+      // a burst spanning BOTH runs of one query would stick as its
+      // "min". One adaptive retry when the min still looks burst-sized
+      // bounds that (verified: spiked queries return to floor when
+      // rerun; genuinely-expensive ones just pay one extra run).
+      val runs =
+        if (first.filter(_._2).map(_._1).minOption.exists(_ > 5.0))
+          first :+ run()
+        else first
       // free blocks persisted inside the query so cached state never
       // accumulates across the 60+ query run (between queries, not between
       // the two runs — the warm second run is the steady-state number)

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * over the whole document set: vocabulary statistics, blocklist
-  * scrubbing, cross-document span-duplication profiling, and blocked
-  * fuzzy record matching. All are single-shuffle (or shuffle-free)
-  * designs — the per-document transforms are pure Column expressions
-  * that stay inside whole-stage codegen, and every cross-document step
-  * keys exactly one hash shuffle on a bounded-cardinality key.
+  * scrubbing, cross-document span-duplication profiling, blocked fuzzy
+  * record matching, and budgeted selection. All are single-shuffle (or
+  * shuffle-free) designs — the per-document transforms are pure Column
+  * expressions (HOF lambdas: interpreted but projection-local, no
+  * shuffle), and every cross-document step keys exactly one hash
+  * shuffle on a bounded-cardinality key.
   */
 object Curation {
 
