@@ -371,13 +371,16 @@ object SparkEntry {
         col("media_meta.n_bytes").as("n_bytes"),
         col("media_meta.sha256").as("sha256"))
     }),
-    // ---- multimodal: per-partition (stub) decode / feature extraction
+    // ---- multimodal: REAL per-partition BMP decode — payloads are
+    // genuine 24bpp BMPs built from the document bytes; the decoder
+    // parses header/stride/row-order and integer-sums pixel luma, and
+    // the oracle replicates the math from the text arithmetically
     "q36_multimodal_decode" -> ((s, dir) => {
-      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
-        "text", "text/plain")
+      val media = Multimodal.asBmpMedia(t(s, dir, "documents"), "doc_id",
+        "text")
       Multimodal.extractFeatures(media, "doc_id").toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
-          col("width"), col("height"))
+          col("width"), col("height"), col("mean_luma"))
     }),
     // ---- streaming semantics (batch-checkable): tumbling window
     "q37_stream_tumbling" -> ((s, dir) =>
@@ -664,10 +667,10 @@ object SparkEntry {
         .agg(DetAgg.detSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n_items"))
     }),
-    // ---- multimodal: resize geometry plan (no payload decode touched)
+    // ---- multimodal: resize geometry over REAL decoded dimensions
     "q77_multimodal_resize" -> ((s, dir) => {
-      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
-        "text", "text/plain")
+      val media = Multimodal.asBmpMedia(t(s, dir, "documents"), "doc_id",
+        "text")
       Multimodal.resizePlan(Multimodal.extractFeatures(media, "doc_id"),
           maxDim = 256)
         .select(col("doc_id"), col("width"), col("height"), col("scale"),
@@ -2024,11 +2027,28 @@ object SparkEntry {
           |  sha256(text) AS sha256
           |FROM documents""".stripMargin,
       "q36_multimodal_decode" ->
-        """SELECT doc_id, 'text/plain' AS media_type,
-          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-          |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INTEGER) AS height
-          |FROM documents""".stripMargin,
+        """WITH g AS (
+          |  SELECT doc_id, text,
+          |    least(8 + doc_id % 8, octet_length(encode(text)) // 3) AS w,
+          |    (octet_length(encode(text)) // 3)
+          |      // least(8 + doc_id % 8, octet_length(encode(text)) // 3) AS h
+          |  FROM documents),
+          |e AS (
+          |  SELECT doc_id, w, h, text,
+          |    unnest(generate_series(1, 3 * w * h)) AS j
+          |  FROM g),
+          |ls AS (
+          |  SELECT doc_id,
+          |    sum((CASE (j - 1) % 3 WHEN 0 THEN 114 WHEN 1 THEN 587
+          |          ELSE 299 END) * unicode(substr(text, CAST(j AS INTEGER), 1)))
+          |      AS lumasum
+          |  FROM e GROUP BY doc_id)
+          |SELECT g.doc_id, 'image/bmp' AS media_type,
+          |  CAST(54 + h * (((3 * w + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+          |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          |  floor(CAST(lumasum AS DOUBLE) / (255000.0 * w * h) * 1e6 + 0.5)
+          |    / 1e6 AS mean_luma
+          |FROM g JOIN ls USING (doc_id)""".stripMargin,
       "q37_stream_tumbling" ->
         s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
            |  CAST(count(*) AS BIGINT) AS n_events, ${dSum("value")} AS total
@@ -3621,8 +3641,11 @@ object SparkEntry {
            |GROUP BY 1""".stripMargin,
       "q77_multimodal_resize" ->
         """WITH f AS (SELECT doc_id,
-          |    CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-          |    CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INTEGER) AS height
+          |    CAST(least(8 + doc_id % 8, octet_length(encode(text)) // 3)
+          |      AS INTEGER) AS width,
+          |    CAST((octet_length(encode(text)) // 3)
+          |      // least(8 + doc_id % 8, octet_length(encode(text)) // 3)
+          |      AS INTEGER) AS height
           |  FROM documents),
           |s AS (SELECT *, CASE WHEN greatest(width, height) <= 256 THEN 1.0
           |        ELSE 256.0 / greatest(width, height) END AS scale FROM f)

@@ -131,12 +131,15 @@ class AdvancedOpsSpec extends SparkTestBase {
 
   test("multimodal resize plan computes bounded dimensions") {
     import graft.operators.Multimodal
-    val docs = Seq((0L, "x" * 700)).toDF("doc_id", "text")
-    val media = Multimodal.asMedia(docs, "doc_id", "text", "image/fake")
+    // 700 chars -> 233 pixels, id 0 -> width 8, height 29 (> 32 needs
+    // a longer doc: use 3100 chars -> 1033 px, h = 129 -> downscale)
+    val docs = Seq((0L, "x" * 3100)).toDF("doc_id", "text")
+    val media = Multimodal.asBmpMedia(docs, "doc_id", "text")
     val resized = Multimodal.resizePlan(
       Multimodal.extractFeatures(media, "doc_id"), maxDim = 32).head()
     val w = resized.getAs[Int]("out_width")
     val h = resized.getAs[Int]("out_height")
+    assert(resized.getAs[Int]("height") == 129) // real decoded geometry
     assert(w <= 32 && h <= 32 && w > 0 && h > 0)
   }
 

@@ -349,17 +349,70 @@ class OperatorsSpec extends SparkTestBase {
       .df.count() == 2)
   }
 
-  test("multimodal: payload metadata + deterministic stub decode") {
-    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+  test("multimodal: real BMP payloads decode to exact text-derived features") {
+    val media = Multimodal.asBmpMedia(docs, "doc_id", "text")
     assert(media.columns.toSeq == Seq("doc_id", "payload", "media_meta"))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val f = Multimodal.extractFeatures(media, "doc_id")
       .collect().map(m => m.doc_id -> m).toMap
-    val d0 = f(0L)
-    assert(d0.n_bytes == 43L)
-    assert(d0.width == (43 % 640) + 1 && d0.height == ((43 * 31) % 480) + 1)
-    assert(d0.mean_luma > 0 && d0.mean_luma < 1)
-    // identical payloads -> identical features
-    assert(f(3L).mean_luma == d0.mean_luma && f(3L).sha_eq(d0))
+    f.foreach { case (id, m) =>
+      // expected geometry/luma from the text by the documented arithmetic
+      val bytes = texts(id).getBytes("UTF-8")
+      val npix = bytes.length / 3
+      val w = math.min(8 + (id % 8).toInt, npix)
+      val h = npix / w
+      val stride = ((3 * w + 3) / 4) * 4
+      assert(m.media_type == "image/bmp")
+      assert(m.width == w && m.height == h, s"geometry for doc $id")
+      assert(m.n_bytes == 54L + h.toLong * stride, s"file size for doc $id")
+      val lumaSum = (0 until 3 * w * h).map { j =>
+        val wt = (j % 3) match { case 0 => 114L; case 1 => 587L; case _ => 299L }
+        wt * (bytes(j) & 0xff)
+      }.sum
+      val mean = lumaSum.toDouble / (255000.0 * w * h)
+      assert(m.mean_luma == math.floor(mean * 1e6 + 0.5) / 1e6,
+        s"luma for doc $id")
+    }
+  }
+
+  test("BMP codec round-trips exactly and agrees with the JDK ImageIO codec") {
+    import javax.imageio.ImageIO
+    // width 3 -> row stride 12 (3 padding bytes/row): the case where a
+    // decoder that ignores padding or row order reads garbage
+    val pixels = Array.tabulate(3 * 3 * 2)(i => ((i * 37 + 11) % 251).toByte)
+    val bmp = Multimodal.encodeBmp(pixels, width = 3)
+    val (w, h, lumaSum) = Multimodal.decodeBmp(bmp)
+    assert(w == 3 && h == 2)
+    val expected = pixels.grouped(3).map { p =>
+      299L * (p(2) & 0xff) + 587L * (p(1) & 0xff) + 114L * (p(0) & 0xff)
+    }.sum
+    assert(lumaSum == expected)
+    // independent decoder: the JDK's own BMP reader must see the same
+    // image, pixel for pixel, in the same top-down logical order
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val i = (y * 3 + x) * 3
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == (pixels(i + 2) & 0xff), s"R@($x,$y)")
+      assert(((rgb >> 8) & 0xff) == (pixels(i + 1) & 0xff), s"G@($x,$y)")
+      assert((rgb & 0xff) == (pixels(i) & 0xff), s"B@($x,$y)")
+    }
+    // and the reverse: a BMP written by ImageIO decodes identically here
+    val bi = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5)
+      bi.setRGB(x, y, ((x * 50 + y) << 16) | ((y * 60) << 8) | (x * 40 + 3))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(bi, "bmp", baos))
+    val (w2, h2, luma2) = Multimodal.decodeBmp(baos.toByteArray)
+    val expected2 = (for (y <- 0 until 4; x <- 0 until 5) yield {
+      val rgb = bi.getRGB(x, y)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+    }).sum
+    assert(w2 == 5 && h2 == 4 && luma2 == expected2)
   }
 
   test("star-contraction CC handles deep chains and matches hash-min") {
