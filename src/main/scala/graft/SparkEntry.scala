@@ -317,8 +317,8 @@ object SparkEntry {
       recallGate(
         Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5),
         Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5,
-          numPlanes = 4, numTables = 8, dim = 64),
-        Seq("query_id", "neighbor_id"), threshold = 0.3) // measured 0.52
+          numPlanes = 4, numTables = 8, dim = 64, multiProbe = true),
+        Seq("query_id", "neighbor_id"), threshold = 0.8) // measured 1.00
     }),
     // ---- dedup: LSH-bucketed embedding near-dup (scale path), gated on
     // recall against the exact all-pairs variant
@@ -328,8 +328,8 @@ object SparkEntry {
         Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
           threshold = 0.3),
         Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
-          threshold = 0.3, numPlanes = 4, numTables = 8),
-        Seq("a", "b"), threshold = 0.5) // measured 0.705 at sf0.01
+          threshold = 0.3, numPlanes = 4, numTables = 8, multiProbe = true),
+        Seq("a", "b"), threshold = 0.8) // measured 0.997 at sf0.01
     }),
     // ---- similarity: IVF coarse-quantized top-k, gated on recall
     // against the exact brute-force top-k
@@ -339,8 +339,8 @@ object SparkEntry {
       recallGate(
         Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5),
         Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 6),
-        Seq("query_id", "neighbor_id"), threshold = 0.4) // measured 0.64
+          nlist = 16, nprobe = 8, nassign = 2),
+        Seq("query_id", "neighbor_id"), threshold = 0.8) // measured 0.96
     }),
     // ---- text: quality scoring + token counting
     "q31_text_quality" -> ((s, dir) => {
@@ -1689,6 +1689,21 @@ object SparkEntry {
         .where(col("__rn") === 1)
         .select(col("user_id"), col("event_type").as("mode_type"),
           col("n"))
+    }),
+    // ---- S3/A1 agg_func CALLABLE form: an arbitrary user Aggregator
+    // (here: per-hour value spread) injected through from_reportdata —
+    // the reference accepts any callable as agg_func; the typed
+    // Aggregator runs partial/final like a builtin
+    "q177_agg_callable" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tidy = ev.select(
+        month(col("ts")).as("Month"), dayofmonth(col("ts")).as("Day"),
+        hour(col("ts")).as("Hour"), lit(0).as("Minute"),
+        lit(0).as("Interval"), col("value").as("Value"),
+        lit("J").as("Units"))
+      out(ReportData.toSeriesWith(tidy, graft.functions.SpreadAgg,
+          baseYear = 2024, units = Some("J")).df
+        .select(col("ts"), col("Value").as("value_spread")))
     }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
@@ -3176,6 +3191,11 @@ object SparkEntry {
           |SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT)
           |    AS n
           |FROM r WHERE rn = 1""".stripMargin,
+      "q177_agg_callable" ->
+        """SELECT make_timestamp(2024, month(ts), day(ts), 0, 0, 0)
+          |     + to_minutes(CAST(hour(ts)*60 AS BIGINT)) AS ts,
+          |  max(value) - min(value) AS value_spread
+          |FROM events GROUP BY 1""".stripMargin,
       "q163_star_revenue" ->
         s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
            |  round(${dSum("l_extendedprice * (1.0 - l_discount)")}, 6)

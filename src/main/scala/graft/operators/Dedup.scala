@@ -481,12 +481,11 @@ object Dedup {
     }
     // each round reads the previous round's edges from THREE plan
     // branches, so bare persist would still grow the logical plan ~3× per
-    // round (exponential treeString, driver OOM): eager localCheckpoint
-    // materializes AND truncates lineage. (On a real cluster prefer
-    // reliable checkpoints — localCheckpoint blocks die with executors.)
-    var edges = canon(pairs.select(least(a, b).as("lo"),
-        greatest(a, b).as("hi")).where(col("lo") =!= col("hi")))
-      .localCheckpoint()
+    // round (exponential treeString, driver OOM): the eager Lineage.cut
+    // materializes AND truncates lineage (reliable-checkpoint mode via
+    // spark.graft.checkpoint.reliable for executor-loss safety).
+    var edges = Lineage.cut(canon(pairs.select(least(a, b).as("lo"),
+        greatest(a, b).as("hi")).where(col("lo") =!= col("hi"))))
     var prev = checksum(edges)
     var converged = edges.isEmpty
     var i = 0
@@ -504,11 +503,10 @@ object Dedup {
       // non-min members and the center itself attach to m = min(N) < all
       val smin = large.groupBy("hi").agg(min(col("lo")).as("m"))
       val joined = large.join(smin, "hi")
-      val small = canon(
+      val small = Lineage.cut(canon(
         joined.where(col("lo") =!= col("m"))
           .select(col("m").as("lo"), col("lo").as("hi"))
-        .union(joined.select(col("m").as("lo"), col("hi"))))
-        .localCheckpoint()
+        .union(joined.select(col("m").as("lo"), col("hi")))))
       val cur = checksum(small)
       edges.unpersist(blocking = false)
       edges = small

@@ -34,9 +34,10 @@ object Graph {
     * the rank state plus one hash aggregate keyed by destination — the
     * textbook BSP round, no collect, no windows. The edge list is
     * persisted once and reused every round; the state is
-    * `localCheckpoint`ed per round so 10 rounds don't stack 10 joins of
-    * lineage into one exponential plan (on a real cluster prefer
-    * reliable checkpoints — localCheckpoint blocks die with executors).
+    * lineage-cut per round ([[Lineage.cut]]) so 10 rounds don't stack
+    * 10 joins of lineage into one exponential plan; set
+    * `spark.graft.checkpoint.reliable=true` (+ `.dir`) on a cluster so
+    * the cut survives executor loss.
     *
     * Determinism (the engine's gate discipline): the ENTIRE iteration is
     * 64-bit integer arithmetic — masses are fixed-point units of
@@ -85,10 +86,9 @@ object Graph {
       val gathered = contrib.groupBy("id").agg(sum(col("__t")).as("__g"))
       // every node of an undirected graph has >= 1 incoming edge, so the
       // gather covers the full vertex set — no left-join patch needed
-      state = gathered.join(deg, "id")
+      state = Lineage.cut(gathered.join(deg, "id")
         .select(col("id"), col("deg"),
-          (lit(baseUnits) + expr("(7 * __g) DIV 8")).as("mu"))
-        .localCheckpoint()
+          (lit(baseUnits) + expr("(7 * __g) DIV 8")).as("mu")))
       i += 1
     }
     persisted.synchronized { persisted += sym; persisted += deg }

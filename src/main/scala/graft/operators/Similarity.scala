@@ -149,6 +149,23 @@ object Similarity {
           .as("bkt"))
     }: _*))
 
+  /** Multi-probe query keys (Lv et al., VLDB'07): besides its own
+    * bucket, each query probes every bucket at Hamming distance 1 (one
+    * hyperplane bit flipped) in every table. Near-misses — a neighbor
+    * landing just on the other side of ONE plane — dominate LSH recall
+    * loss, so probing them buys most of the recall extra tables would,
+    * at (1+numPlanes)x QUERY-side keys only: the corpus index (the
+    * scale side) is untouched. */
+  private def multiProbeKeys(vec: Column, numPlanes: Int, numTables: Int,
+      dim: Int, seed: Long): Column =
+    explode(flatten(array((0 until numTables).map { t =>
+      val bkt = hyperplaneBucket(vec, randomPlanes(numPlanes, dim, seed + t))
+      array((-1 until numPlanes).map { i =>
+        val probed = if (i < 0) bkt else bkt.bitwiseXOR(lit(1L << i))
+        struct(lit(t).as("t"), probed.as("bkt"))
+      }: _*)
+    }: _*)))
+
   /** LSH-bucketed approximate top-k: compare queries only against corpus
     * vectors sharing a bucket in ANY of `numTables` hyperplane tables
     * (one equi-join on (table, bucket), then a per-pair dedup), ranked as
@@ -156,13 +173,17 @@ object Similarity {
     * recall; numTables buys recall back at linear cost. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 8,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = false)
+      : DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"),
       tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb"))
+    val qKeys =
+      if (multiProbe)
+        multiProbeKeys(col(vecCol), numPlanes, numTables, dim, seed)
+      else tableKeys(col(vecCol), numPlanes, numTables, dim, seed)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"),
-      tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb"))
+      l2Norm(col(vecCol)).as("qn"), qKeys.as("tb"))
     // score per candidate, then collapse multi-table duplicates with a
     // (query, neighbor) aggregate — the score is identical across tables,
     // so max() is a dedup, not a choice
@@ -195,7 +216,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, nassign: Int = 1): DataFrame = {
     val sample = corpus.orderBy(col(idCol)).limit(4096)
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -213,24 +234,32 @@ object Similarity {
       }
       array_min(array(ds: _*)).getField("cell")
     }
-    def probeCells(vec: Column): Column = {
+    def sortedCells(vec: Column): Column = {
       val ds = centroids.zipWithIndex.map { case (c, i) =>
         struct(dist2(vec, c).as("d"), lit(i).as("cell"))
       }
-      transform(slice(array_sort(array(ds: _*)), 1, nprobe),
-        s => s.getField("cell"))
+      transform(array_sort(array(ds: _*)), s => s.getField("cell"))
     }
+    def probeCells(vec: Column): Column = slice(sortedCells(vec), 1, nprobe)
 
+    // nassign > 1 = IVF with replication: each corpus vector is indexed
+    // under its nassign nearest cells (storage x nassign, boundary
+    // vectors stop falling between probed cells). Pairs seen via
+    // several cells collapse in the (query, neighbor) aggregate — the
+    // score is identical per pair, so max() is a dedup, not a choice.
+    val cCell =
+      if (nassign <= 1) cellOf(col(vecCol)).as("cell")
+      else explode(slice(sortedCells(col(vecCol)), 1, nassign)).as("cell")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2Norm(col(vecCol)).as("cn"), cellOf(col(vecCol)).as("cell"))
+      l2Norm(col(vecCol)).as("cn"), cCell)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2Norm(col(vecCol)).as("qn"),
         explode(probeCells(col(vecCol))).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-          .as("cos_sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -348,7 +377,8 @@ object Similarity {
     * ≥ 0.99 recall while still pruning hard. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 4, numTables: Int = 8,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = false)
+      : DataFrame = {
     // persisted because both join sides read it (columnar cache beats
     // localCheckpoint's row blocks 6×); release path =
     // Dedup.releaseIntermediates() after the pairs are consumed
@@ -356,7 +386,16 @@ object Similarity {
     val bucketed = Dedup.tracked(df.select(col(idCol).as("id"),
       col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
       tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb")))
-    val l = bucketed.select(col("tb"), col("id").as("a"),
+    // multiProbe expands ONE side to Hamming-1 buckets ((1+numPlanes)x
+    // that side's index rows): a pair split by exactly one hyperplane
+    // in every table still collides. Asymmetric on purpose — expanding
+    // both sides would square the key volume for no extra pair.
+    val left =
+      if (multiProbe) df.select(col(idCol).as("id"),
+        col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
+        multiProbeKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb"))
+      else bucketed
+    val l = left.select(col("tb"), col("id").as("a"),
       col("v").as("va"), col("n").as("na"))
     val r = bucketed.select(col("tb"), col("id").as("b"),
       col("v").as("vb"), col("n").as("nb"))

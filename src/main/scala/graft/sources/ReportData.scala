@@ -99,6 +99,28 @@ object ReportData {
     toUnits.filter(_ => !normalize).map(sorted.toUnits).getOrElse(sorted)
   }
 
+  /** The reference's `agg_func` CALLABLE form (`energypandas.py:289-291`
+    * accepts any callable, not just named aggregates): the Spark-typed
+    * equivalent takes an arbitrary user `Aggregator[Double, B, Double]`
+    * and runs it as a first-class aggregate over the assembled-timestamp
+    * groups — partial/final stages and map-side combine exactly like a
+    * builtin, because `udaf` registers it with the same aggregate
+    * machinery. Closes the last `from_reportdata` hook gap (SURVEY
+    * §2.10). */
+  def toSeriesWith[B](df: DataFrame,
+      aggFunc: org.apache.spark.sql.expressions.Aggregator[Double, B, Double],
+      name: Option[String] = None, baseYear: Int = 2018,
+      units: Option[String] = None): EnergySeries = {
+    val unit = resolveUnits(df, units)
+    val ts = assembleTimestamp(baseYear, col("Month"), col("Day"),
+      col("Hour"), col("Minute"), col("Interval"))
+    val f = udaf(aggFunc, org.apache.spark.sql.Encoders.scalaDouble)
+    val grouped = df.withColumn("ts", ts).groupBy(col("ts"))
+      .agg(f(col("Value")).as("Value"))
+    EnergySeries(grouped, Seq("ts"), "Value", unit.map(UnitRegistry.parse),
+      baseYear = baseYear, name = name)
+  }
+
   /** Multi-aggregate ingest — the reference's `agg_func` list/dict form
     * (`energypandas.py:289-291`: any pandas-accepted aggregate, incl. a
     * dict of name → function): one groupBy over the assembled timestamp

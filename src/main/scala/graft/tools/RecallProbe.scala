@@ -49,15 +49,17 @@ object RecallProbe {
       Dedup.simhashPairs(docs, "text", "doc_id",
         shingleLen = 3, bands = 4, maxHamming = 8),
       Seq("a", "b"))
-    recall("q30_lsh_topk",
-      Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
-      Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5,
-        numPlanes = 4, numTables = 8, dim = 64),
-      Seq("query_id", "neighbor_id"))
-    for (nprobe <- Seq(4, 6, 8))
-      recall(s"q33_ivf_topk_np$nprobe",
+    for (tables <- Seq(8, 12); mp <- Seq(false, true))
+      recall(s"q30_lsh_topk_t${tables}_mp$mp",
         Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
-        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, nprobe),
+        Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5,
+          numPlanes = 4, numTables = tables, dim = 64, multiProbe = mp),
+        Seq("query_id", "neighbor_id"))
+    for (nprobe <- Seq(6, 8); nassign <- Seq(1, 2))
+      recall(s"q33_ivf_topk_np${nprobe}_na$nassign",
+        Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, nprobe,
+          nassign = nassign),
         Seq("query_id", "neighbor_id"))
     val nemb = emb.select(col("vec_id"),
       Similarity.l2Normalize(col("embedding")).as("embedding"))
@@ -68,11 +70,12 @@ object RecallProbe {
         Similarity.pqTopK(nemb, nq, "vec_id", "embedding", 5,
           m = m, nbits = 4, shortlist = sl),
         Seq("query_id", "neighbor_id"))
-    recall("q51_lsh_neardup",
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3),
-      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", threshold = 0.3,
-        numPlanes = 4, numTables = 8),
-      Seq("a", "b"))
+    for (mp <- Seq(false, true))
+      recall(s"q51_lsh_neardup_mp$mp",
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3),
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding", threshold = 0.3,
+          numPlanes = 4, numTables = 8, multiProbe = mp),
+        Seq("a", "b"))
     spark.stop()
   }
 }

@@ -135,4 +135,36 @@ class GraphSketchSpec extends SparkTestBase {
     q.stop()
     assert(last == expected)
   }
+
+  test("reliable-checkpoint mode: identical results, files actually on disk") {
+    import graft.operators.Lineage
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (5L, 6L)).toDF("s", "d")
+    val ccBase = Dedup.duplicateComponentsStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prBase = Graph.pageRankMass(edges, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set(Lineage.ReliableConf, "true")
+    spark.conf.set(Lineage.DirConf, ckptDir.toString)
+    try {
+      val ccRel = Dedup.duplicateComponentsStar(chain, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prRel = Graph.pageRankMass(edges, "s", "d", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(ccRel == ccBase) // same fixpoint either mode
+      assert(prRel == prBase) // integer BSP: bit-identical either mode
+      // and the reliable path really wrote checkpoint data to the dir
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(ckptDir.toFile).nonEmpty,
+        "reliable mode produced no checkpoint files")
+    } finally {
+      spark.conf.set(Lineage.ReliableConf, "false")
+      Dedup.releaseIntermediates()
+      Graph.releaseIntermediates()
+    }
+  }
 }
