@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale probe: run the shuffle-heavy operator families at two
+  * corpus sizes built by the SAME generator (ScaleGen replicas=1 vs =10)
+  * and report wall-time + shuffle-write + spill ratios. A "scale-safe"
+  * claim in SCALE.md predicts a ~linear (≤ replicas) time ratio; anything
+  * clearly super-linear gets a named cause and a fix, not an argument.
+  *
+  * Both corpora are probed in ONE JVM (base first, scaled second) so JIT
+  * and classloading warm-up cancel out of the ratio; each query runs
+  * twice per corpus and the min is reported (same discipline as Bench).
+  *
+  * Usage: runMain graft.tools.ScaleProbe <baseDir> <scaledDir> [names...]
+  * Output: one "SCALEPROBE <json>" line per query + a TOTAL line.
+  */
+object ScaleProbe {
+  private class ShuffleListener extends SparkListener {
+    val written = new AtomicLong(0)
+    val spilled = new AtomicLong(0)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/sfx01")
+    val scaled = args.lift(1).getOrElse("/tmp/sfx1")
+    val names = if (args.length > 2) args.drop(2).toSeq else Seq(
+      "q25_dedup_minhash", "q27_dedup_ngram", "q78_shared_substring",
+      "q87_curation_v2", "q98_cc_star", "q99_jaccard_prefix",
+      "q144_pagerank", "q152_span_dup", "q162_entity_clusters")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.codegen.maxFields", "512")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // (minSec, shuffleBytes, spillBytes) over two runs at one corpus
+    def measure(name: String, dir: String): (Double, Long, Long) = {
+      def once(): (Double, Long, Long) = {
+        val w0 = listener.written.get(); val s0 = listener.spilled.get()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // the listener bus drains asynchronously — wait for quiescence
+        var last = -1L
+        var cur = listener.written.get() + listener.spilled.get()
+        while (cur != last) { Thread.sleep(100); last = cur
+          cur = listener.written.get() + listener.spilled.get() }
+        (sec, listener.written.get() - w0, listener.spilled.get() - s0)
+      }
+      val runs = Seq(once(), once())
+      graft.operators.Dedup.releaseIntermediates()
+      graft.operators.Graph.releaseIntermediates()
+      spark.catalog.clearCache()
+      System.gc()
+      // min TIME (warm steady state, Bench discipline) but FIRST-run
+      // shuffle/spill: the warm run can reuse in-query persists (q87's
+      // decontamination cache), which would under-report the true shuffle
+      (runs.map(_._1).min, runs.head._2, runs.head._3)
+    }
+
+    val rows = names.map { n =>
+      val (tb, wb, pb) = measure(n, base)
+      val (ts, ws, ps) = measure(n, scaled)
+      val line = f"""{"query":"$n","base_sec":$tb%.2f,"scaled_sec":$ts%.2f,""" +
+        f""""ratio":${ts / tb}%.1f,"base_shuffle_mb":${wb / 1e6}%.1f,""" +
+        f""""scaled_shuffle_mb":${ws / 1e6}%.1f,"base_spill_mb":${pb / 1e6}%.1f,""" +
+        f""""scaled_spill_mb":${ps / 1e6}%.1f}"""
+      println(s"SCALEPROBE $line")
+      (n, tb, ts, wb, ws)
+    }
+    val tb = rows.map(_._2).sum; val ts = rows.map(_._3).sum
+    println(f"""SCALEPROBE_TOTAL {"base_sec":$tb%.2f,"scaled_sec":$ts%.2f,"ratio":${ts / tb}%.1f}""")
+    spark.stop()
+  }
+}
