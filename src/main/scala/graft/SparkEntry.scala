@@ -1705,6 +1705,25 @@ object SparkEntry {
           baseYear = 2024, units = Some("J")).df
         .select(col("ts"), col("Value").as("value_spread")))
     }),
+    // ---- SemDeDup: semantic (embedding-cluster-bucketed) dedup.
+    // Recall gate: fraction of docs that HAVE an exact >=0.4 cosine
+    // neighbor (SQL ground truth) that semDedup touches (removes or
+    // uses as the recorded keeper) — misses are exactly the near-dup
+    // pairs split across clusters; precision is 1 by construction
+    // (every removal carries its exact within-cluster cosine).
+    "q178_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      val exactDocs = exact.select(col("a").as("vec"))
+        .union(exact.select(col("b").as("vec"))).distinct()
+      val sd = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.4, nlist = 8, nassign = 3)
+      val touched = sd.select(col("id").as("vec"))
+        .union(sd.select(col("keeper").as("vec"))).distinct()
+      recallGate(exactDocs, touched, Seq("vec"),
+        threshold = 0.8) // measured 0.97 sf0.01, 0.91 sf0.1
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1928,6 +1947,10 @@ object SparkEntry {
       "q26_dedup_simhash" -> gateSql(ngramPairsSql(0.8)),
       "q28_embed_neardup" -> neardupSql(0.4),
       "q51_embed_neardup_lsh" -> gateSql(neardupSql(0.3)),
+      "q178_semdedup" -> gateSql(
+        s"""SELECT DISTINCT v FROM (
+           |  SELECT a AS v FROM (${neardupSql(0.4)})
+           |  UNION ALL SELECT b AS v FROM (${neardupSql(0.4)}))""".stripMargin),
       "q29_sim_topk" -> topkSql,
       "q30_sim_lsh" -> gateSql(topkSql),
       "q33_sim_ivf" -> gateSql(topkSql),

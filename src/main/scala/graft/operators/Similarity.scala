@@ -428,6 +428,97 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup — semantic (embedding-space) deduplication (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540). Where MinHash/SimHash
+    * catch *lexical* duplicates, this catches paraphrases, templated
+    * rewrites, and translations: cluster the embedding space with a
+    * driver-fit k-means codebook (bounded 4096-row sample, literal-
+    * expression assignment — the [[ivfTopK]] recipe, zero per-row ML
+    * calls), then compare vectors ONLY within their cluster and drop
+    * all but one member of every cosine-epsilon ball.
+    *
+    * Keep rule (deterministic): members carry a GLOBAL priority key —
+    * distance to their nearest centroid, farthest first when
+    * `keepFarthest` (the paper's choice: the example far from the
+    * centroid is the informative one), id ASC tie-break — and a member
+    * is removed iff a higher-priority member sits within `threshold`
+    * cosine of it in a shared cell; its recorded keeper is the
+    * highest-priority such member. Because the priority is a total
+    * order (not a per-cluster rank), the top-priority member of every
+    * epsilon-ball survives no matter which cell a pair meets in.
+    * Output: one row per removed doc `(id, keeper, cos_sim, cluster)`
+    * — the keep set is the anti-join of the corpus against this.
+    *
+    * Scale shape: one equi-join keyed by cell id against the
+    * `keeperCap` highest-priority members per cell — per-cluster work
+    * is |cluster| × min(|cluster|, keeperCap), never all-pairs;
+    * candidate pairs are generated by cluster co-membership exactly
+    * like the LSH buckets in [[lshNearDupPairs]]. `nassign` > 1
+    * indexes each vector under its nassign nearest cells (the
+    * [[ivfTopK]] replication trick) so near-dup pairs straddling a
+    * Voronoi boundary still meet — the recall lever. At 100 TB: scale
+    * `nlist` with the corpus (clusters of ~1–10k keep the join
+    * quadratic-free) — nlist is a codebook size, not a partition
+    * count, so the driver fit stays bounded. Members beyond
+    * `keeperCap` can still be REMOVED (matched against the cap-ranked
+    * core) but not serve as keepers — a removed doc's true nearest dup
+    * may rank past the cap, in which case the doc survives; that
+    * truncation is the documented recall trade. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, seed: Long = 42L,
+      keepFarthest: Boolean = true, keeperCap: Int = 1000,
+      nassign: Int = 1): DataFrame = {
+    val sample = df.orderBy(col(idCol)).limit(4096)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids: Seq[Seq[Double]] =
+      LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
+    def dist2(vec: Column, c: Seq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
+    }
+    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
+      case (c, i) => struct(dist2(col("v"), c).as("d"), lit(i).as("cell"))
+    }: _*))
+    // priority key: globally total-ordered (not a per-cluster rank), so
+    // remove decisions stay consistent when nassign > 1 lets a pair
+    // meet in any shared cell, and the top-priority member of every
+    // CONNECTED near-dup component survives (nothing outranks it).
+    // Lexicographic struct compare: smaller okey = higher keep priority.
+    def okey(d2c: Column, id: Column): Column =
+      struct((if (keepFarthest) -d2c else d2c).as("o1"), id.as("o2"))
+    val assigned = df.select(col(idCol).as("id"),
+        col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
+        sortedCells.as("sc"))
+      .select(col("id"), col("v"), col("n"),
+        explode(slice(col("sc"), 1, math.max(1, nassign))).as("c"),
+        okey(element_at(col("sc"), 1).getField("d"), col("id")).as("ok"))
+      .select(col("id"), col("v"), col("n"), col("c.cell").as("cell"),
+        col("ok"))
+    // keeper side capped per cell (keyed window over ~cluster-sized
+    // partitions); the removed side is uncapped — a doc past the cap
+    // can still be removed, just not serve as keeper
+    val w = Window.partitionBy("cell").orderBy(col("ok").asc)
+    val keepers = assigned
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= keeperCap)
+      .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
+        col("n").as("kn"), col("ok").as("kok"))
+    assigned.join(keepers, Seq("cell"))
+      .where(col("kok") < col("ok"))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("kv")) / (col("n") * col("kn")), 6))
+      .where(col("cos_sim") >= threshold)
+      // earliest qualifying keeper; cell breaks the tie when the same
+      // pair met in several shared cells (cos is identical there)
+      .groupBy(col("id"))
+      .agg(min(struct(col("kok"), col("keeper"), col("cell"),
+        col("cos_sim"))).as("k"))
+      .select(col("id"), col("k.keeper").as("keeper"),
+        col("k.cos_sim").as("cos_sim"),
+        col("k.cell").cast(LongType).as("cluster"))
+  }
+
   /** PCA of an embedding column: ONE distributed pass accumulates the
     * d×d Gram matrix and mean per partition (`mapPartitions` — the
     * legitimate imperative-accumulation case: d² doubles of state, no

@@ -249,6 +249,53 @@ class OperatorsSpec extends SparkTestBase {
       r.getLong(0) == 0L && r.getLong(1) == 1L)) // near-identical pair
   }
 
+  test("semDedup removes epsilon-ball members, keeps component heads") {
+    // three tight balls far apart + one isolated vector; 2 clusters
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f)), (1L, Array(0.99f, 0.01f)), // ball A
+      (2L, Array(0.98f, 0.02f)),
+      (10L, Array(0.00f, 1.00f)), (11L, Array(0.01f, 0.99f)), // ball B
+      (20L, Array(-1.00f, -0.3f)) // isolated (negative cos vs others)
+    ).toDF("vec_id", "embedding")
+    val sd = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2, nassign = 2, seed = 7L)
+    val rows = sd.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val removed = rows.map(_._1).toSet
+    // every ball loses all but one member; the isolated vector survives
+    assert(removed.intersect(Set(0L, 1L, 2L)).size == 2)
+    assert(removed.intersect(Set(10L, 11L)).size == 1)
+    assert(!removed.contains(20L))
+    // precision: recorded cosine is the exact pair cosine, >= threshold
+    assert(rows.forall(_._3 >= 0.9))
+    // keeper of every removal is a surviving member of the same ball
+    rows.foreach { case (id, keeper, _) =>
+      assert(!removed.contains(keeper))
+      assert((id < 10 && keeper < 10) ||
+        (id >= 10 && id < 20 && keeper >= 10 && keeper < 20))
+    }
+    // deterministic: a second run returns the identical rows
+    val again = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2, nassign = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("semDedup keepFarthest=false keeps the centroid-nearest member") {
+    // one ball, one cluster: priority flips to distance ASC, so the
+    // member closest to the centroid becomes the keeper
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.90f, 0.10f))
+    ).toDF("vec_id", "embedding")
+    val sd = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1, keepFarthest = false)
+    val keepers = sd.collect().map(_.getLong(1)).toSet
+    val removed = sd.collect().map(_.getLong(0)).toSet
+    assert(keepers.size == 1 && !removed.contains(keepers.head))
+  }
+
   test("cosine top-k ranks by similarity with deterministic ties") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
