@@ -1724,6 +1724,30 @@ object SparkEntry {
       recallGate(exactDocs, touched, Seq("vec"),
         threshold = 0.8) // measured 0.97 sf0.01, 0.91 sf0.1
     }),
+    // ---- split-leakage audit: near-dup pairs that straddle the
+    // train/test hash split — the eval-integrity check every corpus
+    // assembly needs (a test doc with a >=0.5-Jaccard twin in train is
+    // leaked). Exact composition: PPJoin pairs + two split lookups.
+    "q179_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
+        Seq(("train", 90), ("test", 100)))
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+      pairs
+        .join(split.select(col("doc_id").as("a"),
+          col("split").as("split_a")), Seq("a"))
+        .join(split.select(col("doc_id").as("b"),
+          col("split").as("split_b")), Seq("b"))
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("a"), col("b"), col("jaccard"),
+          col("split_a"), col("split_b"))
+    }),
+    // ---- temperature-scaled source mixing (tau=0.5: sqrt smoothing)
+    "q180_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", tau = 0.5, total = 300)),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1951,6 +1975,30 @@ object SparkEntry {
         s"""SELECT DISTINCT v FROM (
            |  SELECT a AS v FROM (${neardupSql(0.4)})
            |  UNION ALL SELECT b AS v FROM (${neardupSql(0.4)}))""".stripMargin),
+      "q179_split_leakage" ->
+        s"""WITH pairs AS (${ngramPairsSql(0.5)}),
+           |s AS (SELECT doc_id,
+           |  CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+           |    || 'graft'), 1, 8) AS BIGINT) % 100 < 90
+           |  THEN 'train' ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT p.a, p.b, p.jaccard,
+           |  sa.split AS split_a, sb.split AS split_b
+           |FROM pairs p
+           |JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+           |WHERE sa.split != sb.split""".stripMargin,
+      "q180_temperature_mix" ->
+        """WITH c AS (SELECT source,
+          |    CAST(round(1e6 * sqrt(count(*))) AS BIGINT) AS w
+          |  FROM documents GROUP BY 1),
+          |z AS (SELECT sum(w) AS z FROM c),
+          |a AS (SELECT source, (300 * w) // z AS alloc FROM c, z),
+          |r AS (SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
+          |  FROM documents)
+          |SELECT r.doc_id, r.source
+          |FROM r JOIN a ON r.source = a.source WHERE r.rn <= a.alloc""".stripMargin,
       "q29_sim_topk" -> topkSql,
       "q30_sim_lsh" -> gateSql(topkSql),
       "q33_sim_ivf" -> gateSql(topkSql),

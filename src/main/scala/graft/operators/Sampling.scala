@@ -79,6 +79,42 @@ object Sampling {
       .where(col("__rn") <= alloc).drop("__rn")
   }
 
+  /** Temperature-scaled source mixing — the alpha/temperature sampling
+    * rule of multilingual and LLM corpus assembly (XLM-R's exponent-
+    * smoothed language sampling; GPT-3's non-proportional dataset
+    * weights): source m receives alloc_m ∝ n_m^tau of the `total`
+    * budget. tau = 1 is proportional, tau → 0 approaches uniform,
+    * tau < 1 up-samples tail sources relative to their size.
+    *
+    * Allocations are computed in INTEGER arithmetic from
+    * W_m = round(1e6 · n_m^tau): alloc_m = ⌊total · W_m / ΣW⌋ (BigInt
+    * on the driver, so no overflow and no float sum-order sensitivity)
+    * — engine-exact, which is what makes the draw oracle-checkable.
+    * The draw itself is the [[weightedMix]] hash-priority rank: one
+    * window shuffle keyed by the group. Driver action: one count row
+    * per source (O(sources), same class as normalize's min/max).
+    * tau = 0.5 routes through sqrt (IEEE-exact in every engine); other
+    * taus use pow (libm ulp differences possible — fine in production,
+    * use 0.5 where a cross-engine oracle must replicate the math). */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      tau: Double, total: Long, salt: String = "graft"): DataFrame = {
+    val f: Double => Double =
+      if (tau == 0.5) math.sqrt else x => math.pow(x, tau)
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val w = counts.map { case (g, n) => g -> math.round(1e6 * f(n.toDouble)) }
+    val z = w.map(x => BigInt(x._2)).sum
+    val priority = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val win = Window.partitionBy(groupCol)
+      .orderBy(priority.asc, col(idCol).asc)
+    val alloc = w.foldLeft(lit(0L)) { case (acc, (g, wi)) =>
+      when(col(groupCol) === g,
+        lit(((BigInt(total) * wi) / z).toLong)).otherwise(acc)
+    }
+    df.withColumn("__rn", row_number().over(win))
+      .where(col("__rn") <= alloc).drop("__rn")
+  }
+
   /** Weighted sampling WITHOUT replacement, k per group (Efraimidis &
     * Spirakis A-ES, IPL 2006): each row draws a deterministic uniform
     * u ∈ (0, 1] from the md5 hash of its id and keeps a priority

@@ -206,6 +206,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(mix.except(again).count() == 0)
   }
 
+  test("temperatureMix allocates total * n^tau / sum, integer-exact") {
+    // sizes 100/25/4 -> sqrt weights 10/5/2, total 17 -> exactly 10/5/2
+    val rows = ((0 until 100).map(i => (i.toLong, "ga")) ++
+      (100 until 125).map(i => (i.toLong, "gb")) ++
+      (125 until 129).map(i => (i.toLong, "gc"))).toDF("id", "g")
+    val mix = Sampling.temperatureMix(rows, "g", "id", tau = 0.5, total = 17)
+    val counts = mix.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("ga" -> 10L, "gb" -> 5L, "gc" -> 2L))
+    // tau smooths: at tau=1 the same total splits proportionally (13/3/0)
+    val prop = Sampling.temperatureMix(rows, "g", "id", tau = 1.0, total = 17)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop == Map("ga" -> 13L, "gb" -> 3L))
+    // deterministic
+    val again = Sampling.temperatureMix(rows, "g", "id", tau = 0.5, total = 17)
+    assert(mix.except(again).count() == 0)
+  }
+
   test("shared-substring pairs catch copied passages, skip short docs") {
     val pairs = Dedup.sharedSubstringPairs(docs, "text", "doc_id",
         windowLen = 20, minShared = 1, docFreqCap = 100)
