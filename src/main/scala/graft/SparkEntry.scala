@@ -1748,6 +1748,28 @@ object SparkEntry {
       Sampling.temperatureMix(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", tau = 0.5, total = 300)),
+    // ---- V4 plot sink color layer: the PNG renderer's exact per-cell
+    // RdBu mapping (Render.norm + Render.rdbu — the SAME JVM code the
+    // heatmap pixels come from, exercised via UDF over the plot-sized
+    // day×hour matrix) with the min/max normalization the reference's
+    // plot2d defaults to. The oracle re-derives the piecewise-linear
+    // 11-anchor interpolation independently in SQL; PlotRenderSpec pins
+    // the PNG bytes to this mapping, closing oracle → colors → pixels.
+    "q181_plot_colors" -> ((s, dir) => {
+      val rgbU = udf((v: Double, lo: Double, hi: Double) =>
+        graft.plots.Render.rdbu(graft.plots.Render.norm(v, lo, hi)))
+      val cells = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("period_date"),
+          hour(col("ts")).as("hour"))
+        .agg(DetAgg.detAvg(col("value")).as("v"))
+      cells.crossJoin(broadcast(
+          cells.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))))
+        .withColumn("__rgb", rgbU(col("v"), col("lo"), col("hi")))
+        .select(col("period_date"), col("hour"),
+          shiftright(col("__rgb"), 16).bitwiseAND(lit(255)).as("r"),
+          shiftright(col("__rgb"), 8).bitwiseAND(lit(255)).as("g"),
+          col("__rgb").bitwiseAND(lit(255)).as("b"))
+    }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
@@ -1999,6 +2021,32 @@ object SparkEntry {
           |  FROM documents)
           |SELECT r.doc_id, r.source
           |FROM r JOIN a ON r.source = a.source WHERE r.rn <= a.alloc""".stripMargin,
+      // Independent SQL derivation of Render.norm + Render.rdbu: min/max
+      // normalize, clamp, interpolate the 11 ColorBrewer RdBu anchors
+      // piecewise-linearly, round half-up exactly like Java Math.round
+      // (FLOOR(c + 0.5), NOT round() — DuckDB's round differs at .5 reprs).
+      // Same double association order as the Scala code throughout.
+      "q181_plot_colors" ->
+        s"""WITH cells AS (SELECT CAST(ts AS DATE) AS period_date,
+           |    CAST(hour(ts) AS INT) AS hour, ${dAvg("value")} AS v
+           |  FROM events GROUP BY 1, 2),
+           |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM cells),
+           |tx AS (SELECT period_date, hour,
+           |    LEAST(GREATEST(CASE WHEN hi = lo THEN 0.5
+           |      ELSE (v - lo) / (hi - lo) END, 0.0), 1.0) * 10 AS x
+           |  FROM cells, mm),
+           |ix AS (SELECT period_date, hour, x,
+           |    LEAST(9, CAST(FLOOR(x) AS INT)) AS i FROM tx),
+           |anch(i, r, g, b) AS (VALUES (0,103,0,31),(1,178,24,43),
+           |  (2,214,96,77),(3,244,165,130),(4,253,219,199),(5,247,247,247),
+           |  (6,209,229,240),(7,146,197,222),(8,67,147,195),(9,33,102,172),
+           |  (10,5,48,97))
+           |SELECT ix.period_date, ix.hour,
+           |  CAST(FLOOR(a0.r + (a1.r - a0.r) * (ix.x - ix.i) + 0.5) AS INT) AS r,
+           |  CAST(FLOOR(a0.g + (a1.g - a0.g) * (ix.x - ix.i) + 0.5) AS INT) AS g,
+           |  CAST(FLOOR(a0.b + (a1.b - a0.b) * (ix.x - ix.i) + 0.5) AS INT) AS b
+           |FROM ix JOIN anch a0 ON a0.i = ix.i
+           |  JOIN anch a1 ON a1.i = ix.i + 1""".stripMargin,
       "q29_sim_topk" -> topkSql,
       "q30_sim_lsh" -> gateSql(topkSql),
       "q33_sim_ivf" -> gateSql(topkSql),

@@ -1,0 +1,91 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import graft.core.{EnergyFrame, EnergySeries}
+import graft.plots.Render
+
+/** The V4 rendering sink: the period-matrix heatmap renders to
+  * deterministic PNG bytes with exact cell geometry and the RdBu
+  * normalization of the reference's plot2d (pixel-level assertions
+  * replace matplotlib golden images — same data semantics, documented
+  * rendering deviation). */
+class PlotRenderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rgb(argb: Int): (Int, Int, Int) =
+    ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+
+  test("plot2d renders the period matrix with RdBu min/max normalization") {
+    // 48 hourly values 0..47 -> 2 periods x 24 slots; vmin=0, vmax=47
+    val es = EnergySeries.rangeSeries(spark, 48, 2018, Some("degC"))
+    val png = Render.plot2d(es)
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // width: 2 periods x 8px + 8 gap + 18 colorbar; height: 24 x 8px
+    // + 14 units-label margin (no title: rangeSeries has no name)
+    assert(img.getWidth == 2 * 8 + 8 + 18)
+    assert(img.getHeight == 24 * 8 + 14)
+    // cell (period 0, slot 0) = value 0 = vmin -> RdBu(0) dark red
+    assert(rgb(img.getRGB(0, 0)) == ((103, 0, 31)))
+    // cell (period 1, slot 23) = value 47 = vmax -> RdBu(1) dark blue
+    assert(rgb(img.getRGB(8, 23 * 8)) == ((5, 48, 97)))
+    // colorbar: vmax at top (blue), vmin at bottom (dark red)
+    val cbX = 2 * 8 + 8 + 2
+    assert(rgb(img.getRGB(cbX, 0)) == ((5, 48, 97)))
+    assert(rgb(img.getRGB(cbX, 24 * 8 - 1)) == ((103, 0, 31)))
+    // deterministic: render twice, byte-identical
+    assert(java.util.Arrays.equals(png, Render.plot2d(es)))
+    // PNG signature
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
+  }
+
+  test("plot2d vcenter uses the two-slope norm: center renders white") {
+    val es = EnergySeries.rangeSeries(spark, 48, 2018, Some("degC"))
+    val png = Render.plot2d(es, vcenter = Some(10.0))
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // value 10 (period 0, slot 10) is the vcenter -> RdBu(0.5) white
+    assert(rgb(img.getRGB(0, 10 * 8)) == ((247, 247, 247)))
+  }
+
+  test("norm and rdbu endpoints match the documented mapping") {
+    assert(Render.norm(0.0, 0.0, 10.0) == 0.0)
+    assert(Render.norm(10.0, 0.0, 10.0) == 1.0)
+    assert(Render.norm(2.0, 0.0, 10.0, Some(2.0)) == 0.5)
+    assert(Render.norm(6.0, 2.0, 10.0, Some(6.0)) == 0.5)
+    // degenerate range -> midpoint, not NaN
+    assert(Render.norm(5.0, 5.0, 5.0) == 0.5)
+    assert(rgb(Render.rdbu(0.5)) == ((247, 247, 247)))
+  }
+
+  test("saveAndShow writes filename.format only when save=true") {
+    val es = EnergySeries.rangeSeries(spark, 48)
+    val png = Render.plot2d(es, colorbar = false)
+    assert(Render.saveAndShow(png, save = false).isEmpty)
+    val base = java.nio.file.Files.createTempDirectory("plotspec")
+      .resolve("heat").toString
+    val written = Render.saveAndShow(png, save = true, filename = base)
+    assert(written.exists(_.toString == s"$base.png"))
+    val bytes = java.nio.file.Files.readAllBytes(written.get)
+    assert(java.util.Arrays.equals(bytes, png))
+  }
+
+  test("plot2dFrame stacks per-column panels with shared normalization") {
+    val df = spark.range(24).select(
+      org.apache.spark.sql.functions.expr(
+        "timestamp'2018-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)").as("ts"),
+      $"id".cast("double").as("a"),
+      (org.apache.spark.sql.functions.lit(46.0) - $"id").as("b"))
+    val ef = EnergyFrame(df, Seq("ts"))
+    val png = Render.plot2dFrame(ef, colorbar = false)
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // one period wide; two 24-slot panels + 1 gutter slot row tall
+    assert(img.getWidth == 8)
+    assert(img.getHeight == (24 + 1 + 24) * 8)
+    // shared norm over [0, 46]: a's slot 0 = 0 -> dark red;
+    // b's slot 0 (row 25) = 46 -> dark blue; gutter row = missing gray
+    assert(rgb(img.getRGB(0, 0)) == ((103, 0, 31)))
+    assert(rgb(img.getRGB(0, 25 * 8)) == ((5, 48, 97)))
+    assert(rgb(img.getRGB(0, 24 * 8)) == ((220, 220, 220)))
+  }
+}
