@@ -136,17 +136,36 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Materialize the per-table bucket ids as columns `__bkt0..__bktN-1`
+    * in ONE codegen'd projection (numPlanes dots per table). Key
+    * generators downstream must reference these MATERIALIZED columns,
+    * never re-embed `hyperplaneBucket` expressions: building the
+    * multi-probe keys by duplicating the bucket expression per probe
+    * put (1+numPlanes)×numTables×numPlanes VectorDot nodes in a single
+    * projection, blowing codegen's method limit and falling back to
+    * interpreted eval — measured ~2 ms/row (3.6 s for 2 000 rows) vs
+    * ~0.1 µs/row compiled. CollapseProject will not re-inline a
+    * non-cheap expression referenced more than once, so the two-level
+    * Project keeps each bucket computed exactly once per row. */
+  private def withTableBuckets(df: DataFrame, vecCol: String,
+      numPlanes: Int, numTables: Int, dim: Int, seed: Long)
+      : (DataFrame, Seq[String]) = {
+    val names = (0 until numTables).map(t => s"__bkt$t")
+    val withB = df.withColumns(names.zipWithIndex.map { case (n, t) =>
+      n -> hyperplaneBucket(col(vecCol), randomPlanes(numPlanes, dim, seed + t))
+    }.toMap)
+    (withB, names)
+  }
+
   /** (table, bucket) keys for `numTables` independent hyperplane tables —
     * the standard multi-table LSH layout: per-table collision probability
     * is (1 − θ/π)^numPlanes, and tables union, so recall is
-    * 1 − (1 − p)^numTables. Emitted as one generator column; the
-    * candidate join is a single equi-join on (table, bucket). */
-  private def tableKeys(vec: Column, numPlanes: Int, numTables: Int,
-      dim: Int, seed: Long): Column =
-    explode(array((0 until numTables).map { t =>
-      struct(lit(t).as("t"),
-        hyperplaneBucket(vec, randomPlanes(numPlanes, dim, seed + t))
-          .as("bkt"))
+    * 1 − (1 − p)^numTables. Emitted as one generator column over the
+    * materialized bucket columns; the candidate join is a single
+    * equi-join on (table, bucket). */
+  private def indexKeys(bktCols: Seq[String]): Column =
+    explode(array(bktCols.zipWithIndex.map { case (n, t) =>
+      struct(lit(t).as("t"), col(n).as("bkt"))
     }: _*))
 
   /** Multi-probe query keys (Lv et al., VLDB'07): besides its own
@@ -155,13 +174,12 @@ object Similarity {
     * landing just on the other side of ONE plane — dominate LSH recall
     * loss, so probing them buys most of the recall extra tables would,
     * at (1+numPlanes)x QUERY-side keys only: the corpus index (the
-    * scale side) is untouched. */
-  private def multiProbeKeys(vec: Column, numPlanes: Int, numTables: Int,
-      dim: Int, seed: Long): Column =
-    explode(flatten(array((0 until numTables).map { t =>
-      val bkt = hyperplaneBucket(vec, randomPlanes(numPlanes, dim, seed + t))
+    * scale side) is untouched. XORs reference the materialized bucket
+    * columns (see [[withTableBuckets]]). */
+  private def probeKeys(bktCols: Seq[String], numPlanes: Int): Column =
+    explode(flatten(array(bktCols.zipWithIndex.map { case (n, t) =>
       array((-1 until numPlanes).map { i =>
-        val probed = if (i < 0) bkt else bkt.bitwiseXOR(lit(1L << i))
+        val probed = if (i < 0) col(n) else col(n).bitwiseXOR(lit(1L << i))
         struct(lit(t).as("t"), probed.as("bkt"))
       }: _*)
     }: _*)))
@@ -175,14 +193,15 @@ object Similarity {
       vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 8,
       dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = false)
       : DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2Norm(col(vecCol)).as("cn"),
-      tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb"))
+    val (cb, cNames) = withTableBuckets(corpus, vecCol, numPlanes,
+      numTables, dim, seed)
+    val c = cb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"), indexKeys(cNames).as("tb"))
+    val (qb, qNames) = withTableBuckets(queries, vecCol, numPlanes,
+      numTables, dim, seed)
     val qKeys =
-      if (multiProbe)
-        multiProbeKeys(col(vecCol), numPlanes, numTables, dim, seed)
-      else tableKeys(col(vecCol), numPlanes, numTables, dim, seed)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      if (multiProbe) probeKeys(qNames, numPlanes) else indexKeys(qNames)
+    val q = qb.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"), qKeys.as("tb"))
     // score per candidate, then collapse multi-table duplicates with a
     // (query, neighbor) aggregate — the score is identical across tables,
@@ -383,26 +402,42 @@ object Similarity {
     // localCheckpoint's row blocks 6×); release path =
     // Dedup.releaseIntermediates() after the pairs are consumed
     // (Bench/Verify do).
-    val bucketed = Dedup.tracked(df.select(col(idCol).as("id"),
-      col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
-      tableKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb")))
+    // Candidate generation carries IDS ONLY: the bucket equi-join and the
+    // multi-table/multi-probe duplicate collapse (`distinct`) shuffle
+    // 16-byte (a, b) rows, never the vectors. Shipping both 64-float
+    // vectors through every collision row (the obvious formulation) made
+    // the shuffle ~30x wider and every multi-table duplicate paid it —
+    // measured 17 s vs 1.3 s at sf0.1 with multiProbe. Vectors re-enter
+    // ONCE, joined by id against the distinct pair set, which at any
+    // scale is far smaller than the raw collision stream.
+    val (withB, bNames) = withTableBuckets(df, vecCol, numPlanes,
+      numTables, dim, seed)
+    // persist the narrow (id, bkt0..bktN) projection: both key
+    // generators below read it, and it holds the numPlanes×numTables
+    // dot products — computed once per row, not once per probe key
+    val buckets = Dedup.tracked(
+      withB.select(col(idCol).as("id") +: bNames.map(col): _*))
+    val bucketed = buckets.select(col("id"), indexKeys(bNames).as("tb"))
     // multiProbe expands ONE side to Hamming-1 buckets ((1+numPlanes)x
     // that side's index rows): a pair split by exactly one hyperplane
     // in every table still collides. Asymmetric on purpose — expanding
     // both sides would square the key volume for no extra pair.
     val left =
-      if (multiProbe) df.select(col(idCol).as("id"),
-        col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
-        multiProbeKeys(col(vecCol), numPlanes, numTables, dim, seed).as("tb"))
+      if (multiProbe)
+        buckets.select(col("id"), probeKeys(bNames, numPlanes).as("tb"))
       else bucketed
-    val l = left.select(col("tb"), col("id").as("a"),
-      col("v").as("va"), col("n").as("na"))
-    val r = bucketed.select(col("tb"), col("id").as("b"),
-      col("v").as("vb"), col("n").as("nb"))
-    l.join(r, Seq("tb")).where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(max(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-        .as("cos_sim"))
+    val cand = left.select(col("tb"), col("id").as("a"))
+      .join(bucketed.select(col("tb"), col("id").as("b")), Seq("tb"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 
