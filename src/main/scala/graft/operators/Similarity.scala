@@ -328,28 +328,24 @@ object Similarity {
       val cl = array(c.map(lit): _*)
       dot(xb, xb) - lit(2.0) * dot(xb, cl) + lit(c.map(x => x * x).sum)
     }
-    // argmin over centroids: the x·x term of the squared distance is
-    // constant across centroids and drops out — 16 fewer self-dots per
-    // block than scoring dist2 verbatim (the LUT keeps the full form:
-    // its values are real distances, not just an ordering)
-    def codeOf(vec: Column, b: Int): Column = {
-      val xb = block(vec, b)
-      val ds = books(b).zipWithIndex.map { case (c, i) =>
-        val cl = array(c.map(lit): _*)
-        val score = lit(c.map(x => x * x).sum) - lit(2.0) * dot(xb, cl)
-        struct(score.as("d"), lit(i).as("c"))
-      }
-      array_min(array(ds: _*)).getField("c")
-    }
-    def lutOf(vec: Column, b: Int): Column =
-      array(books(b).map(c => dist2(block(vec, b), c)): _*)
-
-    val coded = corpus.select(col(idCol).as("neighbor_id") +:
-      (0 until m).map(b => codeOf(col(vecCol), b).as(s"code$b")): _*)
-    val q = queries.select(col(idCol).as("query_id") +:
-      (0 until m).map(b => lutOf(col(vecCol), b).as(s"lut$b")): _*)
+    // both PQ kernels are native expressions (graft.functions.PqEncode /
+    // PqLut — codebooks ride along as reference objects, generated code
+    // is fixed nested loops): the literal-expression formulation
+    // (m × ncent dist2 trees of literal centroid arrays) grew past
+    // Janino's 64 KB method limit at m=16 and dropped BOTH scans to
+    // interpreted eval. Scores are bit-identical to the literal form —
+    // same association order, same argmin tie-break.
+    def shim(e: Column) =
+      org.apache.spark.sql.graftshim.ColumnShim.expression(e)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.PqEncode(shim(col(vecCol)), books)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.PqLut(shim(col(vecCol)), books)).as("lut"))
     val adc = (0 until m)
-      .map(b => element_at(col(s"lut$b"), col(s"code$b") + 1))
+      .map(b => element_at(col("lut"),
+        lit(b * ncent) + element_at(col("codes"), b + 1) + 1))
       .reduce(_ + _)
     val scored = coded.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
