@@ -96,4 +96,48 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l =>
       l.contains("*(") && l.contains("jaro_winkler")), s"codegen lost:\n$p")
   }
+
+  test("LSH near-dup candidate shuffles carry ids only, never vectors") {
+    // the regression this pins: shipping both 64-float embeddings
+    // through every bucket-collision row made the candidate shuffle
+    // ~30x wider (17 s vs 1.3 s at sf0.1 with multi-probe). With the
+    // id-only formulation no Exchange in the whole plan moves an array
+    // column — on this test's data the vector re-join rides a
+    // broadcast; at scale it is a shuffle too, but keyed by the far
+    // smaller DISTINCT pair set, not the collision stream.
+    val emb = spark.range(40).select(col("id").as("vec_id"),
+      array((0 until 8).map(i =>
+        (rand(i) * 2 - 1).cast("float")): _*).as("embedding"))
+    val q = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, numPlanes = 4, numTables = 4, dim = 8,
+      multiProbe = true)
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val arrayCols = e.output.filter(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"vector column(s) ${arrayCols.map(_.name).mkString(", ")} " +
+          s"cross a candidate shuffle:\n${plan(q)}")
+    }
+  }
+
+  test("PQ encode/LUT projections stay inside whole-stage codegen") {
+    val emb = spark.range(4).select(col("id").as("vec_id"),
+      array((0 until 8).map(i =>
+        (rand(i) * 2 - 1).cast("float")): _*).as("embedding"))
+    // AQE's pre-execution toString hides the *(n) codegen markers —
+    // plan the query without it for the assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try plan(Similarity.pqTopK(emb, emb.where(col("vec_id") < 2),
+      "vec_id", "embedding", k = 2, m = 4, nbits = 2))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("pq_encode")),
+      s"pq_encode fell out of codegen:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("pq_lut")),
+      s"pq_lut fell out of codegen:\n$p")
+  }
 }
