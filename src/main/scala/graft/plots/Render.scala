@@ -180,6 +180,120 @@ object Render {
       unitsLabel = ef.unitsMap.values.headOption.map(_.raw))
   }
 
+  /** plot3d "polygon" kind, headless (`energypandas.py:414-601` with
+    * `plotting.py:119-148` `_polygon_plot`): each PERIOD of the matrix
+    * becomes a filled polygon of its profile, stacked back-to-front in
+    * an oblique 2-D projection (the PolyCollection-at-an-angle look) —
+    * period p is offset by (p·skewX, −p·skewY), painted farthest-first
+    * so near periods occlude far ones, colored along the RdBu ramp by
+    * period index (the reference colormaps the collection the same
+    * way). Values normalize to [0, plotH] over (vmin, vmax); missing
+    * slots drop to the baseline (documented deviation from
+    * matplotlib's NaN gap). Same driver-side bound story as
+    * [[renderMatrix]]: the matrix arrives aggregation-bounded. */
+  def renderRidges(matrix: Array[Array[Option[Double]]],
+      vmin: Option[Double] = None, vmax: Option[Double] = None,
+      cellW: Int = 8, plotH: Int = 96, skewX: Int = 4, skewY: Int = 6,
+      title: Option[String] = None): Array[Byte] = {
+    require(matrix.nonEmpty && matrix.head.nonEmpty, "empty matrix")
+    val nP = matrix.length; val nS = matrix.map(_.length).max
+    require(nP.toLong * nS <= MaxCells, s"plot matrix $nP x $nS exceeds " +
+      s"$MaxCells cells — aggregate first")
+    val flat = matrix.iterator.flatten.flatten
+    val lo = vmin.getOrElse(if (flat.isEmpty) 0.0
+      else matrix.iterator.flatten.flatten.min)
+    val hi = vmax.getOrElse(if (flat.isEmpty) 1.0
+      else matrix.iterator.flatten.flatten.max)
+    val top = if (title.isDefined) 16 else 0
+    val w = (nS - 1) * cellW + (nP - 1) * skewX + 2
+    val h = top + plotH + (nP - 1) * skewY + 2
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    // back (last period) first; front (period 0) last, at bottom-left
+    for (p <- (nP - 1) to 0 by -1) {
+      val row = matrix(p).padTo(nS, None)
+      val x0 = p * skewX
+      val yBase = top + plotH + (nP - 1 - p) * skewY
+      val xs = new Array[Int](nS + 2)
+      val ys = new Array[Int](nS + 2)
+      xs(0) = x0; ys(0) = yBase
+      for (s <- 0 until nS) {
+        xs(s + 1) = x0 + s * cellW
+        ys(s + 1) = yBase - math.round(
+          norm(row(s).getOrElse(lo), lo, hi) * plotH).toInt
+      }
+      xs(nS + 1) = x0 + (nS - 1) * cellW; ys(nS + 1) = yBase
+      val t = if (nP <= 1) 0.5 else p.toDouble / (nP - 1)
+      g.setColor(new Color(rdbu(t)))
+      g.fillPolygon(xs, ys, nS + 2)
+      g.setColor(Color.BLACK)
+      g.drawPolyline(xs.slice(1, nS + 1), ys.slice(1, nS + 1), nS)
+    }
+    if (title.isDefined) {
+      g.setColor(Color.BLACK)
+      g.setFont(new Font(Font.MONOSPACED, Font.PLAIN, 11))
+      title.foreach(tl => g.drawString(tl, 2, 12))
+    }
+    g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Series `plot3d(kind="polygon")`: distributed unstack → ridge
+    * render of the plot-sized matrix. */
+  def plot3d(es: EnergySeries, periodLength: Int = 24,
+      vmin: Option[Double] = None, vmax: Option[Double] = None,
+      cellW: Int = 8, plotH: Int = 96): Array[Byte] =
+    renderRidges(collectMatrix(es, periodLength), vmin, vmax, cellW,
+      plotH, title = es.name)
+
+  /** Grouped `plot3d` (`energypandas.py:476-481`: one ridge panel per
+    * level-0 group): per-group day × hour matrices from ONE distributed
+    * aggregate ([[EnergySeries.toDayHourMatrixBy]]), shared (vmin, vmax)
+    * normalization across panels, stacked vertically with a 6 px
+    * gutter, each panel titled with its group key. */
+  def plot3dBy(es: EnergySeries, groupCol: String,
+      cellW: Int = 8, plotH: Int = 96): Array[Byte] = {
+    val rows = es.toDayHourMatrixBy(groupCol)
+      .orderBy(groupCol, "period_date").collect()
+    require(rows.nonEmpty, "no rows to plot")
+    require(rows.length.toLong * 24 <= MaxCells,
+      s"plot input ${rows.length} x 24 exceeds $MaxCells cells")
+    val byGroup = rows.groupBy(_.get(0)).toSeq
+      .sortBy(_._1.toString)
+    val mats = byGroup.map { case (gk, rs) =>
+      gk.toString -> rs.map { r =>
+        (2 until r.length).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))).toArray
+      }
+    }
+    val flat = mats.iterator.flatMap(_._2.iterator.flatten.flatten)
+    val lo = flat.min
+    val hi = mats.iterator.flatMap(_._2.iterator.flatten.flatten).max
+    val panels = mats.map { case (gk, m) =>
+      ImageIO.read(new java.io.ByteArrayInputStream(
+        renderRidges(m, Some(lo), Some(hi), cellW, plotH,
+          title = Some(gk))))
+    }
+    val gutter = 6
+    val w = panels.map(_.getWidth).max
+    val h = panels.map(_.getHeight).sum + gutter * (panels.size - 1)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    var y = 0
+    panels.foreach { pimg =>
+      g.drawImage(pimg, 0, y, null)
+      y += pimg.getHeight + gutter
+    }
+    g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** The reference's `save_and_show` contract, headless: write when
     * `save`, no-op for `show` (no display in an engine), return the
     * written path. File name = `filename` + "." + `fileFormat`

@@ -70,6 +70,43 @@ class PlotRenderSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(bytes, png))
   }
 
+  test("renderRidges: oblique stack, back-to-front occlusion, period colors") {
+    // two periods x 24 slots: front (p=0) all-high, back (p=1) all-low
+    val m: Array[Array[Option[Double]]] = Array(
+      Array.fill(24)(Some(1.0)), Array.fill(24)(Some(0.0)))
+    val png = Render.renderRidges(m, vmin = Some(0.0), vmax = Some(1.0))
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // w = (24-1)*8 + (2-1)*4 + 2; h = 96 + (2-1)*6 + 2 (no title)
+    assert(img.getWidth == 23 * 8 + 4 + 2)
+    assert(img.getHeight == 96 + 6 + 2)
+    // strictly inside the front polygon: front is painted LAST and
+    // colored RdBu(0) (dark red) — it must occlude the back period
+    assert(rgb(img.getRGB(50, 50)) == ((103, 0, 31)))
+    // beyond the front polygon's right edge (x > 184): the back
+    // period's black profile outline at its baseline y = 96 survives
+    assert(rgb(img.getRGB(186, 96)) == ((0, 0, 0)))
+    // deterministic bytes
+    assert(java.util.Arrays.equals(png,
+      Render.renderRidges(m, vmin = Some(0.0), vmax = Some(1.0))))
+  }
+
+  test("plot3dBy renders one shared-normalization ridge panel per group") {
+    val df = spark.range(96).select(
+      org.apache.spark.sql.functions.expr(
+        "timestamp'2018-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 48 AS INT),0,0)").as("ts"),
+      org.apache.spark.sql.functions.when($"id" < 48, "a").otherwise("b")
+        .as("grp"),
+      ($"id" % 48).cast("double").as("value"))
+    val es = EnergySeries(df, Seq("ts"), "value")
+    val png = Render.plot3dBy(es, "grp")
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // per panel: 2 dates x 24 hours -> w = 23*8 + 4 + 2 = 190,
+    // h = 16 (title) + 96 + 6 + 2 = 120; two panels + 6 px gutter
+    assert(img.getWidth == 190)
+    assert(img.getHeight == 120 * 2 + 6)
+    assert(java.util.Arrays.equals(png, Render.plot3dBy(es, "grp")))
+  }
+
   test("plot2dFrame stacks per-column panels with shared normalization") {
     val df = spark.range(24).select(
       org.apache.spark.sql.functions.expr(
