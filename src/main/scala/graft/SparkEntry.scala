@@ -331,6 +331,20 @@ object SparkEntry {
           threshold = 0.3, numPlanes = 4, numTables = 8, multiProbe = true),
         Seq("a", "b"), threshold = 0.8) // measured 0.997 at sf0.01
     }),
+    // ---- dedup: cell-blocked (IVF) embedding near-dup — the
+    // WEAK-threshold scale path (hyperplane LSH cannot separate at
+    // cos≈0.3: measured slower-than-exact or half the recall at 10x,
+    // SCALE.md round 7; cluster co-membership is the signal that works
+    // there). Same recall gate as q51 against the same exact twin.
+    "q182_ivf_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      recallGate(
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.3),
+        Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.3, nlist = 16, nassign = 4),
+        Seq("a", "b"), threshold = 0.8) // measured 0.96 sf0.01, 0.93 sf0.1
+    }),
     // ---- similarity: IVF coarse-quantized top-k, gated on recall
     // against the exact brute-force top-k
     "q33_sim_ivf" -> ((s, dir) => {
@@ -1993,6 +2007,7 @@ object SparkEntry {
       "q26_dedup_simhash" -> gateSql(ngramPairsSql(0.8)),
       "q28_embed_neardup" -> neardupSql(0.4),
       "q51_embed_neardup_lsh" -> gateSql(neardupSql(0.3)),
+      "q182_ivf_neardup" -> gateSql(neardupSql(0.3)),
       "q178_semdedup" -> gateSql(
         s"""SELECT DISTINCT v FROM (
            |  SELECT a AS v FROM (${neardupSql(0.4)})

@@ -426,6 +426,16 @@ object Similarity {
       .join(bucketed.select(col("tb"), col("id").as("b")), Seq("tb"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    scoreCandidatePairs(df, idCol, vecCol, cand, threshold)
+  }
+
+  /** Shared tail of the bucketed near-dup generators: re-join the
+    * vectors ONCE against the distinct (a, b) candidate set and keep
+    * pairs at/above the cosine threshold. The candidate set is always
+    * far smaller than the raw collision stream, so this is the only
+    * place vectors may legitimately cross a join. */
+  private def scoreCandidatePairs(df: DataFrame, idCol: String,
+      vecCol: String, cand: DataFrame, threshold: Double): DataFrame = {
     val va = df.select(col(idCol).as("a"), col(vecCol).as("va"),
       l2Norm(col(vecCol)).as("na"))
     val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
@@ -435,6 +445,49 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
+  }
+
+  /** Cell-blocked (IVF-style) near-duplicate pairs — the WEAK-threshold
+    * scale path. Hyperplane LSH prunes by angle agreement per random
+    * bit: at cos ≥ 0.8 (θ ≤ 37°) each plane agrees with probability
+    * ~0.8 vs 0.5 for random pairs and a few planes separate sharply —
+    * but at cos ≈ 0.3 (θ ≈ 72°) the per-bit gap is 0.6 vs 0.5, and no
+    * plane/table setting beats the exact scan (measured, SCALE.md
+    * round-7: at 20k vectors every LSH parameterization was slower
+    * than brute force or lost half the pairs). When the corpus has
+    * CLUSTER structure, cell co-membership is the signal that works at
+    * those angles: candidates are pairs sharing any of their `nassign`
+    * nearest k-means cells (quantizer fit driver-side on a bounded
+    * ordered sample — the [[ivfTopK]] recipe), so per-cell work is
+    * |cell|², never n², and the threshold only gates the final scored
+    * pairs. Same id-only candidate discipline as [[lshNearDupPairs]].
+    * `nlist` scales with corpus (clusters of ~1–10k members); keep the
+    * literal-expression cell assignment ≤ ~64 cells or move it to a
+    * native expression (the [[graft.functions.PqEncode]] precedent). */
+  def ivfNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, nassign: Int = 2,
+      seed: Long = 42L, sampleRows: Int = 4096): DataFrame = {
+    val sample = df.orderBy(col(idCol)).limit(sampleRows)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfNearDupPairs needs a non-empty corpus")
+    val centroids: Seq[Seq[Double]] =
+      LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
+    def dist2(vec: Column, c: Seq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
+    }
+    val sortedCells = transform(
+      array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(col(vecCol), c).as("d"), lit(i).as("cell"))
+      }: _*)), s => s.getField("cell"))
+    val assigned = Dedup.tracked(df.select(col(idCol).as("id"),
+      explode(slice(sortedCells, 1, math.max(1, nassign))).as("cell")))
+    val cand = assigned.select(col("cell"), col("id").as("a"))
+      .join(assigned.select(col("cell"), col("id").as("b")), Seq("cell"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    scoreCandidatePairs(df, idCol, vecCol, cand, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).

@@ -301,6 +301,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("ivfNearDupPairs finds intra-cluster pairs via cell co-membership") {
+    // two tight balls far apart: every intra-ball pair is above the
+    // threshold, every cross-ball pair far below; with nassign=2 over
+    // nlist=2 cells all true pairs share a cell by construction
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.98f, 0.02f)),
+      (10L, Array(0.00f, 1.00f)), (11L, Array(0.01f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2, nassign = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L)))
+    // scored pairs match the exact tool on the same input (candidates
+    // are a superset filtered by the same rounded cosine)
+    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("semDedup keepFarthest=false keeps the centroid-nearest member") {
     // one ball, one cluster: priority flips to distance ASC, so the
     // member closest to the centroid becomes the keeper

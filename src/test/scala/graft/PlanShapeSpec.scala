@@ -108,19 +108,24 @@ class PlanShapeSpec extends SparkTestBase {
     val emb = spark.range(40).select(col("id").as("vec_id"),
       array((0 until 8).map(i =>
         (rand(i) * 2 - 1).cast("float")): _*).as("embedding"))
-    val q = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
-      threshold = 0.3, numPlanes = 4, numTables = 4, dim = 8,
-      multiProbe = true)
-    val shuffles = q.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    def assertIdOnlyShuffles(q: org.apache.spark.sql.DataFrame): Unit = {
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      shuffles.foreach { e =>
+        val arrayCols = e.output.filter(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrayCols.isEmpty,
+          s"vector column(s) ${arrayCols.map(_.name).mkString(", ")} " +
+            s"cross a candidate shuffle:\n${plan(q)}")
+      }
     }
-    shuffles.foreach { e =>
-      val arrayCols = e.output.filter(_.dataType
-        .isInstanceOf[org.apache.spark.sql.types.ArrayType])
-      assert(arrayCols.isEmpty,
-        s"vector column(s) ${arrayCols.map(_.name).mkString(", ")} " +
-          s"cross a candidate shuffle:\n${plan(q)}")
-    }
+    assertIdOnlyShuffles(Similarity.lshNearDupPairs(emb, "vec_id",
+      "embedding", threshold = 0.3, numPlanes = 4, numTables = 4,
+      dim = 8, multiProbe = true))
+    assertIdOnlyShuffles(Similarity.ivfNearDupPairs(emb, "vec_id",
+      "embedding", threshold = 0.3, nlist = 4, nassign = 2))
+    graft.operators.Dedup.releaseIntermediates()
   }
 
   test("PQ encode/LUT projections stay inside whole-stage codegen") {
