@@ -927,6 +927,22 @@ object SparkEntry {
           n = 48, minPeriods = 12, z = 3.0)
         .select(col("event_id"), col("value"), col("zscore"),
           col("is_anomaly"))),
+    // ---- chunk-parallel twin of q94: same trailing z-score, built for
+    // low-cardinality keys where a keyed window serializes (5 event
+    // types = 5 single-threaded sorts at any cluster size). Global
+    // per-key ordinals via range partitions + (pid, key) row_number +
+    // driver prefix-sum offsets; buckets replicate their last n rows
+    // into the next bucket so every frame is complete. Bit-identical to
+    // the single-window plan — shares q94's oracle SQL verbatim.
+    // bucketRows=4096 forces ~15 buckets per key at sf0.01, so the
+    // chunked path (not a degenerate single bucket) is what the oracle
+    // certifies.
+    "q183_zscore_chunked" -> ((s, dir) =>
+      WindowOps.anomalyZScoreChunked(t(s, dir, "events"), "value",
+          Seq("event_type"), Seq("ts", "event_id"),
+          n = 48, minPeriods = 12, z = 3.0, bucketRows = 4096)
+        .select(col("event_id"), col("value"), col("zscore"),
+          col("is_anomaly"))),
     // ---- pandas ewm analog: truncated exponentially-weighted mean
     "q96_ewm" -> ((s, dir) =>
       WindowOps.ewmMean(t(s, dir, "events"), "value", Seq("event_type"),
@@ -1870,6 +1886,32 @@ object SparkEntry {
          |  AS BIGINT) AS rank FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_sim
          |FROM ranked WHERE rank <= 5""".stripMargin
+
+    // shared by q94 (keyed window) and q183 (chunk-parallel twin):
+    // the operators are bit-identical by construction, so one oracle
+    // certifies both
+    val zscoreSql: String =
+      """WITH x AS (
+        |  SELECT event_id, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2,
+        |    count(value) OVER w AS cnt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING)),
+        |y AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN cnt >= 12 THEN s1 / cnt END AS mu,
+        |    CASE WHEN cnt >= 12 THEN (s2 - s1 * s1 / cnt) / (cnt - 1) END AS var
+        |  FROM x),
+        |z AS (
+        |  SELECT event_id, value,
+        |    round((value - mu) / (CASE WHEN var > 0 THEN sqrt(var) END), 6)
+        |      AS zscore
+        |  FROM y)
+        |SELECT event_id, value, zscore,
+        |  CAST(abs(zscore) > 3.0 AS BIGINT) AS is_anomaly
+        |FROM z""".stripMargin
 
     def gateSql(innerSql: String): String =
       s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
@@ -3718,28 +3760,8 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM b GROUP BY 1, 2""".stripMargin,
-      "q94_anomaly_zscore" ->
-        """WITH x AS (
-          |  SELECT event_id, value,
-          |    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
-          |    CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2,
-          |    count(value) OVER w AS cnt
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-          |               ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING)),
-          |y AS (
-          |  SELECT event_id, value,
-          |    CASE WHEN cnt >= 12 THEN s1 / cnt END AS mu,
-          |    CASE WHEN cnt >= 12 THEN (s2 - s1 * s1 / cnt) / (cnt - 1) END AS var
-          |  FROM x),
-          |z AS (
-          |  SELECT event_id, value,
-          |    round((value - mu) / (CASE WHEN var > 0 THEN sqrt(var) END), 6)
-          |      AS zscore
-          |  FROM y)
-          |SELECT event_id, value, zscore,
-          |  CAST(abs(zscore) > 3.0 AS BIGINT) AS is_anomaly
-          |FROM z""".stripMargin,
+      "q94_anomaly_zscore" -> zscoreSql,
+      "q183_zscore_chunked" -> zscoreSql,
       "q90_embed_centroid" ->
         s"""SELECT label, i AS dim,
            |  round(${dAvg("CAST(embedding[i] AS DOUBLE)")}, 6) AS centroid

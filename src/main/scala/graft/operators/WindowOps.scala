@@ -100,6 +100,100 @@ object WindowOps {
       .drop("__mu", "__var")
   }
 
+  /** Chunk-parallel twin of [[anomalyZScore]] — identical output, built
+    * for the LOW-CARDINALITY-KEY regime where a keyed window serializes:
+    * `PARTITION BY event_type` over 5 types runs 5 single-threaded
+    * sorts no matter how many cores or executors exist, and at 100 TB a
+    * hot key's partition does not fit one task. This formulation keeps
+    * every stage fine-grained:
+    *
+    *  1. range-partition by (key, order) and assign each row its exact
+    *     per-key GLOBAL ordinal: `row_number` windows partition by
+    *     (physical partition id, key) — parallel across partitions —
+    *     and a driver-side prefix sum over the (partition × key) count
+    *     matrix (bounded by parts × |keys|, the operator's premise)
+    *     supplies each partition's starting offset, broadcast back.
+    *     The same count-plus-offset idiom as the load-duration curve,
+    *     expressed with windows instead of zipWithIndex.
+    *  2. bucket rows by `ordinal DIV bucketRows` and REPLICATE each
+    *     bucket's last `n` rows into the next bucket as context, so
+    *     every trailing `ROWS n PRECEDING` frame is complete inside
+    *     its bucket.
+    *  3. run the verbatim z-score frame partitioned by (key, bucket) —
+    *     parallelism = buckets, state per task = bucketRows + n rows —
+    *     and keep only non-context rows.
+    *
+    * Replication overhead is n/bucketRows (≤ 0.1 % at the defaults).
+    * DetAgg's associative decimal sums make the chunked result
+    * bit-identical to the single-window plan — spec-asserted row for
+    * row, and q183 runs it against q94's unchunked oracle. `orderCols`
+    * must be a total order within each key (same contract as every
+    * deterministic window here). */
+  def anomalyZScoreChunked(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      n: Int, minPeriods: Int, z: Double,
+      bucketRows: Int = 1 << 16, rangeParts: Int = 0): DataFrame = {
+    require(bucketRows > n, s"bucketRows ($bucketRows) must exceed n ($n)")
+    val spark = df.sparkSession
+    val parts = if (rangeParts > 0) rangeParts
+      else spark.sessionState.conf.numShufflePartitions
+    val keyCols = partitionCols.map(col)
+    val ranged = Dedup.tracked(
+      df.repartitionByRange(parts, (partitionCols ++ orderCols).map(col): _*)
+        .withColumn("__pid", spark_partition_id()))
+    // (partition, key) row counts -> per-(partition, key) start offsets
+    val counts = ranged.groupBy(col("__pid") +: keyCols: _*)
+      .agg(count(lit(1)).as("__c")).collect()
+    if (counts.isEmpty) // empty input: the plain window is already trivial
+      return anomalyZScore(df, valueCol, partitionCols, orderCols,
+        n, minPeriods, z)
+    val k = partitionCols.length
+    val offsetRows = counts.groupBy(r => (1 to k).map(r.get(_)).toSeq)
+      .iterator.flatMap { case (_, rs) =>
+        var acc = 0L
+        rs.sortBy(_.getInt(0)).map { r =>
+          val off = acc; acc += r.getLong(k + 1)
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.take(k + 1) :+ off)
+        }
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      counts.headOption.map(_.schema.fields.take(k + 1)).getOrElse(Array())
+        :+ org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    val wLocal = Window.partitionBy(col("__pid") +: keyCols: _*)
+      .orderBy(orderCols.map(col): _*)
+    val withOrd = ranged
+      .join(broadcast(offsets), "__pid" +: partitionCols)
+      .withColumn("__ord",
+        row_number().over(wLocal).cast("long") - 1L + col("__off"))
+    val main = withOrd
+      .withColumn("__bucket", expr(s"__ord DIV $bucketRows"))
+      .withColumn("__ctx", lit(false))
+    val ctx = withOrd
+      .where(pmod(col("__ord"), lit(bucketRows.toLong)) >= bucketRows - n)
+      .withColumn("__bucket", expr(s"__ord DIV $bucketRows") + 1L)
+      .withColumn("__ctx", lit(true))
+    val w = Window.partitionBy(keyCols :+ col("__bucket"): _*)
+      .orderBy(col("__ord"))
+      .rowsBetween(-n, -1)
+    val v = col(valueCol)
+    val s1 = sum(v.cast(DetAgg.Dec)).over(w).cast("double")
+    val s2 = sum((v * v).cast(DetAgg.Dec)).over(w).cast("double")
+    val cnt = count(v).over(w)
+    val varC = when(cnt >= minPeriods, (s2 - s1 * s1 / cnt) / (cnt - 1))
+    val sd = when(varC > 0, sqrt(varC))
+    val mu = when(cnt >= minPeriods, s1 / cnt)
+    val zc = round((v - mu) / sd, 6)
+    main.unionByName(ctx)
+      .withColumn("zscore", zc)
+      .withColumn("is_anomaly", (abs(col("zscore")) > lit(z)).cast("long"))
+      .where(!col("__ctx"))
+      .drop("__pid", "__off", "__ord", "__bucket", "__ctx")
+  }
+
   /** Equal-frequency (quantile) binning: every bin gets n/k consecutive
     * rows of the value order. The global ascending rank is assigned with
     * zipWithIndex over the range-partitioned sort output (per-partition

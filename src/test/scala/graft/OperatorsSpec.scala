@@ -579,6 +579,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(13).getLong(4) == 0L)           // a normal row
   }
 
+  test("anomalyZScoreChunked equals the keyed window bit for bit") {
+    // 3 keys x 700 rows of varied values; bucketRows=128 forces ~6
+    // buckets per key AND context replication across every boundary;
+    // rangeParts=7 exercises keys spanning multiple range partitions
+    // (the ordinal offset arithmetic)
+    val rows = (for (g <- Seq("a", "b", "c"); i <- 1 to 700) yield
+      (g, i.toLong, ((i * 37 + g.hashCode) % 101).toDouble))
+      .toDF("g", "i", "v")
+    val plain = WindowOps.anomalyZScore(rows, "v", Seq("g"), Seq("i"),
+        n = 48, minPeriods = 12, z = 2.0)
+      .select("g", "i", "v", "zscore", "is_anomaly")
+      .orderBy("g", "i").collect().toSeq
+    val chunked = WindowOps.anomalyZScoreChunked(rows, "v", Seq("g"),
+        Seq("i"), n = 48, minPeriods = 12, z = 2.0,
+        bucketRows = 128, rangeParts = 7)
+      .select("g", "i", "v", "zscore", "is_anomaly")
+      .orderBy("g", "i").collect().toSeq
+    assert(chunked == plain) // Row equality: exact doubles, exact nulls
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("equalFrequencyBins sizes differ by at most one and cover all rows") {
     val rows = (0 until 103).map(i => ((i * 37) % 103).toDouble).toDF("v")
     val bins = WindowOps.equalFrequencyBins(rows, "v", Seq("v"), k = 10)
