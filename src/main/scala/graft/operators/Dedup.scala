@@ -374,20 +374,28 @@ object Dedup {
     * Returns (train id, n_contaminated_windows). */
   def contaminatedDocs(train: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, windowLen: Int = 50): DataFrame = {
-    def windows(df: DataFrame): DataFrame = {
-      val nWin = length(col(textCol)) - (windowLen - 1)
-      df.select(col(idCol).as("id"),
-        explode(when(length(col(textCol)) >= windowLen,
-          array_distinct(transform(sequence(lit(1), nWin),
-            i => md5(col(textCol).substr(i, lit(windowLen))))))
-          .otherwise(array().cast(ArrayType(StringType)))).as("w"))
-    }
-    val benchWindows = windows(bench).select(col("w")).distinct()
-    windows(train)
+    val benchWindows = windowHashes(bench, textCol, idCol, windowLen)
+      .select(col("w")).distinct()
+    windowHashes(train, textCol, idCol, windowLen)
       .join(broadcast(benchWindows), Seq("w"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated_windows"))
   }
+
+  /** One row per distinct `windowLen`-codepoint window of each doc,
+    * keyed by the 128-bit rolling hash ([[graft.functions
+    * .RollingWindowHashes]]). Replaces the md5-per-window formulation —
+    * O(len · windowLen) digest work and a string allocation per window
+    * — with one O(len) pass; only hash EQUALITY is consumed, so the
+    * results are identical to the md5 (or raw-substring) window sets
+    * short of a 128-bit collision, the same wager md5 made. */
+  private[operators] def windowHashes(df: DataFrame, textCol: String,
+      idCol: String, windowLen: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.RollingWindowHashes(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(col(textCol)),
+          windowLen))).as("w"))
 
   /** Connected components over near-duplicate pairs — turns pairwise
     * dedup output into dedup GROUPS: one canonical id (the minimum

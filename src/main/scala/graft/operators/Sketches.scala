@@ -74,16 +74,16 @@ object Sketches {
   def bloomContaminatedDocs(train: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, windowLen: Int = 50,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    def windows(df: DataFrame): DataFrame = {
-      val nWin = length(col(textCol)) - (windowLen - 1)
-      df.select(col(idCol).as("id"),
-        explode(when(length(col(textCol)) >= windowLen,
-          array_distinct(transform(sequence(lit(1), nWin),
-            i => md5(col(textCol).substr(i, lit(windowLen))))))
-          .otherwise(array().cast(ArrayType(StringType)))).as("w"))
-    }
+    // window sets come from the shared rolling-hash scan (Dedup
+    // .windowHashes); the bloom filter keys on one 64-bit lane — the
+    // filter is approximate by design (fpp), lane collisions only add
+    // immeasurably to fpp, and false NEGATIVES remain impossible
+    // (every bench h1 is inserted)
+    def windows(df: DataFrame): DataFrame =
+      Dedup.windowHashes(df, textCol, idCol, windowLen)
+        .select(col("id"), col("w.h1").as("w"))
     val bf = windows(bench).stat.bloomFilter("w", expectedItems, fpp)
-    val mightContain = udf((s: String) => bf.mightContainString(s))
+    val mightContain = udf((h: Long) => bf.mightContainLong(h))
     windows(train)
       .where(mightContain(col("w")))
       .groupBy(col("id"))

@@ -100,6 +100,51 @@ class PqSpec extends SparkTestBase {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("RollingWindowHashes matches brute-force substring window sets") {
+    import graft.functions.RollingWindowHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    def windowsOf(s: String, k: Int): Seq[String] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) Seq.empty
+      else (0 to cps.length - k).map(i =>
+        new String(cps, i, k)).distinct
+    }
+    def hashesOf(s: String, k: Int): Seq[(Long, Long)] = {
+      val arr = RollingWindowHashes.compute(UTF8String.fromString(s), k)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+    }
+    val samples = Seq(
+      "abcabcabcabc", "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaa", "ab", "",
+      "café touché résumé déjà vu encore",
+      "astral 😀 plane 😀 astral 😀 plane")
+    for (s <- samples; k <- Seq(1, 3, 5)) {
+      val subs = windowsOf(s, k)
+      val hs = hashesOf(s, k)
+      // distinct counts agree (no collisions on test data) and equal
+      // substrings hash equal: position i's hash appears exactly where
+      // the substring first appears
+      assert(hs.length == subs.length, s"($s, $k)")
+      assert(hs.distinct.length == hs.length)
+      // cross-string equality: shared windows between two strings match
+      // by hash exactly as by substring
+      for (t <- samples if t != s) {
+        val shared = windowsOf(t, k).toSet.intersect(subs.toSet).size
+        val sharedH = hashesOf(t, k).toSet.intersect(hs.toSet).size
+        assert(sharedH == shared, s"($s vs $t, $k)")
+      }
+    }
+    // expression-level: null in -> null out; short string -> empty array
+    val df = Seq(Some("hello world"), Some("hi"), None).toDF("text")
+    val out = df.select(ColumnShim.column(RollingWindowHashes(
+      ColumnShim.expression(col("text")), 5)).as("w")).collect()
+    assert(out(0).getSeq[Any](0).nonEmpty)
+    assert(out(1).getSeq[Any](0).isEmpty)
+    assert(out(2).isNullAt(0))
+  }
+
   test("interpreted eval (NO_CODEGEN) agrees with generated code") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
