@@ -203,16 +203,10 @@ object Dedup {
   def sharedSubstringPairs(df: DataFrame, textCol: String, idCol: String,
       windowLen: Int = 50, minShared: Int = 1, docFreqCap: Int = 1000)
       : DataFrame = {
-    // distinct windows per doc, hashed: transform over the start index
-    // sequence(1, 0) DESCENDS in Spark — docs shorter than the window
-    // must yield an empty array explicitly, not a bogus partial window
-    val nWin = length(col(textCol)) - (windowLen - 1)
-    val windows = tracked(df.select(col(idCol).as("id"),
-      when(length(col(textCol)) >= windowLen,
-        array_distinct(transform(sequence(lit(1), nWin),
-          i => md5(col(textCol).substr(i, lit(windowLen))))))
-        .otherwise(array().cast(ArrayType(StringType))).as("ws")))
-    val inverted = windows.select(col("id"), explode(col("ws")).as("w"))
+    // distinct windows per doc via the O(len) rolling-hash scan (see
+    // [[windowHashes]] — replaced md5-per-window, same equality wager);
+    // docs shorter than the window yield no rows by construction
+    val inverted = tracked(windowHashes(df, textCol, idCol, windowLen))
     val eligible = inverted.groupBy("w").agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2 && col("__df") <= docFreqCap)
       .select(col("w"))
