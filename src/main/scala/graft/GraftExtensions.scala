@@ -21,6 +21,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_window_hashes"),
+      new ExpressionInfo(classOf[graft.functions.RollingWindowHashes].getName,
+        "rolling_window_hashes"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            "rolling_window_hashes(text, windowLen): windowLen must be " +
+              s"an integer literal, got $other")
+        }
+        graft.functions.RollingWindowHashes(exprs.head, k)
+      }))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

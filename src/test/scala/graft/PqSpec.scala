@@ -143,6 +143,12 @@ class PqSpec extends SparkTestBase {
     assert(out(0).getSeq[Any](0).nonEmpty)
     assert(out(1).getSeq[Any](0).isEmpty)
     assert(out(2).isNullAt(0))
+    // SQL registration (GraftExtensions): literal windowLen required
+    df.createOrReplaceTempView("rwh_t")
+    val viaSql = spark.sql(
+      "SELECT size(rolling_window_hashes(text, 5)) FROM rwh_t WHERE text = 'hello world'")
+      .collect()(0).getInt(0)
+    assert(viaSql == out(0).getSeq[Any](0).size)
   }
 
   test("interpreted eval (NO_CODEGEN) agrees with generated code") {
