@@ -1494,6 +1494,17 @@ object SparkEntry {
     // replay-safe ingest gate; one keyed window, state O(1)/key)
     "q155_first_seen" -> ((s, dir) =>
       out(graft.streaming.StreamDedup.batch(t(s, dir, "events")))),
+    // ---- streaming ingest-time decontamination, batch mode (the
+    // stateless-filter twin of q86's batch scrub: same window sets via
+    // the rolling-hash scan, bench side collected once and closed over
+    // — the plan runs identically over readStream input, spec-asserted)
+    "q184_stream_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamDecon.batch(
+          docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+          "text")
+        .select(col("doc_id"))
+    }),
     // ---- mergeable-quantile-sketch gate: approx_percentile (the fixed
     // -state sketch that replaces the exact sort at 100 TB) checked
     // against the exact interpolated median per event type
@@ -2520,6 +2531,24 @@ object SparkEntry {
            |SELECT event_id,
            |  (value - (s / n)) / sqrt(q / n - (s / n) * (s / n)) AS value
            |FROM events, st""".stripMargin,
+      "q184_stream_decon" ->
+        """WITH tw AS (
+          |  SELECT DISTINCT doc_id, win FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE doc_id >= 10 AND length(text) >= 50)),
+          |bw AS (
+          |  SELECT DISTINCT win FROM (
+          |    SELECT unnest(list_transform(
+          |        generate_series(1, greatest(length(text) - 49, 0)),
+          |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+          |    FROM documents WHERE doc_id < 10 AND length(text) >= 50)),
+          |bad AS (SELECT DISTINCT doc_id FROM tw
+          |        WHERE win IN (SELECT win FROM bw))
+          |SELECT doc_id FROM documents
+          |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
       "q86_decontaminate" ->
         """WITH tw AS (
           |  SELECT DISTINCT doc_id, win FROM (

@@ -41,6 +41,39 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.length == 4) // windows 0,30,45 / types split window 0
   }
 
+  test("streaming decontamination gate: stream == batch, replays stay out") {
+    implicit val sqlCtx = spark.sqlContext
+    // docs: 0 is the benchmark; 10 copies a 60-char passage from it,
+    // 11 is clean, 12 is too short to have any 50-char window
+    val passage = "x" * 30 + "the exact shared benchmark passage body " +
+      "a" * 20
+    val bench = Seq((0L, s"PREFIX $passage SUFFIX")).toDF("doc_id", "text")
+    val clean1 = (10L, s"unrelated $passage tail")       // contaminated
+    val clean2 = (11L, ("z" * 40) + ("q" * 40))          // clean, long
+    val clean3 = (12L, "short doc")                      // no windows
+    val benchSet = graft.streaming.StreamDecon
+      .benchWindowSet(bench, "text")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(clean1, clean2, clean3)
+    val q = graft.streaming.StreamDecon.clean(
+        stream.toDF().toDF("doc_id", "text"), benchSet, "text")
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // replay the contaminated doc in a later micro-batch: the gate is
+    // stateless, so it is dropped again on every arrival
+    stream.addData(clean1)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT doc_id FROM decon ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == Seq(11L, 12L))
+    // batch twin agrees
+    val train = Seq(clean1, clean2, clean3).toDF("doc_id", "text")
+    val batch = graft.streaming.StreamDecon.batch(train, bench, "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(batch == Seq(11L, 12L))
+  }
+
   test("session windows merge within the gap") {
     val sessions = StreamOps.sessionAgg(events.toDF(), gap = "5 minutes")
       .orderBy("session_start").collect()
