@@ -132,7 +132,50 @@ object WindowOps {
   def anomalyZScoreChunked(df: DataFrame, valueCol: String,
       partitionCols: Seq[String], orderCols: Seq[String],
       n: Int, minPeriods: Int, z: Double,
-      bucketRows: Int = 1 << 16, rangeParts: Int = 0): DataFrame = {
+      bucketRows: Int = 1 << 16, rangeParts: Int = 0): DataFrame =
+    chunkedTrailing(df, partitionCols, orderCols, n, bucketRows,
+        rangeParts) { (chunked, w) =>
+      val v = col(valueCol)
+      val s1 = sum(v.cast(DetAgg.Dec)).over(w).cast("double")
+      val s2 = sum((v * v).cast(DetAgg.Dec)).over(w).cast("double")
+      val cnt = count(v).over(w)
+      val varC = when(cnt >= minPeriods, (s2 - s1 * s1 / cnt) / (cnt - 1))
+      val sd = when(varC > 0, sqrt(varC))
+      val mu = when(cnt >= minPeriods, s1 / cnt)
+      val zc = round((v - mu) / sd, 6)
+      chunked.withColumn("zscore", zc)
+        .withColumn("is_anomaly", (abs(col("zscore")) > lit(z)).cast("long"))
+    }.getOrElse(anomalyZScore(df, valueCol, partitionCols, orderCols,
+      n, minPeriods, z))
+
+  /** Chunk-parallel twin of [[rollingMean]] — same decomposition as
+    * [[anomalyZScoreChunked]] (the frame here INCLUDES the current row,
+    * so context replication still suffices: n-1 preceding + current).
+    * Bit-identical to the keyed window, spec-asserted. */
+  def rollingMeanChunked(df: DataFrame, valueCol: String, n: Int,
+      partitionCols: Seq[String], orderCols: Seq[String],
+      as: String = "rolling_mean", bucketRows: Int = 1 << 16,
+      rangeParts: Int = 0): DataFrame =
+    chunkedTrailing(df, partitionCols, orderCols, n - 1, bucketRows,
+        rangeParts) { (chunked, wExcl) =>
+      val w = wExcl.rowsBetween(-(n - 1), Window.currentRow)
+      chunked.withColumn(as,
+        sum(col(valueCol).cast(DetAgg.Dec)).over(w).cast("double") /
+          count(col(valueCol)).over(w))
+    }.getOrElse(rollingMean(df, valueCol, n, partitionCols, orderCols, as))
+
+  /** The shared chunk-parallel scaffolding: hand `score` a frame whose
+    * rows carry exact per-key global ordinals (`__ord`), bucketed with
+    * the last `n` rows of each bucket replicated into the next, plus
+    * the (key, bucket) trailing window `ROWS [-n, -1]` (re-frame it for
+    * other trailing shapes — any frame reaching at most n rows back is
+    * complete inside its bucket). Returns None on empty input (callers
+    * fall back to the plain window). See [[anomalyZScoreChunked]] for
+    * the full design rationale. */
+  private def chunkedTrailing(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[String], n: Int, bucketRows: Int, rangeParts: Int)(
+      score: (DataFrame, org.apache.spark.sql.expressions.WindowSpec)
+        => DataFrame): Option[DataFrame] = {
     require(bucketRows > n, s"bucketRows ($bucketRows) must exceed n ($n)")
     val spark = df.sparkSession
     val parts = if (rangeParts > 0) rangeParts
@@ -144,9 +187,7 @@ object WindowOps {
     // (partition, key) row counts -> per-(partition, key) start offsets
     val counts = ranged.groupBy(col("__pid") +: keyCols: _*)
       .agg(count(lit(1)).as("__c")).collect()
-    if (counts.isEmpty) // empty input: the plain window is already trivial
-      return anomalyZScore(df, valueCol, partitionCols, orderCols,
-        n, minPeriods, z)
+    if (counts.isEmpty) return None
     val k = partitionCols.length
     val offsetRows = counts.groupBy(r => (1 to k).map(r.get(_)).toSeq)
       .iterator.flatMap { case (_, rs) =>
@@ -179,19 +220,9 @@ object WindowOps {
     val w = Window.partitionBy(keyCols :+ col("__bucket"): _*)
       .orderBy(col("__ord"))
       .rowsBetween(-n, -1)
-    val v = col(valueCol)
-    val s1 = sum(v.cast(DetAgg.Dec)).over(w).cast("double")
-    val s2 = sum((v * v).cast(DetAgg.Dec)).over(w).cast("double")
-    val cnt = count(v).over(w)
-    val varC = when(cnt >= minPeriods, (s2 - s1 * s1 / cnt) / (cnt - 1))
-    val sd = when(varC > 0, sqrt(varC))
-    val mu = when(cnt >= minPeriods, s1 / cnt)
-    val zc = round((v - mu) / sd, 6)
-    main.unionByName(ctx)
-      .withColumn("zscore", zc)
-      .withColumn("is_anomaly", (abs(col("zscore")) > lit(z)).cast("long"))
+    Some(score(main.unionByName(ctx), w)
       .where(!col("__ctx"))
-      .drop("__pid", "__off", "__ord", "__bucket", "__ctx")
+      .drop("__pid", "__off", "__ord", "__bucket", "__ctx"))
   }
 
   /** Equal-frequency (quantile) binning: every bin gets n/k consecutive

@@ -600,6 +600,20 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("rollingMeanChunked equals the keyed window bit for bit") {
+    val rows = (for (g <- Seq("a", "b"); i <- 1 to 500) yield
+      (g, i.toLong, ((i * 31 + g.hashCode) % 97).toDouble))
+      .toDF("g", "i", "v")
+    val plain = WindowOps.rollingMean(rows, "v", 10, Seq("g"), Seq("i"))
+      .orderBy("g", "i").collect().toSeq
+    val chunked = WindowOps.rollingMeanChunked(rows, "v", 10, Seq("g"),
+        Seq("i"), bucketRows = 64, rangeParts = 5)
+      .select("g", "i", "v", "rolling_mean")
+      .orderBy("g", "i").collect().toSeq
+    assert(chunked == plain)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("equalFrequencyBins sizes differ by at most one and cover all rows") {
     val rows = (0 until 103).map(i => ((i * 37) % 103).toDouble).toDF("v")
     val bins = WindowOps.equalFrequencyBins(rows, "v", Seq("v"), k = 10)
