@@ -88,9 +88,12 @@ object Curation {
         explode(array_distinct(transform(
           Dedup.wordShingles(col(textCol), n), g => xxhash64(g))))
           .as("gram"))
-    // grams are distinct per doc, so count == document frequency
-    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
-    grams.join(docFreq, "gram")
+    // grams are distinct per doc, so the per-gram partition count IS the
+    // document frequency — a whole-partition count window gets it in the
+    // SAME shuffle that the old groupBy+self-join formulation paid twice
+    // (and without re-running the explode for each plan branch)
+    grams.withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("__dup"))
