@@ -60,13 +60,17 @@ object Bench {
       val first = (1 to 2).map(_ => run())
       // this shared box takes multi-second external contention bursts;
       // a burst spanning BOTH runs of one query would stick as its
-      // "min". Retry while the min still exceeds 2x the query's known
-      // floor from previous rounds (absolute 5s fallback for queries
-      // with no recorded floor), bounded at 2 extra runs so a genuine
-      // regression pays at most two additional executions and is then
-      // reported as-is rather than hidden.
+      // "min". Retry while the min still exceeds the query's known
+      // floor from previous rounds by the band below (absolute 5s
+      // fallback for queries with no recorded floor), bounded at 2
+      // extra runs so a genuine regression pays at most two additional
+      // executions and is then reported as-is rather than hidden.
+      // Sub-second floors get the tighter 1.5x band: a 0.4s query at
+      // 0.7s is pure scheduling jitter and cheap to re-run, while for
+      // multi-second queries 2x is the signal-vs-rerun-cost balance.
       val threshold = priorFloors.get(name)
-        .map(f => math.max(2.0 * f, 0.3)).getOrElse(5.0)
+        .map(f => math.max(if (f < 1.0) 1.5 * f else 2.0 * f, 0.3))
+        .getOrElse(5.0)
       var runs = first
       var extra = 0
       while (extra < 2 &&
@@ -100,6 +104,27 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // self-adjudication: ship each query's best-known floor WITH the
+    // artifact, so a reader can classify every number without a rerun —
+    // an in-run time within 2x of its floor is at worst contention; one
+    // past 2x is either a regression or an unlucky burst that survived
+    // the retries, and the floor needed to judge that is right here.
+    val floorOf: Map[String, Double] = results.collect {
+      case (k, v) if v >= 0 =>
+        k -> math.min(v, priorFloors.getOrElse(k, v))
+    }.toMap
+    val overFloor = results.collect {
+      case (k, v) if v >= 0 && floorOf.get(k).exists(f =>
+          v > 2.0 * f && v > 0.3) => (k, v, floorOf(k))
+    }.sortBy { case (_, v, f) => -(v / f) }
+    // worst 8 by ratio inline; the rest are countable + in DETAIL
+    val overJson = overFloor.take(8).map { case (k, v, f) =>
+      "\"" + (if (unique) shortKey(k) else k) + "\":[" +
+        f"$v%.2f,$f%.2f]"
+    }.mkString("{", ",", "}")
+    val floorsDetail = floorOf.toSeq.sortBy(_._1)
+      .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
+      .mkString("{", ",", "}")
     def mkLine(fmt: Double => String, keep: Int): String = {
       val shown = results.sortBy(-_._2).take(keep)
       val qs = shown.map { case (k, v) =>
@@ -108,7 +133,7 @@ object Bench {
       val omitted =
         if (keep >= results.size) ""
         else s""","omitted":${results.size - keep}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$omitted,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$omitted,"floors_exceeded":${overFloor.size},"over_floor":$overJson,"errors":$errors,"sf":"$sfDir"}"""
     }
     // the capture window caps the line: first degrade precision, then
     // drop the FASTEST queries (slowest-first map + an "omitted" count —
@@ -123,11 +148,11 @@ object Bench {
           .map(mkLine(v => f"$v%.1f", _))
           .find(_.length <= 1700)
           .getOrElse(
-            f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"omitted":${results.size},"error_count":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
+            f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"omitted":${results.size},"floors_exceeded":${overFloor.size},"error_count":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
       }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // min-merge this run's times into the persistent floor file so the
     // next run's retry thresholds are relative to the best-known floor.

@@ -85,11 +85,13 @@ object RollingWindowHashes {
     while (i < k) {
       h1 = h1 * B1 + cps(i); h2 = h2 * B2 + cps(i); i += 1
     }
-    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val seen = new java.util.HashSet[(Long, Long)](n * 2)
     val out = new java.util.ArrayList[InternalRow](n - k + 1)
     def emit(a: Long, b: Long): Unit =
-      // dedup keyed on the mixed 128 bits; store both lanes in the row
-      if (seen.add(a * 31L + b)) out.add(InternalRow(a, b))
+      // dedup keyed on the full 128 bits (both lanes as a pair), so the
+      // in-string distinct step makes the same collision wager the
+      // docstring promises; store both lanes in the row
+      if (seen.add((a, b))) out.add(InternalRow(a, b))
     emit(h1, h2)
     i = k
     while (i < n) {

@@ -556,6 +556,7 @@ object Similarity {
     val sample = df.orderBy(col(idCol)).limit(4096)
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "semDedup needs a non-empty corpus")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
     def dist2(vec: Column, c: Seq[Double]): Column = {

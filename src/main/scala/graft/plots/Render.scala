@@ -160,24 +160,52 @@ object Render {
     require(cols.nonEmpty, "frame has no value columns")
     val mats = cols.map(c => collectMatrix(ef(c), periodLength))
     val nS = mats.map(_.map(_.length).max).max
+    val nP = mats.map(_.length).max
     val flat = mats.iterator.flatMap(_.iterator.flatten.flatten)
-    val lo = vmin.getOrElse(flat.min)
+    val lo = vmin.getOrElse(if (flat.isEmpty) 0.0
+      else mats.iterator.flatMap(_.iterator.flatten.flatten).min)
     val flat2 = mats.iterator.flatMap(_.iterator.flatten.flatten)
-    val hi = vmax.getOrElse(flat2.max)
-    // stack panels vertically with a 4px gutter; shared (lo, hi)
-    val gutter = 4
-    val stacked: Array[Array[Option[Double]]] = mats.zipWithIndex.map {
-      case (m, _) => m.map(_.padTo(nS, None: Option[Double]))
-    }.reduce { (a, b) =>
-      val pad = Array.fill(a.head.length)(None: Option[Double])
-      // vertical stacking = concatenate along the SLOT axis per period
-      a.zipAll(b, pad, pad).map { case (x, y) =>
-        x ++ Array.fill(math.max(1, gutter / cellH))(None: Option[Double]) ++ y
-      }
+    val hi = vmax.getOrElse(if (flat2.isEmpty) 1.0
+      else mats.iterator.flatMap(_.iterator.flatten.flatten).max)
+    require(mats.length.toLong * nP * nS <= MaxCells,
+      s"frame plot ${mats.length} x $nP x $nS exceeds $MaxCells cells — " +
+        "aggregate first")
+    val padded = mats.map(m =>
+      m.map(_.padTo(nS, None: Option[Double]))
+        .padTo(nP, Array.fill(nS)(None: Option[Double])))
+    // panels painted at vertical offsets with a 4px (cell-aligned)
+    // gutter left BACKGROUND WHITE — a gutter is layout, not absent
+    // data, so it must not read as the missing-cell gray
+    val gutterPx = math.max(1, 4 / cellH) * cellH
+    val panelH = nS * cellH
+    val panelsH = mats.length * panelH + (mats.length - 1) * gutterPx
+    val unitsLabel = ef.unitsMap.values.headOption.map(_.raw)
+    val cbW = if (colorbar) 18 else 0
+    val cbGap = if (colorbar) 8 else 0
+    val bottom = if (unitsLabel.isDefined && colorbar) 14 else 0
+    val w = nP * cellW + cbGap + cbW
+    val h = panelsH + bottom
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    g.dispose()
+    padded.zipWithIndex.foreach { case (m, i) =>
+      panel(img, 0, i * (panelH + gutterPx), m, lo, hi, vcenter,
+        cellW, cellH)
     }
-    renderMatrix(stacked, Some(lo), Some(hi), vcenter, cellW, cellH,
-      colorbar, title = None,
-      unitsLabel = ef.unitsMap.values.headOption.map(_.raw))
+    if (colorbar)
+      colorbarPanel(img, nP * cellW + cbGap, 0, cbW, panelsH, vcenter)
+    if (unitsLabel.isDefined && colorbar) {
+      val g2 = img.createGraphics()
+      g2.setColor(Color.BLACK)
+      g2.setFont(new Font(Font.MONOSPACED, Font.PLAIN, 11))
+      unitsLabel.foreach(u =>
+        g2.drawString(s"[$u]", math.max(0, w - cbW - cbGap), h - 3))
+      g2.dispose()
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** plot3d "polygon" kind, headless (`energypandas.py:414-601` with

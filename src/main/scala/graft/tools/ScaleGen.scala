@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   * schema. Referential integrity holds within each replica because all
   * key spaces shift by the same offset.
   *
-  * Usage: runMain graft.tools.ScaleGen <srcDir> <outDir> [replicas]
+  * Usage: runMain graft.tools.ScaleGen <srcDir> <outDir> [replicas] [tables]
+  * `tables` (comma-separated) restricts generation — the 100x probe
+  * corpus only needs the tables its query families read.
   */
 object ScaleGen {
   private val Offset = 10000000L
@@ -41,6 +43,7 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sfx1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val tables = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,11 +70,12 @@ object ScaleGen {
         when(pmod(i, lit(4)) === 0, concat(lit(s"zq${r}q"), w))
           .otherwise(w)), " ")
 
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      graft.Tables.ntzOut(df).repartition(parts)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"SCALEGEN $name -> $out/$name.parquet")
-    }
+    def write(name: String, df: => DataFrame, parts: Int): Unit =
+      if (tables.forall(_.contains(name))) {
+        graft.Tables.ntzOut(df).repartition(parts)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"SCALEGEN $name -> $out/$name.parquet")
+      }
 
     write("region", t("region"), 1)
     write("nation", t("nation"), 1)

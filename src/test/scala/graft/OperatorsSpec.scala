@@ -356,6 +356,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getDouble(1) == 13.0)
   }
 
+  test("semDedup on an empty corpus fails loud, not inside KMeans") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(empty, "vec_id", "embedding", threshold = 0.9)
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
+
+  test("extension functions reject bad arity / windowLen as usage errors") {
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    val e1 = intercept[Throwable] {
+      spark.sql("SELECT vec_dot(array(1.0D))").collect()
+    }
+    assert(chain(e1).contains("expects 2 arguments"))
+    val e2 = intercept[Throwable] {
+      spark.sql("SELECT rolling_window_hashes('abc', 2.5)").collect()
+    }
+    assert(chain(e2).contains("integer literal"))
+    val e3 = intercept[Throwable] {
+      spark.sql("SELECT jaro_winkler('a')").collect()
+    }
+    assert(chain(e3).contains("expects 2 arguments"))
+  }
+
   test("optimizer rewrites the HOF dot idiom into VectorDot") {
     // non-foldable input (from range) so earlier optimizer batches can't
     // constant-fold the whole expression away before the rewrite runs

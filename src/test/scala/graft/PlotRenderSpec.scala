@@ -120,9 +120,10 @@ class PlotRenderSpec extends SparkTestBase {
     assert(img.getWidth == 8)
     assert(img.getHeight == (24 + 1 + 24) * 8)
     // shared norm over [0, 46]: a's slot 0 = 0 -> dark red;
-    // b's slot 0 (row 25) = 46 -> dark blue; gutter row = missing gray
+    // b's slot 0 (row 25) = 46 -> dark blue; gutter row = background
+    // white (layout, not missing data — missing cells stay gray)
     assert(rgb(img.getRGB(0, 0)) == ((103, 0, 31)))
     assert(rgb(img.getRGB(0, 25 * 8)) == ((5, 48, 97)))
-    assert(rgb(img.getRGB(0, 24 * 8)) == ((220, 220, 220)))
+    assert(rgb(img.getRGB(0, 24 * 8)) == ((255, 255, 255)))
   }
 }

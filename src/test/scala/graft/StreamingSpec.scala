@@ -74,6 +74,41 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == Seq(11L, 12L))
   }
 
+  test("benchWindowSet refuses an oversized bench side, loudly") {
+    val bench = Seq((0L, "a" * 200)).toDF("doc_id", "text")
+    // 200 'a's with windowLen 50 -> 151 windows but only ONE distinct;
+    // vary the text so the distinct count (4) exceeds the tiny cap
+    val varied = Seq((0L, "abcde" * 40), (1L, "vwxyz" * 40))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamDecon.benchWindowSet(varied, "text",
+        windowLen = 50, maxWindows = 3)
+    }
+    assert(e.getMessage.contains("maxWindows=3"))
+    assert(e.getMessage.contains("cleanBloom"))
+    // at-or-under the cap still works (degenerate text: 1 distinct)
+    assert(graft.streaming.StreamDecon.benchWindowSet(bench, "text",
+      windowLen = 50, maxWindows = 3).size == 1)
+  }
+
+  test("cleanBloom twin: contaminated docs never pass, clean docs do") {
+    val passage = "x" * 30 + "the exact shared benchmark passage body " +
+      "a" * 20
+    val bench = Seq((0L, s"PREFIX $passage SUFFIX")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, s"unrelated $passage tail"),  // contaminated
+      (11L, ("z" * 40) + ("q" * 40)),     // clean, long
+      (12L, "short doc")                  // no windows
+    ).toDF("doc_id", "text")
+    val bf = graft.streaming.StreamDecon.benchBloom(bench, "text",
+      expectedItems = 10000L, fpp = 0.0001)
+    val kept = graft.streaming.StreamDecon.cleanBloom(train, bf, "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // false negatives are impossible: 10 MUST be gone; at fpp 1e-4 and
+    // ~40 windows the clean docs deterministically survive this filter
+    assert(kept == Seq(11L, 12L))
+  }
+
   test("session windows merge within the gap") {
     val sessions = StreamOps.sessionAgg(events.toDF(), gap = "5 minutes")
       .orderBy("session_start").collect()
