@@ -289,9 +289,12 @@ object SparkEntry {
       recallGate(
         Dedup.ngramJaccardPairs(docs, "text", "doc_id",
           shingleLen = 3, minJaccard = 0.8, docFreqCap = 1000),
+        // 8x8-bit bands: the Hamming-LSH guarantee covers distance <= 7
+        // outright and the blockCap skew guard keeps the narrower bands
+        // linear at corpus scale (Dedup.simhashPairs scaladoc)
         Dedup.simhashPairs(docs, "text", "doc_id",
-          shingleLen = 3, bands = 4, maxHamming = 8),
-        Seq("a", "b"), threshold = 0.5) // measured 0.76 at sf0.01
+          shingleLen = 3, bands = 8, maxHamming = 10),
+        Seq("a", "b"), threshold = 0.8) // measured 0.96 sf0.01, 0.988 sf0.1
     }),
     // ---- dedup: exact n-gram Jaccard pairs (inverted-index join; the
     // df <= 1000 skew cap is active and mirrored in the oracle)
@@ -1815,7 +1818,81 @@ object SparkEntry {
     "q47_stateful_sessions" -> ((s, dir) =>
       out(StatefulSessions.batch(t(s, dir, "events")).toDF()
         .select(col("session_start"), col("session_end"), col("user_id"),
-          col("n_events"), col("total"))))
+          col("n_events"), col("total")))),
+    // ---- plot3d kind="surface" color math (Render.renderSurface /
+    // hillshadeRaw / softLight): per-cell RdBu base color soft-light-
+    // blended with the LightSource(270,45) hillshade intensity of the
+    // vert_exag=0.1 height field, np.gradient-style differences via
+    // window functions — all Column arithmetic so the DATA side stays
+    // distributed; only rendering is driver-side. The oracle reproduces
+    // the identical operation order in SQL.
+    "q185_surface_colors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rgbU = udf((v: Double, lo: Double, hi: Double) =>
+        graft.plots.Render.rdbu(graft.plots.Render.norm(v, lo, hi)))
+      val cells = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("period_date"),
+          hour(col("ts")).as("hour"))
+        .agg(DetAgg.detAvg(col("value")).as("v"))
+      val wH = Window.partitionBy("period_date").orderBy("hour")
+      val wD = Window.partitionBy("hour").orderBy("period_date")
+      def grad(lagc: Column, leadc: Column, v: Column): Column =
+        when(lagc.isNull && leadc.isNull, lit(0.0))
+          .when(lagc.isNull, leadc - v)
+          .when(leadc.isNull, v - lagc)
+          .otherwise((leadc - lagc) / lit(2.0))
+      val withRaw = cells
+        .withColumn("dx", grad(lag(col("v"), 1).over(wH),
+          lead(col("v"), 1).over(wH), col("v")))
+        .withColumn("dy", grad(lag(col("v"), 1).over(wD),
+          lead(col("v"), 1).over(wD), col("v")))
+        .withColumn("ex", col("dx") * lit(0.1))
+        .withColumn("ey", col("dy") * lit(0.1))
+        .withColumn("raw", lit(0.7071067811865476) * (col("ex") + lit(1.0))
+          / sqrt(col("ex") * col("ex") + col("ey") * col("ey") + lit(1.0)))
+      val mm = withRaw.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        min(col("raw")).as("rmin"), max(col("raw")).as("rmax"))
+      def blend(ch: Column, i: Column): Column =
+        floor(((lit(2.0) * i) * (ch / lit(255.0)) +
+          (lit(1.0) - lit(2.0) * i) *
+            ((ch / lit(255.0)) * (ch / lit(255.0)))) * lit(255.0)
+          + lit(0.5)).cast("int")
+      withRaw.crossJoin(broadcast(mm))
+        .withColumn("i", when(col("rmax") === col("rmin"), lit(0.5))
+          .otherwise((col("raw") - col("rmin"))
+            / (col("rmax") - col("rmin"))))
+        .withColumn("__rgb", rgbU(col("v"), col("lo"), col("hi")))
+        .select(col("period_date"), col("hour"),
+          blend(shiftright(col("__rgb"), 16).bitwiseAND(lit(255))
+            .cast("double"), col("i")).as("r"),
+          blend(shiftright(col("__rgb"), 8).bitwiseAND(lit(255))
+            .cast("double"), col("i")).as("g"),
+          blend(col("__rgb").bitwiseAND(lit(255)).cast("double"),
+            col("i")).as("b"))
+    }),
+    // ---- plot3d kind="contour" level bands (Render.renderContour /
+    // contourBand): each cell quantized into one of 150 level bands
+    // (the reference's contour3D(…, 150) level count), band color along
+    // the same RdBu ramp
+    "q186_contour_bands" -> ((s, dir) => {
+      val bandU = udf((v: Double, lo: Double, hi: Double) =>
+        graft.plots.Render.contourBand(v, lo, hi, 150))
+      val rgbU = udf((band: Int) =>
+        graft.plots.Render.rdbu(band / 149.0))
+      val cells = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("period_date"),
+          hour(col("ts")).as("hour"))
+        .agg(DetAgg.detAvg(col("value")).as("v"))
+      cells.crossJoin(broadcast(
+          cells.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))))
+        .withColumn("band", bandU(col("v"), col("lo"), col("hi")))
+        .withColumn("__rgb", rgbU(col("band")))
+        .select(col("period_date"), col("hour"),
+          col("band").cast("long").as("band"),
+          shiftright(col("__rgb"), 16).bitwiseAND(lit(255)).as("r"),
+          shiftright(col("__rgb"), 8).bitwiseAND(lit(255)).as("g"),
+          col("__rgb").bitwiseAND(lit(255)).as("b"))
+    })
   )
 
   // =========================================================== oracle SQL
@@ -2115,6 +2192,84 @@ object SparkEntry {
            |  CAST(FLOOR(a0.b + (a1.b - a0.b) * (ix.x - ix.i) + 0.5) AS INT) AS b
            |FROM ix JOIN anch a0 ON a0.i = ix.i
            |  JOIN anch a1 ON a1.i = ix.i + 1""".stripMargin,
+      "q185_surface_colors" ->
+        s"""WITH cells AS (SELECT CAST(ts AS DATE) AS period_date,
+           |    CAST(hour(ts) AS INT) AS hour, ${dAvg("value")} AS v
+           |  FROM events GROUP BY 1, 2),
+           |gr AS (SELECT period_date, hour, v,
+           |    lag(v) OVER (PARTITION BY period_date ORDER BY hour) AS lh,
+           |    lead(v) OVER (PARTITION BY period_date ORDER BY hour) AS nh,
+           |    lag(v) OVER (PARTITION BY hour ORDER BY period_date) AS ld,
+           |    lead(v) OVER (PARTITION BY hour ORDER BY period_date) AS nd
+           |  FROM cells),
+           |ds AS (SELECT period_date, hour, v,
+           |    (CASE WHEN lh IS NULL AND nh IS NULL THEN 0.0
+           |          WHEN lh IS NULL THEN nh - v
+           |          WHEN nh IS NULL THEN v - lh
+           |          ELSE (nh - lh) / 2.0 END) * 0.1 AS ex,
+           |    (CASE WHEN ld IS NULL AND nd IS NULL THEN 0.0
+           |          WHEN ld IS NULL THEN nd - v
+           |          WHEN nd IS NULL THEN v - ld
+           |          ELSE (nd - ld) / 2.0 END) * 0.1 AS ey
+           |  FROM gr),
+           |rw AS (SELECT period_date, hour, v,
+           |    0.7071067811865476 * (ex + 1.0)
+           |      / sqrt(ex * ex + ey * ey + 1.0) AS raw
+           |  FROM ds),
+           |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+           |    min(raw) AS rmin, max(raw) AS rmax FROM rw),
+           |ii AS (SELECT period_date, hour, v, lo, hi,
+           |    CASE WHEN rmax = rmin THEN 0.5
+           |         ELSE (raw - rmin) / (rmax - rmin) END AS i
+           |  FROM rw, mm),
+           |tx AS (SELECT period_date, hour, i,
+           |    LEAST(GREATEST(CASE WHEN hi = lo THEN 0.5
+           |      ELSE (v - lo) / (hi - lo) END, 0.0), 1.0) * 10 AS x
+           |  FROM ii),
+           |ix AS (SELECT period_date, hour, i, x,
+           |    LEAST(9, CAST(FLOOR(x) AS INT)) AS ai FROM tx),
+           |anch(ai, r, g, b) AS (VALUES (0,103,0,31),(1,178,24,43),
+           |  (2,214,96,77),(3,244,165,130),(4,253,219,199),(5,247,247,247),
+           |  (6,209,229,240),(7,146,197,222),(8,67,147,195),(9,33,102,172),
+           |  (10,5,48,97)),
+           |base AS (SELECT ix.period_date, ix.hour, ix.i,
+           |    FLOOR(a0.r + (a1.r - a0.r) * (ix.x - ix.ai) + 0.5) AS r,
+           |    FLOOR(a0.g + (a1.g - a0.g) * (ix.x - ix.ai) + 0.5) AS g,
+           |    FLOOR(a0.b + (a1.b - a0.b) * (ix.x - ix.ai) + 0.5) AS b
+           |  FROM ix JOIN anch a0 ON a0.ai = ix.ai
+           |    JOIN anch a1 ON a1.ai = ix.ai + 1)
+           |SELECT period_date, hour,
+           |  CAST(FLOOR(((2.0 * i) * (r / 255.0) + (1.0 - 2.0 * i)
+           |    * ((r / 255.0) * (r / 255.0))) * 255.0 + 0.5) AS INT) AS r,
+           |  CAST(FLOOR(((2.0 * i) * (g / 255.0) + (1.0 - 2.0 * i)
+           |    * ((g / 255.0) * (g / 255.0))) * 255.0 + 0.5) AS INT) AS g,
+           |  CAST(FLOOR(((2.0 * i) * (b / 255.0) + (1.0 - 2.0 * i)
+           |    * ((b / 255.0) * (b / 255.0))) * 255.0 + 0.5) AS INT) AS b
+           |FROM base""".stripMargin,
+      "q186_contour_bands" ->
+        s"""WITH cells AS (SELECT CAST(ts AS DATE) AS period_date,
+           |    CAST(hour(ts) AS INT) AS hour, ${dAvg("value")} AS v
+           |  FROM events GROUP BY 1, 2),
+           |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM cells),
+           |bd AS (SELECT period_date, hour,
+           |    LEAST(149, CAST(FLOOR(LEAST(GREATEST(
+           |      CASE WHEN hi = lo THEN 0.5 ELSE (v - lo) / (hi - lo) END,
+           |      0.0), 1.0) * 150) AS INT)) AS band
+           |  FROM cells, mm),
+           |tx AS (SELECT period_date, hour, band,
+           |    (CAST(band AS DOUBLE) / 149.0) * 10 AS x FROM bd),
+           |ix AS (SELECT period_date, hour, band, x,
+           |    LEAST(9, CAST(FLOOR(x) AS INT)) AS ai FROM tx),
+           |anch(ai, r, g, b) AS (VALUES (0,103,0,31),(1,178,24,43),
+           |  (2,214,96,77),(3,244,165,130),(4,253,219,199),(5,247,247,247),
+           |  (6,209,229,240),(7,146,197,222),(8,67,147,195),(9,33,102,172),
+           |  (10,5,48,97))
+           |SELECT ix.period_date, ix.hour, CAST(ix.band AS BIGINT) AS band,
+           |  CAST(FLOOR(a0.r + (a1.r - a0.r) * (ix.x - ix.ai) + 0.5) AS INT) AS r,
+           |  CAST(FLOOR(a0.g + (a1.g - a0.g) * (ix.x - ix.ai) + 0.5) AS INT) AS g,
+           |  CAST(FLOOR(a0.b + (a1.b - a0.b) * (ix.x - ix.ai) + 0.5) AS INT) AS b
+           |FROM ix JOIN anch a0 ON a0.ai = ix.ai
+           |  JOIN anch a1 ON a1.ai = ix.ai + 1""".stripMargin,
       "q29_sim_topk" -> topkSql,
       "q30_sim_lsh" -> gateSql(topkSql),
       "q33_sim_ivf" -> gateSql(topkSql),

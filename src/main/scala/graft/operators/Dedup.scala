@@ -43,6 +43,31 @@ object Dedup {
       persistedIntermediates.clear()
     }
 
+  /** Size the pair-generation stage of a posting-list pair stream by
+    * the EXACT number of pairs it will emit. The explode that turns a
+    * posting list of m docs into its m·(m−1)/2 pair rows amplifies
+    * INSIDE the task, after AQE has already sized reducers by their
+    * compact pre-explode input bytes — the 100x probe measured 7.4 GB
+    * of hash-agg spill (and a 15x time ratio on a 10x corpus) on the
+    * shared-substring family from exactly this blind spot. One
+    * single-row action on the (tracked, tiny) per-key document-
+    * frequency aggregate buys the true fan-out, and the postings are
+    * re-bucketed so each task emits roughly `PairTaskBytes` of pairs.
+    * Returns the postings unchanged when the session default already
+    * suffices (small corpora: no plan churn, no extra exchange). */
+  private val PairTaskBytes = 64L << 20
+  private def sizedForPairStream(postings: DataFrame,
+      eligibleDf: DataFrame, dfCol: String): DataFrame = {
+    val twoPairs = Option(eligibleDf
+      .agg(sum(col(dfCol) * (col(dfCol) - lit(1)))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nPairs = twoPairs / 2
+    val defaultParts =
+      postings.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.min(4096L, nPairs * 32L / PairTaskBytes).toInt
+    if (parts > defaultParts) postings.repartition(parts) else postings
+  }
+
   /** Exact dedup via content hash: one row per distinct text, keeping the
     * lowest id (deterministic winner). One shuffle keyed by the md5 —
     * uniform 128-bit keys, no skew; map-side partial min/count. */
@@ -78,13 +103,25 @@ object Dedup {
     * into `bands` bands of `rowsPerBand`, hash each band, and join
     * documents sharing any band bucket. The band-bucket join is the only
     * shuffle and is keyed by (band, bucket) — at 100 TB this is the
-    * textbook banded-LSH layout; hot buckets (boilerplate docs) can be
-    * salted or capped upstream. Returns candidate pairs (a < b) with the
+    * textbook banded-LSH layout. Returns candidate pairs (a < b) with the
     * exact signature-agreement fraction (a MinHash estimate of Jaccard).
-    */
+    *
+    * `bucketCap` is the skew guard that keeps the self-join linear in
+    * the face of degenerate buckets: a bucket of b docs emits ~b²/2
+    * candidate pairs, and a boilerplate passage cloned into millions of
+    * documents (or a ubiquitous shingle whose hash is globally minimal
+    * for a seed) funnels arbitrarily many docs into ONE bucket — b²
+    * with no ceiling. Buckets past the cap are dropped whole: their
+    * co-members agree on one 2-row band (J² odds on background
+    * similarity), while TRUE near-dups agree on most minima and re-meet
+    * in the other bands — the recall gate (q25) stays 1.0 with the cap
+    * in place, and the 100x probe corpus (500k docs) measured max
+    * bucket 393 / 5.5M total candidates, so the cap is pure insurance
+    * there (SCALE.md). Same trade and rationale as `docFreqCap` on the
+    * inverted-index paths. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, bucketCap: Int = 2000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Signature via explode + ONE hash-aggregate keyed by doc id: the
     // shingle array is built once per doc, and the numHashes mins are
@@ -104,11 +141,19 @@ object Dedup {
     // cache; measured 6× faster than localCheckpoint's row-serialized
     // blocks). Release path: Dedup.releaseIntermediates() after the pairs
     // are consumed (Bench/Verify do).
-    val banded = tracked(sig.select(col("id"), col("sig"),
+    val bandedAll = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(col("sig"),
             b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // skew guard: window-count per bucket (one shuffle on the join key,
+    // whose partitioning the self-join below then reuses) and drop
+    // oversized buckets before they can go quadratic
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket")
+    val banded = tracked(bandedAll
+      .withColumn("__n", count(lit(1)).over(bw))
+      .where(col("__n") <= bucketCap).drop("__n"))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -154,8 +199,8 @@ object Dedup {
     * (band, value) equi-join; one-prefix blocking loses every pair whose
     * disagreement touches the prefix. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 3, bands: Int = 4, maxHamming: Int = 8)
-      : DataFrame = {
+      shingleLen: Int = 3, bands: Int = 4, maxHamming: Int = 8,
+      blockCap: Int = 2000): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     // Same explode + hash-aggregate shape as minhashLsh: 64 codegen'd
     // sum(±1) bit votes per doc id, then one projection assembles the
@@ -176,11 +221,20 @@ object Dedup {
       (0 until 64).map(i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
-    val blocked = tracked(sig.select(col("id"), col("sim"),
+    // same skew guard as minhashLsh's bucketCap: a band value shared by
+    // b docs emits ~b²/2 candidates, and narrow bands (64/bands bits)
+    // make crowded values likely at corpus scale — drop oversized
+    // blocks; true near-dups re-meet in their other bands
+    val blockedAll = sig.select(col("id"), col("sim"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           call_function("shiftrightunsigned", col("sim"), b * lit(bandBits))
             .bitwiseAND(lit(mask)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "block"))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "block")
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "block")
+    val blocked = tracked(blockedAll
+      .withColumn("__n", count(lit(1)).over(bw))
+      .where(col("__n") <= blockCap).drop("__n"))
     val l = blocked.select(col("band"), col("block"),
       col("id").as("a"), col("sim").as("sim_a"))
     val r = blocked.select(col("band"), col("block"),
@@ -207,11 +261,14 @@ object Dedup {
     // [[windowHashes]] — replaced md5-per-window, same equality wager);
     // docs shorter than the window yield no rows by construction
     val inverted = tracked(windowHashes(df, textCol, idCol, windowLen))
-    val eligible = inverted.groupBy("w").agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= 2 && col("__df") <= docFreqCap)
-      .select(col("w"))
-    val postings = inverted.join(eligible, Seq("w"), "left_semi")
-      .groupBy("w").agg(array_sort(collect_list(col("id"))).as("ds"))
+    val eligibleDf = tracked(inverted.groupBy("w")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= docFreqCap))
+    val eligible = eligibleDf.select(col("w"))
+    val postings = sizedForPairStream(
+      inverted.join(eligible, Seq("w"), "left_semi")
+        .groupBy("w").agg(array_sort(collect_list(col("id"))).as("ds")),
+      eligibleDf, "__df")
     val pairs = postings
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a"),
@@ -345,11 +402,14 @@ object Dedup {
           j => array_min(slice(col("g"), j, lit(w))))))
         .otherwise(array().cast(ArrayType(StringType))).as("fps")))
     val inverted = fps.select(col("id"), explode(col("fps")).as("fp"))
-    val eligible = inverted.groupBy("fp").agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= 2 && col("__df") <= docFreqCap)
-      .select(col("fp"))
-    val postings = inverted.join(eligible, Seq("fp"), "left_semi")
-      .groupBy("fp").agg(array_sort(collect_list(col("id"))).as("ds"))
+    val eligibleDf = tracked(inverted.groupBy("fp")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= docFreqCap))
+    val eligible = eligibleDf.select(col("fp"))
+    val postings = sizedForPairStream(
+      inverted.join(eligible, Seq("fp"), "left_semi")
+        .groupBy("fp").agg(array_sort(collect_list(col("id"))).as("ds")),
+      eligibleDf, "__df")
     val pairs = postings
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a"),
@@ -634,17 +694,18 @@ object Dedup {
     // groupBy below share the hash partitioning on `shingle`, so the
     // pruning costs one extra (small) exchange, not a re-shuffle of the
     // full index.
-    val eligible = inverted.groupBy("shingle")
+    val eligibleDf = tracked(inverted.groupBy("shingle")
       .agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= 2 && col("__df") <= docFreqCap)
-      .select(col("shingle"))
+      .where(col("__df") >= 2 && col("__df") <= docFreqCap))
+    val eligible = eligibleDf.select(col("shingle"))
     // posting list per shingle, sorted by (id, n_sh) so emitted pairs are
     // (a < b) by construction and fully deterministic
-    val postings = inverted
+    val postings = sizedForPairStream(inverted
       .join(eligible, Seq("shingle"), "left_semi")
       .groupBy("shingle")
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh"))))
-        .as("ds"))
+        .as("ds")),
+      eligibleDf, "__df")
     // stream pairs (i < j) with two generators — the m²/2 pairs of a
     // posting list are never materialized as one array
     val pairs = postings

@@ -233,6 +233,28 @@ object Similarity {
     * assignment and probe selection are pure expressions over the
     * centroid literals — no UDFs, no per-row ml calls.
     */
+  /** Distance-sorted `(d, cell)` centroid assignment with the codebook
+    * shipped as ONE `typedlit` — a single literal node at ANY `nlist`.
+    * The per-centroid literal-array formulation it replaces unrolls
+    * nlist × dim literal nodes into the plan, and Catalyst's optimizer
+    * passes go superlinear in plan size: at nlist=200 (the right cell
+    * count for a 200k-vector corpus) the 100x probe watched the DRIVER
+    * spend minutes optimizing while executors idled. Math is identical
+    * per element — d = v·v − 2·(v·c) + Σc², same VectorDot fold order,
+    * Σc² pre-folded on the driver the same way — so assignments (and
+    * every recall gate) are bit-identical to the old form. */
+  private def sortedCellStructs(vec: Column,
+      centroids: Seq[Seq[Double]]): Column = {
+    val cents = typedlit(centroids.zipWithIndex.map { case (c, i) =>
+      (c, c.map(x => x * x).sum, i)
+    })
+    val vv = dot(vec, vec)
+    array_sort(transform(cents, s =>
+      struct((vv - lit(2.0) * dot(vec, s.getField("_1"))
+        + s.getField("_2")).as("d"),
+        s.getField("_3").as("cell"))))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
       seed: Long = 42L, nassign: Int = 1): DataFrame = {
@@ -242,23 +264,10 @@ object Similarity {
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
 
-    // squared L2 distance to each centroid, as literal-array expressions
-    def dist2(vec: Column, c: Seq[Double]): Column = {
-      val cl = array(c.map(lit): _*)
-      dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
-    }
-    def cellOf(vec: Column): Column = {
-      val ds = centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(vec, c).as("d"), lit(i).as("cell"))
-      }
-      array_min(array(ds: _*)).getField("cell")
-    }
-    def sortedCells(vec: Column): Column = {
-      val ds = centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(vec, c).as("d"), lit(i).as("cell"))
-      }
-      transform(array_sort(array(ds: _*)), s => s.getField("cell"))
-    }
+    def cellOf(vec: Column): Column =
+      element_at(sortedCellStructs(vec, centroids), 1).getField("cell")
+    def sortedCells(vec: Column): Column =
+      transform(sortedCellStructs(vec, centroids), s => s.getField("cell"))
     def probeCells(vec: Column): Column = slice(sortedCells(vec), 1, nprobe)
 
     // nassign > 1 = IVF with replication: each corpus vector is indexed
@@ -473,14 +482,10 @@ object Similarity {
     require(sample.nonEmpty, "ivfNearDupPairs needs a non-empty corpus")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
-    def dist2(vec: Column, c: Seq[Double]): Column = {
-      val cl = array(c.map(lit): _*)
-      dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
-    }
-    val sortedCells = transform(
-      array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(col(vecCol), c).as("d"), lit(i).as("cell"))
-      }: _*)), s => s.getField("cell"))
+    // typedlit codebook: plan size stays O(1) as nlist scales with the
+    // corpus (see sortedCellStructs)
+    val sortedCells = transform(sortedCellStructs(col(vecCol), centroids),
+      s => s.getField("cell"))
     val assigned = Dedup.tracked(df.select(col(idCol).as("id"),
       explode(slice(sortedCells, 1, math.max(1, nassign))).as("cell")))
     val cand = assigned.select(col("cell"), col("id").as("a"))
@@ -559,13 +564,9 @@ object Similarity {
     require(sample.nonEmpty, "semDedup needs a non-empty corpus")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
-    def dist2(vec: Column, c: Seq[Double]): Column = {
-      val cl = array(c.map(lit): _*)
-      dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
-    }
-    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
-      case (c, i) => struct(dist2(col("v"), c).as("d"), lit(i).as("cell"))
-    }: _*))
+    // typedlit codebook: plan size stays O(1) as nlist scales with the
+    // corpus (see sortedCellStructs)
+    val sortedCells = sortedCellStructs(col("v"), centroids)
     // priority key: globally total-ordered (not a per-cluster rank), so
     // remove decisions stay consistent when nassign > 1 lets a pair
     // meet in any shared cell, and the top-priority member of every

@@ -269,13 +269,191 @@ object Render {
     out.toByteArray
   }
 
-  /** Series `plot3d(kind="polygon")`: distributed unstack → ridge
-    * render of the plot-sized matrix. */
+  // ---- plot3d kind="surface" / "contour" ---------------------------
+  // (`energypandas.py:483-560` kind dispatch; `plotting.py:119-148`
+  // `_plot_surface` with `LightSource(270, 45)` hillshading)
+
+  /** Raw (pre-rescale) hillshade intensity of one surface cell: the
+    * unit normal of the `vertExag`-scaled height field dotted with the
+    * reference's light, `LightSource(azdeg=270, altdeg=45)`
+    * (`plotting.py:133`). With az' = 90° − 270° the light direction is
+    * (−√2/2, 0, √2/2) and the normal ∝ (−dx·e, −dy·e, 1), so the dot
+    * product reduces to √2/2 · (dx·e + 1) / ‖normal‖. Public — the
+    * q185 oracle reproduces this formula cell-for-cell in SQL, so the
+    * exact operation ORDER here is part of the contract. */
+  def hillshadeRaw(dx: Double, dy: Double, vertExag: Double = 0.1)
+      : Double = {
+    val ex = dx * vertExag
+    val ey = dy * vertExag
+    0.7071067811865476 * (ex + 1.0) / math.sqrt(ex * ex + ey * ey + 1.0)
+  }
+
+  /** Pegtop soft-light blend of one color channel (`c` in 0..255) with
+    * a rescaled hillshade intensity `i` in [0, 1] — matplotlib's
+    * `blend_mode="soft"` formula: 2·i·c + (1 − 2·i)·c². Returns the
+    * blended channel in 0..255. Same order-of-operations contract as
+    * [[hillshadeRaw]]. */
+  def softLight(c: Int, i: Double): Int = {
+    val cf = c / 255.0
+    val r = (2.0 * i) * cf + (1.0 - 2.0 * i) * (cf * cf)
+    math.floor(r * 255.0 + 0.5).toInt
+  }
+
+  /** `np.gradient`-style 1-D difference at index `k` of `zs`: central
+    * in the interior, one-sided at the edges, 0 for a single sample. */
+  private def grad1(zs: Array[Double], k: Int): Double =
+    if (zs.length < 2) 0.0
+    else if (k == 0) zs(1) - zs(0)
+    else if (k == zs.length - 1) zs(k) - zs(k - 1)
+    else (zs(k + 1) - zs(k - 1)) / 2.0
+
+  /** plot3d "surface" kind, headless: the period-matrix height field
+    * rendered as a SHADED-RELIEF heatmap — per-cell RdBu ramp color
+    * soft-light-blended with the LightSource(270, 45) hillshade of the
+    * vert_exag=0.1 surface (the reference's `_plot_surface` facecolor
+    * math), intensity rescaled over the matrix like matplotlib's
+    * `hillshade`. Documented deviation (DEVIATIONS): the oblique 3-D
+    * projection is flattened to the period × slot grid — the shading
+    * carries the relief — and missing cells take the matrix minimum
+    * for gradient purposes but render missing-gray. */
+  def renderSurface(matrix: Array[Array[Option[Double]]],
+      vmin: Option[Double] = None, vmax: Option[Double] = None,
+      cellW: Int = 8, cellH: Int = 8, vertExag: Double = 0.1,
+      title: Option[String] = None): Array[Byte] = {
+    require(matrix.nonEmpty && matrix.head.nonEmpty, "empty matrix")
+    val nP = matrix.length; val nS = matrix.map(_.length).max
+    require(nP.toLong * nS <= MaxCells, s"plot matrix $nP x $nS exceeds " +
+      s"$MaxCells cells — aggregate first")
+    val flat = matrix.iterator.flatten.flatten
+    val lo = vmin.getOrElse(if (flat.isEmpty) 0.0
+      else matrix.iterator.flatten.flatten.min)
+    val hi = vmax.getOrElse(if (flat.isEmpty) 1.0
+      else matrix.iterator.flatten.flatten.max)
+    val z = matrix.map(_.padTo(nS, None).map(_.getOrElse(lo)))
+    // dx along the slot axis, dy along the period axis (the reference's
+    // hour / day axes after unstackToPeriods)
+    val raw = Array.tabulate(nP, nS) { (p, s) =>
+      val dx = grad1(z(p), s)
+      val dy = grad1(Array.tabulate(nP)(q => z(q)(s)), p)
+      hillshadeRaw(dx, dy, vertExag)
+    }
+    val rmin = raw.iterator.flatten.min
+    val rmax = raw.iterator.flatten.max
+    def rescale(r: Double): Double =
+      if (rmax == rmin) 0.5 else (r - rmin) / (rmax - rmin)
+    val top = if (title.isDefined) 16 else 0
+    val w = nP * cellW
+    val h = top + nS * cellH
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    g.dispose()
+    val padded = matrix.map(_.padTo(nS, None: Option[Double]))
+    for (p <- 0 until nP; s <- 0 until nS) {
+      val rgb = padded(p)(s) match {
+        case Some(v) =>
+          val base = rdbu(norm(v, lo, hi))
+          val i = rescale(raw(p)(s))
+          (softLight((base >> 16) & 255, i) << 16) |
+            (softLight((base >> 8) & 255, i) << 8) |
+            softLight(base & 255, i)
+        case None => MissingRGB
+      }
+      for (dx <- 0 until cellW; dy <- 0 until cellH)
+        img.setRGB(p * cellW + dx, top + s * cellH + dy, rgb)
+    }
+    if (title.isDefined) {
+      val g2 = img.createGraphics()
+      g2.setColor(Color.BLACK)
+      g2.setFont(new Font(Font.MONOSPACED, Font.PLAIN, 11))
+      title.foreach(t => g2.drawString(t, 2, 12))
+      g2.dispose()
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Level-band index of a value for the contour kind: [0, levels−1]
+    * after clamped normalization. Public for the q186 oracle. */
+  def contourBand(v: Double, lo: Double, hi: Double, levels: Int): Int = {
+    val t = math.min(1.0, math.max(0.0,
+      if (hi == lo) 0.5 else (v - lo) / (hi - lo)))
+    math.min(levels - 1, math.floor(t * levels).toInt)
+  }
+
+  /** plot3d "contour" kind, headless: the reference draws
+    * `contour3D(x, y, z, 150, cmap=...)` — 150 iso-level curves colored
+    * along the ramp. The headless counterpart quantizes each cell into
+    * its level band and fills it with the band's ramp color (the
+    * filled-contour rendering of the same level set; a curve-only
+    * variant carries no more information at heatmap cell sizes).
+    * Missing cells render missing-gray. */
+  def renderContour(matrix: Array[Array[Option[Double]]],
+      vmin: Option[Double] = None, vmax: Option[Double] = None,
+      levels: Int = 150, cellW: Int = 8, cellH: Int = 8,
+      title: Option[String] = None): Array[Byte] = {
+    require(levels >= 2, "levels must be >= 2")
+    require(matrix.nonEmpty && matrix.head.nonEmpty, "empty matrix")
+    val nP = matrix.length; val nS = matrix.map(_.length).max
+    require(nP.toLong * nS <= MaxCells, s"plot matrix $nP x $nS exceeds " +
+      s"$MaxCells cells — aggregate first")
+    val flat = matrix.iterator.flatten.flatten
+    val lo = vmin.getOrElse(if (flat.isEmpty) 0.0
+      else matrix.iterator.flatten.flatten.min)
+    val hi = vmax.getOrElse(if (flat.isEmpty) 1.0
+      else matrix.iterator.flatten.flatten.max)
+    val top = if (title.isDefined) 16 else 0
+    val w = nP * cellW
+    val h = top + nS * cellH
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    g.dispose()
+    val padded = matrix.map(_.padTo(nS, None: Option[Double]))
+    for (p <- 0 until nP; s <- 0 until nS) {
+      val rgb = padded(p)(s) match {
+        case Some(v) =>
+          rdbu(contourBand(v, lo, hi, levels) / (levels - 1.0))
+        case None => MissingRGB
+      }
+      for (dx <- 0 until cellW; dy <- 0 until cellH)
+        img.setRGB(p * cellW + dx, top + s * cellH + dy, rgb)
+    }
+    if (title.isDefined) {
+      val g2 = img.createGraphics()
+      g2.setColor(Color.BLACK)
+      g2.setFont(new Font(Font.MONOSPACED, Font.PLAIN, 11))
+      title.foreach(t => g2.drawString(t, 2, 12))
+      g2.dispose()
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Series `plot3d`: distributed unstack → render of the plot-sized
+    * matrix, dispatching on `kind` exactly like the reference
+    * (`energypandas.py:483-560`): "polygon" (default) → ridge stack,
+    * "surface" → hillshaded relief, "contour" → level bands; anything
+    * else is the reference's unsupported-kind error. */
   def plot3d(es: EnergySeries, periodLength: Int = 24,
       vmin: Option[Double] = None, vmax: Option[Double] = None,
-      cellW: Int = 8, plotH: Int = 96): Array[Byte] =
-    renderRidges(collectMatrix(es, periodLength), vmin, vmax, cellW,
-      plotH, title = es.name)
+      cellW: Int = 8, plotH: Int = 96,
+      kind: String = "polygon"): Array[Byte] = kind match {
+    case "polygon" =>
+      renderRidges(collectMatrix(es, periodLength), vmin, vmax, cellW,
+        plotH, title = es.name)
+    case "surface" =>
+      renderSurface(collectMatrix(es, periodLength), vmin, vmax,
+        title = es.name)
+    case "contour" =>
+      renderContour(collectMatrix(es, periodLength), vmin, vmax,
+        title = es.name)
+    case other =>
+      throw new IllegalArgumentException(
+        s"""plot kind "$other" is not supported""")
+  }
 
   /** Grouped `plot3d` (`energypandas.py:476-481`: one ridge panel per
     * level-0 group): per-group day × hour matrices from ONE distributed

@@ -14,7 +14,8 @@ object ProfPr extends App {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
-  val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+  val li = graft.Tables.load(spark,
+    args.headOption.getOrElse("/root/testdata/sf0.1"), "lineitem")
   val edges = li.select((col("l_suppkey") * 2).as("src"),
     (col("l_partkey") * 2 + 1).as("dst"))
   for (ce <- Seq(1, 2, 1, 2, 4, 4)) {

@@ -44,11 +44,12 @@ object RecallProbe {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5, 1000),
       Dedup.minhashLsh(docs, "text", "doc_id", 3, 8, 2, 0.35),
       Seq("a", "b"))
-    recall("q26_simhash",
-      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8, 1000),
-      Dedup.simhashPairs(docs, "text", "doc_id",
-        shingleLen = 3, bands = 4, maxHamming = 8),
-      Seq("a", "b"))
+    for (bands <- Seq(4, 8); mh <- Seq(8, 10, 12))
+      recall(s"q26_simhash_b${bands}_h$mh",
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8, 1000),
+        Dedup.simhashPairs(docs, "text", "doc_id",
+          shingleLen = 3, bands = bands, maxHamming = mh),
+        Seq("a", "b"))
     for (tables <- Seq(8, 12); mp <- Seq(false, true))
       recall(s"q30_lsh_topk_t${tables}_mp$mp",
         Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),

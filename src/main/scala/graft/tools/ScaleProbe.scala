@@ -44,6 +44,13 @@ object ScaleProbe {
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.codegen.maxFields", "512")
       .config("spark.sql.shuffle.partitions", cpus)
+      // partition count must scale with the data for the probe to
+      // measure the OPERATOR, not spill at a fixed fan-out (the 100x
+      // run spilled 30 GB at 32 partitions): let AQE size reducers
+      // from a high initial count, exactly as a production cluster
+      // would (coalesce is free; a too-low cap is unfixable)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "8")
@@ -53,12 +60,50 @@ object ScaleProbe {
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
 
+    // direct-operator probes: the q178/q182 QUERIES wrap the operator in
+    // a recall gate whose exact side is deliberately O(n²)-guarded, so
+    // at probe scale the operator must be driven bare
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{Dedup, Similarity}
+    def docsOf(s: SparkSession, dir: String): DataFrame =
+      graft.Tables.load(s, dir, "documents")
+    val opQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // nlist is a function of corpus size (Similarity scaladoc: cells
+      // of ~1k keep the per-cell join quadratic-free) — the probe must
+      // scale it with the corpus exactly as a production job would,
+      // not freeze the sf0.01 gate parameter
+      "op_ivf_neardup" -> ((s, dir) => {
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val nlist = math.max(16, (emb.count() / 1000).toInt)
+        Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.3, nlist = nlist, nassign = 4)
+      }),
+      "op_semdedup" -> ((s, dir) => {
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val nlist = math.max(8, (emb.count() / 1000).toInt)
+        Similarity.semDedup(emb, "vec_id", "embedding",
+          threshold = 0.4, nlist = nlist, nassign = 3)
+      }),
+      "op_minhash" -> ((s, dir) =>
+        Dedup.minhashLsh(docsOf(s, dir), "text", "doc_id", 3, 8, 2, 0.35)),
+      "op_simhash" -> ((s, dir) =>
+        Dedup.simhashPairs(docsOf(s, dir), "text", "doc_id",
+          shingleLen = 3, bands = 8, maxHamming = 10)),
+      "op_ngram" -> ((s, dir) =>
+        Dedup.ngramJaccardPairs(docsOf(s, dir), "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)),
+      "op_ppjoin" -> ((s, dir) =>
+        Dedup.ngramJaccardPairsPrefix(docsOf(s, dir), "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5)))
+    def query(name: String): (SparkSession, String) => DataFrame =
+      opQueries.getOrElse(name, graft.SparkEntry.queries(name))
+
     // (minSec, shuffleBytes, spillBytes) over two runs at one corpus
     def measure(name: String, dir: String): (Double, Long, Long) = {
       def once(): (Double, Long, Long) = {
         val w0 = listener.written.get(); val s0 = listener.spilled.get()
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir)
+        query(name)(spark, dir)
           .write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
         // the listener bus drains asynchronously — wait for quiescence

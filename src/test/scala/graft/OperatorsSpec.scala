@@ -94,6 +94,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L)) // unrelated not paired
   }
 
+  test("LSH bucket/block caps drop oversized groups, defaults keep them") {
+    // 12 identical docs: every band bucket (and simhash block) holds all
+    // 12 members, so a cap of 11 suppresses every candidate pair while
+    // the default caps (sized for degenerate boilerplate buckets, not
+    // small cliques) keep all 66
+    val clique = (0L until 12L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(clique, "text", "doc_id",
+      bucketCap = 11).count() == 0)
+    assert(Dedup.minhashLsh(clique, "text", "doc_id").count() == 66)
+    assert(Dedup.simhashPairs(clique, "text", "doc_id",
+      blockCap = 11).count() == 0)
+    assert(Dedup.simhashPairs(clique, "text", "doc_id").count() == 66)
+  }
+
   test("simhash: identical docs distance 0, near-dups closer than unrelated") {
     // blocked pair join: exact dups share every bit and every block
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 64)

@@ -107,6 +107,68 @@ class PlotRenderSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(png, Render.plot3dBy(es, "grp")))
   }
 
+  test("renderSurface: hillshaded relief, flat fields render unshaded") {
+    def m(rows: Array[Double]*): Array[Array[Option[Double]]] =
+      rows.map(_.map(Option(_)).toArray).toArray
+    // constant field: zero gradient everywhere -> rescale degenerates to
+    // i = 0.5 -> pegtop soft-light is the identity -> pure ramp color
+    // (hi == lo -> norm 0.5 -> RdBu midpoint white)
+    val flatPng = Render.renderSurface(m(
+      Array(3.0, 3.0, 3.0), Array(3.0, 3.0, 3.0)))
+    val flat = ImageIO.read(new ByteArrayInputStream(flatPng))
+    assert(flat.getWidth == 16 && flat.getHeight == 24)
+    assert(rgb(flat.getRGB(0, 0)) == ((247, 247, 247)))
+    // quadratic slope z = s^2 along slots, identical periods: dy = 0,
+    // dx = (1, 2, 4, 5) by np.gradient edges/center -> intensity
+    // rescales to exactly 0 at slot 0 and 1 at slot 3
+    val png = Render.renderSurface(m(
+      Array(0.0, 1.0, 4.0, 9.0), Array(0.0, 1.0, 4.0, 9.0)))
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    assert(img.getWidth == 16 && img.getHeight == 32)
+    // slot 0: v=0 -> RdBu(0)=(103,0,31), i=0 -> c^2 shading = (42,0,4)
+    assert(rgb(img.getRGB(0, 0)) == ((42, 0, 4)))
+    // slot 3: v=9 -> RdBu(1)=(5,48,97), i=1 -> 2c-c^2 = (10,87,157)
+    assert(rgb(img.getRGB(0, 3 * 8)) == ((10, 87, 157)))
+    // same math via the public scalar helpers (the q185 oracle contract)
+    assert(Render.softLight(103, 0.0) == 42 && Render.softLight(31, 0.0) == 4)
+    assert(Render.softLight(5, 1.0) == 10 && Render.softLight(48, 1.0) == 87
+      && Render.softLight(97, 1.0) == 157)
+    assert(java.util.Arrays.equals(png, Render.renderSurface(m(
+      Array(0.0, 1.0, 4.0, 9.0), Array(0.0, 1.0, 4.0, 9.0)))))
+  }
+
+  test("renderContour: 150 level bands along the ramp, missing stays gray") {
+    val matrix: Array[Array[Option[Double]]] = Array(
+      Array(Some(0.0), Some(1.0), None, Some(9.0)))
+    val png = Render.renderContour(matrix)
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    assert(img.getWidth == 8 && img.getHeight == 32)
+    // v=0 -> band 0 -> RdBu(0); v=9 -> band 149 -> RdBu(1)
+    assert(rgb(img.getRGB(0, 0)) == ((103, 0, 31)))
+    assert(rgb(img.getRGB(0, 3 * 8)) == ((5, 48, 97)))
+    assert(rgb(img.getRGB(0, 2 * 8)) == ((220, 220, 220))) // missing
+    // band quantization: v=1 of [0,9] -> floor(150/9) = band 16
+    assert(Render.contourBand(1.0, 0.0, 9.0, 150) == 16)
+    assert(Render.contourBand(9.0, 0.0, 9.0, 150) == 149)
+    assert(java.util.Arrays.equals(png, Render.renderContour(matrix)))
+  }
+
+  test("plot3d dispatches on kind; unknown kind is the reference error") {
+    val es = EnergySeries.rangeSeries(spark, 48, 2018, Some("degC"))
+    val surface = Render.plot3d(es, kind = "surface")
+    val contour = Render.plot3d(es, kind = "contour")
+    val polygon = Render.plot3d(es) // default stays the ridge stack
+    assert((surface(0) & 0xff) == 0x89 && (contour(0) & 0xff) == 0x89
+      && (polygon(0) & 0xff) == 0x89)
+    // surface/contour: 2 periods x 24 slots grid, no title (no name)
+    val simg = ImageIO.read(new ByteArrayInputStream(surface))
+    assert(simg.getWidth == 16 && simg.getHeight == 24 * 8)
+    val e = intercept[IllegalArgumentException] {
+      Render.plot3d(es, kind = "banana")
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("plot2dFrame stacks per-column panels with shared normalization") {
     val df = spark.range(24).select(
       org.apache.spark.sql.functions.expr(
