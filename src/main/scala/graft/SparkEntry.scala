@@ -282,6 +282,19 @@ object SparkEntry {
           shingleLen = 3, bands = 8, rowsPerBand = 2, minEstJaccard = 0.35),
         Seq("a", "b"), threshold = 0.8)
     }),
+    // ---- dedup: STREAMING MinHash-LSH near-dup gate (StreamNearDup),
+    // run through its batch twin (same typed pipeline + keyed gate in
+    // batch mode) and recall-gated like q25 — the ingest-time analog
+    "q187_stream_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      recallGate(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000),
+        graft.streaming.StreamNearDup.batch(docs, "text", "doc_id",
+          shingleLen = 3, bands = 8, rowsPerBand = 2,
+          minEstJaccard = 0.35),
+        Seq("a", "b"), threshold = 0.8)
+    }),
     // ---- dedup: SimHash blocking + Hamming, gated on recall against the
     // exact high-similarity (j >= 0.8) pairs
     "q26_dedup_simhash" -> ((s, dir) => {
@@ -2134,6 +2147,7 @@ object SparkEntry {
           |FROM documents GROUP BY text""".stripMargin,
       "q27_dedup_ngram" -> ngramPairsSql(0.5),
       "q25_dedup_minhash" -> gateSql(ngramPairsSql(0.5)),
+      "q187_stream_neardup" -> gateSql(ngramPairsSql(0.5)),
       "q26_dedup_simhash" -> gateSql(ngramPairsSql(0.8)),
       "q28_embed_neardup" -> neardupSql(0.4),
       "q51_embed_neardup_lsh" -> gateSql(neardupSql(0.3)),

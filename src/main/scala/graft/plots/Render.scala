@@ -27,10 +27,12 @@ import graft.core.{EnergyFrame, EnergySeries}
   *
   * Deviations from matplotlib (documented, deterministic): the RdBu
   * ramp interpolates the 11 ColorBrewer RdBu anchor colors (the same
-  * palette matplotlib's "RdBu" is built from) linearly in RGB; axes
-  * ticks are omitted (cell geometry is exact instead); `show` is a
-  * no-op in a headless engine. Output bytes are deterministic for a
-  * given matrix — spec-pinned, render twice byte-equal. */
+  * palette matplotlib's "RdBu" is built from) linearly in RGB; axis
+  * annotations draw the RESOLUTION_NAME xlabel/ylabel + integer tick
+  * numbers in fixed-width margins (no autoscaled matplotlib tick
+  * engine — cell geometry is exact instead); `show` is a no-op in a
+  * headless engine. Output bytes are deterministic for a given
+  * matrix — spec-pinned, render twice byte-equal. */
 object Render {
 
   /** ColorBrewer RdBu 11-class anchors (Cynthia Brewer, colorbrewer2
@@ -67,6 +69,92 @@ object Render {
   private val MissingRGB = new Color(220, 220, 220).getRGB // null cells
   private val MaxCells = 2000000 // loud bound on the driver collect
 
+  /** The reference's `RESOLUTION_NAME` (`energypandas.py:805-814`)
+    * keyed by the exact duration: a span is named by the COARSEST unit
+    * that divides it evenly — the headless analog of
+    * `pd.Timedelta.resolution_string` on whole-unit spans. */
+  def resolutionName(seconds: Long): String =
+    if (seconds % 86400 == 0) "Days"
+    else if (seconds % 3600 == 0) "Hours"
+    else if (seconds % 60 == 0) "Minutes"
+    else "Seconds"
+
+  private def unitSeconds(name: String): Long = name match {
+    case "Days" => 86400L; case "Hours" => 3600L
+    case "Minutes" => 60L; case _ => 1L
+  }
+
+  /** Default `(xlabel, ylabel)` of a period-matrix plot, mirroring the
+    * reference's construction (`energypandas.py:759-770`): with an
+    * hourly step and periodLength 24 this yields
+    * `("Days", "Hours of Day")`; a multi-unit step gains the `n-`
+    * prefix (15-minute data → "15-Minutes of Day"). Public — spec- and
+    * doc-visible API surface. */
+  def axisLabels(stepSeconds: Long, periodLength: Int): (String, String) = {
+    val stepName = resolutionName(stepSeconds)
+    val n = stepSeconds / unitSeconds(stepName)
+    val prefix = if (n > 1) s"$n-" else ""
+    val periodName = resolutionName(stepSeconds * periodLength)
+    (periodName, s"$prefix$stepName of ${periodName.dropRight(1)}")
+  }
+
+  // axis-annotation geometry (labels default ON in plot2d, mirroring
+  // the reference's axis_off=False): tick STRIP (numbers) sits between
+  // the axis LABEL and the panel
+  private val TickFont = new Font(Font.MONOSPACED, Font.PLAIN, 9)
+  private val LabelFont = new Font(Font.MONOSPACED, Font.PLAIN, 11)
+  private val YLabelW = 12   // rotated ylabel column
+  private val YTickW = 18    // y tick numbers
+  private val XLabelH = 12   // xlabel row
+  private val XTickH = 10    // x tick numbers
+
+  /** Tick positions: ~4 ticks on y (slot axis), ~8 on x (period axis),
+    * snapped to whole indices — 24 slots tick at 0/6/12/18, the
+    * familiar hour marks. */
+  private def tickIdx(n: Int, target: Int): Seq[Int] = {
+    val step = math.max(1, n / target)
+    0 until n by step
+  }
+
+  /** Draw tick numbers + axis labels around a panel at (x0, y0). The y
+    * axis draws when `ylabel` is set, the x axis when `xlabel` is —
+    * the frame layout reuses this per panel with the x axis only under
+    * the bottom one (sharex rendering). */
+  private def drawAxes(img: BufferedImage, x0: Int, y0: Int,
+      nP: Int, nS: Int, cellW: Int, cellH: Int,
+      xlabel: Option[String], ylabel: Option[String]): Unit = {
+    val g = img.createGraphics()
+    g.setColor(Color.BLACK)
+    g.setFont(TickFont)
+    val fm = g.getFontMetrics
+    if (ylabel.isDefined) tickIdx(nS, 4).foreach { s =>
+      val label = s.toString
+      g.drawString(label, x0 - 2 - fm.stringWidth(label),
+        y0 + s * cellH + cellH / 2 + 3)
+    }
+    if (xlabel.isDefined) tickIdx(nP, 8).foreach { p =>
+      val label = p.toString
+      g.drawString(label,
+        x0 + p * cellW + (cellW - fm.stringWidth(label)) / 2,
+        y0 + nS * cellH + 8)
+    }
+    g.setFont(LabelFont)
+    val fm2 = g.getFontMetrics
+    xlabel.foreach(xl => g.drawString(xl,
+      x0 + (nP * cellW - fm2.stringWidth(xl)) / 2,
+      y0 + nS * cellH + XTickH + 10))
+    ylabel.foreach { yl =>
+      val old = g.getTransform
+      g.rotate(-math.Pi / 2)
+      // after rotate(-90), (x, y) = (-imageY, imageX): center along the
+      // panel's vertical extent, baseline in the ylabel column
+      g.drawString(yl,
+        -(y0 + (nS * cellH + fm2.stringWidth(yl)) / 2), x0 - YTickW - 3)
+      g.setTransform(old)
+    }
+    g.dispose()
+  }
+
   /** One heatmap panel: `matrix(p)(s)` = value of period p, slot s
     * (None = missing). x = period, y = slot (slot 0 at top — imshow's
     * default origin), each cell `cellW` × `cellH` px. */
@@ -97,7 +185,8 @@ object Render {
       vmin: Option[Double] = None, vmax: Option[Double] = None,
       vcenter: Option[Double] = None, cellW: Int = 8, cellH: Int = 8,
       colorbar: Boolean = true, title: Option[String] = None,
-      unitsLabel: Option[String] = None): Array[Byte] = {
+      unitsLabel: Option[String] = None, xlabel: Option[String] = None,
+      ylabel: Option[String] = None): Array[Byte] = {
     require(matrix.nonEmpty && matrix.head.nonEmpty, "empty matrix")
     val nP = matrix.length; val nS = matrix.map(_.length).max
     require(nP.toLong * nS <= MaxCells,
@@ -108,24 +197,30 @@ object Render {
       else matrix.iterator.flatten.flatten.min)
     val hi = vmax.getOrElse(if (flat.isEmpty) 1.0
       else matrix.iterator.flatten.flatten.max)
+    val axes = xlabel.isDefined || ylabel.isDefined
     val top = if (title.isDefined) 16 else 0
+    val left = if (axes) YLabelW + YTickW else 0
     val cbW = if (colorbar) 18 else 0
     val cbGap = if (colorbar) 8 else 0
-    val bottom = if (unitsLabel.isDefined && colorbar) 14 else 0
-    val w = nP * cellW + cbGap + cbW
+    val bottom = (if (axes) XTickH + XLabelH + 2 else 0) +
+      (if (unitsLabel.isDefined && colorbar) 14 else 0)
+    val w = left + nP * cellW + cbGap + cbW
     val h = top + nS * cellH + bottom
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
     g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
     g.dispose()
-    panel(img, 0, top, matrix.map(_.padTo(nS, None)), lo, hi, vcenter,
+    panel(img, left, top, matrix.map(_.padTo(nS, None)), lo, hi, vcenter,
       cellW, cellH)
     if (colorbar)
-      colorbarPanel(img, nP * cellW + cbGap, top, cbW, nS * cellH, vcenter)
+      colorbarPanel(img, left + nP * cellW + cbGap, top, cbW, nS * cellH,
+        vcenter)
+    if (axes)
+      drawAxes(img, left, top, nP, nS, cellW, cellH, xlabel, ylabel)
     if (title.isDefined || (unitsLabel.isDefined && colorbar)) {
       val g2 = img.createGraphics()
       g2.setColor(Color.BLACK)
-      g2.setFont(new Font(Font.MONOSPACED, Font.PLAIN, 11))
+      g2.setFont(LabelFont)
       title.foreach(t => g2.drawString(t, 2, 12))
       if (colorbar) unitsLabel.foreach(u =>
         g2.drawString(s"[$u]", math.max(0, w - cbW - cbGap), h - 3))
@@ -139,23 +234,40 @@ object Render {
   /** Series `plot2d`: unstack to the period matrix (distributed pivot),
     * collect the plot-sized result, render. Mirrors
     * `energypandas.py:679-800` (title defaults to the series name,
-    * colorbar labeled with the units). */
+    * colorbar labeled with the units, axis tick numbers + the
+    * RESOLUTION_NAME xlabel/ylabel drawn unless `axisOff` — the
+    * reference's `axis_off=False` default at `:685`; explicit
+    * `xlabel`/`ylabel` override the derived defaults as in the
+    * reference). Label derivation is one 3-row driver action
+    * ([[EnergySeries.inferStepSeconds]]), skipped when axisOff. */
   def plot2d(es: EnergySeries, periodLength: Int = 24,
       vmin: Option[Double] = None, vmax: Option[Double] = None,
       vcenter: Option[Double] = None, cellW: Int = 8, cellH: Int = 8,
-      colorbar: Boolean = true): Array[Byte] = {
+      colorbar: Boolean = true, axisOff: Boolean = false,
+      xlabel: Option[String] = None,
+      ylabel: Option[String] = None): Array[Byte] = {
     val m = collectMatrix(es, periodLength)
+    val (xl, yl) =
+      if (axisOff) (None, None)
+      else {
+        val (dx, dy) = axisLabels(es.inferStepSeconds, periodLength)
+        (Some(xlabel.getOrElse(dx)), Some(ylabel.getOrElse(dy)))
+      }
     renderMatrix(m, vmin, vmax, vcenter, cellW, cellH, colorbar,
-      title = es.name, unitsLabel = es.units.map(_.raw))
+      title = es.name, unitsLabel = es.units.map(_.raw),
+      xlabel = xl, ylabel = yl)
   }
 
   /** Frame `plot2d` (`energypandas.py:1010-1106`, `subplots=True`,
     * vertical layout, shared normalization): one panel per column
-    * stacked vertically, one shared colorbar. */
+    * stacked vertically, one shared colorbar. With axes on (the
+    * reference's `axis_off=False` default) each panel draws its y
+    * ticks + the RESOLUTION_NAME ylabel; x ticks + xlabel render once
+    * under the bottom panel — the `sharex=True` rendering. */
   def plot2dFrame(ef: EnergyFrame, periodLength: Int = 24,
       vmin: Option[Double] = None, vmax: Option[Double] = None,
       vcenter: Option[Double] = None, cellW: Int = 8, cellH: Int = 8,
-      colorbar: Boolean = true): Array[Byte] = {
+      colorbar: Boolean = true, axisOff: Boolean = false): Array[Byte] = {
     val cols = ef.valueCols
     require(cols.nonEmpty, "frame has no value columns")
     val mats = cols.map(c => collectMatrix(ef(c), periodLength))
@@ -180,21 +292,32 @@ object Render {
     val panelH = nS * cellH
     val panelsH = mats.length * panelH + (mats.length - 1) * gutterPx
     val unitsLabel = ef.unitsMap.values.headOption.map(_.raw)
+    val labels =
+      if (axisOff) None
+      else Some(axisLabels(ef(cols.head).inferStepSeconds, periodLength))
+    val left = if (labels.isDefined) YLabelW + YTickW else 0
     val cbW = if (colorbar) 18 else 0
     val cbGap = if (colorbar) 8 else 0
-    val bottom = if (unitsLabel.isDefined && colorbar) 14 else 0
-    val w = nP * cellW + cbGap + cbW
+    val bottom = (if (labels.isDefined) XTickH + XLabelH + 2 else 0) +
+      (if (unitsLabel.isDefined && colorbar) 14 else 0)
+    val w = left + nP * cellW + cbGap + cbW
     val h = panelsH + bottom
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
     g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
     g.dispose()
     padded.zipWithIndex.foreach { case (m, i) =>
-      panel(img, 0, i * (panelH + gutterPx), m, lo, hi, vcenter,
+      panel(img, left, i * (panelH + gutterPx), m, lo, hi, vcenter,
         cellW, cellH)
+      labels.foreach { case (xl, yl) =>
+        val isBottom = i == padded.length - 1
+        drawAxes(img, left, i * (panelH + gutterPx), nP, nS, cellW, cellH,
+          if (isBottom) Some(xl) else None, Some(yl))
+      }
     }
     if (colorbar)
-      colorbarPanel(img, nP * cellW + cbGap, 0, cbW, panelsH, vcenter)
+      colorbarPanel(img, left + nP * cellW + cbGap, 0, cbW, panelsH,
+        vcenter)
     if (unitsLabel.isDefined && colorbar) {
       val g2 = img.createGraphics()
       g2.setColor(Color.BLACK)

@@ -37,7 +37,9 @@ object ScaleProbe {
     val names = if (args.length > 2) args.drop(2).toSeq else Seq(
       "q25_dedup_minhash", "q27_dedup_ngram", "q78_shared_substring",
       "q87_curation_v2", "q98_cc_star", "q99_jaccard_prefix",
-      "q144_pagerank", "q152_span_dup", "q162_entity_clusters")
+      "q144_pagerank", "q152_span_dup", "q162_entity_clusters",
+      "q183_zscore_chunked", "op_minhash", "op_simhash", "op_ngram",
+      "op_ppjoin", "op_ivf_neardup", "op_semdedup", "op_streamdecon")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,7 +96,16 @@ object ScaleProbe {
           shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)),
       "op_ppjoin" -> ((s, dir) =>
         Dedup.ngramJaccardPairsPrefix(docsOf(s, dir), "text", "doc_id",
-          shingleLen = 3, minJaccard = 0.5)))
+          shingleLen = 3, minJaccard = 0.5)),
+      // StreamDecon throughput: the stateless clean filter IS the
+      // streaming plan (scaladoc'd batch == stream), so filtering the
+      // whole corpus against a 100-doc bench set measures ingest-gate
+      // docs/sec without a stream harness
+      "op_streamdecon" -> ((s, dir) => {
+        val docs = docsOf(s, dir)
+        val bench = docs.orderBy("doc_id").limit(100)
+        graft.streaming.StreamDecon.batch(docs, bench, "text")
+      }))
     def query(name: String): (SparkSession, String) => DataFrame =
       opQueries.getOrElse(name, graft.SparkEntry.queries(name))
 

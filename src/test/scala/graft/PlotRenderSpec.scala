@@ -18,9 +18,11 @@ class PlotRenderSpec extends SparkTestBase {
     ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
 
   test("plot2d renders the period matrix with RdBu min/max normalization") {
-    // 48 hourly values 0..47 -> 2 periods x 24 slots; vmin=0, vmax=47
+    // 48 hourly values 0..47 -> 2 periods x 24 slots; vmin=0, vmax=47.
+    // axisOff pins the bare-panel geometry; the default-on axes case is
+    // pinned in its own test below.
     val es = EnergySeries.rangeSeries(spark, 48, 2018, Some("degC"))
-    val png = Render.plot2d(es)
+    val png = Render.plot2d(es, axisOff = true)
     val img = ImageIO.read(new ByteArrayInputStream(png))
     // width: 2 periods x 8px + 8 gap + 18 colorbar; height: 24 x 8px
     // + 14 units-label margin (no title: rangeSeries has no name)
@@ -35,14 +37,43 @@ class PlotRenderSpec extends SparkTestBase {
     assert(rgb(img.getRGB(cbX, 0)) == ((5, 48, 97)))
     assert(rgb(img.getRGB(cbX, 24 * 8 - 1)) == ((103, 0, 31)))
     // deterministic: render twice, byte-identical
-    assert(java.util.Arrays.equals(png, Render.plot2d(es)))
+    assert(java.util.Arrays.equals(png, Render.plot2d(es, axisOff = true)))
     // PNG signature
     assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
   }
 
+  test("plot2d default draws RESOLUTION_NAME axes: margins, ticks, labels") {
+    // hourly step, periodLength 24 -> xlabel "Days", ylabel
+    // "Hours of Day" (energypandas.py:759-770 + RESOLUTION_NAME)
+    assert(Render.axisLabels(3600, 24) == (("Days", "Hours of Day")))
+    // 15-minute step, 96 slots/day; 24 slots of hourly-of-Hour quirk
+    // mirrored from the reference's resolution_string math
+    assert(Render.axisLabels(900, 96) == (("Days", "15-Minutes of Day")))
+    assert(Render.axisLabels(3600, 12) == (("Hours", "Hours of Hour")))
+    val es = EnergySeries.rangeSeries(spark, 48, 2018, Some("degC"))
+    val png = Render.plot2d(es)
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // left margin 12 (ylabel) + 18 (y ticks); bottom 10 (x ticks) + 12
+    // (xlabel) + 2 + 14 (units row)
+    assert(img.getWidth == 30 + 2 * 8 + 8 + 18)
+    assert(img.getHeight == 24 * 8 + 24 + 14)
+    // panel shifts right by the margin; color pins hold at the offset
+    assert(rgb(img.getRGB(30, 0)) == ((103, 0, 31)))
+    assert(rgb(img.getRGB(30 + 8, 23 * 8)) == ((5, 48, 97)))
+    // y tick numbers (0/6/12/18) leave dark pixels in the tick strip
+    def darkIn(x0: Int, x1: Int, y0: Int, y1: Int): Boolean =
+      (x0 until x1).exists(x => (y0 until y1).exists { y =>
+        val (r, g, b) = rgb(img.getRGB(x, y)); r + g + b < 384
+      })
+    assert(darkIn(12, 30, 0, 24 * 8))          // y ticks
+    assert(darkIn(0, 12, 0, 24 * 8))           // rotated ylabel
+    assert(darkIn(30, img.getWidth, 24 * 8, img.getHeight)) // x ticks+label
+    assert(java.util.Arrays.equals(png, Render.plot2d(es)))
+  }
+
   test("plot2d vcenter uses the two-slope norm: center renders white") {
     val es = EnergySeries.rangeSeries(spark, 48, 2018, Some("degC"))
-    val png = Render.plot2d(es, vcenter = Some(10.0))
+    val png = Render.plot2d(es, vcenter = Some(10.0), axisOff = true)
     val img = ImageIO.read(new ByteArrayInputStream(png))
     // value 10 (period 0, slot 10) is the vcenter -> RdBu(0.5) white
     assert(rgb(img.getRGB(0, 10 * 8)) == ((247, 247, 247)))
@@ -176,7 +207,7 @@ class PlotRenderSpec extends SparkTestBase {
       $"id".cast("double").as("a"),
       (org.apache.spark.sql.functions.lit(46.0) - $"id").as("b"))
     val ef = EnergyFrame(df, Seq("ts"))
-    val png = Render.plot2dFrame(ef, colorbar = false)
+    val png = Render.plot2dFrame(ef, colorbar = false, axisOff = true)
     val img = ImageIO.read(new ByteArrayInputStream(png))
     // one period wide; two 24-slot panels + 1 gutter slot row tall
     assert(img.getWidth == 8)
@@ -187,5 +218,22 @@ class PlotRenderSpec extends SparkTestBase {
     assert(rgb(img.getRGB(0, 0)) == ((103, 0, 31)))
     assert(rgb(img.getRGB(0, 25 * 8)) == ((5, 48, 97)))
     assert(rgb(img.getRGB(0, 24 * 8)) == ((255, 255, 255)))
+    // default axes (the reference's axis_off=False): panels shift right
+    // by the margin, y ticks per panel, x axis under the BOTTOM panel
+    // only (sharex rendering)
+    val png2 = Render.plot2dFrame(ef, colorbar = false)
+    val img2 = ImageIO.read(new ByteArrayInputStream(png2))
+    assert(img2.getWidth == 30 + 8)
+    assert(img2.getHeight == (24 + 1 + 24) * 8 + 24)
+    assert(rgb(img2.getRGB(30, 0)) == ((103, 0, 31)))
+    assert(rgb(img2.getRGB(30, 25 * 8)) == ((5, 48, 97)))
+    def darkIn(x0: Int, x1: Int, y0: Int, y1: Int): Boolean =
+      (x0 until x1).exists(x => (y0 until y1).exists { y =>
+        val c = img2.getRGB(x, y)
+        ((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff) < 384
+      })
+    assert(darkIn(12, 30, 0, 24 * 8))               // top panel y ticks
+    assert(darkIn(12, 30, 25 * 8, 49 * 8))          // bottom panel y ticks
+    assert(darkIn(30, img2.getWidth, 49 * 8, img2.getHeight)) // x axis
   }
 }

@@ -406,4 +406,76 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty && streamed.count(_.startsWith("alpha")) == 1)
   }
+
+  test("StreamNearDup signature math is bit-identical to the batch SQL") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamNearDup
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "one two  three", // double space: split keeps the empty token
+      "too short")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sqlSigs = df.select(col("doc_id"),
+        explode(array_distinct(
+          Dedup.wordShingles(col("text"), 3))).as("shingle"))
+      .groupBy("doc_id").agg(
+        array((0 until 16).map(i =>
+          min(xxhash64(col("shingle"), lit(i)))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val typed = StreamNearDup.signature(t, 3, 16)
+      assert(typed.map(_.toSeq) == sqlSigs.get(i.toLong).map(_.toSeq),
+        s"doc $i")
+    }
+    // band bucket matches xxhash64(array_join(slice(sig, ...), ","))
+    val sig = StreamNearDup.signature(texts.head, 3, 16).get
+    val sqlBucket = spark.sql(
+      s"SELECT xxhash64(array_join(slice(array(${sig.mkString("L,")}L)" +
+        s", 3, 2), ','))").head().getLong(0)
+    assert(StreamNearDup.bandBucket(sig, 1, 2) == sqlBucket)
+  }
+
+  test("StreamNearDup: cross-batch near-dup caught; stream == batch") {
+    import graft.streaming.StreamNearDup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      StreamNearDup.Doc(1L, base),
+      StreamNearDup.Doc(2L, "completely different words in this one " +
+        "nothing shared with the template at all whatsoever here"),
+      StreamNearDup.Doc(3L, base + " edited"), // near-dup of 1, batch 2
+      StreamNearDup.Doc(4L, "short"))
+    val stream = MemoryStream[StreamNearDup.Doc]
+    val q = StreamNearDup.streaming(stream.toDS(), minEstJaccard = 0.5)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    stream.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(2): _*) // near-dup arrives a batch LATER
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT a, b, est_jaccard FROM neardup")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = StreamNearDup.batch(docs.toDS().toDF(), "text", "doc_id",
+        minEstJaccard = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    // the state from batch 1 caught the batch-2 near-dup, exactly once
+    assert(streamed.length == 1 && streamed.head.startsWith("[1,3,"))
+  }
+
+  test("StreamNearDup bucketCap bounds state: later arrivals compare, " +
+      "don't enroll") {
+    import graft.streaming.StreamNearDup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(1L, 2L, 3L).map(i => StreamNearDup.Doc(i, base))
+      .toDS().toDF()
+    val pairs = StreamNearDup.batch(docs, "text", "doc_id",
+        minEstJaccard = 0.5, bucketCap = 1)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    // only doc 1 is enrolled; 2 and 3 each match it but never each other
+    assert(pairs == Seq((1L, 2L), (1L, 3L)))
+  }
 }
