@@ -470,12 +470,31 @@ object Similarity {
     * ordered sample — the [[ivfTopK]] recipe), so per-cell work is
     * |cell|², never n², and the threshold only gates the final scored
     * pairs. Same id-only candidate discipline as [[lshNearDupPairs]].
-    * `nlist` scales with corpus (clusters of ~1–10k members); keep the
-    * literal-expression cell assignment ≤ ~64 cells or move it to a
-    * native expression (the [[graft.functions.PqEncode]] precedent). */
+    * `nlist` scales with corpus (cells of ~1–10k members — and it must
+    * budget for `nassign`: each vector lands in nassign cells, so cell
+    * membership is nassign·n/nlist; the 100× probe's original
+    * nlist = n/1000 choice left 4000-member cells whose pair streams
+    * spilled the disk). Keep the literal-expression cell assignment
+    * ≤ ~64 cells or move it to a native expression (the
+    * [[graft.functions.PqEncode]] precedent).
+    *
+    * `cellCap` is the skew guard (the [[graft.operators.Dedup.minhashLsh]]
+    * `bucketCap` analog): a degenerate quantizer cell — all-identical
+    * embeddings, a zero-vector dump, a collapsed centroid — emits
+    * |cell|² pairs with no ceiling. Rather than dropping hot cells
+    * whole (a clump's members share ALL their nassign cells, so the
+    * whole clump would vanish), the cap bounds the join one-sided, the
+    * [[semDedup]] keeper recipe: per cell only the `cellCap` lowest
+    * ids generate pairs as the LEFT (a) side, the right side is
+    * uncapped — per-cell work is |cell| · min(|cell|, cellCap), and a
+    * pair survives iff its LOWER id is cap-ranked in a shared cell.
+    * Inside a hot clump every member still pairs with the clump's
+    * lowest ids, so dedup connectivity (one survivor per clique) is
+    * preserved; only beyond-cap-to-beyond-cap pairs are lost. */
   def ivfNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, nassign: Int = 2,
-      seed: Long = 42L, sampleRows: Int = 4096): DataFrame = {
+      seed: Long = 42L, sampleRows: Int = 4096,
+      cellCap: Int = 10000): DataFrame = {
     val sample = df.orderBy(col(idCol)).limit(sampleRows)
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -486,9 +505,15 @@ object Similarity {
     // corpus (see sortedCellStructs)
     val sortedCells = transform(sortedCellStructs(col(vecCol), centroids),
       s => s.getField("cell"))
+    // rank members within each cell once (one window over the same
+    // cell-keyed partitioning the candidate join reuses) — the a-side
+    // cap below reads it
+    val cw = Window.partitionBy("cell").orderBy(col("id").asc)
     val assigned = Dedup.tracked(df.select(col(idCol).as("id"),
-      explode(slice(sortedCells, 1, math.max(1, nassign))).as("cell")))
-    val cand = assigned.select(col("cell"), col("id").as("a"))
+        explode(slice(sortedCells, 1, math.max(1, nassign))).as("cell"))
+      .withColumn("__rk", row_number().over(cw)))
+    val cand = assigned.where(col("__rk") <= cellCap)
+      .select(col("cell"), col("id").as("a"))
       .join(assigned.select(col("cell"), col("id").as("b")), Seq("cell"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
@@ -543,13 +568,21 @@ object Similarity {
     * `keeperCap` highest-priority members per cell — per-cluster work
     * is |cluster| × min(|cluster|, keeperCap), never all-pairs;
     * candidate pairs are generated by cluster co-membership exactly
-    * like the LSH buckets in [[lshNearDupPairs]]. `nassign` > 1
+    * like the LSH buckets in [[lshNearDupPairs]], and the candidate
+    * stream is ID-ONLY (ids + 16-byte priority structs): pairs are
+    * deduplicated across shared cells FIRST, then the vectors join
+    * back once per unique pair for scoring ([[scoreCandidatePairs]]
+    * discipline — the original vector-carrying join moved ~10× the
+    * bytes and is what the 100× probe caught spilling). `nassign` > 1
     * indexes each vector under its nassign nearest cells (the
     * [[ivfTopK]] replication trick) so near-dup pairs straddling a
     * Voronoi boundary still meet — the recall lever. At 100 TB: scale
     * `nlist` with the corpus (clusters of ~1–10k keep the join
-    * quadratic-free) — nlist is a codebook size, not a partition
-    * count, so the driver fit stays bounded. Members beyond
+    * quadratic-free, budgeting nlist for the nassign-fold replication)
+    * — nlist is a codebook size, not a partition count, so the driver
+    * fit stays bounded (`sampleRows` controls it: O(sampleRows · nlist
+    * · dim) per Lloyd iteration; raise it toward ~8·nlist when nlist
+    * grows so the codebook has data to separate). Members beyond
     * `keeperCap` can still be REMOVED (matched against the cap-ranked
     * core) but not serve as keepers — a removed doc's true nearest dup
     * may rank past the cap, in which case the doc survives; that
@@ -557,8 +590,8 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
       keepFarthest: Boolean = true, keeperCap: Int = 1000,
-      nassign: Int = 1): DataFrame = {
-    val sample = df.orderBy(col(idCol)).limit(4096)
+      nassign: Int = 1, sampleRows: Int = 4096): DataFrame = {
+    val sample = df.orderBy(col(idCol)).limit(sampleRows)
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "semDedup needs a non-empty corpus")
@@ -574,24 +607,37 @@ object Similarity {
     // Lexicographic struct compare: smaller okey = higher keep priority.
     def okey(d2c: Column, id: Column): Column =
       struct((if (keepFarthest) -d2c else d2c).as("o1"), id.as("o2"))
+    // id-only index rows: (id, cell, priority) — vectors stay behind
     val assigned = df.select(col(idCol).as("id"),
-        col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
-        sortedCells.as("sc"))
-      .select(col("id"), col("v"), col("n"),
+        col(vecCol).as("v"))
+      .select(col("id"), sortedCells.as("sc"))
+      .select(col("id"),
         explode(slice(col("sc"), 1, math.max(1, nassign))).as("c"),
         okey(element_at(col("sc"), 1).getField("d"), col("id")).as("ok"))
-      .select(col("id"), col("v"), col("n"), col("c.cell").as("cell"),
-        col("ok"))
+      .select(col("id"), col("c.cell").as("cell"), col("ok"))
     // keeper side capped per cell (keyed window over ~cluster-sized
     // partitions); the removed side is uncapped — a doc past the cap
     // can still be removed, just not serve as keeper
     val w = Window.partitionBy("cell").orderBy(col("ok").asc)
     val keepers = assigned
       .withColumn("rk", row_number().over(w)).where(col("rk") <= keeperCap)
-      .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
-        col("n").as("kn"), col("ok").as("kok"))
-    assigned.join(keepers, Seq("cell"))
+      .select(col("cell"), col("id").as("keeper"), col("ok").as("kok"))
+    // unique candidate pairs: a pair that met in several shared cells
+    // collapses to its lowest cell id BEFORE any vector moves — this
+    // min is exactly the element the final per-doc min-struct would
+    // have picked among that pair's per-cell rows (same kok, keeper;
+    // cell is the next struct field), so the collapse is lossless
+    val cand = assigned.join(keepers, Seq("cell"))
       .where(col("kok") < col("ok"))
+      .groupBy(col("id"), col("ok"), col("keeper"), col("kok"))
+      .agg(min(col("cell")).as("cell"))
+    // vectors join back once per unique pair, keyed by id — the only
+    // place embeddings cross an exchange, same as scoreCandidatePairs
+    val va = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("n"))
+    val vk = df.select(col(idCol).as("keeper"), col(vecCol).as("kv"),
+      l2Norm(col(vecCol)).as("kn"))
+    cand.join(va, Seq("id")).join(vk, Seq("keeper"))
       .withColumn("cos_sim",
         round(dot(col("v"), col("kv")) / (col("n") * col("kn")), 6))
       .where(col("cos_sim") >= threshold)

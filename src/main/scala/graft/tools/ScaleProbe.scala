@@ -73,18 +73,27 @@ object ScaleProbe {
       // nlist is a function of corpus size (Similarity scaladoc: cells
       // of ~1k keep the per-cell join quadratic-free) — the probe must
       // scale it with the corpus exactly as a production job would,
-      // not freeze the sf0.01 gate parameter
+      // not freeze the sf0.01 gate parameter. It must also budget for
+      // nassign (each vector lands in nassign cells: membership is
+      // nassign·n/nlist — the first 100x run sized nlist = n/1000,
+      // got 4000-member cells, and spilled the disk on the pair
+      // stream), and the quantizer sample must grow with nlist so the
+      // codebook has data to separate.
       "op_ivf_neardup" -> ((s, dir) => {
         val emb = graft.Tables.load(s, dir, "embeddings")
-        val nlist = math.max(16, (emb.count() / 1000).toInt)
+        val nassign = 4
+        val nlist = math.max(16, (nassign * emb.count() / 1000).toInt)
         Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
-          threshold = 0.3, nlist = nlist, nassign = 4)
+          threshold = 0.3, nlist = nlist, nassign = nassign,
+          sampleRows = math.max(4096, 8 * nlist))
       }),
       "op_semdedup" -> ((s, dir) => {
         val emb = graft.Tables.load(s, dir, "embeddings")
-        val nlist = math.max(8, (emb.count() / 1000).toInt)
+        val nassign = 3
+        val nlist = math.max(8, (nassign * emb.count() / 1000).toInt)
         Similarity.semDedup(emb, "vec_id", "embedding",
-          threshold = 0.4, nlist = nlist, nassign = 3)
+          threshold = 0.4, nlist = nlist, nassign = nassign,
+          keeperCap = 250, sampleRows = math.max(4096, 8 * nlist))
       }),
       "op_minhash" -> ((s, dir) =>
         Dedup.minhashLsh(docsOf(s, dir), "text", "doc_id", 3, 8, 2, 0.35)),

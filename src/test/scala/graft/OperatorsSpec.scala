@@ -338,6 +338,33 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("ivfNearDupPairs cellCap bounds a hot cell one-sided") {
+    // a 10-member near-identical clump (the degenerate-cell regime the
+    // cap guards against) plus a 2-member ball in its own cell
+    val clump = (0 until 10).map(i => (i.toLong,
+      Array(1.0f, 0.001f * i)))
+    val ball = Seq((20L, Array(0.0f, 1.0f)), (21L, Array(0.01f, 0.99f)))
+    val vecs = (clump ++ ball).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap semantics: a pair survives iff its LOWER id is cap-ranked
+    // (id asc) in a shared cell — with cellCap=3 the clump cell's
+    // in-cap set is {0,1,2}, the ball cell's is {20,21}
+    val capped = Similarity.ivfNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2, nassign = 1, seed = 7L, cellCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact.filter { case (a, _) => a <= 2 || a >= 20 })
+    // dedup connectivity survives the cap: every beyond-cap clump
+    // member still pairs with an in-cap member
+    (3L to 9L).foreach(i => assert(capped.exists(_._2 == i)))
+    // an un-binding cap is exact
+    val uncapped = Similarity.ivfNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2, nassign = 1, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == exact)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("semDedup keepFarthest=false keeps the centroid-nearest member") {
     // one ball, one cluster: priority flips to distance ASC, so the
     // member closest to the centroid becomes the keeper

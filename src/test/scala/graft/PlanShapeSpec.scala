@@ -125,6 +125,10 @@ class PlanShapeSpec extends SparkTestBase {
       dim = 8, multiProbe = true))
     assertIdOnlyShuffles(Similarity.ivfNearDupPairs(emb, "vec_id",
       "embedding", threshold = 0.3, nlist = 4, nassign = 2))
+    // semDedup's candidate stream is id-only since the 100x probe
+    // caught its vector-carrying cell join spilling the disk
+    assertIdOnlyShuffles(Similarity.semDedup(emb, "vec_id",
+      "embedding", threshold = 0.3, nlist = 4, nassign = 2))
     graft.operators.Dedup.releaseIntermediates()
   }
 
