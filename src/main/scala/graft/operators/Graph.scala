@@ -57,9 +57,7 @@ object Graph {
     * @return (id, mass): every node of the symmetrized graph, mass in
     *         1.0-start units (exact double: units / 10^unitScale) */
   def pageRankMass(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 10, unitScale: Int = 12, cutEvery: Int = 1): DataFrame = {
-    require(cutEvery >= 1 && cutEvery <= 4,
-      "cutEvery in [1, 4]: plan depth grows ~3x per uncut round")
+      iters: Int = 10, unitScale: Int = 12): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(unitScale >= 3 && unitScale <= 15, "unitScale in [3, 15]")
     val unit = math.pow(10, unitScale).toLong
@@ -88,16 +86,16 @@ object Graph {
       val gathered = contrib.groupBy("id").agg(sum(col("__t")).as("__g"))
       // every node of an undirected graph has >= 1 incoming edge, so the
       // gather covers the full vertex set — no left-join patch needed
-      // the integer fixed-point update is bit-identical under ANY
-      // lineage/partitioning, so the cut cadence is pure cost tuning:
-      // each cut materializes the state; each skipped cut deepens the
-      // next round's plan by one join+agg instead
+      // Cut the lineage EVERY round: skipping cuts deepens the next
+      // round's plan by one join+agg each and was measured to buy
+      // nothing — A/B of cadence 1/2/4 over 10 rounds (SCALE.md round
+      // 9): statistically tied at 600k edges, and per-round cuts were
+      // FASTEST at 120M edges (73.7 s vs 81.8/84.0) — so the cadence
+      // knob was removed rather than kept unexplained
       val next = gathered.join(deg, "id")
         .select(col("id"), col("deg"),
           (lit(baseUnits) + expr("(7 * __g) DIV 8")).as("mu"))
-      state =
-        if ((i + 1) % cutEvery == 0 || i == iters - 1) Lineage.cut(next)
-        else next
+      state = Lineage.cut(next)
       i += 1
     }
     persisted.synchronized { persisted += sym; persisted += deg }

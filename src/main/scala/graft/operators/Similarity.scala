@@ -438,11 +438,13 @@ object Similarity {
     scoreCandidatePairs(df, idCol, vecCol, cand, threshold)
   }
 
-  /** Shared tail of the bucketed near-dup generators: re-join the
-    * vectors ONCE against the distinct (a, b) candidate set and keep
-    * pairs at/above the cosine threshold. The candidate set is always
-    * far smaller than the raw collision stream, so this is the only
-    * place vectors may legitimately cross a join. */
+  /** Scoring tail of [[lshNearDupPairs]]: re-join the vectors ONCE
+    * against the distinct (a, b) candidate set and keep pairs at/above
+    * the cosine threshold. Correct in LSH's sparse-candidate regime
+    * (strong thresholds), where the distinct pair set is far smaller
+    * than the raw collision stream; the dense-regime operators
+    * ([[ivfNearDupPairs]], [[semDedup]]) score inline in their cell
+    * join instead — see the regime note on ivfNearDupPairs. */
   private def scoreCandidatePairs(df: DataFrame, idCol: String,
       vecCol: String, cand: DataFrame, threshold: Double): DataFrame = {
     val va = df.select(col(idCol).as("a"), col(vecCol).as("va"),
@@ -469,7 +471,24 @@ object Similarity {
     * nearest k-means cells (quantizer fit driver-side on a bounded
     * ordered sample — the [[ivfTopK]] recipe), so per-cell work is
     * |cell|², never n², and the threshold only gates the final scored
-    * pairs. Same id-only candidate discipline as [[lshNearDupPairs]].
+    * pairs.
+    *
+    * Execution shape — INLINE scoring, deliberately NOT the
+    * [[lshNearDupPairs]] id-only discipline: membership rows carry
+    * their vector through ONE cell-keyed exchange (nassign·n rows —
+    * linear in the corpus) and the cosine is computed in the pipelined
+    * output of the cell join, so only threshold SURVIVORS ever reach
+    * another exchange (the closing distinct). The id-only alternative
+    * (dedup candidate ids first, join vectors back per pair) moves
+    * pair-proportional rows through a distinct plus two joins — in
+    * this operator's dense-candidate regime (weak threshold, cluster
+    * structure: candidate volume ≈ Σ|cell|·min(|cell|, cap) ≫ corpus)
+    * the 100× probe measured it at 294 GB of spill / 437 s on 200k
+    * vectors, vs zero spill inline (SCALE.md round 9). LSH keeps
+    * id-only because its regime is the opposite: strong thresholds,
+    * sparse candidates, collision rows far wider than the distinct
+    * pair set. The extra inline cost is one dot product per shared
+    * cell beyond the first (≤ nassign−1 recomputes, flops not bytes).
     * `nlist` scales with corpus (cells of ~1–10k members — and it must
     * budget for `nassign`: each vector lands in nassign cells, so cell
     * membership is nassign·n/nlist; the 100× probe's original
@@ -505,19 +524,30 @@ object Similarity {
     // corpus (see sortedCellStructs)
     val sortedCells = transform(sortedCellStructs(col(vecCol), centroids),
       s => s.getField("cell"))
-    // rank members within each cell once (one window over the same
-    // cell-keyed partitioning the candidate join reuses) — the a-side
-    // cap below reads it
+    // membership rows carry (vector, norm): the window's cell-keyed
+    // exchange is the ONE place vectors move, and the cap filter, both
+    // join sides, and the join itself all reuse that partitioning (the
+    // cached post-window rows are already cell-partitioned)
     val cw = Window.partitionBy("cell").orderBy(col("id").asc)
-    val assigned = Dedup.tracked(df.select(col(idCol).as("id"),
+    val mv = Dedup.tracked(df.select(col(idCol).as("id"),
+        col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"),
         explode(slice(sortedCells, 1, math.max(1, nassign))).as("cell"))
       .withColumn("__rk", row_number().over(cw)))
-    val cand = assigned.where(col("__rk") <= cellCap)
-      .select(col("cell"), col("id").as("a"))
-      .join(assigned.select(col("cell"), col("id").as("b")), Seq("cell"))
+    val a = mv.where(col("__rk") <= cellCap)
+      .select(col("cell"), col("id").as("a"), col("v").as("va"),
+        col("n").as("na"))
+    val b = mv.select(col("cell"), col("id").as("b"), col("v").as("vb"),
+      col("n").as("nb"))
+    // cosine computed in the join's pipelined output; only survivors
+    // reach the closing distinct (which also collapses a pair that met
+    // in several shared cells — the rounded cosine is identical there)
+    a.join(b, Seq("cell"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    scoreCandidatePairs(df, idCol, vecCol, cand, threshold)
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
@@ -567,13 +597,16 @@ object Similarity {
     * Scale shape: one equi-join keyed by cell id against the
     * `keeperCap` highest-priority members per cell — per-cluster work
     * is |cluster| × min(|cluster|, keeperCap), never all-pairs;
-    * candidate pairs are generated by cluster co-membership exactly
-    * like the LSH buckets in [[lshNearDupPairs]], and the candidate
-    * stream is ID-ONLY (ids + 16-byte priority structs): pairs are
-    * deduplicated across shared cells FIRST, then the vectors join
-    * back once per unique pair for scoring ([[scoreCandidatePairs]]
-    * discipline — the original vector-carrying join moved ~10× the
-    * bytes and is what the 100× probe caught spilling). `nassign` > 1
+    * candidate pairs are generated by cluster co-membership, and the
+    * cosine is scored INLINE in the join's pipelined output (the
+    * [[ivfNearDupPairs]] discipline, and for the same measured
+    * reason: membership rows carrying vectors cross one cell-keyed
+    * exchange — nassign·n rows, linear — while the id-only
+    * dedup-candidates-then-join-vectors-back alternative moves
+    * pair-proportional rows through an aggregate plus two joins, which
+    * the 100× probe caught at 26 GB of spill / 147 s on 200k vectors;
+    * inline, only threshold survivors reach the closing per-doc
+    * aggregate). `nassign` > 1
     * indexes each vector under its nassign nearest cells (the
     * [[ivfTopK]] replication trick) so near-dup pairs straddling a
     * Voronoi boundary still meet — the recall lever. At 100 TB: scale
@@ -607,37 +640,33 @@ object Similarity {
     // Lexicographic struct compare: smaller okey = higher keep priority.
     def okey(d2c: Column, id: Column): Column =
       struct((if (keepFarthest) -d2c else d2c).as("o1"), id.as("o2"))
-    // id-only index rows: (id, cell, priority) — vectors stay behind
-    val assigned = df.select(col(idCol).as("id"),
-        col(vecCol).as("v"))
-      .select(col("id"), sortedCells.as("sc"))
-      .select(col("id"),
+    // membership rows carry (vector, norm, priority): the keeper
+    // window's cell-keyed exchange is where vectors move — nassign·n
+    // rows, linear in the corpus — and the candidate join reuses the
+    // cached cell-partitioned rows on both sides
+    val assigned = Dedup.tracked(df.select(col(idCol).as("id"),
+        col(vecCol).as("v"), l2Norm(col(vecCol)).as("n"))
+      .select(col("id"), col("v"), col("n"), sortedCells.as("sc"))
+      .select(col("id"), col("v"), col("n"),
         explode(slice(col("sc"), 1, math.max(1, nassign))).as("c"),
         okey(element_at(col("sc"), 1).getField("d"), col("id")).as("ok"))
-      .select(col("id"), col("c.cell").as("cell"), col("ok"))
+      .select(col("id"), col("v"), col("n"), col("c.cell").as("cell"),
+        col("ok")))
     // keeper side capped per cell (keyed window over ~cluster-sized
     // partitions); the removed side is uncapped — a doc past the cap
     // can still be removed, just not serve as keeper
     val w = Window.partitionBy("cell").orderBy(col("ok").asc)
     val keepers = assigned
       .withColumn("rk", row_number().over(w)).where(col("rk") <= keeperCap)
-      .select(col("cell"), col("id").as("keeper"), col("ok").as("kok"))
-    // unique candidate pairs: a pair that met in several shared cells
-    // collapses to its lowest cell id BEFORE any vector moves — this
-    // min is exactly the element the final per-doc min-struct would
-    // have picked among that pair's per-cell rows (same kok, keeper;
-    // cell is the next struct field), so the collapse is lossless
-    val cand = assigned.join(keepers, Seq("cell"))
+      .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
+        col("n").as("kn"), col("ok").as("kok"))
+    // cosine scored in the join's pipelined output: only threshold
+    // survivors reach the closing aggregate, which both picks the
+    // earliest qualifying keeper and collapses a pair that met in
+    // several shared cells (same kok/keeper there; cell is the next
+    // struct field, so min() lands on the lowest shared cell)
+    assigned.join(keepers, Seq("cell"))
       .where(col("kok") < col("ok"))
-      .groupBy(col("id"), col("ok"), col("keeper"), col("kok"))
-      .agg(min(col("cell")).as("cell"))
-    // vectors join back once per unique pair, keyed by id — the only
-    // place embeddings cross an exchange, same as scoreCandidatePairs
-    val va = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      l2Norm(col(vecCol)).as("n"))
-    val vk = df.select(col(idCol).as("keeper"), col(vecCol).as("kv"),
-      l2Norm(col(vecCol)).as("kn"))
-    cand.join(va, Seq("id")).join(vk, Seq("keeper"))
       .withColumn("cos_sim",
         round(dot(col("v"), col("kv")) / (col("n") * col("kn")), 6))
       .where(col("cos_sim") >= threshold)

@@ -123,11 +123,44 @@ class PlanShapeSpec extends SparkTestBase {
     assertIdOnlyShuffles(Similarity.lshNearDupPairs(emb, "vec_id",
       "embedding", threshold = 0.3, numPlanes = 4, numTables = 4,
       dim = 8, multiProbe = true))
-    assertIdOnlyShuffles(Similarity.ivfNearDupPairs(emb, "vec_id",
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("IVF/semDedup vectors cross only membership exchanges, never " +
+      "pair-proportional ones") {
+    // the regression this pins (round-9 100x probe): the id-only
+    // formulation — dedup candidate ids, join vectors back per pair —
+    // moved PAIR-proportional rows through a distinct plus two joins
+    // and spilled 294 GB on 200k vectors in the dense-candidate regime
+    // these operators serve. Inline scoring ships vectors on the
+    // MEMBERSHIP rows instead (nassign·n, linear) and computes the
+    // cosine in the cell join's pipelined output — so an exchange may
+    // carry an array column only BELOW every join (the membership /
+    // keeper-window exchanges); any array crossing an exchange that
+    // already contains a join means candidate rows are carrying
+    // vectors again.
+    val emb = spark.range(40).select(col("id").as("vec_id"),
+      array((0 until 8).map(i =>
+        (rand(i) * 2 - 1).cast("float")): _*).as("embedding"))
+    def assertMembershipOnlyVectors(q: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+      def hasJoin(p: SparkPlan): Boolean = p.collectFirst {
+        case j: BaseJoinExec => j
+        case c: CartesianProductExec => c
+      }.nonEmpty
+      val bad = q.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if hasJoin(e.child) &&
+            e.output.exists(_.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType]) => e
+      }
+      assert(bad.isEmpty,
+        s"vector column crosses a pair-proportional shuffle:\n${plan(q)}")
+    }
+    assertMembershipOnlyVectors(Similarity.ivfNearDupPairs(emb, "vec_id",
       "embedding", threshold = 0.3, nlist = 4, nassign = 2))
-    // semDedup's candidate stream is id-only since the 100x probe
-    // caught its vector-carrying cell join spilling the disk
-    assertIdOnlyShuffles(Similarity.semDedup(emb, "vec_id",
+    assertMembershipOnlyVectors(Similarity.semDedup(emb, "vec_id",
       "embedding", threshold = 0.3, nlist = 4, nassign = 2))
     graft.operators.Dedup.releaseIntermediates()
   }
