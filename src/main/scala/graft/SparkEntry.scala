@@ -295,6 +295,22 @@ object SparkEntry {
           minEstJaccard = 0.35),
         Seq("a", "b"), threshold = 0.8)
     }),
+    // ---- dedup: STREAMING SEMANTIC gate (StreamSemDedup), the q178
+    // analog at the ingest edge — touched-doc recall vs the exact
+    // cosine ground truth, through the batch twin of the keyed gate
+    "q188_stream_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      val exactDocs = exact.select(col("a").as("vec"))
+        .union(exact.select(col("b").as("vec"))).distinct()
+      val sd = graft.streaming.StreamSemDedup.batch(emb, "vec_id",
+        "embedding", threshold = 0.4, nlist = 8, nassign = 3)
+      val touched = sd.select(col("vec_id").as("vec"))
+        .union(sd.select(col("keeper").as("vec"))).distinct()
+      recallGate(exactDocs, touched, Seq("vec"),
+        threshold = 0.8) // measured 0.96 sf0.01, 0.92 sf0.1
+    }),
     // ---- dedup: SimHash blocking + Hamming, gated on recall against the
     // exact high-similarity (j >= 0.8) pairs
     "q26_dedup_simhash" -> ((s, dir) => {
@@ -2153,6 +2169,10 @@ object SparkEntry {
       "q51_embed_neardup_lsh" -> gateSql(neardupSql(0.3)),
       "q182_ivf_neardup" -> gateSql(neardupSql(0.3)),
       "q178_semdedup" -> gateSql(
+        s"""SELECT DISTINCT v FROM (
+           |  SELECT a AS v FROM (${neardupSql(0.4)})
+           |  UNION ALL SELECT b AS v FROM (${neardupSql(0.4)}))""".stripMargin),
+      "q188_stream_semdedup" -> gateSql(
         s"""SELECT DISTINCT v FROM (
            |  SELECT a AS v FROM (${neardupSql(0.4)})
            |  UNION ALL SELECT b AS v FROM (${neardupSql(0.4)}))""".stripMargin),

@@ -1,0 +1,209 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Streaming SEMANTIC near-duplicate gate — the keyed-state twin of
+  * [[graft.operators.Similarity.semDedup]], completing the dedup
+  * matrix: batch lexical (`Dedup.minhashLsh`), batch semantic
+  * (`Similarity.semDedup`), streaming lexical ([[StreamNearDup]]),
+  * and now streaming semantic. Documents arrive with embeddings; a
+  * document whose vector lands within `threshold` cosine of an
+  * EARLIER arrival sharing one of its `nassign` nearest quantizer
+  * cells is reported as a removal with its recorded keeper — the
+  * ingest-time paraphrase/re-render gate that [[StreamNearDup]]'s
+  * lexical signatures cannot see.
+  *
+  * Shape (the [[StreamNearDup]] recipe transposed to embedding
+  * space): cell assignment is computed PER ROW against a driver-fit
+  * codebook (stateless — no shuffle before the keyed state; the
+  * codebook is the same bounded-sample LocalKMeans fit as the batch
+  * operator's, passed in as literals because a stream cannot be
+  * sampled), then `flatMapGroupsWithState` keyed by cell id holds the
+  * first `cellCap` arrivals' (id, vector) per cell — O(cellCap · dim)
+  * state per key, RocksDB-compatible — and each arrival compares
+  * against the stored entries in arrival order. A pair that shares
+  * SEVERAL of its nassign cells is emitted exactly once: only the key
+  * equal to the pair's LOWEST shared cell id reports it, computable
+  * locally from the two cell lists with zero cross-key coordination
+  * (the [[StreamNearDup]] first-agreeing-band trick). A removed
+  * document may still match DIFFERENT keepers in its other cells (≤
+  * nassign − 1 extra rows); the batch twin collapses those to the
+  * min-keeper row, and a streaming consumer treats any row as "drop".
+  *
+  * Keep-rule deviation from batch semDedup, documented: the batch
+  * operator's keeper priority is global distance-to-centroid (the
+  * SemDeDup paper's informativeness rule); an ingest gate cannot
+  * rank against arrivals it has not seen, so priority here is ARRIVAL
+  * order (first seen wins — the same deviation [[StreamDedup]] makes
+  * from batch min-id exact dedup). Stored entries serve as keepers
+  * whether or not they were themselves removed, exactly like batch
+  * semDedup's cap-ranked keepers (chains — A removes B removes C —
+  * are possible in both; the first arrival of every connected
+  * component always survives). The cosine math is bit-identical to
+  * the batch operator's: the same sequential-order dot product
+  * ([[graft.functions.VectorDot]] semantics), the same
+  * `round(·, 6)` HALF_UP quantization, spec-pinned.
+  *
+  * At 100 TB: state is (cells seen) × cellCap × dim floats,
+  * key-partitioned across executors; `nlist` scales with the corpus
+  * exactly like the batch operator's, and production deploys set a
+  * TTL (re-crawl horizon) via GroupStateTimeout — kept explicit here,
+  * same policy note as [[StreamDedup]]. */
+object StreamSemDedup {
+
+  case class EmbDoc(vec_id: Long, embedding: Array[Float])
+  case class CellRow(cell: Int, vec_id: Long, vec: Array[Float],
+      cells: Array[Int])
+  case class CellState(ids: Array[Long], vecs: Array[Array[Float]],
+      cellLists: Array[Array[Int]])
+  case class Removal(vec_id: Long, keeper: Long, cos_sim: Double)
+
+  /** Sequential-order dot product — bit-identical to the batch
+    * pipeline's codegen'd VectorDot (per-element cast to double,
+    * accumulate in index order). */
+  private def dotFF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def dotFD(a: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * c(i); i += 1 }
+    s
+  }
+
+  /** Spark `round(x, 6)`: BigDecimal HALF_UP on the double's shortest
+    * decimal repr — the same quantization the batch operator applies
+    * before its threshold compare. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The `nassign` nearest cells of `v`, by the batch operator's
+    * expansion ‖v‖² − 2·v·c + ‖c‖² with (distance, cell) ordering —
+    * the same association order as `sortedCellStructs`, so stream and
+    * batch agree on cell lists bit-for-bit. */
+  def cellsOf(v: Array[Float], centroids: Array[Array[Double]],
+      centNorm2: Array[Double], nassign: Int): Array[Int] = {
+    val vv = dotFF(v, v)
+    val ds = Array.tabulate(centroids.length)(i =>
+      (vv - 2.0 * dotFD(v, centroids(i)) + centNorm2(i), i))
+    ds.sortBy(identity).take(math.max(1, nassign)).map(_._2)
+  }
+
+  /** Lowest cell id the two lists share, or -1 — the exactly-once
+    * emission key for a pair (both sides can compute it locally). */
+  private def minSharedCell(a: Array[Int], b: Array[Int]): Int = {
+    var best = Int.MaxValue
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        if (a(i) == b(j) && a(i) < best) best = a(i)
+        j += 1
+      }
+      i += 1
+    }
+    if (best == Int.MaxValue) -1 else best
+  }
+
+  private def cellRowsOf(d: EmbDoc, centroids: Array[Array[Double]],
+      centNorm2: Array[Double], nassign: Int): Iterator[CellRow] = {
+    if (d.embedding == null || d.embedding.isEmpty) return Iterator.empty
+    if (dotFF(d.embedding, d.embedding) == 0.0) return Iterator.empty
+    val cells = cellsOf(d.embedding, centroids, centNorm2, nassign)
+    cells.iterator.map(c => CellRow(c, d.vec_id, d.embedding, cells))
+  }
+
+  /** Keyed gate: this batch's arrivals (sorted by vec_id — the batch
+    * twin's total order) compare against stored entries and earlier
+    * same-batch arrivals; the first `cellCap` arrivals are stored. */
+  private[streaming] def gate(threshold: Double, cellCap: Int)(
+      key: Int, rows: Iterator[CellRow],
+      state: GroupState[CellState]): Iterator[Removal] = {
+    val arrivals = rows.toArray.sortBy(_.vec_id)
+    val st = state.getOption.getOrElse(
+      CellState(Array.empty, Array.empty, Array.empty))
+    var ids = st.ids; var vecs = st.vecs; var cl = st.cellLists
+    val out = scala.collection.mutable.ArrayBuffer.empty[Removal]
+    arrivals.foreach { row =>
+      val rn = math.sqrt(dotFF(row.vec, row.vec))
+      var i = 0
+      var emitted = false
+      while (!emitted && i < ids.length) {
+        if (ids(i) != row.vec_id &&
+            minSharedCell(row.cells, cl(i)) == key) {
+          val cos = round6(dotFF(row.vec, vecs(i)) /
+            (rn * math.sqrt(dotFF(vecs(i), vecs(i)))))
+          if (cos >= threshold) {
+            out += Removal(row.vec_id, ids(i), cos)
+            emitted = true // first stored match = earliest arrival wins
+          }
+        }
+        i += 1
+      }
+      if (ids.length < cellCap) {
+        ids = ids :+ row.vec_id
+        vecs = vecs :+ row.vec
+        cl = cl :+ row.cells
+      }
+    }
+    if (ids.length != st.ids.length) state.update(CellState(ids, vecs, cl))
+    out.iterator
+  }
+
+  /** Fit the quantizer codebook the way the batch operator does: a
+    * bounded ordered sample through LocalKMeans. Returns (centroids,
+    * per-centroid squared norms computed in the same order the cell
+    * expansion uses). */
+  def fitCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L, sampleRows: Int = 4096)
+      : (Array[Array[Double]], Array[Double]) = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleRows)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "StreamSemDedup needs a non-empty corpus")
+    val cents = graft.operators.LocalKMeans.fit(sample, nlist, seed)._2
+    (cents, cents.map(c => c.map(x => x * x).sum))
+  }
+
+  /** Streaming removal gate over a `Dataset[EmbDoc]` stream against a
+    * pre-fit codebook. */
+  def streaming(docs: Dataset[EmbDoc], centroids: Array[Array[Double]],
+      threshold: Double, nassign: Int = 2, cellCap: Int = 1000)
+      : Dataset[Removal] = {
+    import docs.sparkSession.implicits._
+    val centNorm2 = centroids.map(c => c.map(x => x * x).sum)
+    docs.flatMap(cellRowsOf(_, centroids, centNorm2, nassign))
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(gate(threshold, cellCap))
+  }
+
+  /** Batch twin — the SAME typed pipeline and gate in batch mode,
+    * collapsed to one row per removed doc (min keeper id, its cosine;
+    * deterministic because batch arrival order is vec_id order). */
+  def batch(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, nassign: Int = 2,
+      seed: Long = 42L, cellCap: Int = 1000,
+      sampleRows: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (centroids, _) = fitCodebook(emb, idCol, vecCol, nlist, seed,
+      sampleRows)
+    val typed = emb.select(
+      emb(idCol).cast("long").as("vec_id"),
+      emb(vecCol).as("embedding")).as[EmbDoc]
+    streaming(typed, centroids, threshold, nassign, cellCap).toDF()
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(
+          col("keeper"), col("cos_sim"))).as("k"))
+      .select(col("vec_id"), col("k.keeper").as("keeper"),
+        col("k.cos_sim").as("cos_sim"))
+  }
+}

@@ -77,6 +77,18 @@ object RecallProbe {
         Similarity.lshNearDupPairs(emb, "vec_id", "embedding", threshold = 0.3,
           numPlanes = 4, numTables = 8, multiProbe = mp),
         Seq("a", "b"))
+    // q188 touched-doc recall: exact >=0.4-neighbor docs the streaming
+    // semantic gate's batch twin removes or records as keeper
+    val exact188 = Similarity.cosineNearDupPairs(emb, "vec_id",
+      "embedding", 0.4)
+    val sd188 = graft.streaming.StreamSemDedup.batch(emb, "vec_id",
+      "embedding", threshold = 0.4, nlist = 8, nassign = 3)
+    recall("q188_stream_semdedup",
+      exact188.select(col("a").as("vec"))
+        .union(exact188.select(col("b").as("vec"))),
+      sd188.select(col("vec_id").as("vec"))
+        .union(sd188.select(col("keeper").as("vec"))),
+      Seq("vec"))
     spark.stop()
   }
 }

@@ -39,7 +39,8 @@ object ScaleProbe {
       "q87_curation_v2", "q98_cc_star", "q99_jaccard_prefix",
       "q144_pagerank", "q152_span_dup", "q162_entity_clusters",
       "q183_zscore_chunked", "op_minhash", "op_simhash", "op_ngram",
-      "op_ppjoin", "op_ivf_neardup", "op_semdedup", "op_streamdecon")
+      "op_ppjoin", "op_ivf_neardup", "op_semdedup", "op_streamsemdedup",
+      "op_streamdecon")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -110,6 +111,18 @@ object ScaleProbe {
       // streaming plan (scaladoc'd batch == stream), so filtering the
       // whole corpus against a 100-doc bench set measures ingest-gate
       // docs/sec without a stream harness
+      // streaming semantic gate throughput, via the batch twin (the
+      // same keyed flatMapGroupsWithState plan): per-cell work is
+      // |cell| * min(|cell|, cellCap) kernel comparisons, nlist scaled
+      // with the corpus like the batch operators above
+      "op_streamsemdedup" -> ((s, dir) => {
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val nassign = 2
+        val nlist = math.max(8, (nassign * emb.count() / 1000).toInt)
+        graft.streaming.StreamSemDedup.batch(emb, "vec_id", "embedding",
+          threshold = 0.4, nlist = nlist, nassign = nassign,
+          sampleRows = math.max(4096, 8 * nlist))
+      }),
       "op_streamdecon" -> ((s, dir) => {
         val docs = docsOf(s, dir)
         val bench = docs.orderBy("doc_id").limit(100)

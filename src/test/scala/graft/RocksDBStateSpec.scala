@@ -235,4 +235,34 @@ class RocksDBStateSpec extends SparkTestBase {
       assert(batch.map(_.getLong(2)).toSeq == Seq(3L, 2L)) // winners held
     }
   }
+
+  test("semantic near-dup gate state on RocksDB: cross-batch drop") {
+    import graft.streaming.StreamSemDedup
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val docs = Seq(
+        StreamSemDedup.EmbDoc(1L, Array(1.00f, 0.00f)),
+        StreamSemDedup.EmbDoc(10L, Array(0.00f, 1.00f)),
+        StreamSemDedup.EmbDoc(3L, Array(0.99f, 0.01f)))
+      val (cents, _) = StreamSemDedup.fitCodebook(docs.toDS().toDF(),
+        "vec_id", "embedding", nlist = 2, seed = 7L)
+      val stream = MemoryStream[StreamSemDedup.EmbDoc]
+      val q = StreamSemDedup.streaming(stream.toDS(), cents,
+          threshold = 0.9, nassign = 2)
+        .writeStream.format("memory").queryName("rocksdb_semdedup")
+        .outputMode("append").start()
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      // the paraphrase arrives a batch later: its ball's first arrival
+      // must be held in RocksDB state to catch it
+      stream.addData(docs(2))
+      q.processAllAvailable()
+      assertRocksDB(q)
+      q.stop()
+      val rows = spark.sql(
+        "SELECT vec_id, keeper FROM rocksdb_semdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((3L, 1L)))
+    }
+  }
 }

@@ -478,4 +478,104 @@ class StreamingSpec extends SparkTestBase {
     // only doc 1 is enrolled; 2 and 3 each match it but never each other
     assert(pairs == Seq((1L, 2L), (1L, 3L)))
   }
+
+  test("StreamSemDedup cosine matches the batch Column pipeline " +
+      "bit-for-bit") {
+    import graft.streaming.StreamSemDedup
+    import graft.operators.Similarity
+    // cross-check the typed kernel's round6(dot/(|a||b|)) against the
+    // batch operators' round(VectorDot/(l2Norm*l2Norm), 6) on vectors
+    // with non-trivial float->double rounding
+    val vs = Seq(
+      (Array(0.31f, -0.47f, 0.92f), Array(0.29f, -0.55f, 0.88f)),
+      (Array(1e-3f, 2e-3f, 3e-3f), Array(0.9f, 0.1f, -0.2f)))
+    val df = vs.toDF("a", "b")
+    val sqlCos = df.select(org.apache.spark.sql.functions.round(
+        Similarity.dot(col("a"), col("b")) /
+          (Similarity.l2Norm(col("a")) * Similarity.l2Norm(col("b"))), 6))
+      .collect().map(_.getDouble(0)).toSeq
+    val typedCos = vs.map { case (a, b) =>
+      def d(x: Array[Float], y: Array[Float]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+        s
+      }
+      java.math.BigDecimal.valueOf(d(a, b) /
+          (math.sqrt(d(a, a)) * math.sqrt(d(b, b))))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    assert(typedCos == sqlCos)
+    // cell assignment agrees with the batch quantizer's (d, cell)
+    // ordering on an exact-tie: both centroids equidistant -> lower id
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val tied = StreamSemDedup.cellsOf(Array(0f, 1f), cents,
+      cents.map(_.map(x => x * x).sum), nassign = 2)
+    assert(tied.toSeq == Seq(0, 1))
+  }
+
+  test("StreamSemDedup: cross-batch paraphrase dropped; stream == batch") {
+    import graft.streaming.StreamSemDedup
+    implicit val sqlCtx = spark.sqlContext
+    // two tight balls far apart; doc 3 is a near-dup of 1 arriving a
+    // batch later, doc 11 a near-dup of 10 in the same batch
+    val docs = Seq(
+      StreamSemDedup.EmbDoc(1L, Array(1.00f, 0.00f)),
+      StreamSemDedup.EmbDoc(10L, Array(0.00f, 1.00f)),
+      StreamSemDedup.EmbDoc(3L, Array(0.99f, 0.01f)),
+      StreamSemDedup.EmbDoc(11L, Array(0.01f, 0.99f)))
+    val batchDf = docs.toDS().toDF()
+    val (cents, _) = StreamSemDedup.fitCodebook(batchDf, "vec_id",
+      "embedding", nlist = 2, seed = 7L)
+    val stream = MemoryStream[StreamSemDedup.EmbDoc]
+    val q = StreamSemDedup.streaming(stream.toDS(), cents,
+        threshold = 0.9, nassign = 2)
+      .writeStream.format("memory").queryName("semdedup")
+      .outputMode("append").start()
+    stream.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    // collapse the streamed rows the way the batch twin does
+    val streamed = spark.sql(
+      """SELECT vec_id, min(struct(keeper, cos_sim)).keeper AS keeper,
+        |  min(struct(keeper, cos_sim)).cos_sim AS cos_sim
+        |FROM semdedup GROUP BY vec_id""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = StreamSemDedup.batch(batchDf, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, nassign = 2, seed = 7L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    // exactly the two later arrivals are dropped, against the first
+    // arrival of their ball (keep rule: first seen wins)
+    assert(streamed.length == 2)
+    assert(streamed.exists(_.startsWith("[3,1,")))
+    assert(streamed.exists(_.startsWith("[11,10,")))
+    // a replayed duplicate is re-dropped on every arrival
+    val stream2 = MemoryStream[StreamSemDedup.EmbDoc]
+    val q2 = StreamSemDedup.streaming(stream2.toDS(), cents,
+        threshold = 0.9, nassign = 2)
+      .writeStream.format("memory").queryName("semdedup_replay")
+      .outputMode("append").start()
+    stream2.addData(docs(0))
+    q2.processAllAvailable()
+    stream2.addData(docs(2))
+    q2.processAllAvailable()
+    stream2.addData(docs(2)) // the same near-dup arrives again
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.sql(
+      "SELECT * FROM semdedup_replay WHERE vec_id = 3").count() == 2)
+  }
+
+  test("StreamSemDedup cellCap bounds state: later arrivals compare, " +
+      "don't enroll") {
+    import graft.streaming.StreamSemDedup
+    val docs = Seq(1L, 2L, 3L)
+      .map(i => StreamSemDedup.EmbDoc(i, Array(1.0f, 0.0f))).toDS().toDF()
+    val removed = StreamSemDedup.batch(docs, "vec_id", "embedding",
+        threshold = 0.9, nlist = 1, nassign = 1, cellCap = 1)
+      .select("vec_id", "keeper").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // only doc 1 is enrolled; 2 and 3 are each dropped against it
+    assert(removed == Seq((2L, 1L), (3L, 1L)))
+  }
 }
