@@ -1512,6 +1512,12 @@ object SparkEntry {
     "q152_span_dup" -> ((s, dir) =>
       graft.operators.Curation.spanDuplication(t(s, dir, "documents"),
         "text", "doc_id", n = 5, minDf = 2)),
+    // ---- duplicated-span REMOVAL (Lee et al. '22 remove-the-span
+    // dedup): tokens covered by any cross-doc duplicated 5-gram are
+    // excised, the rest re-joined in order
+    "q189_span_scrub" -> ((s, dir) =>
+      graft.operators.Curation.spanScrub(t(s, dir, "documents"),
+        "text", "doc_id", n = 5, minDf = 2)),
     // ---- resample-to-hourly-grid with time-weighted linear
     // interpolation (pandas .resample("h").interpolate("time") analog)
     "q153_resample_interp" -> ((s, dir) =>
@@ -3270,6 +3276,31 @@ object SparkEntry {
           |  round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
           |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
           |FROM g JOIN df USING (gram) GROUP BY 1""".stripMargin,
+      "q189_span_scrub" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+          |  FROM documents),
+          |pos AS (SELECT doc_id, w,
+          |        unnest(generate_series(1, len(w) - 4)) AS i
+          |      FROM toks WHERE len(w) >= 5),
+          |g AS (SELECT doc_id, i,
+          |        array_to_string(w[i:i+4], ' ') AS gram FROM pos),
+          |df AS (SELECT gram, count(DISTINCT doc_id) AS df
+          |       FROM g GROUP BY 1),
+          |cov AS (SELECT DISTINCT doc_id, tp FROM (
+          |  SELECT g.doc_id, unnest(generate_series(g.i, g.i + 4)) AS tp
+          |  FROM g JOIN df USING (gram) WHERE df.df >= 2)),
+          |tk AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS tp,
+          |        w FROM toks)
+          |SELECT tk.doc_id,
+          |  coalesce(string_agg(
+          |    CASE WHEN cov.tp IS NULL THEN tk.w[tk.tp] END,
+          |    ' ' ORDER BY tk.tp), '') AS clean_text,
+          |  CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN cov.tp IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_removed
+          |FROM tk LEFT JOIN cov
+          |  ON tk.doc_id = cov.doc_id AND tk.tp = cov.tp
+          |GROUP BY 1""".stripMargin,
       "q153_resample_interp" ->
         s"""WITH obs AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
            |    round(${dAvg("value")}, 6) AS v

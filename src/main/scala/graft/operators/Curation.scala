@@ -102,6 +102,57 @@ object Curation {
           6).as("dup_frac"))
   }
 
+  /** Cross-document duplicated-SPAN removal — the cleanup transform
+    * downstream of [[spanDuplication]]'s profile (the remove-the-span
+    * discipline of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": excise the repeated passage, keep the
+    * document). A token is removed iff ANY word `n`-gram window
+    * containing it appears in ≥ `minDf` distinct documents; the
+    * remaining tokens are re-joined in order. Returns one row per
+    * input document: `(doc_id, clean_text, n_tokens, n_removed)` —
+    * fully-boilerplate documents come back with an empty string, and
+    * documents shorter than `n` words pass through unchanged.
+    *
+    * Shape at scale (the [[spanDuplication]] discipline extended):
+    * grams shuffle as 8-byte hashes; the document-frequency aggregate
+    * is a two-stage partial count-distinct (hot boilerplate grams are
+    * counters, never pair generators); covered positions fan out a
+    * bounded ×n per duplicated occurrence and dedup on (doc, pos);
+    * the rebuild is one per-doc aggregate whose sorted collect is
+    * document-sized. Every shuffle is fine-grained-keyed (gram, or
+    * doc) — no corpus-wide sort, no pair stream at any step. */
+  def spanScrub(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, minDf: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // positioned gram hashes: wordShingles index k = start position k
+    // (both branches below read them — persist like the pair streams)
+    val posGrams = Dedup.tracked(base.select(col("doc_id"),
+      posexplode(transform(Dedup.wordShingles(col("text"), n),
+        g => xxhash64(g))).as(Seq("pos", "gram"))))
+    val dupGrams = posGrams.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .where(col("__df") >= minDf).select(col("gram"))
+    // every occurrence of a duplicated gram covers its n token slots
+    val covered = posGrams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tp"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("tp", "tok")))
+    // left join + null-skipping collect keeps fully-covered documents
+    // in the output (an anti-join would drop their group entirely)
+    toks.join(covered.withColumn("__c", lit(1)), Seq("doc_id", "tp"),
+        "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__c").isNull, struct(col("tp"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L))
+          .as("n_removed"))
+  }
+
   /** Per-group budgeted selection (the data-mixing primitive): within
     * each group, rank items by `rankCol` descending (ties by `idCol`)
     * and keep rows while the running `weightCol` total stays within

@@ -37,7 +37,8 @@ object ScaleProbe {
     val names = if (args.length > 2) args.drop(2).toSeq else Seq(
       "q25_dedup_minhash", "q27_dedup_ngram", "q78_shared_substring",
       "q87_curation_v2", "q98_cc_star", "q99_jaccard_prefix",
-      "q144_pagerank", "q152_span_dup", "q162_entity_clusters",
+      "q144_pagerank", "q152_span_dup", "q189_span_scrub",
+      "q162_entity_clusters",
       "q183_zscore_chunked", "op_minhash", "op_simhash", "op_ngram",
       "op_ppjoin", "op_ivf_neardup", "op_semdedup", "op_streamsemdedup",
       "op_streamdecon")

@@ -95,7 +95,8 @@ object SkewProbe {
     val listener = new StageTimes
     spark.sparkContext.addSparkListener(listener)
     val names = Seq("q25_dedup_minhash", "q27_dedup_ngram",
-      "q78_shared_substring", "q99_jaccard_prefix", "q152_span_dup")
+      "q78_shared_substring", "q99_jaccard_prefix", "q152_span_dup",
+      "q189_span_scrub")
     names.foreach { n =>
       listener.reset()
       val t0 = System.nanoTime()

@@ -50,6 +50,29 @@ class CurationSpec extends SparkTestBase {
     assert(r(1).getLong(1) == 3L && r(1).getDouble(2) == 0.333333)
   }
 
+  test("spanScrub excises cross-doc spans, keeps short and clean docs") {
+    val docs = Seq(
+      (1L, "x1 aa bb cc dd ee y1"),      // shared 5-gram mid-doc
+      (2L, "aa bb cc dd ee z2 w2"),      // same 5-gram at the start
+      (3L, "completely different words here indeed now"), // clean
+      (5L, "pp qq rr ss tt"),            // identical to 6: fully covered
+      (6L, "pp qq rr ss tt"),
+      (7L, "tiny doc")                   // < n words: passes through
+    ).toDF("doc_id", "text")
+    val r = Curation.spanScrub(docs, "text", "doc_id", n = 5, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, "x1 y1", 7L, 5L),
+      (2L, "z2 w2", 7L, 5L),
+      (3L, "completely different words here indeed now", 6L, 0L),
+      (5L, "", 5L, 5L),
+      (6L, "", 5L, 5L),
+      (7L, "tiny doc", 2L, 0L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("fuzzyNamePairs: blocked pairs within distance, ordered canonically") {
     val parts = Seq("cold widget", "bold widget", "cold bolt", "old widget",
       "anchor bracket").toDF("p_name")
