@@ -311,6 +311,23 @@ object SparkEntry {
       recallGate(exactDocs, touched, Seq("vec"),
         threshold = 0.8) // measured 0.96 sf0.01, 0.92 sf0.1
     }),
+    // ---- dedup: CROSS-corpus (incremental) MinHash-LSH — a "new"
+    // increment (odd doc ids) deduped against the "lake" (even ids),
+    // recall-gated on the exact cross-side near-dup pairs
+    "q190_cross_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactCross = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+        .where(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      recallGate(
+        exactCross,
+        Dedup.minhashLshCross(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "text", "doc_id", shingleLen = 3, bands = 8, rowsPerBand = 2,
+          minEstJaccard = 0.35),
+        Seq("a", "b"), threshold = 0.8)
+    }),
     // ---- dedup: SimHash blocking + Hamming, gated on recall against the
     // exact high-similarity (j >= 0.8) pairs
     "q26_dedup_simhash" -> ((s, dir) => {
@@ -2170,6 +2187,9 @@ object SparkEntry {
       "q27_dedup_ngram" -> ngramPairsSql(0.5),
       "q25_dedup_minhash" -> gateSql(ngramPairsSql(0.5)),
       "q187_stream_neardup" -> gateSql(ngramPairsSql(0.5)),
+      "q190_cross_dedup" -> gateSql(
+        s"""SELECT * FROM (${ngramPairsSql(0.5)})
+           |WHERE (a % 2) <> (b % 2)""".stripMargin),
       "q26_dedup_simhash" -> gateSql(ngramPairsSql(0.8)),
       "q28_embed_neardup" -> neardupSql(0.4),
       "q51_embed_neardup_lsh" -> gateSql(neardupSql(0.3)),

@@ -123,16 +123,6 @@ object Dedup {
       shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       minEstJaccard: Double = 0.5, bucketCap: Int = 2000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Signature via explode + ONE hash-aggregate keyed by doc id: the
-    // shingle array is built once per doc, and the numHashes mins are
-    // codegen'd partial aggregates (the per-row higher-order-function
-    // variant recomputes the shingle pipeline per seed — 10× slower).
-    val exploded = df.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), shingleLen)))
-        .as("shingle"))
-    val sig = exploded.groupBy("id").agg(
-      array((0 until numHashes).map(i =>
-        min(xxhash64(col("shingle"), lit(i)))): _*).as("sig"))
     // Materialize the banded signatures once: both sides of the candidate
     // self-join read them, and Spark would otherwise recompute the whole
     // scan→shingle→signature pipeline per side (no exchange reuse across a
@@ -141,19 +131,11 @@ object Dedup {
     // cache; measured 6× faster than localCheckpoint's row-serialized
     // blocks). Release path: Dedup.releaseIntermediates() after the pairs
     // are consumed (Bench/Verify do).
-    val bandedAll = sig.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"),
-            b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // skew guard: window-count per bucket (one shuffle on the join key,
     // whose partitioning the self-join below then reuses) and drop
     // oversized buckets before they can go quadratic
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bucket")
-    val banded = tracked(bandedAll
-      .withColumn("__n", count(lit(1)).over(bw))
-      .where(col("__n") <= bucketCap).drop("__n"))
+    val banded = tracked(bandedSignatures(df, textCol, idCol, shingleLen,
+      bands, rowsPerBand, Some(bucketCap)))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -164,6 +146,83 @@ object Dedup {
           x === y), c => c)) / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
     pairs.where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Banded MinHash signatures of a corpus: one row per (doc, band)
+    * with the doc's full signature and the band's bucket hash.
+    * Signature via explode + ONE hash-aggregate keyed by doc id: the
+    * shingle array is built once per doc, and the numHashes mins are
+    * codegen'd partial aggregates (the per-row higher-order-function
+    * variant recomputes the shingle pipeline per seed — 10× slower).
+    * `bucketCap` (when set) drops oversized buckets whole via a
+    * window count on the (band, bucket) key the downstream join
+    * reuses. */
+  private def bandedSignatures(df: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int, bands: Int, rowsPerBand: Int,
+      bucketCap: Option[Int]): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val exploded = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleLen)))
+        .as("shingle"))
+    val sig = exploded.groupBy("id").agg(
+      array((0 until numHashes).map(i =>
+        min(xxhash64(col("shingle"), lit(i)))): _*).as("sig"))
+    val bandedAll = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"),
+            b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    bucketCap match {
+      case None => bandedAll
+      case Some(cap) =>
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")
+        bandedAll.withColumn("__n", count(lit(1)).over(bw))
+          .where(col("__n") <= cap).drop("__n")
+    }
+  }
+
+  /** CROSS-corpus MinHash-LSH near-dup pairs — the incremental-dedup
+    * primitive: candidates are (new doc, reference doc) band
+    * collisions ONLY, so deduplicating a daily crawl increment against
+    * an already-deduplicated data lake costs |new| + |ref| signature
+    * passes and a new×ref bucket join — never the ref×ref pair stream
+    * that re-running [[minhashLsh]] over the union would pay (the
+    * lake's internal near-dups were already resolved; re-pairing them
+    * is the quadratic-in-history cost this operator exists to avoid).
+    * At 100 TB the ref side's banded signatures are written to a table
+    * once and reused every increment; the in-job `tracked` persist of
+    * the ref side is that contract's single-job equivalent.
+    *
+    * `bucketCap` bounds the REFERENCE side per (band, bucket) — the
+    * same enroll-cap semantics as [[graft.streaming.StreamNearDup]]
+    * (store the first cap entries, every new arrival still probes):
+    * a boilerplate mega-bucket in the lake caps its stored members,
+    * while no new-side doc is ever dropped from probing. Pairs are
+    * canonicalized to (a, b) = (min, max) with the same
+    * signature-agreement estimate as the self-join operator, so the
+    * output is directly comparable to [[minhashLsh]]'s filtered to
+    * cross-side pairs. */
+  def minhashLshCross(newDf: DataFrame, refDf: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5, bucketCap: Int = 2000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val bn = bandedSignatures(newDf, textCol, idCol, shingleLen, bands,
+      rowsPerBand, None)
+    val br = tracked(bandedSignatures(refDf, textCol, idCol, shingleLen,
+      bands, rowsPerBand, Some(bucketCap)))
+    bn.select(col("band"), col("bucket"), col("id").as("n_id"),
+        col("sig").as("sig_n"))
+      .join(br.select(col("band"), col("bucket"), col("id").as("r_id"),
+        col("sig").as("sig_r")), Seq("band", "bucket"))
+      .where(col("n_id") =!= col("r_id"))
+      .select(least(col("n_id"), col("r_id")).as("a"),
+        greatest(col("n_id"), col("r_id")).as("b"),
+        (size(filter(zip_with(col("sig_n"), col("sig_r"), (x, y) =>
+          x === y), c => c)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= minEstJaccard)
   }
 
   /** SimHash fingerprint: 64-bit signature where bit i is the sign of the

@@ -39,7 +39,8 @@ object ScaleProbe {
       "q87_curation_v2", "q98_cc_star", "q99_jaccard_prefix",
       "q144_pagerank", "q152_span_dup", "q189_span_scrub",
       "q162_entity_clusters",
-      "q183_zscore_chunked", "op_minhash", "op_simhash", "op_ngram",
+      "q183_zscore_chunked", "op_minhash", "op_crossdedup",
+      "op_simhash", "op_ngram",
       "op_ppjoin", "op_ivf_neardup", "op_semdedup", "op_streamsemdedup",
       "op_streamdecon")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -99,6 +100,15 @@ object ScaleProbe {
       }),
       "op_minhash" -> ((s, dir) =>
         Dedup.minhashLsh(docsOf(s, dir), "text", "doc_id", 3, 8, 2, 0.35)),
+      // incremental dedup: odd-id "increment" against the even-id "lake"
+      "op_crossdedup" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val docs = docsOf(s, dir)
+        Dedup.minhashLshCross(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "text", "doc_id", 3, 8, 2, 0.35)
+      }),
       "op_simhash" -> ((s, dir) =>
         Dedup.simhashPairs(docsOf(s, dir), "text", "doc_id",
           shingleLen = 3, bands = 8, maxHamming = 10)),

@@ -110,6 +110,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(Dedup.simhashPairs(clique, "text", "doc_id").count() == 66)
   }
 
+  test("minhashLshCross emits only cross-side pairs, equal to the " +
+      "self-join filtered") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),               // new side (odd)
+      (2L, base + " edited"),   // ref side (even): cross near-dup of 1
+      (3L, "some wholly unrelated words live here in this document"),
+      (5L, "some wholly unrelated words live here in this document"),
+      // 3 and 5 are identical but BOTH on the new side -> not reported
+      (4L, "another completely distinct reference document text body")
+    ).toDF("doc_id", "text")
+    val newSide = docs.where($"doc_id" % 2 === 1)
+    val refSide = docs.where($"doc_id" % 2 === 0)
+    val cross = Dedup.minhashLshCross(newSide, refSide, "text", "doc_id",
+        minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(cross.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    // identical to the self-join operator restricted to cross pairs
+    val self = Dedup.minhashLsh(docs, "text", "doc_id",
+        minEstJaccard = 0.5)
+      .where($"a" % 2 =!= $"b" % 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(cross == self)
+    Dedup.releaseIntermediates()
+  }
+
   test("simhash: identical docs distance 0, near-dups closer than unrelated") {
     // blocked pair join: exact dups share every bit and every block
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 64)
