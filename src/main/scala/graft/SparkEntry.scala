@@ -1820,6 +1820,24 @@ object SparkEntry {
       recallGate(exactDocs, touched, Seq("vec"),
         threshold = 0.8) // measured 0.97 sf0.01, 0.91 sf0.1
     }),
+    // ---- CROSS-corpus SemDeDup (incremental semantic dedup): odd-id
+    // increment against the even-id lake; recall = fraction of new
+    // docs with an exact >=0.4 cross-side neighbor that get removed
+    "q191_cross_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exactCross = Similarity.cosineNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.4)
+        .where(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      val shouldRemove = exactCross.select(
+        when(pmod(col("a"), lit(2)) === 1, col("a")).otherwise(col("b"))
+          .as("vec")).distinct()
+      val removed = Similarity.semDedupCross(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", threshold = 0.4, nlist = 8, nassign = 3)
+      recallGate(shouldRemove, removed.select(col("id").as("vec")),
+        Seq("vec"), threshold = 0.8) // measured 1.00 sf0.01, 0.97 sf0.1
+    }),
     // ---- split-leakage audit: near-dup pairs that straddle the
     // train/test hash split — the eval-integrity check every corpus
     // assembly needs (a test doc with a >=0.5-Jaccard twin in train is
@@ -2202,6 +2220,9 @@ object SparkEntry {
         s"""SELECT DISTINCT v FROM (
            |  SELECT a AS v FROM (${neardupSql(0.4)})
            |  UNION ALL SELECT b AS v FROM (${neardupSql(0.4)}))""".stripMargin),
+      "q191_cross_semdedup" -> gateSql(
+        s"""SELECT DISTINCT CASE WHEN (a % 2) = 1 THEN a ELSE b END AS v
+           |FROM (${neardupSql(0.4)}) WHERE (a % 2) <> (b % 2)""".stripMargin),
       "q179_split_leakage" ->
         s"""WITH pairs AS (${ngramPairsSql(0.5)}),
            |s AS (SELECT doc_id,

@@ -680,6 +680,73 @@ object Similarity {
         col("k.cell").cast(LongType).as("cluster"))
   }
 
+  /** CROSS-corpus SemDeDup — the incremental semantic-dedup primitive
+    * (the [[graft.operators.Dedup.minhashLshCross]] analog in embedding
+    * space): a new increment is deduplicated against an
+    * already-deduplicated reference lake. The quantizer codebook is fit
+    * on the REFERENCE side (the lake defines the embedding-space
+    * geometry; increments ride its cells), reference members are
+    * cap-ranked per cell by the same global priority key as
+    * [[semDedup]], and a NEW doc is removed iff it lands within
+    * `threshold` cosine of a cap-ranked reference keeper in any of its
+    * `nassign` cells — reported with the highest-priority such keeper.
+    * Deliberately NO priority comparison between the two sides: a lake
+    * member always outranks an increment member (the lake was already
+    * admitted — that asymmetry is what "incremental" means), so
+    * new×new near-dups are NOT examined here (run [[semDedup]] on the
+    * increment first, or rely on the next increment seeing this one in
+    * the lake). Candidate volume is new-memberships × keeperCap per
+    * cell — never ref×ref, the quadratic-in-history cost this operator
+    * exists to avoid. Scoring is inline ([[ivfNearDupPairs]]
+    * discipline): vectors ride membership rows through one cell-keyed
+    * exchange each side, survivors alone reach the closing per-doc
+    * aggregate.
+    * @return one row per REMOVED new doc: (id, keeper, cos_sim,
+    *         cluster), same schema as [[semDedup]] */
+  def semDedupCross(newDf: DataFrame, refDf: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nlist: Int = 16,
+      seed: Long = 42L, keepFarthest: Boolean = true,
+      keeperCap: Int = 1000, nassign: Int = 1,
+      sampleRows: Int = 4096): DataFrame = {
+    val sample = refDf.orderBy(col(idCol)).limit(sampleRows)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "semDedupCross needs a non-empty reference")
+    val centroids: Seq[Seq[Double]] =
+      LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
+    val sortedCells = sortedCellStructs(col("v"), centroids)
+    def okey(d2c: Column, id: Column): Column =
+      struct((if (keepFarthest) -d2c else d2c).as("o1"), id.as("o2"))
+    def assign(df: DataFrame, withOk: Boolean): DataFrame = {
+      val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          l2Norm(col(vecCol)).as("n"))
+        .select(col("id"), col("v"), col("n"), sortedCells.as("sc"))
+        .select(col("id"), col("v"), col("n"),
+          explode(slice(col("sc"), 1, math.max(1, nassign))).as("c"),
+          okey(element_at(col("sc"), 1).getField("d"), col("id")).as("ok"))
+      val cols = Seq(col("id"), col("v"), col("n"),
+        col("c.cell").as("cell")) ++
+        (if (withOk) Seq(col("ok")) else Nil)
+      base.select(cols: _*)
+    }
+    val w = Window.partitionBy("cell").orderBy(col("ok").asc)
+    val keepers = Dedup.tracked(assign(refDf, withOk = true))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= keeperCap)
+      .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
+        col("n").as("kn"), col("ok").as("kok"))
+    assign(newDf, withOk = false).join(keepers, Seq("cell"))
+      .where(col("id") =!= col("keeper")) // overlapping-side insurance
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("kv")) / (col("n") * col("kn")), 6))
+      .where(col("cos_sim") >= threshold)
+      .groupBy(col("id"))
+      .agg(min(struct(col("kok"), col("keeper"), col("cell"),
+        col("cos_sim"))).as("k"))
+      .select(col("id"), col("k.keeper").as("keeper"),
+        col("k.cos_sim").as("cos_sim"),
+        col("k.cell").cast(LongType).as("cluster"))
+  }
+
   /** PCA of an embedding column: ONE distributed pass accumulates the
     * d×d Gram matrix and mean per partition (`mapPartitions` — the
     * legitimate imperative-accumulation case: d² doubles of state, no

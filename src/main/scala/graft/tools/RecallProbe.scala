@@ -89,6 +89,20 @@ object RecallProbe {
       sd188.select(col("vec_id").as("vec"))
         .union(sd188.select(col("keeper").as("vec"))),
       Seq("vec"))
+    // q191: new docs with an exact >=0.4 cross-side neighbor that the
+    // incremental semantic dedup removes
+    val exactCross = exact188
+      .where(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+    recall("q191_cross_semdedup",
+      exactCross.select(
+        when(pmod(col("a"), lit(2)) === 1, col("a")).otherwise(col("b"))
+          .as("vec")),
+      Similarity.semDedupCross(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", threshold = 0.4, nlist = 8, nassign = 3)
+        .select(col("id").as("vec")),
+      Seq("vec"))
     spark.stop()
   }
 }

@@ -100,6 +100,19 @@ object ScaleProbe {
       }),
       "op_minhash" -> ((s, dir) =>
         Dedup.minhashLsh(docsOf(s, dir), "text", "doc_id", 3, 8, 2, 0.35)),
+      // incremental semantic dedup: odd-id increment vs even-id lake
+      "op_crosssemdedup" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val nassign = 3
+        val nlist = math.max(8, (nassign * emb.count() / 1000).toInt)
+        Similarity.semDedupCross(
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", threshold = 0.4, nlist = nlist,
+          nassign = nassign, keeperCap = 250,
+          sampleRows = math.max(4096, 8 * nlist))
+      }),
       // incremental dedup: odd-id "increment" against the even-id "lake"
       "op_crossdedup" -> ((s, dir) => {
         import org.apache.spark.sql.functions.{col, lit, pmod}

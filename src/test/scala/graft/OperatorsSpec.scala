@@ -394,6 +394,31 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("semDedupCross removes only new docs near a ref keeper") {
+    // ref lake: one member per ball; new increment: near-dups of ball A
+    // plus a genuinely novel vector
+    val ref = Seq(
+      (0L, Array(1.00f, 0.00f)), (10L, Array(0.00f, 1.00f))
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (1L, Array(0.99f, 0.01f)),  // dup of ref 0 -> removed
+      (11L, Array(0.01f, 0.99f)), // dup of ref 10 -> removed
+      (20L, Array(-1.0f, -0.3f))  // novel -> survives
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semDedupCross(fresh, ref, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, nassign = 2, seed = 7L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(r == Seq((1L, 0L), (11L, 10L)))
+    // new-side near-dups of EACH OTHER are out of scope by contract:
+    // two fresh twins with no lake neighbor both survive
+    val twins = Seq((5L, Array(0.5f, 0.5f)), (7L, Array(0.51f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.semDedupCross(twins, ref, "vec_id", "embedding",
+        threshold = 0.99, nlist = 2, nassign = 2, seed = 7L).count()
+    assert(r2 == 0L)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("semDedup keepFarthest=false keeps the centroid-nearest member") {
     // one ball, one cluster: priority flips to distance ASC, so the
     // member closest to the centroid becomes the keeper
