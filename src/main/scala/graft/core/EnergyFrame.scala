@@ -23,6 +23,11 @@ final case class EnergyFrame(
 
   def valueCols: Seq[String] = df.columns.filterNot(indexCols.contains).toSeq
 
+  /** Number of value series — the reference's `nseries` shape accessor
+    * (`energypandas.py:1110-1117`): the value-column count, a pure
+    * schema property (no job runs). */
+  def nseries: Int = valueCols.size
+
   /** Column slice -> EnergySeries with that column's units + all extra
     * metadata (`energypandas.py:841-843,872-893`). Unit fan-in: when the
     * requested name has no unit but ALL columns share one unit, that unit

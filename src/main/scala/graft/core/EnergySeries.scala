@@ -330,6 +330,10 @@ final case class EnergySeries(
     finalized(sorted.offset(start.toInt).limit(len.toInt))
   }
 
+  /** Number of value series — always 1 for a series, the ndim==1 branch
+    * of the reference's `nseries` property (`energypandas.py:646-650`). */
+  def nseries: Int = 1
+
   /** Series -> single-column frame (`energypandas.py:76-87`). */
   def toFrame: EnergyFrame = {
     val n = name.getOrElse(valueCol)

@@ -19,6 +19,24 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Bounded, deterministic, UNBIASED codebook training sample: the
+    * `n` rows that sort first by `xxhash64(id)` (id ASC tie-break) —
+    * a seeded-hash order, so the sample is a uniform draw from the
+    * corpus regardless of how ids are laid out. The previous
+    * `orderBy(id).limit(n)` form took the first n rows BY ID, which on
+    * a real corpus — where ids correlate with crawl time, shard, or
+    * domain — fits the k-means codebook on one corner of the embedding
+    * distribution: cells degrade, recall drops, and cap pressure
+    * concentrates (round-9 verdict; the id-clustered ScaleGen probe in
+    * SCALE.md measures exactly that failure and this fix). Same
+    * TakeOrdered cost and full determinism (the hash is a pure
+    * function of the id), one extra hash per row. */
+  private[graft] def codebookSample(df: DataFrame, idCol: String,
+      vecCol: String, n: Int): Array[Array[Double]] =
+    df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+
   /** Dot product of two array<float/double> columns, accumulated in
     * double in element order — a native codegen'd Catalyst expression
     * (graft.functions.VectorDot); bit-identical to the sequential
@@ -258,9 +276,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
       seed: Long = 42L, nassign: Int = 1): DataFrame = {
-    val sample = corpus.orderBy(col(idCol)).limit(4096)
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = codebookSample(corpus, idCol, vecCol, 4096)
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
 
@@ -319,9 +335,7 @@ object Similarity {
       shortlist: Int = 0, sampleRows: Int = 1024, seed: Long = 42L)
       : DataFrame = {
     val ncent = 1 << nbits
-    val sample = corpus.orderBy(col(idCol)).limit(sampleRows)
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = codebookSample(corpus, idCol, vecCol, sampleRows)
     require(sample.nonEmpty, "pqTopK needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m blocks")
@@ -514,9 +528,7 @@ object Similarity {
       threshold: Double, nlist: Int = 16, nassign: Int = 2,
       seed: Long = 42L, sampleRows: Int = 4096,
       cellCap: Int = 10000): DataFrame = {
-    val sample = df.orderBy(col(idCol)).limit(sampleRows)
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = codebookSample(df, idCol, vecCol, sampleRows)
     require(sample.nonEmpty, "ivfNearDupPairs needs a non-empty corpus")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
@@ -624,9 +636,7 @@ object Similarity {
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
       keepFarthest: Boolean = true, keeperCap: Int = 1000,
       nassign: Int = 1, sampleRows: Int = 4096): DataFrame = {
-    val sample = df.orderBy(col(idCol)).limit(sampleRows)
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = codebookSample(df, idCol, vecCol, sampleRows)
     require(sample.nonEmpty, "semDedup needs a non-empty corpus")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
@@ -708,9 +718,7 @@ object Similarity {
       seed: Long = 42L, keepFarthest: Boolean = true,
       keeperCap: Int = 1000, nassign: Int = 1,
       sampleRows: Int = 4096): DataFrame = {
-    val sample = refDf.orderBy(col(idCol)).limit(sampleRows)
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = codebookSample(refDf, idCol, vecCol, sampleRows)
     require(sample.nonEmpty, "semDedupCross needs a non-empty reference")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)

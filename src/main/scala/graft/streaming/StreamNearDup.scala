@@ -161,7 +161,9 @@ object StreamNearDup {
         }
         i += 1
       }
-      if (ids.length < bucketCap) {
+      // replay guard (same as StreamSemDedup): a re-delivered doc_id
+      // already stored in this bucket must not consume a cap slot
+      if (ids.length < bucketCap && !ids.contains(row.doc_id)) {
         ids = ids :+ row.doc_id
         sigs = sigs :+ row.sig
       }

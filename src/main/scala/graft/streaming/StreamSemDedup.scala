@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Streaming SEMANTIC near-duplicate gate — the keyed-state twin of
   * [[graft.operators.Similarity.semDedup]], completing the dedup
@@ -51,7 +50,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * key-partitioned across executors; `nlist` scales with the corpus
   * exactly like the batch operator's, and production deploys set a
   * TTL (re-crawl horizon) via GroupStateTimeout — kept explicit here,
-  * same policy note as [[StreamDedup]]. */
+  * same policy note as [[StreamDedup]].
+  *
+  * Cap/emission interaction, documented: the exactly-once rule emits a
+  * pair only at its MIN shared cell, and under `cellCap` pressure the
+  * earlier doc may have been capped out of that specific cell while
+  * still enrolled in another shared cell — such a pair is missed even
+  * though a stored match exists elsewhere. The miss requires the min
+  * shared cell to have filled before the earlier doc arrived AND every
+  * other shared cell to either be capped too or rank above the min —
+  * a recall (not correctness) trade, covered by the q188 recall gate
+  * and measured against cap pressure in SCALE.md's cap-recall table.
+  * Replayed ids do NOT consume cap slots: enrollment is skipped when
+  * the arrival's vec_id is already stored in the cell. */
 object StreamSemDedup {
 
   case class EmbDoc(vec_id: Long, embedding: Array[Float])
@@ -146,7 +157,10 @@ object StreamSemDedup {
         }
         i += 1
       }
-      if (ids.length < cellCap) {
+      // replay guard: an id already stored in this cell (duplicate or
+      // re-delivered doc) must not consume another cap slot — without
+      // this, replays crowd novel enrollments out of the cap
+      if (ids.length < cellCap && !ids.contains(row.vec_id)) {
         ids = ids :+ row.vec_id
         vecs = vecs :+ row.vec
         cl = cl :+ row.cells
@@ -157,15 +171,15 @@ object StreamSemDedup {
   }
 
   /** Fit the quantizer codebook the way the batch operator does: a
-    * bounded ordered sample through LocalKMeans. Returns (centroids,
-    * per-centroid squared norms computed in the same order the cell
-    * expansion uses). */
+    * bounded seeded-hash-ordered sample (the unbiased
+    * [[graft.operators.Similarity.codebookSample]] draw) through
+    * LocalKMeans. Returns (centroids, per-centroid squared norms
+    * computed in the same order the cell expansion uses). */
   def fitCodebook(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, sampleRows: Int = 4096)
       : (Array[Array[Double]], Array[Double]) = {
-    val sample = corpus.orderBy(col(idCol)).limit(sampleRows)
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = graft.operators.Similarity.codebookSample(
+      corpus, idCol, vecCol, sampleRows)
     require(sample.nonEmpty, "StreamSemDedup needs a non-empty corpus")
     val cents = graft.operators.LocalKMeans.fit(sample, nlist, seed)._2
     (cents, cents.map(c => c.map(x => x * x).sum))

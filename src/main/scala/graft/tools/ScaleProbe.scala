@@ -41,8 +41,8 @@ object ScaleProbe {
       "q162_entity_clusters",
       "q183_zscore_chunked", "op_minhash", "op_crossdedup",
       "op_simhash", "op_ngram",
-      "op_ppjoin", "op_ivf_neardup", "op_semdedup", "op_streamsemdedup",
-      "op_streamdecon")
+      "op_ppjoin", "op_ivf_neardup", "op_semdedup", "op_crosssemdedup",
+      "op_streamsemdedup", "op_streamdecon")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

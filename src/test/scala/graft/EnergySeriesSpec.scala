@@ -174,4 +174,15 @@ class EnergySeriesSpec extends SparkTestBase {
     assert(f.unitsMap.values.forall(_.isDimensionless))
     assert(math.abs(f("value").sum() - 50.0) < 1e-9)
   }
+
+  test("nseries: 1 for a series, value-column count for a frame " +
+      "(energypandas.py:646-650,1110-1117)") {
+    val s = es(Some("degC"))
+    assert(s.nseries == 1)
+    val f = s.toFrame
+    assert(f.nseries == 1)
+    val two = graft.core.EnergyFrame(
+      f.df.withColumn("power", col("value") * 2), Seq("ts"))
+    assert(two.nseries == 2)
+  }
 }

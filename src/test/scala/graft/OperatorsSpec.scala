@@ -129,7 +129,13 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sorted.toSeq
     assert(cross.map(p => (p._1, p._2)) == Seq((1L, 2L)))
-    // identical to the self-join operator restricted to cross pairs
+    // identical to the self-join operator restricted to cross pairs.
+    // Cap-regime caveat: this equality only holds while bucketCap is
+    // inert (as here — 5 docs vs cap 2000). Under a binding cap the two
+    // diverge BY DESIGN: cross caps the reference side only (new-side
+    // docs always probe), while the self-join drops oversized buckets
+    // whole on both sides — on boilerplate-heavy corpora cross reports
+    // strictly more cross-side pairs than the capped self-join.
     val self = Dedup.minhashLsh(docs, "text", "doc_id",
         minEstJaccard = 0.5)
       .where($"a" % 2 =!= $"b" % 2)
