@@ -36,10 +36,18 @@ object RecallProbe {
       spark.catalog.clearCache()
     }
 
-    val docs = Tables.load(spark, sfDir, "documents")
-    val emb = Tables.load(spark, sfDir, "embeddings")
+    // optional second arg: embeddings table name (e.g.
+    // "embeddings_clustered", the ScaleGen adversarial-id-layout
+    // variant) + optional third arg "embonly" to skip the document
+    // probes when the dir holds only embeddings
+    val embTable = args.lift(1).getOrElse("embeddings")
+    val embOnly = args.lift(2).contains("embonly") ||
+      embTable != "embeddings"
+    val emb = Tables.load(spark, sfDir, embTable)
     val q = emb.where(col("vec_id") < 10)
+    lazy val docs = Tables.load(spark, sfDir, "documents")
 
+    if (!embOnly) {
     recall("q25_minhash",
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5, 1000),
       Dedup.minhashLsh(docs, "text", "doc_id", 3, 8, 2, 0.35),
@@ -50,6 +58,7 @@ object RecallProbe {
         Dedup.simhashPairs(docs, "text", "doc_id",
           shingleLen = 3, bands = bands, maxHamming = mh),
         Seq("a", "b"))
+    }
     for (tables <- Seq(8, 12); mp <- Seq(false, true))
       recall(s"q30_lsh_topk_t${tables}_mp$mp",
         Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),

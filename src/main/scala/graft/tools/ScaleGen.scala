@@ -104,6 +104,18 @@ object ScaleGen {
               / 1000.0 - 0.5) * 0.2)).cast("float")))
       shift("vec_id")(emb, r)
     }, 4)
+    // adversarial id-layout variant: SAME vectors, ids renumbered so id
+    // order tracks a dominant embedding direction (dim 0) — the
+    // id-clustered corpus (crawl-time/shard-correlated ids) on which a
+    // first-n-by-id codebook sample fits one corner of the distribution.
+    // The RecallProbe run over this table is the evidence for the
+    // seeded-hash codebookSample fix (SCALE.md round 10).
+    write("embeddings_clustered", {
+      graft.operators.Analytics.distributedRank(t("embeddings"),
+          Seq(element_at(col("embedding"), 1).asc, col("vec_id").asc))
+        .select((col("rank") - 1).as("vec_id"), col("embedding"),
+          col("label"))
+    }, 4)
     spark.stop()
   }
 }
