@@ -1870,19 +1870,16 @@ object SparkEntry {
     // 11-anchor interpolation independently in SQL; PlotRenderSpec pins
     // the PNG bytes to this mapping, closing oracle → colors → pixels.
     "q181_plot_colors" -> ((s, dir) => {
-      val rgbU = udf((v: Double, lo: Double, hi: Double) =>
-        graft.plots.Render.rdbu(graft.plots.Render.norm(v, lo, hi)))
       val cells = t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("period_date"),
           hour(col("ts")).as("hour"))
         .agg(DetAgg.detAvg(col("value")).as("v"))
+      val (rC, gC, bC) = graft.plots.Render.rdbuCols(
+        graft.plots.Render.normCol(col("v"), col("lo"), col("hi")))
       cells.crossJoin(broadcast(
           cells.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))))
-        .withColumn("__rgb", rgbU(col("v"), col("lo"), col("hi")))
         .select(col("period_date"), col("hour"),
-          shiftright(col("__rgb"), 16).bitwiseAND(lit(255)).as("r"),
-          shiftright(col("__rgb"), 8).bitwiseAND(lit(255)).as("g"),
-          col("__rgb").bitwiseAND(lit(255)).as("b"))
+          rC.as("r"), gC.as("g"), bC.as("b"))
     }),
     // ---- custom state: flatMapGroupsWithState sessionization (batch mode)
     "q47_stateful_sessions" -> ((s, dir) =>
@@ -1898,8 +1895,6 @@ object SparkEntry {
     // the identical operation order in SQL.
     "q185_surface_colors" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val rgbU = udf((v: Double, lo: Double, hi: Double) =>
-        graft.plots.Render.rdbu(graft.plots.Render.norm(v, lo, hi)))
       val cells = t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("period_date"),
           hour(col("ts")).as("hour"))
@@ -1927,41 +1922,35 @@ object SparkEntry {
           (lit(1.0) - lit(2.0) * i) *
             ((ch / lit(255.0)) * (ch / lit(255.0)))) * lit(255.0)
           + lit(0.5)).cast("int")
+      val (rC, gC, bC) = graft.plots.Render.rdbuCols(
+        graft.plots.Render.normCol(col("v"), col("lo"), col("hi")))
       withRaw.crossJoin(broadcast(mm))
         .withColumn("i", when(col("rmax") === col("rmin"), lit(0.5))
           .otherwise((col("raw") - col("rmin"))
             / (col("rmax") - col("rmin"))))
-        .withColumn("__rgb", rgbU(col("v"), col("lo"), col("hi")))
         .select(col("period_date"), col("hour"),
-          blend(shiftright(col("__rgb"), 16).bitwiseAND(lit(255))
-            .cast("double"), col("i")).as("r"),
-          blend(shiftright(col("__rgb"), 8).bitwiseAND(lit(255))
-            .cast("double"), col("i")).as("g"),
-          blend(col("__rgb").bitwiseAND(lit(255)).cast("double"),
-            col("i")).as("b"))
+          blend(rC.cast("double"), col("i")).as("r"),
+          blend(gC.cast("double"), col("i")).as("g"),
+          blend(bC.cast("double"), col("i")).as("b"))
     }),
     // ---- plot3d kind="contour" level bands (Render.renderContour /
     // contourBand): each cell quantized into one of 150 level bands
     // (the reference's contour3D(…, 150) level count), band color along
     // the same RdBu ramp
     "q186_contour_bands" -> ((s, dir) => {
-      val bandU = udf((v: Double, lo: Double, hi: Double) =>
-        graft.plots.Render.contourBand(v, lo, hi, 150))
-      val rgbU = udf((band: Int) =>
-        graft.plots.Render.rdbu(band / 149.0))
       val cells = t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("period_date"),
           hour(col("ts")).as("hour"))
         .agg(DetAgg.detAvg(col("value")).as("v"))
+      val (rC, gC, bC) = graft.plots.Render.rdbuCols(
+        col("band").cast("double") / lit(149.0))
       cells.crossJoin(broadcast(
           cells.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))))
-        .withColumn("band", bandU(col("v"), col("lo"), col("hi")))
-        .withColumn("__rgb", rgbU(col("band")))
+        .withColumn("band", graft.plots.Render.contourBandCol(
+          col("v"), col("lo"), col("hi"), 150))
         .select(col("period_date"), col("hour"),
           col("band").cast("long").as("band"),
-          shiftright(col("__rgb"), 16).bitwiseAND(lit(255)).as("r"),
-          shiftright(col("__rgb"), 8).bitwiseAND(lit(255)).as("g"),
-          col("__rgb").bitwiseAND(lit(255)).as("b"))
+          rC.as("r"), gC.as("g"), bC.as("b"))
     })
   )
 

@@ -83,9 +83,11 @@ object Sketches {
       Dedup.windowHashes(df, textCol, idCol, windowLen)
         .select(col("id"), col("w.h1").as("w"))
     val bf = windows(bench).stat.bloomFilter("w", expectedItems, fpp)
-    val mightContain = udf((h: Long) => bf.mightContainLong(h))
+    val mightContain = org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.BloomContainsLong(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(col("w")), bf))
     windows(train)
-      .where(mightContain(col("w")))
+      .where(mightContain)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_flagged_windows"))
   }

@@ -69,6 +69,53 @@ object Render {
   private val MissingRGB = new Color(220, 220, 220).getRGB // null cells
   private val MaxCells = 2000000 // loud bound on the driver collect
 
+  // ---- Column twins of the ramp math (for the oracle queries) --------
+  // Bit-parity with the JVM renderer is load-bearing (PlotRenderSpec
+  // pins PNG bytes to the same mapping the q181/q185/q186 oracles
+  // certify), so each twin reproduces the scalar code's operation order
+  // exactly: same clamp order, same a + (b−a)·f association,
+  // Math.round(x) == floor(x + 0.5) for the in-range positive channels.
+  // CaseWhen over the 10 ramp segments keeps the whole thing inside
+  // whole-stage codegen — no ScalaUDF anywhere in the query surface.
+
+  /** Column twin of [[norm]] (no-vcenter form). */
+  def normCol(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(hi === lo, lit(0.5)).otherwise((v - lo) / (hi - lo))
+  }
+
+  /** Column twin of [[rdbu]], returning the (r, g, b) channels directly
+    * (the packed-int form only ever feeds channel extraction). */
+  def rdbuCols(t: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val x = greatest(lit(0.0), least(lit(1.0), t)) * lit((RdBu.length - 1).toDouble)
+    val i = least(lit(RdBu.length - 2), x.cast("int"))
+    val f = x - i.cast("double")
+    def chan(sel: ((Int, Int, Int)) => Int): org.apache.spark.sql.Column = {
+      val mixed = (1 until RdBu.length - 1).foldLeft(
+        lit(sel(RdBu(0)).toDouble) +
+          lit((sel(RdBu(1)) - sel(RdBu(0))).toDouble) * f) { (acc, seg) =>
+        when(i === seg, lit(sel(RdBu(seg)).toDouble) +
+          lit((sel(RdBu(seg + 1)) - sel(RdBu(seg))).toDouble) * f)
+          .otherwise(acc)
+      }
+      floor(mixed + lit(0.5)).cast("int") // Math.round semantics
+    }
+    (chan(_._1), chan(_._2), chan(_._3))
+  }
+
+  /** Column twin of [[contourBand]]. */
+  def contourBandCol(v: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      levels: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val t = least(lit(1.0), greatest(lit(0.0), normCol(v, lo, hi)))
+    least(lit(levels - 1), floor(t * lit(levels.toDouble)).cast("int"))
+  }
+
   /** The reference's `RESOLUTION_NAME` (`energypandas.py:805-814`)
     * keyed by the exact duration: a span is named by the COARSEST unit
     * that divides it evenly — the headless analog of

@@ -62,22 +62,25 @@ object StreamDecon {
   /** Keep only uncontaminated documents. Stateless — the same plan is
     * valid over batch and streaming frames.
     *
-    * Deliberate UDF-over-semi-join: the relational alternative
+    * Deliberate probe-over-semi-join: the relational alternative
     * (explode the windows, left-anti broadcast join against the bench
     * windows) multiplies every document into `len − windowLen + 1` rows
     * before the join and re-aggregates them back into a per-document
     * verdict — a per-batch join + aggregate in a streaming plan. The
-    * closure-set probe keeps the whole operator ONE stateless filter
-    * over the already-computed hash array: no row explosion, no
-    * shuffle, valid under any output mode. The UDF boundary costs the
-    * filter whole-stage codegen, but the O(len) hash kernel feeding it
-    * stays codegen'd, and set probes are cheap relative to hashing. */
+    * set probe keeps the whole operator ONE stateless filter over the
+    * already-computed hash array: no row explosion, no shuffle, valid
+    * under any output mode. The probe is a native codegen'd expression
+    * ([[graft.functions.WindowSetContains]] — the bench set rides as a
+    * reference object, the PqEncode recipe), so the filter stays
+    * inside whole-stage codegen end to end; the former ScalaUDF form
+    * paid converter boundaries and broke the codegen span. */
   def clean(docs: DataFrame, benchSet: Set[(Long, Long)],
       textCol: String, windowLen: Int = 50): DataFrame = {
-    val contaminated = udf((ws: Seq[org.apache.spark.sql.Row]) =>
-      ws != null && ws.exists(r =>
-        benchSet.contains((r.getLong(0), r.getLong(1)))))
-    docs.where(!contaminated(hashCol(textCol, windowLen)))
+    val contaminated = org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.WindowSetContains(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          hashCol(textCol, windowLen)), benchSet))
+    docs.where(!contaminated)
   }
 
   /** Constant-size benchmark filter for a bench side too big for
@@ -99,9 +102,11 @@ object StreamDecon {
     * a contaminated document can never slip through. */
   def cleanBloom(docs: DataFrame, bench: BloomFilter, textCol: String,
       windowLen: Int = 50): DataFrame = {
-    val contaminated = udf((ws: Seq[org.apache.spark.sql.Row]) =>
-      ws != null && ws.exists(r => bench.mightContainLong(r.getLong(0))))
-    docs.where(!contaminated(hashCol(textCol, windowLen)))
+    val contaminated = org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.BloomWindowsContain(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          hashCol(textCol, windowLen)), bench))
+    docs.where(!contaminated)
   }
 
   /** Batch twin: train docs that share no window with the bench set. */

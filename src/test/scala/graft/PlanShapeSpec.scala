@@ -182,4 +182,31 @@ class PlanShapeSpec extends SparkTestBase {
       l.contains("*(") && l.contains("pq_lut")),
       s"pq_lut fell out of codegen:\n$p")
   }
+
+  test("no ScalaUDF anywhere in the full driver query surface") {
+    // The entire SparkEntry.queries map — every driver-oracled query —
+    // must be UDF-free: the ramp/decon/bloom sites were converted to
+    // native codegen'd expressions (rdbuCols, WindowSetContains,
+    // BloomContainsLong) in round 10; this pins the property so a
+    // future query can't quietly reintroduce a converter-boundary UDF.
+    // Construction-only (no actions beyond the bounded collects some
+    // operators do while building), against the smoke-scale testdata.
+    val dir = "/root/testdata/sf0.001"
+    def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectWithSubqueries {
+        case n => n.expressions
+      }.flatten.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val bad = try hasScalaUdf(fn(spark, dir))
+        finally {
+          graft.operators.Dedup.releaseIntermediates()
+          graft.operators.Graph.releaseIntermediates()
+          spark.catalog.clearCache()
+        }
+        if (bad) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"ScalaUDF found in: $offenders")
+  }
 }
