@@ -276,7 +276,7 @@ object SparkEntry {
     "q25_dedup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       recallGate(
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
           shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000),
         Dedup.minhashLsh(docs, "text", "doc_id",
           shingleLen = 3, bands = 8, rowsPerBand = 2, minEstJaccard = 0.35),
@@ -288,7 +288,7 @@ object SparkEntry {
     "q187_stream_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       recallGate(
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
           shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000),
         graft.streaming.StreamNearDup.batch(docs, "text", "doc_id",
           shingleLen = 3, bands = 8, rowsPerBand = 2,
@@ -316,7 +316,7 @@ object SparkEntry {
     // recall-gated on the exact cross-side near-dup pairs
     "q190_cross_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val exactCross = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val exactCross = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
           shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
         .where(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
       recallGate(
@@ -333,7 +333,7 @@ object SparkEntry {
     "q26_dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       recallGate(
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
           shingleLen = 3, minJaccard = 0.8, docFreqCap = 1000),
         // 8x8-bit bands: the Hamming-LSH guarantee covers distance <= 7
         // outright and the blockCap skew guard keeps the narrower bands
@@ -797,7 +797,7 @@ object SparkEntry {
     // transitive closure over the same pairs.
     "q67_dedup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
         shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
       val comp = Dedup.duplicateComponents(pairs, "a", "b")
       docs.select(col("doc_id"))
@@ -923,7 +923,7 @@ object SparkEntry {
       // chain — recomputing it per consumer tripled the query
       val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.ngramJaccardPairs(clean, "text", "doc_id",
+      val pairs = Dedup.ngramJaccardPairsPrefix(clean, "text", "doc_id",
         shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
       val comp = Dedup.duplicateComponents(pairs, "a", "b")
         .withColumnRenamed("id", "doc_id")
@@ -1009,7 +1009,7 @@ object SparkEntry {
     // result set as q67's hash-min propagation, same recursive-CTE oracle
     "q98_cc_star" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
         shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
       val comp = Dedup.duplicateComponentsStar(pairs, "a", "b")
       docs.select(col("doc_id"))
@@ -1350,7 +1350,7 @@ object SparkEntry {
     // clusters? — the dedup-health dashboard number)
     "q136_component_sizes" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
         shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
       val comp = Dedup.duplicateComponents(pairs, "a", "b")
       docs.select(col("doc_id"))
@@ -1363,7 +1363,7 @@ object SparkEntry {
     // each duplicate group (not min-id) — the curation-grade dedup keep
     "q137_best_rep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
         shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
       val comp = Dedup.duplicateComponents(pairs, "a", "b")
       val w = org.apache.spark.sql.expressions.Window
@@ -1838,6 +1838,51 @@ object SparkEntry {
       recallGate(shouldRemove, removed.select(col("id").as("vec")),
         Seq("vec"), threshold = 0.8) // measured 1.00 sf0.01, 0.97 sf0.1
     }),
+    // ---- incremental-dedup LAKE CONTRACT, lexical: job 1 writes the
+    // reference side's banded bucket-capped signatures to a parquet
+    // artifact; job 2 dedups the increment against the ARTIFACT — the
+    // lake is never re-shingled (plan-guarded in OperatorsSpec). Same
+    // split, parameters, and recall gate as q190, so the artifact path
+    // is certified to reproduce the in-job operator exactly.
+    "q192_lake_artifacts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lake = s"/tmp/graft_lake/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Dedup.writeBandedSignatures(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+        s"$lake/minhash_sigs")
+      val cross = Dedup.minhashLshCrossFromArtifacts(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        s.read.parquet(s"$lake/minhash_sigs"), "text", "doc_id",
+        shingleLen = 3, bands = 8, rowsPerBand = 2, minEstJaccard = 0.35)
+      val exactCross = Dedup.ngramJaccardPairsPrefix(docs, "text",
+          "doc_id", shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+        .where(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      recallGate(exactCross, cross, Seq("a", "b"), threshold = 0.8)
+    }),
+    // ---- incremental-dedup LAKE CONTRACT, semantic: job 1 writes the
+    // fitted codebook + cap-ranked keeper table; job 2 assigns ONLY the
+    // increment and joins the keeper artifact. Same split/parameters/
+    // gate as q191 - artifact path == in-job operator, certified.
+    "q193_semlake_artifacts" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lake = s"/tmp/graft_lake/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeSemDedupArtifacts(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", s"$lake/semdedup", nlist = 8, nassign = 3)
+      val removed = Similarity.semDedupCrossFromArtifacts(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        s.read.parquet(s"$lake/semdedup/keepers"),
+        Similarity.readSemCodebook(s, s"$lake/semdedup"),
+        "vec_id", "embedding", threshold = 0.4, nassign = 3)
+      val exactCross = Similarity.cosineNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.4)
+        .where(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      val shouldRemove = exactCross.select(
+        when(pmod(col("a"), lit(2)) === 1, col("a")).otherwise(col("b"))
+          .as("vec")).distinct()
+      recallGate(shouldRemove, removed.select(col("id").as("vec")),
+        Seq("vec"), threshold = 0.8)
+    }),
     // ---- split-leakage audit: near-dup pairs that straddle the
     // train/test hash split — the eval-integrity check every corpus
     // assembly needs (a test doc with a >=0.5-Jaccard twin in train is
@@ -1846,7 +1891,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val split = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
         Seq(("train", 90), ("test", 100)))
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
         shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
       pairs
         .join(split.select(col("doc_id").as("a"),
@@ -2197,6 +2242,9 @@ object SparkEntry {
       "q190_cross_dedup" -> gateSql(
         s"""SELECT * FROM (${ngramPairsSql(0.5)})
            |WHERE (a % 2) <> (b % 2)""".stripMargin),
+      "q192_lake_artifacts" -> gateSql(
+        s"""SELECT * FROM (${ngramPairsSql(0.5)})
+           |WHERE (a % 2) <> (b % 2)""".stripMargin),
       "q26_dedup_simhash" -> gateSql(ngramPairsSql(0.8)),
       "q28_embed_neardup" -> neardupSql(0.4),
       "q51_embed_neardup_lsh" -> gateSql(neardupSql(0.3)),
@@ -2210,6 +2258,9 @@ object SparkEntry {
            |  SELECT a AS v FROM (${neardupSql(0.4)})
            |  UNION ALL SELECT b AS v FROM (${neardupSql(0.4)}))""".stripMargin),
       "q191_cross_semdedup" -> gateSql(
+        s"""SELECT DISTINCT CASE WHEN (a % 2) = 1 THEN a ELSE b END AS v
+           |FROM (${neardupSql(0.4)}) WHERE (a % 2) <> (b % 2)""".stripMargin),
+      "q193_semlake_artifacts" -> gateSql(
         s"""SELECT DISTINCT CASE WHEN (a % 2) = 1 THEN a ELSE b END AS v
            |FROM (${neardupSql(0.4)}) WHERE (a % 2) <> (b % 2)""".stripMargin),
       "q179_split_leakage" ->

@@ -56,17 +56,21 @@ object Dedup {
     * Returns the postings unchanged when the session default already
     * suffices (small corpora: no plan churn, no extra exchange). */
   private val PairTaskBytes = 64L << 20
-  private def sizedForPairStream(postings: DataFrame,
-      eligibleDf: DataFrame, dfCol: String): DataFrame = {
+  private def pairStreamParts(eligibleDf: DataFrame,
+      dfCol: String): Option[Int] = {
     val twoPairs = Option(eligibleDf
       .agg(sum(col(dfCol) * (col(dfCol) - lit(1)))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val nPairs = twoPairs / 2
     val defaultParts =
-      postings.sparkSession.sessionState.conf.numShufflePartitions
+      eligibleDf.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.min(4096L, nPairs * 32L / PairTaskBytes).toInt
-    if (parts > defaultParts) postings.repartition(parts) else postings
+    if (parts > defaultParts) Some(parts) else None
   }
+  private def sizedForPairStream(postings: DataFrame,
+      eligibleDf: DataFrame, dfCol: String): DataFrame =
+    pairStreamParts(eligibleDf, dfCol)
+      .map(postings.repartition(_)).getOrElse(postings)
 
   /** Exact dedup via content hash: one row per distinct text, keeping the
     * lowest id (deterministic winner). One shuffle keyed by the md5 —
@@ -207,15 +211,62 @@ object Dedup {
       textCol: String, idCol: String, shingleLen: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2,
       minEstJaccard: Double = 0.5, bucketCap: Int = 2000): DataFrame = {
+    val br = tracked(bandedSignatures(refDf, textCol, idCol, shingleLen,
+      bands, rowsPerBand, Some(bucketCap)))
+    crossJoinTail(newDf, br, textCol, idCol, shingleLen, bands,
+      rowsPerBand, minEstJaccard)
+  }
+
+  /** Persist the lake side of the incremental-dedup contract: the
+    * reference corpus's banded, bucket-capped MinHash signatures as a
+    * parquet table at `path` — job 1 of the two-job shape every
+    * [[minhashLshCross]] scaladoc promises ("signatures written to a
+    * table once and reused every increment"). Columns (id, sig, band,
+    * bucket); the cap is applied AT WRITE (the lake's mega-buckets are
+    * truncated once, not per increment). At cluster scale, partition/
+    * bucket the output by (band, bucket) so each increment's probe is
+    * layout-pruned; a plain parquet write is the single-box contract. */
+  def writeBandedSignatures(refDf: DataFrame, textCol: String,
+      idCol: String, path: String, shingleLen: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, bucketCap: Int = 2000): Unit =
+    bandedSignatures(refDf, textCol, idCol, shingleLen, bands,
+      rowsPerBand, Some(bucketCap))
+      .write.mode("overwrite").parquet(path)
+
+  /** Job 2 of the incremental-dedup contract: dedup an increment
+    * against a PRE-BUILT signature table ([[writeBandedSignatures]]'s
+    * output, loaded by the caller) — the lake is never re-shingled or
+    * re-signed; only the increment pays a signature pass, and the
+    * candidate join reads the artifact directly. `bands`/`rowsPerBand`/
+    * `shingleLen` must match the write — a mismatch changes bucket
+    * hashes and the increment probes nothing (store the parameters
+    * beside the table in production). Output and semantics identical
+    * to [[minhashLshCross]] with the same parameters. */
+  def minhashLshCrossFromArtifacts(newDf: DataFrame, refSigs: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(refSigs.columns.toSet == Set("id", "sig", "band", "bucket"),
+      "refSigs must be a writeBandedSignatures table " +
+        s"(id, sig, band, bucket); got ${refSigs.columns.mkString(",")}")
+    crossJoinTail(newDf, refSigs, textCol, idCol, shingleLen, bands,
+      rowsPerBand, minEstJaccard)
+  }
+
+  /** Shared tail of the cross-corpus joins: sign the increment, probe
+    * the (band, bucket) index, estimate Jaccard from full-signature
+    * agreement, canonicalize pairs. */
+  private def crossJoinTail(newDf: DataFrame, refBanded: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int, bands: Int,
+      rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
     val bn = bandedSignatures(newDf, textCol, idCol, shingleLen, bands,
       rowsPerBand, None)
-    val br = tracked(bandedSignatures(refDf, textCol, idCol, shingleLen,
-      bands, rowsPerBand, Some(bucketCap)))
     bn.select(col("band"), col("bucket"), col("id").as("n_id"),
         col("sig").as("sig_n"))
-      .join(br.select(col("band"), col("bucket"), col("id").as("r_id"),
-        col("sig").as("sig_r")), Seq("band", "bucket"))
+      .join(refBanded.select(col("band"), col("bucket"),
+        col("id").as("r_id"), col("sig").as("sig_r")),
+        Seq("band", "bucket"))
       .where(col("n_id") =!= col("r_id"))
       .select(least(col("n_id"), col("r_id")).as("a"),
         greatest(col("n_id"), col("r_id")).as("b"),
@@ -308,11 +359,28 @@ object Dedup {
   /** Exact shared-substring pairs: documents sharing at least one exact
     * character window of `windowLen` (the "substring duplication" signal
     * of training-data dedup — catches copied passages inside otherwise
-    * distinct documents, which token-level Jaccard dilutes away). Same
-    * inverted-index shape as [[ngramJaccardPairs]], keyed by the md5 of
-    * each distinct window: one explode, a df-capped posting build, pair
-    * streaming, and a (a, b) count — reports how many distinct windows
-    * each pair shares. */
+    * distinct documents, which token-level Jaccard dilutes away). Keyed
+    * by the 128-bit rolling hash of each distinct window: one explode, a
+    * df-cap semi-join, a window-keyed pair JOIN, and a (a, b) count —
+    * reports how many distinct windows each pair shares.
+    *
+    * Pair generation is a shuffle-HASH self-join on the window key, NOT
+    * a posting-list `collect_list` + explode: character windows are far
+    * denser than word shingles (~one per codepoint), so at 100× the
+    * posting build put millions of small lists through
+    * ObjectHashAggregate's sort-based fallback — 3.6 GB of graceful but
+    * real spill (SCALE.md round 9). The join form never materializes a
+    * list: matching rows stream straight out of the per-partition hash
+    * table into the map-side-combinable (a, b) count. Both sides are
+    * explicitly hash-repartitioned by `w` into a partition count sized
+    * by the EXACT pair fan-out (see [[pairStreamParts]] — AQE sizes
+    * reducers by pre-join bytes and cannot see the in-task pair
+    * amplification), the persisted repartition is computed once and
+    * read twice, and the SHUFFLE_HASH hint keeps the sort out of the
+    * plan (a sort-merge self-join would sort the full window index
+    * twice — the exact cost this shape exists to avoid). Per-partition
+    * hash-table state is input-rows/parts, bounded; per-key fan-out is
+    * bounded by `docFreqCap`. */
   def sharedSubstringPairs(df: DataFrame, textCol: String, idCol: String,
       windowLen: Int = 50, minShared: Int = 1, docFreqCap: Int = 1000)
       : DataFrame = {
@@ -324,16 +392,14 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2 && col("__df") <= docFreqCap))
     val eligible = eligibleDf.select(col("w"))
-    val postings = sizedForPairStream(
-      inverted.join(eligible, Seq("w"), "left_semi")
-        .groupBy("w").agg(array_sort(collect_list(col("id"))).as("ds")),
-      eligibleDf, "__df")
-    val pairs = postings
-      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-      .select(col("a"),
-        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
-          .as("b"))
-    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    val base = inverted.join(eligible, Seq("w"), "left_semi")
+    val sized = tracked(pairStreamParts(eligibleDf, "__df")
+      .map(p => base.repartition(p, col("w"))).getOrElse(base))
+    val l = sized.select(col("w"), col("id").as("a"))
+    val r = sized.select(col("w"), col("id").as("b"))
+    l.join(r.hint("SHUFFLE_HASH"), Seq("w"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
 
@@ -653,48 +719,76 @@ object Dedup {
     * small slice of the index — and hot boilerplate shingles, which rank
     * LAST in rarity order, almost never enter a prefix. The skew that
     * [[ngramJaccardPairs]]'s docFreqCap handles by EXCLUDING shingles is
-    * handled here by construction with no semantic change: the result is
-    * the full true-Jaccard pair set. Verification computes exact |∩|
-    * via array_intersect of the two (bounded, per-doc) shingle arrays.
+    * handled here by construction with no semantic change: at the
+    * default cap (none) the result is the full true-Jaccard pair set.
+    * Verification computes exact |∩| via array_intersect of the two
+    * (bounded, per-doc) shingle arrays.
+    *
+    * `docFreqCap` (optional) reproduces [[ngramJaccardPairs]]'s capped
+    * semantics EXACTLY — shingles with df > cap are excluded from the
+    * intersection while na/nb stay the FULL distinct counts — so the
+    * two operators are interchangeable inside a pipeline whose oracle
+    * mirrors the cap. Under a cap the per-doc KEPT list (df ≤ cap,
+    * global rarity order) replaces the full list for prefixes,
+    * positions, and verification arrays; the prefix length becomes
+    * |kept| − ⌈t·n⌉ + 1 (capped overlap O ≥ ⌈t·n⌉ still holds — the
+    * pass condition O/(na+nb−O) ≥ t with O ≤ min(kept) implies both
+    * length bounds — so the pigeonhole argument goes through on the
+    * kept lists; a doc whose kept list is shorter than ⌈t·n⌉ can never
+    * pass and emits no prefixes). Why route pipelines here: the 100×
+    * probe measured the same exact pair stream at 5.3× less time and
+    * 3.4× less shuffle than the capped inverted index (SCALE.md), and
+    * hot shingles never enter a prefix, so the cap loses its
+    * skew-guard role and keeps only its semantic one.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      shingleLen: Int = 3, minJaccard: Double = 0.5,
+      docFreqCap: Int = Int.MaxValue): DataFrame = {
     val shingled = tracked(df.select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleLen)).as("sh")))
     val ex = shingled.where(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // per-doc shingles in canonical rarity order — the aggregation buffer
-    // is the document's own shingle set (bounded by doc length), never a
-    // posting list, so document frequency skew cannot blow it up
-    val perDoc = tracked(ex.join(dfreq, "shingle")
+    // per-doc KEPT shingles in canonical rarity order — the aggregation
+    // buffer is the document's own shingle set (bounded by doc length),
+    // never a posting list, so document frequency skew cannot blow it
+    // up; above-cap shingles drop out here (df=1 singletons stay: they
+    // can never be shared, so they change no intersection, and their
+    // prefix slots generate zero join matches)
+    val kept = ex.join(dfreq, "shingle")
+      .where(col("df") <= docFreqCap)
+    val perDoc = tracked(kept
       .groupBy("id", "n_sh")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
         .as("ranked")))
-    // prefix length n - ceil(t·n) + 1; the 1e-9 nudge keeps ceil from
-    // rounding an exactly-integer t·n UP off a float error, which would
-    // shorten the prefix and break completeness (one extra prefix token
-    // in the other direction only adds candidates — harmless)
-    val p = (col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9))
-      + lit(1)).cast("int")
+    // prefix length |kept| - ceil(t·n) + 1 (n = FULL count; equal to the
+    // classic n - ceil(t·n) + 1 when no cap binds); the 1e-9 nudge keeps
+    // ceil from rounding an exactly-integer t·n UP off a float error,
+    // which would shorten the prefix and break completeness (one extra
+    // prefix token in the other direction only adds candidates)
+    val p = (size(col("ranked"))
+      - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9)) + lit(1))
+      .cast("int")
     val prefixes = perDoc.select(col("id"), col("n_sh"),
-      posexplode(transform(slice(col("ranked"), lit(1), p),
+      size(col("ranked")).as("ke"),
+      posexplode(transform(slice(col("ranked"), lit(1), greatest(p, lit(0))),
         x => x("shingle"))).as(Seq("pos", "shingle")))
     // candidate pruning, both exact-preserving (PPJoin):
     //  - length filter IN the join: J >= t forces t·|larger| <= |smaller|
+    //    (in FULL counts — implied by the pass condition even under cap)
     //  - positional filter: both sides sort by the same global rarity
     //    order, so the FIRST shared prefix token (max of this min-bound)
-    //    caps the overlap at min(n_a − pos_a, n_b − pos_b); candidates
-    //    below the t-implied overlap floor t/(1+t)·(n_a+n_b) never
-    //    reach array verification
+    //    caps the KEPT overlap at min(ke_a − pos_a, ke_b − pos_b);
+    //    candidates below the t-implied overlap floor
+    //    t/(1+t)·(n_a+n_b) never reach array verification
     val cand = prefixes.as("l").join(prefixes.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id")
           && col("l.n_sh") >= lit(minJaccard) * col("r.n_sh")
           && col("r.n_sh") >= lit(minJaccard) * col("l.n_sh"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
-      .agg(max(least(col("l.n_sh") - col("l.pos"),
-          col("r.n_sh") - col("r.pos"))).as("__ub"),
+      .agg(max(least(col("l.ke") - col("l.pos"),
+          col("r.ke") - col("r.pos"))).as("__ub"),
         max(col("l.n_sh")).as("na"), max(col("r.n_sh")).as("nb"))
       .where(col("__ub") >= ceil(lit(minJaccard / (1 + minJaccard)) *
         (col("na") + col("nb")) - lit(1e-9)))

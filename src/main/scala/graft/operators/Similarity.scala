@@ -722,27 +722,51 @@ object Similarity {
     require(sample.nonEmpty, "semDedupCross needs a non-empty reference")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
+    val keepers = semKeeperRank(Dedup.tracked(
+      semAssign(refDf, idCol, vecCol, centroids, keepFarthest, nassign,
+        withOk = true)), keeperCap)
+    semCrossTail(semAssign(newDf, idCol, vecCol, centroids, keepFarthest,
+      nassign, withOk = false), keepers, threshold)
+  }
+
+  /** Cell assignment of a corpus against a fixed codebook: one row per
+    * (doc, assigned cell) carrying (vector, norm[, keep-priority]) —
+    * the shared front of [[semDedup]]/[[semDedupCross]] and the
+    * artifact write/read paths. */
+  private def semAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], keepFarthest: Boolean, nassign: Int,
+      withOk: Boolean): DataFrame = {
     val sortedCells = sortedCellStructs(col("v"), centroids)
     def okey(d2c: Column, id: Column): Column =
       struct((if (keepFarthest) -d2c else d2c).as("o1"), id.as("o2"))
-    def assign(df: DataFrame, withOk: Boolean): DataFrame = {
-      val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-          l2Norm(col(vecCol)).as("n"))
-        .select(col("id"), col("v"), col("n"), sortedCells.as("sc"))
-        .select(col("id"), col("v"), col("n"),
-          explode(slice(col("sc"), 1, math.max(1, nassign))).as("c"),
-          okey(element_at(col("sc"), 1).getField("d"), col("id")).as("ok"))
-      val cols = Seq(col("id"), col("v"), col("n"),
-        col("c.cell").as("cell")) ++
-        (if (withOk) Seq(col("ok")) else Nil)
-      base.select(cols: _*)
-    }
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("n"))
+      .select(col("id"), col("v"), col("n"), sortedCells.as("sc"))
+      .select(col("id"), col("v"), col("n"),
+        explode(slice(col("sc"), 1, math.max(1, nassign))).as("c"),
+        okey(element_at(col("sc"), 1).getField("d"), col("id")).as("ok"))
+    val cols = Seq(col("id"), col("v"), col("n"),
+      col("c.cell").as("cell")) ++
+      (if (withOk) Seq(col("ok")) else Nil)
+    base.select(cols: _*)
+  }
+
+  /** Cap-rank the assigned reference rows into the per-cell keeper
+    * table (cell, keeper, kv, kn, kok). */
+  private def semKeeperRank(assigned: DataFrame, keeperCap: Int)
+      : DataFrame = {
     val w = Window.partitionBy("cell").orderBy(col("ok").asc)
-    val keepers = Dedup.tracked(assign(refDf, withOk = true))
+    assigned
       .withColumn("rk", row_number().over(w)).where(col("rk") <= keeperCap)
       .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
         col("n").as("kn"), col("ok").as("kok"))
-    assign(newDf, withOk = false).join(keepers, Seq("cell"))
+  }
+
+  /** Shared scoring tail: increment memberships × keeper table, inline
+    * cosine, earliest-qualifying-keeper aggregate. */
+  private def semCrossTail(newAssigned: DataFrame, keepers: DataFrame,
+      threshold: Double): DataFrame =
+    newAssigned.join(keepers, Seq("cell"))
       .where(col("id") =!= col("keeper")) // overlapping-side insurance
       .withColumn("cos_sim",
         round(dot(col("v"), col("kv")) / (col("n") * col("kn")), 6))
@@ -753,6 +777,58 @@ object Similarity {
       .select(col("id"), col("k.keeper").as("keeper"),
         col("k.cos_sim").as("cos_sim"),
         col("k.cell").cast(LongType).as("cluster"))
+
+  /** Persist the semantic lake artifacts — job 1 of the incremental
+    * SemDeDup contract the [[semDedupCross]] scaladoc promises: the
+    * fitted codebook at `<path>/codebook` (cell, centroid) and the
+    * cap-ranked keeper table at `<path>/keepers` (cell, keeper, kv,
+    * kn, kok). Each increment then pays ONE assignment pass over
+    * itself plus a cell-keyed join against the keeper table — the
+    * lake is never re-sampled, re-fit, re-assigned, or re-ranked. At
+    * cluster scale, partition the keeper table by `cell` so an
+    * increment's probe prunes to its touched cells. */
+  def writeSemDedupArtifacts(refDf: DataFrame, idCol: String,
+      vecCol: String, path: String, nlist: Int = 16, seed: Long = 42L,
+      keepFarthest: Boolean = true, keeperCap: Int = 1000,
+      nassign: Int = 1, sampleRows: Int = 4096): Unit = {
+    val sample = codebookSample(refDf, idCol, vecCol, sampleRows)
+    require(sample.nonEmpty, "writeSemDedupArtifacts needs a reference")
+    val centroids: Seq[Seq[Double]] =
+      LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
+    val spark = refDf.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    semKeeperRank(semAssign(refDf, idCol, vecCol, centroids, keepFarthest,
+        nassign, withOk = true), keeperCap)
+      .write.mode("overwrite").parquet(s"$path/keepers")
+  }
+
+  /** Load the fitted codebook back (bounded: nlist rows). */
+  def readSemCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/codebook").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** Job 2 of the incremental SemDeDup contract: dedup an increment
+    * against pre-built artifacts ([[writeSemDedupArtifacts]]) — the
+    * keeper table is joined as loaded and the codebook drives only the
+    * INCREMENT's assignment; the lake side contributes zero scans
+    * beyond the artifact read (plan-guarded in the spec). Output and
+    * semantics identical to [[semDedupCross]] with the same
+    * parameters (`nassign`/`threshold` may differ per increment;
+    * `keepFarthest`/`keeperCap`/codebook geometry are fixed at write
+    * time, which is exactly the lake contract). */
+  def semDedupCrossFromArtifacts(newDf: DataFrame, keepers: DataFrame,
+      centroids: Seq[Seq[Double]], idCol: String, vecCol: String,
+      threshold: Double, nassign: Int = 1): DataFrame = {
+    require(keepers.columns.toSet == Set("cell", "keeper", "kv", "kn",
+      "kok"), "keepers must be a writeSemDedupArtifacts table; got " +
+      keepers.columns.mkString(","))
+    semCrossTail(semAssign(newDf, idCol, vecCol, centroids,
+      keepFarthest = true, nassign = nassign, withOk = false),
+      keepers, threshold)
   }
 
   /** PCA of an embedding column: ONE distributed pass accumulates the

@@ -665,6 +665,86 @@ class OperatorsSpec extends SparkTestBase {
     Dedup.releaseIntermediates()
   }
 
+  test("prefix-filtered Jaccard under docFreqCap equals the capped " +
+      "inverted index (binding cap)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // random corpus over a tiny vocabulary so many shingles exceed a
+    // low cap — the capped-semantics regime, not the inert-cap one
+    val rng = new scala.util.Random(13)
+    val corpus = (0 until 60).map { i =>
+      val n = 4 + rng.nextInt(10)
+      (i.toLong, Seq.fill(n)(s"w${rng.nextInt(5)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (cap <- Seq(3, 8, 20)) {
+      val px = Dedup.ngramJaccardPairsPrefix(corpus, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.3, docFreqCap = cap)
+        .orderBy("a", "b").collect().map(key).toSeq
+      val ref = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.3, docFreqCap = cap)
+        .orderBy("a", "b").collect().map(key).toSeq
+      Dedup.releaseIntermediates()
+      assert(px == ref, s"cap=$cap: ${px.size} vs ${ref.size}")
+    }
+  }
+
+  test("lake artifacts: increment jobs scan the artifacts, never the " +
+      "reference corpus; results equal the in-job operators") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    // lexical: ref docs live in parquet, so any re-shingle of the lake
+    // would surface as a file scan of /refdocs
+    docs.where($"doc_id" % 2 === 0).write.parquet(s"$tmp/refdocs")
+    val refDocs = spark.read.parquet(s"$tmp/refdocs")
+    val newDocs = docs.where($"doc_id" % 2 === 1)
+    Dedup.writeBandedSignatures(refDocs, "text", "doc_id", s"$tmp/sigs")
+    val cross = Dedup.minhashLshCrossFromArtifacts(newDocs,
+      spark.read.parquet(s"$tmp/sigs"), "text", "doc_id",
+      minEstJaccard = 0.5)
+    val sp = scanPaths(cross)
+    assert(sp.exists(_.contains("/sigs")), s"artifact not scanned: $sp")
+    assert(!sp.exists(_.contains("/refdocs")), s"lake re-scanned: $sp")
+    def pk(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val inJob = Dedup.minhashLshCross(newDocs, refDocs, "text", "doc_id",
+      minEstJaccard = 0.5)
+    assert(cross.collect().map(pk).sorted.toSeq ==
+      inJob.collect().map(pk).sorted.toSeq)
+    Dedup.releaseIntermediates()
+    // semantic: same discipline for the codebook + keeper artifacts
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.00f, 1.00f)),
+      (4L, Array(0.01f, 0.99f)), (5L, Array(-1.00f, -0.3f))
+    ).toDF("vec_id", "embedding")
+    vecs.where($"vec_id" % 2 === 0).write.parquet(s"$tmp/refemb")
+    val refEmb = spark.read.parquet(s"$tmp/refemb")
+    val newEmb = vecs.where($"vec_id" % 2 === 1)
+    Similarity.writeSemDedupArtifacts(refEmb, "vec_id", "embedding",
+      s"$tmp/sem", nlist = 2, nassign = 2, seed = 7L)
+    val removed = Similarity.semDedupCrossFromArtifacts(newEmb,
+      spark.read.parquet(s"$tmp/sem/keepers"),
+      Similarity.readSemCodebook(spark, s"$tmp/sem"),
+      "vec_id", "embedding", threshold = 0.9, nassign = 2)
+    val sp2 = scanPaths(removed)
+    assert(sp2.exists(_.contains("/sem/keepers")), s"keepers not scanned: $sp2")
+    assert(!sp2.exists(_.contains("/refemb")), s"sem lake re-scanned: $sp2")
+    def rk(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val semInJob = Similarity.semDedupCross(newEmb, refEmb, "vec_id",
+      "embedding", threshold = 0.9, nlist = 2, nassign = 2, seed = 7L)
+    assert(removed.collect().map(rk).sorted.toSeq ==
+      semInJob.collect().map(rk).sorted.toSeq)
+    Dedup.releaseIntermediates()
+  }
+
   test("hashSplit deterministically partitions into the named bands") {
     val rows = (0L until 200L).toDF("id")
     val bands = Seq(("train", 80), ("val", 90), ("test", 100))
