@@ -25,6 +25,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-JVM unique root for the q192/q193 lake artifacts. A fresh
+    * temp dir (not a fixed /tmp path) so two concurrent runs against
+    * the same data dir can never race overwrite-vs-read on shared
+    * artifact files; within one JVM the writers use overwrite mode, so
+    * repeated builder calls stay idempotent. NOTE: q192/q193 are the
+    * two SIDE-EFFECTING entries in `queries` — constructing them runs
+    * the artifact-write jobs (that two-job shape IS the contract under
+    * test); plan-only consumers should skip them (PlanShapeSpec does). */
+  private lazy val LakeRoot =
+    java.nio.file.Files.createTempDirectory("graft_lake_").toString
+
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
   /** Shortest round-trip double literal for oracle SQL. */
@@ -1846,7 +1857,7 @@ object SparkEntry {
     // is certified to reproduce the in-job operator exactly.
     "q192_lake_artifacts" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val lake = s"/tmp/graft_lake/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val lake = s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Dedup.writeBandedSignatures(
         docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
         s"$lake/minhash_sigs")
@@ -1865,7 +1876,7 @@ object SparkEntry {
     // gate as q191 - artifact path == in-job operator, certified.
     "q193_semlake_artifacts" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val lake = s"/tmp/graft_lake/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val lake = s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.writeSemDedupArtifacts(
         emb.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
         "embedding", s"$lake/semdedup", nlist = 8, nassign = 3)

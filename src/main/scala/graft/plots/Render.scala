@@ -91,8 +91,14 @@ object Render {
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
          org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions._
+    // NaN parity with the scalar: math.min/max PROPAGATE NaN, so the
+    // JVM path ends at Math.round(NaN) = 0 → black (0,0,0) — while
+    // Spark's least/greatest order NaN above every double, which would
+    // pin NaN to the dark-blue 1.0 end (and ANSI mode forbids just
+    // letting NaN reach the int cast). Branch it out explicitly.
+    val nan = isnan(t)
     val x = greatest(lit(0.0), least(lit(1.0), t)) * lit((RdBu.length - 1).toDouble)
-    val i = least(lit(RdBu.length - 2), x.cast("int"))
+    val i = least(lit(RdBu.length - 2), when(nan, lit(0.0)).otherwise(x).cast("int"))
     val f = x - i.cast("double")
     def chan(sel: ((Int, Int, Int)) => Int): org.apache.spark.sql.Column = {
       val mixed = (1 until RdBu.length - 1).foldLeft(
@@ -102,7 +108,8 @@ object Render {
           lit((sel(RdBu(seg + 1)) - sel(RdBu(seg))).toDouble) * f)
           .otherwise(acc)
       }
-      floor(mixed + lit(0.5)).cast("int") // Math.round semantics
+      when(nan, lit(0)) // Math.round(NaN).toInt == 0, every channel
+        .otherwise(floor(mixed + lit(0.5)).cast("int")) // Math.round semantics
     }
     (chan(_._1), chan(_._2), chan(_._3))
   }
@@ -112,8 +119,13 @@ object Render {
       lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
       levels: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val t = least(lit(1.0), greatest(lit(0.0), normCol(v, lo, hi)))
-    least(lit(levels - 1), floor(t * lit(levels.toDouble)).cast("int"))
+    // same NaN-parity story as [[rdbuCols]]: the scalar's min/max chain
+    // propagates NaN and NaN.toInt = 0 lands in band 0; Spark's clamp
+    // would pin NaN to the TOP band without the guard
+    val n = normCol(v, lo, hi)
+    val t = least(lit(1.0), greatest(lit(0.0), n))
+    when(isnan(n), lit(0)).otherwise(
+      least(lit(levels - 1), floor(t * lit(levels.toDouble)).cast("int")))
   }
 
   /** The reference's `RESOLUTION_NAME` (`energypandas.py:805-814`)

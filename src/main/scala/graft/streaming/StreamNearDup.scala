@@ -147,6 +147,11 @@ object StreamNearDup {
     val st = state.getOption.getOrElse(
       BucketState(Array.empty, Array.empty))
     var ids = st.ids; var sigs = st.sigs
+    // stored-id set built once per (key, micro-batch) — see
+    // StreamSemDedup.gate for why this replaces a per-arrival O(cap)
+    // ids.contains scan
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    ids.foreach(seen += _)
     val out = scala.collection.mutable.ArrayBuffer.empty[Cand]
     arrivals.foreach { row =>
       var i = 0
@@ -162,10 +167,15 @@ object StreamNearDup {
         i += 1
       }
       // replay guard (same as StreamSemDedup): a re-delivered doc_id
-      // already stored in this bucket must not consume a cap slot
-      if (ids.length < bucketCap && !ids.contains(row.doc_id)) {
+      // already stored in this bucket must not consume a cap slot.
+      // Cap-only protection: replays still compare against stored
+      // partners and can RE-EMIT candidate pairs — at-least-once under
+      // re-delivery; candidates are deduped downstream (distinct on
+      // (a, b) before verification), which absorbs it.
+      if (ids.length < bucketCap && !seen.contains(row.doc_id)) {
         ids = ids :+ row.doc_id
         sigs = sigs :+ row.sig
+        seen += row.doc_id
       }
     }
     if (ids.length != st.ids.length) state.update(BucketState(ids, sigs))

@@ -140,6 +140,11 @@ object StreamSemDedup {
     val st = state.getOption.getOrElse(
       CellState(Array.empty, Array.empty, Array.empty))
     var ids = st.ids; var vecs = st.vecs; var cl = st.cellLists
+    // stored-id set, built once per (key, micro-batch) and amortized
+    // over every arrival — the per-arrival ids.contains scan was an
+    // extra O(cap) pass on hot cells
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    ids.foreach(seen += _)
     val out = scala.collection.mutable.ArrayBuffer.empty[Removal]
     arrivals.foreach { row =>
       val rn = math.sqrt(dotFF(row.vec, row.vec))
@@ -159,11 +164,17 @@ object StreamSemDedup {
       }
       // replay guard: an id already stored in this cell (duplicate or
       // re-delivered doc) must not consume another cap slot — without
-      // this, replays crowd novel enrollments out of the cap
-      if (ids.length < cellCap && !ids.contains(row.vec_id)) {
+      // this, replays crowd novel enrollments out of the cap. NOTE the
+      // guard only protects the CAP, not the emission: a replayed doc
+      // still compares against all stored partners and can re-emit its
+      // removal — the gate is at-least-once under re-delivery, which
+      // downstream consumers must absorb (removal sets are idempotent
+      // under distinct, the intended consumption).
+      if (ids.length < cellCap && !seen.contains(row.vec_id)) {
         ids = ids :+ row.vec_id
         vecs = vecs :+ row.vec
         cl = cl :+ row.cells
+        seen += row.vec_id
       }
     }
     if (ids.length != st.ids.length) state.update(CellState(ids, vecs, cl))

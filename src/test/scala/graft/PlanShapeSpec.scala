@@ -189,15 +189,22 @@ class PlanShapeSpec extends SparkTestBase {
     // native codegen'd expressions (rdbuCols, WindowSetContains,
     // BloomContainsLong) in round 10; this pins the property so a
     // future query can't quietly reintroduce a converter-boundary UDF.
-    // Construction-only (no actions beyond the bounded collects some
-    // operators do while building), against the smoke-scale testdata.
+    // Heavier than plan-only: several ANN builders run their bounded
+    // codebook-sample collects while constructing, against the
+    // smoke-scale testdata. q192/q193 are skipped — they are the two
+    // documented SIDE-EFFECTING builders (constructing them executes
+    // full lake-artifact write jobs); their inner operators' plans are
+    // covered through q190/q191 and the artifact specs in
+    // OperatorsSpec, which assert the no-re-shingle plan shape.
     val dir = "/root/testdata/sf0.001"
+    val sideEffecting = Set("q192_lake_artifacts", "q193_semlake_artifacts")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions
       }.flatten.exists(_.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => sideEffecting(name) }
       .flatMap { case (name, fn) =>
         val bad = try hasScalaUdf(fn(spark, dir))
         finally {

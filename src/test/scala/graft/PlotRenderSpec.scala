@@ -236,4 +236,29 @@ class PlotRenderSpec extends SparkTestBase {
     assert(darkIn(12, 30, 25 * 8, 49 * 8))          // bottom panel y ticks
     assert(darkIn(30, img2.getWidth, 49 * 8, img2.getHeight)) // x axis
   }
+
+  test("rdbuCols/contourBandCol match the JVM scalars on every input " +
+      "class, including NaN and infinities") {
+    import org.apache.spark.sql.functions.col
+    // NaN is the adversarial case: math.min/max propagate it (scalar →
+    // black / band 0) while Spark's least/greatest would clamp it to
+    // the 1.0 end — and ANSI mode throws on cast(NaN as int) if it
+    // reaches the segment-index cast. The twins must branch it out.
+    val ts = Seq(Double.NaN, Double.NegativeInfinity, -0.5, 0.0, 0.049,
+      1.0 / 3.0, 0.5, 0.95, 1.0, 1.5, Double.PositiveInfinity)
+    val df = ts.toDF("t")
+    val (r, g, b) = Render.rdbuCols(col("t"))
+    val band = Render.contourBandCol(col("t"), org.apache.spark.sql
+      .functions.lit(0.0), org.apache.spark.sql.functions.lit(1.0), 150)
+    val got = df.select(col("t"), r.as("r"), g.as("g"), b.as("b"),
+      band.as("band")).collect()
+    got.foreach { row =>
+      val t = row.getDouble(0)
+      val expected = rgb(Render.rdbu(t))
+      assert((row.getInt(1), row.getInt(2), row.getInt(3)) == expected,
+        s"rdbuCols($t)")
+      assert(row.getInt(4) == Render.contourBand(t, 0.0, 1.0, 150),
+        s"contourBandCol($t)")
+    }
+  }
 }
