@@ -597,9 +597,24 @@ object Dedup {
     *         to the doc's own id for singletons) */
   def duplicateComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = tracked(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair stream ONCE before fanning it out: the
+    // symmetrize-union below reads `pairs` from two plan branches, and
+    // upstream pair generation (a PPJoin candidate join, say) is far
+    // too expensive to evaluate per branch — cache-population races
+    // between sibling scans in one job would still double-compute it,
+    // so an explicit count() pins the cache in a single sequential job
+    val p = tracked(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    p.count()
+    // eager lineage CUT (not bare persist): every round's plan embeds
+    // its inputs' logical plans, so with a heavyweight pair pipeline
+    // (PPJoin) as the leaf and labels_k = f(labels_{k-1}, edges), bare
+    // persist still grows the analyzed tree exponentially — round 3 was
+    // measured at 59 s of pure DRIVER analysis over 512 edges. Cutting
+    // edges and each round's labels keeps the per-round plan O(1).
+    val edges = Lineage.cut(p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
+    persistedIntermediates.synchronized { persistedIntermediates += edges }
     // label sum as the convergence scalar — exact decimal accumulation so
     // 64-bit ids can never wrap the sum into a false fixpoint; an empty
     // vertex set (no pairs at all) sums to null → zero, converging
@@ -609,18 +624,16 @@ object Dedup {
         .head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Lineage.cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("component"))
-      val next = labels.union(prop).groupBy("id")
-        .agg(min(col("component")).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = Lineage.cut(labels.union(prop).groupBy("id")
+        .agg(min(col("component")).as("component")))
       val nextSum = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
@@ -653,8 +666,14 @@ object Dedup {
   def duplicateComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
     val a = col(aCol); val b = col(bCol)
-    val nodes = tracked(pairs.select(a.as("id"))
-      .union(pairs.select(b.as("id"))).distinct())
+    // same materialize-once discipline as [[duplicateComponents]]: the
+    // node set reads `pairs` twice and the initial edge canon a third
+    // time — one count() makes pair generation a single job
+    val p = tracked(pairs.select(a.as("__pa"), b.as("__pb")))
+    p.count()
+    val pa = col("__pa"); val pb = col("__pb")
+    val nodes = tracked(p.select(pa.as("id"))
+      .union(p.select(pb.as("id"))).distinct())
     def canon(d: DataFrame): DataFrame = d.distinct()
     // pair-sensitive set fingerprint: Σ xxhash64(lo, hi) distinguishes
     // edge sets that linear sums confuse ({(1,4),(2,3)} vs {(1,3),(2,4)}
@@ -671,8 +690,8 @@ object Dedup {
     // round (exponential treeString, driver OOM): the eager Lineage.cut
     // materializes AND truncates lineage (reliable-checkpoint mode via
     // spark.graft.checkpoint.reliable for executor-loss safety).
-    var edges = Lineage.cut(canon(pairs.select(least(a, b).as("lo"),
-        greatest(a, b).as("hi")).where(col("lo") =!= col("hi"))))
+    var edges = Lineage.cut(canon(p.select(least(pa, pb).as("lo"),
+        greatest(pa, pb).as("hi")).where(col("lo") =!= col("hi"))))
     var prev = checksum(edges)
     var converged = edges.isEmpty
     var i = 0
@@ -749,15 +768,22 @@ object Dedup {
     val ex = shingled.where(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
+    // only shingles SHARABLE at all (2 <= df <= cap) enter the kept
+    // lists: a df=1 singleton can never be in an intersection, so
+    // dropping it changes no jaccard — and completeness survives,
+    // because the prefix argument runs over the kept list (two docs
+    // with capped overlap O >= ceil(t*n) share O kept shingles, all
+    // df>=2, so each doc's first |kept|-O+1 kept-rarity slots still
+    // must contain a shared one). The payoff is large: singletons are
+    // the RAREST shingles, so without the filter they dominate every
+    // prefix (pure join-probe dead weight), every collect_list buffer,
+    // and every verification array.
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= docFreqCap)
     // per-doc KEPT shingles in canonical rarity order — the aggregation
     // buffer is the document's own shingle set (bounded by doc length),
-    // never a posting list, so document frequency skew cannot blow it
-    // up; above-cap shingles drop out here (df=1 singletons stay: they
-    // can never be shared, so they change no intersection, and their
-    // prefix slots generate zero join matches)
+    // never a posting list, so document frequency skew cannot blow it up
     val kept = ex.join(dfreq, "shingle")
-      .where(col("df") <= docFreqCap)
     val perDoc = tracked(kept
       .groupBy("id", "n_sh")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
