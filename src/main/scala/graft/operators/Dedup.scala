@@ -387,20 +387,49 @@ object Dedup {
     // distinct windows per doc via the O(len) rolling-hash scan (see
     // [[windowHashes]] — replaced md5-per-window, same equality wager);
     // docs shorter than the window yield no rows by construction
-    val inverted = tracked(windowHashes(df, textCol, idCol, windowLen))
-    val eligibleDf = tracked(inverted.groupBy("w")
+    // the 128-bit window key rides as TWO flat long columns, never the
+    // struct: struct grouping keys route Spark to ObjectHashAggregate,
+    // whose 128-distinct-keys-per-partial sort fallback spilled 3.6 GB
+    // at the 100x probe on this df-count; flat primitive keys keep the
+    // whole chain in codegen'd HashAggregate / shuffled hash joins
+    val inverted = tracked(windowHashes(df, textCol, idCol, windowLen)
+      .select(col("id"), col("w.h1").as("h1"), col("w.h2").as("h2")))
+    // size the df-count aggregation by the SCAN size: window keys are
+    // singleton-dominated, so partial aggregation combines nothing and
+    // its per-task hash map holds ~rows/partitions keys — at the 100x
+    // probe that was 11M keys (500 MB) per scan partition and spilled
+    // gigabytes. Re-keying the stream so each task holds a bounded key
+    // set fixes it (more tasks, not bigger maps, is the scale
+    // dimension). Rows ≈ text chars ≥ source bytes, so plan stats give
+    // a free, conservative size signal (no extra count job): one
+    // aggregation task per ~4 MB of source ≈ ≤1M windows per task even
+    // at 4x parquet text compression, a ~50 MB map.
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val defaultParts =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    val aggParts = math.max(defaultParts.toLong,
+      math.min(4096L, (statBytes / (4L << 20)).toLong)).toInt
+    val eligibleDf = tracked(inverted
+      .repartition(aggParts, col("h1"), col("h2"))
+      .groupBy("h1", "h2")
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2 && col("__df") <= docFreqCap))
-    val eligible = eligibleDf.select(col("w"))
-    val base = inverted.join(eligible, Seq("w"), "left_semi")
+    val eligible = eligibleDf.select(col("h1"), col("h2"))
+    val base = inverted.join(eligible.hint("SHUFFLE_HASH"),
+      Seq("h1", "h2"), "left_semi")
     val sized = tracked(pairStreamParts(eligibleDf, "__df")
-      .map(p => base.repartition(p, col("w"))).getOrElse(base))
-    val l = sized.select(col("w"), col("id").as("a"))
-    val r = sized.select(col("w"), col("id").as("b"))
-    l.join(r.hint("SHUFFLE_HASH"), Seq("w"))
+      .map(p => base.repartition(p, col("h1"), col("h2"))).getOrElse(base))
+    val l = sized.select(col("h1"), col("h2"), col("id").as("a"))
+    val r = sized.select(col("h1"), col("h2"), col("id").as("b"))
+    // the pair list itself is tracked: like the CC label tables, it is
+    // the unit every consumer fans out over (component grouping,
+    // leakage audits, keep/drop filters), and it is orders of magnitude
+    // smaller than the window stream that produced it — caching caps
+    // the expensive candidate join at one evaluation per pipeline
+    tracked(l.join(r.hint("SHUFFLE_HASH"), Seq("h1", "h2"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+      .where(col("n_shared") >= minShared))
   }
 
   /** Edit-distance near-dup pairs under blocked candidate generation:
