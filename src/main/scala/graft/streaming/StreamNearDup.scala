@@ -23,7 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct is needed). `bucketCap` is the same skew/state guard as
   * the batch operator's: a boilerplate mega-bucket holds its first cap
   * entries and compares later arrivals against them instead of going
-  * quadratic (or growing state without bound).
+  * quadratic (or growing state without bound). The cap is a pure
+  * memory/throughput bound, NOT a recall knob: buckets are keyed by
+  * the band signature, so distinct dup groups occupy their own buckets
+  * and never contend with a hot clique's — the StreamCapProbe curve
+  * (SCALE.md round 11) measured removal recall 1.000 at every cap from
+  * 250 to 4000 under a 3,000-doc saturating clique with 500 unrelated
+  * dup pairs arriving after saturation; only intra-clique pair
+  * ATTRIBUTION shifts to the stored prefix, which is what removal
+  * consumers want anyway. Hence the default 2000 is sized by state
+  * cost (O(cap · bands · sigLen) per hot bucket), not recall.
   *
   * The hash math reproduces the batch pipeline bit-for-bit —
   * `xxhash64(shingle, seed)` per signature position and

@@ -59,7 +59,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * though a stored match exists elsewhere. The miss requires the min
   * shared cell to have filled before the earlier doc arrived AND every
   * other shared cell to either be capped too or rank above the min —
-  * a recall (not correctness) trade, covered by the q188 recall gate
+  * a recall (not correctness) trade, covered by the q188 recall gate.
+  *
+  * Unlike [[StreamNearDup]]'s buckets, IVF cells are coarse Voronoi
+  * regions: DISSIMILAR documents legitimately share a cell, so a
+  * clique-saturated cell starves the enrollment of unrelated dup pairs
+  * inside it. The StreamCapProbe curve (SCALE.md round 11, one-cell
+  * worst case, empirical truth) measured removal recall 0.83 / 0.87 /
+  * 0.93 / 0.98 / 1.00 at cellCap 250 / 500 / 1000 / 2000 / 4000 under
+  * a 3,000-vector saturating clique — the `cellCap = 1000` default
+  * holds ≥ 0.93 even there. Production sizing: cellCap ≥ the expected
+  * per-cell duplicate mass, and prefer growing `nlist` (more, smaller
+  * cells) over growing the cap — cells PARTITION the contention, the
+  * cap only bounds it.
   * and measured against cap pressure in SCALE.md's cap-recall table.
   * Replayed ids do NOT consume cap slots: enrollment is skipped when
   * the arrival's vec_id is already stored in the cell. */
