@@ -1894,6 +1894,85 @@ object SparkEntry {
       recallGate(shouldRemove, removed.select(col("id").as("vec")),
         Seq("vec"), threshold = 0.8)
     }),
+    // ---- END-TO-END CURATION MEGA-PIPELINE: the full training-data
+    // assembly matrix as ONE composed plan — decontaminate → exact
+    // dedup → near-dup CC dedup → semantic dedup → quality/langid
+    // filters → duplicated-span scrub → temperature mix → budget
+    // packing — with a per-stage (n_docs, metric) summary the DuckDB
+    // oracle reproduces stage by stage. The dedup stages use the EXACT
+    // operators (PPJoin jaccard + CC, brute-force cosine) so every
+    // stage is SQL-expressible; the production twin with the sketch
+    // operators (minhashLsh, semDedup) in those slots is measured at
+    // 100x as op_megapipeline (SCALE.md round 11). Stage boundaries
+    // persist: every stage's survivors feed both the next stage and
+    // the summary, so each stage evaluates exactly once.
+    "q194_megapipeline" -> ((s, dir) => {
+      // stage boundaries use Lineage.cut, not bare persist: stage k's
+      // logical plan nests every upstream stage's plan, and by stage 6+
+      // even persist-time bookkeeping (CachedRDDBuilder renders the
+      // plan STRING for its name) walks an effectively exponential
+      // tree — the same pathology the CC loop hit. Cutting keeps every
+      // stage's plan O(1) and materializes each stage exactly once.
+      val cut = graft.operators.Lineage.cut _
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val bench = docs.where(col("doc_id") < 10)
+      val train = docs.where(col("doc_id") >= 10)
+      val contaminated = Dedup.contaminatedDocs(train, bench, "text",
+        "doc_id", windowLen = 50).select(col("id").as("doc_id"))
+      val s1 = cut(train.join(contaminated, Seq("doc_id"), "left_anti"))
+      val keep2 = Dedup.exact(s1, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val s2 = cut(s1.join(keep2, Seq("doc_id"), "left_semi"))
+      val pairs = Dedup.ngramJaccardPairsPrefix(s2, "text", "doc_id",
+        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+      val comp = Dedup.duplicateComponents(pairs, "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      val s3 = cut(s2.join(comp, Seq("doc_id"), "left")
+        .where(col("component").isNull || col("component") === col("doc_id"))
+        .drop("component"))
+      val embS = emb.join(s3.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      // keep-earliest semantic dedup: drop the LATER side of every
+      // >=0.4-cosine pair among stage-3 survivors (one-step greedy by
+      // id — deterministic and SQL-expressible, unlike k-means cells)
+      val removed4 = Similarity.cosineNearDupPairs(embS, "vec_id",
+          "embedding", threshold = 0.4)
+        .select(col("b").as("doc_id")).distinct()
+      val s4 = cut(s3.join(removed4, Seq("doc_id"), "left_anti"))
+      val s5 = cut(s4
+        .withColumn("__r", TextOps.repetitionScores(col("text")))
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .where(col("quality") >= 0.5 &&
+          col("__r.top_bigram_frac") <= 0.2 &&
+          TextOps.langId(col("text")) === "en")
+        .drop("__r", "quality"))
+      val scrub = graft.operators.Curation.spanScrub(s5, "text", "doc_id",
+        n = 5, minDf = 2)
+      val kept6 = cut(scrub.select(col("doc_id"),
+        (col("n_tokens") - col("n_removed")).as("kt")))
+      val mix = Sampling.temperatureMix(s5.select(col("doc_id"),
+        col("source")), "source", "doc_id", tau = 0.5, total = 200)
+      val sel = cut(mix.join(kept6, Seq("doc_id")))
+      val packed = Sampling.packByBudget(sel, "source", "doc_id", "kt",
+        budget = 4000L)
+      def st(name: String, df: DataFrame, metric: Column): DataFrame =
+        df.agg(coalesce(sum(metric), lit(0L)).cast("long").as("metric"),
+            count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"), col("metric"))
+      st("1_decon", s1, col("n_chars"))
+        .unionAll(st("2_exact", s2, col("n_chars")))
+        .unionAll(st("3_neardup", s3, col("n_chars")))
+        .unionAll(st("4_semdedup", s4, col("n_chars")))
+        .unionAll(st("5_filters", s5, col("n_chars")))
+        .unionAll(st("6_scrub", kept6, col("kt")))
+        .unionAll(st("7_mix", sel, col("kt")))
+        .unionAll(packed.groupBy(col("source"), col("bin"))
+          .agg(sum(col("kt")).as("__t"))
+          .agg(coalesce(sum(col("__t")), lit(0L)).cast("long").as("metric"),
+            count(lit(1)).as("n_docs"))
+          .select(lit("8_pack").as("stage"), col("n_docs"), col("metric")))
+    }),
     // ---- split-leakage audit: near-dup pairs that straddle the
     // train/test hash split — the eval-integrity check every corpus
     // assembly needs (a test doc with a >=0.5-Jaccard twin in train is
@@ -2810,6 +2889,148 @@ object SparkEntry {
            |        unnest(generate_series(0, greatest(len(words) - 1, 0), 48))
            |          AS start_word
            |      FROM filt)""".stripMargin
+      },
+      // independent SQL derivation of the whole 8-stage mega-pipeline:
+      // each stage CTE mirrors the certified per-operator oracles
+      // (q86 decon windows, q24 exact keep, q87 shingle/CC/filters,
+      // q28 cosine, q189 span scrub, q180 temperature mix, q97 pack)
+      "q194_megapipeline" -> {
+        def winSql(cond: String, withDoc: Boolean): String = {
+          val sel = if (withDoc) "doc_id, win" else "win"
+          s"""SELECT DISTINCT $sel FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(
+             |        generate_series(1, greatest(length(text) - 49, 0)),
+             |        i -> substr(text, CAST(i AS INTEGER), 50))) AS win
+             |    FROM documents WHERE $cond AND length(text) >= 50)""".stripMargin
+        }
+        val qualityExpr =
+          """round(least(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+            |                 ELSE nc / 10000.0 + 0.01 END, 1.0) * 0.25
+            |  + (alpha / greatest(nc, 1.0)) * 0.25
+            |  + (CASE WHEN alpha / greatest(nw, 1.0) >= 3
+            |           AND alpha / greatest(nw, 1.0) <= 10
+            |          THEN 1.0 ELSE 0.5 END) * 0.25
+            |  + (nd / greatest(nw, 1.0)) * 0.25, 6)""".stripMargin
+        s"""WITH RECURSIVE
+           |tw AS MATERIALIZED (${winSql("doc_id >= 10", withDoc = true)}),
+           |bw AS MATERIALIZED (${winSql("doc_id < 10", withDoc = false)}),
+           |contaminated AS MATERIALIZED (SELECT DISTINCT doc_id FROM tw
+           |                 WHERE win IN (SELECT win FROM bw)),
+           |s1 AS MATERIALIZED (SELECT * FROM documents WHERE doc_id >= 10
+           |       AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |s2 AS MATERIALIZED (SELECT * FROM s1
+           |       WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY text)),
+           |cdocs AS MATERIALIZED (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(words) - 2, 0)),
+           |    i -> array_to_string(words[i:i+2], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM s2)),
+           |cex AS MATERIALIZED (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM cdocs),
+           |celig AS MATERIALIZED (SELECT shingle FROM cex GROUP BY shingle
+           |          HAVING count(*) BETWEEN 2 AND 1000),
+           |cpairs AS MATERIALIZED (
+           |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
+           |    count(*) AS n_inter
+           |  FROM cex l JOIN cex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           |  WHERE l.shingle IN (SELECT shingle FROM celig)
+           |  GROUP BY 1, 2, 3, 4),
+           |np AS MATERIALIZED (SELECT a, b FROM (
+           |  SELECT a, b, n_inter / (na + nb - n_inter) AS j FROM cpairs)
+           |  WHERE j >= 0.5),
+           |edges AS MATERIALIZED (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |comp AS MATERIALIZED (SELECT src AS doc_id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src),
+           |s3 AS MATERIALIZED (SELECT c.* FROM s2 c LEFT JOIN comp USING (doc_id)
+           |       WHERE comp.component IS NULL OR comp.component = c.doc_id),
+           |semb AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e
+           |         JOIN s3 ON e.vec_id = s3.doc_id),
+           |sem AS MATERIALIZED (SELECT DISTINCT y.vec_id AS b
+           |  FROM semb x JOIN semb y ON x.vec_id < y.vec_id
+           |  WHERE round(${cos("x.embedding", "y.embedding")}, 6) >= 0.4),
+           |s4 AS MATERIALIZED (SELECT * FROM s3
+           |       WHERE doc_id NOT IN (SELECT b FROM sem)),
+           |c1 AS MATERIALIZED (SELECT doc_id, text,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+           |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS nd,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    string_split_regex(trim(text), '\\s+') AS words
+           |  FROM s4),
+           |c2 AS MATERIALIZED (SELECT *, $bestExpr AS best,
+           |    list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+           |      i -> array_to_string(words[i:i+1], ' ')) AS bg
+           |  FROM c1),
+           |scored AS MATERIALIZED (SELECT doc_id, $qualityExpr AS quality,
+           |    CASE $langCase ELSE 'und' END AS pred_lang,
+           |    CASE WHEN len(bg) <= 0 THEN 0.0
+           |         ELSE round(list_max(list_transform(list_distinct(bg),
+           |                x -> len(list_filter(bg, y -> y = x)))) / len(bg), 6)
+           |    END AS tb
+           |  FROM c2),
+           |s5 AS MATERIALIZED (SELECT s4.* FROM s4 JOIN (SELECT doc_id FROM scored
+           |    WHERE quality >= 0.5 AND tb <= 0.2 AND pred_lang = 'en') f
+           |  USING (doc_id)),
+           |toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM s5),
+           |spos AS MATERIALIZED (SELECT doc_id, w,
+           |        unnest(generate_series(1, len(w) - 4)) AS i
+           |      FROM toks WHERE len(w) >= 5),
+           |sg AS MATERIALIZED (SELECT doc_id, i,
+           |        array_to_string(w[i:i+4], ' ') AS gram FROM spos),
+           |sdf AS MATERIALIZED (SELECT gram, count(DISTINCT doc_id) AS df
+           |       FROM sg GROUP BY 1),
+           |cov AS MATERIALIZED (SELECT DISTINCT doc_id, tp FROM (
+           |  SELECT sg.doc_id, unnest(generate_series(sg.i, sg.i + 4)) AS tp
+           |  FROM sg JOIN sdf USING (gram) WHERE sdf.df >= 2)),
+           |tk AS MATERIALIZED (SELECT doc_id, unnest(generate_series(1, len(w))) AS tp
+           |       FROM toks),
+           |kept AS MATERIALIZED (SELECT tk.doc_id,
+           |    count(*) - sum(CASE WHEN cov.tp IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS kt
+           |  FROM tk LEFT JOIN cov
+           |    ON tk.doc_id = cov.doc_id AND tk.tp = cov.tp
+           |  GROUP BY 1),
+           |mc AS MATERIALIZED (SELECT source,
+           |    CAST(round(1e6 * sqrt(count(*))) AS BIGINT) AS w
+           |  FROM s5 GROUP BY 1),
+           |mz AS MATERIALIZED (SELECT sum(w) AS z FROM mc),
+           |ma AS MATERIALIZED (SELECT source, (200 * w) // z AS alloc FROM mc, mz),
+           |mr AS MATERIALIZED (SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
+           |  FROM s5),
+           |mix AS MATERIALIZED (SELECT mr.doc_id, mr.source FROM mr
+           |  JOIN ma ON mr.source = ma.source WHERE mr.rn <= ma.alloc),
+           |sel AS MATERIALIZED (SELECT mix.doc_id, mix.source, kept.kt
+           |  FROM mix JOIN kept USING (doc_id)),
+           |pc AS MATERIALIZED (SELECT source, doc_id, kt,
+           |    coalesce(sum(kt) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM sel),
+           |pk AS MATERIALIZED (SELECT source, CAST(cum // 4000 AS BIGINT) AS bin, kt FROM pc)
+           |SELECT stage, n_docs, metric FROM (
+           |  SELECT '1_decon' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS metric FROM s1
+           |  UNION ALL SELECT '2_exact', CAST(count(*) AS BIGINT),
+           |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+           |  UNION ALL SELECT '3_neardup', CAST(count(*) AS BIGINT),
+           |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3
+           |  UNION ALL SELECT '4_semdedup', CAST(count(*) AS BIGINT),
+           |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
+           |  UNION ALL SELECT '5_filters', CAST(count(*) AS BIGINT),
+           |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5
+           |  UNION ALL SELECT '6_scrub', CAST(count(*) AS BIGINT),
+           |    CAST(coalesce(sum(kt), 0) AS BIGINT) FROM kept
+           |  UNION ALL SELECT '7_mix', CAST(count(*) AS BIGINT),
+           |    CAST(coalesce(sum(kt), 0) AS BIGINT) FROM sel
+           |  UNION ALL SELECT '8_pack',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM
+           |      (SELECT DISTINCT source, bin FROM pk)),
+           |    CAST(coalesce(sum(kt), 0) AS BIGINT) FROM pk)""".stripMargin
       },
       "q85_standardize" ->
         s"""WITH st AS (SELECT ${dSum("value")} AS s,
