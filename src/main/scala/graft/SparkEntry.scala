@@ -29,10 +29,13 @@ object SparkEntry {
     * temp dir (not a fixed /tmp path) so two concurrent runs against
     * the same data dir can never race overwrite-vs-read on shared
     * artifact files; within one JVM the writers use overwrite mode, so
-    * repeated builder calls stay idempotent. NOTE: q192/q193 are the
-    * two SIDE-EFFECTING entries in `queries` — constructing them runs
-    * the artifact-write jobs (that two-job shape IS the contract under
-    * test); plan-only consumers should skip them (PlanShapeSpec does). */
+    * repeated builder calls stay idempotent. NOTE: q192/q193/q196/q198
+    * are the SIDE-EFFECTING entries in `queries` — constructing them
+    * runs the artifact-write jobs (that two-job shape IS the contract
+    * under test); plan-only consumers should skip them (PlanShapeSpec
+    * does). q198's append step is also idempotent across repeated
+    * builder calls: the overwrite of job 1 clears the dir first, and
+    * append multiplicity never changes an anti-join. */
   private lazy val LakeRoot =
     java.nio.file.Files.createTempDirectory("graft_lake_").toString
 
@@ -1973,6 +1976,70 @@ object SparkEntry {
             count(lit(1)).as("n_docs"))
           .select(lit("8_pack").as("stage"), col("n_docs"), col("metric")))
     }),
+    // ---- corpus-wide SEGMENT-level exact dedup (the CCNet paragraph
+    // -dedup discipline at fixed 10-word blocks): every repeated
+    // segment keeps exactly ONE occurrence corpus-wide (first by
+    // (doc_id, position)); complements q189's remove-ALL-occurrences
+    // spanScrub
+    "q195_segment_dedup" -> ((s, dir) =>
+      graft.operators.Curation.segmentDedup(t(s, dir, "documents"),
+        "text", "doc_id", segWords = 10)),
+    // ---- incremental EXACT dedup against a content-hash lake: job 1
+    // writes the evens' distinct md5 hashes as the lake artifact;
+    // job 2 dedups the odds against it (first-seen by id within the
+    // increment, anti-joined against the lake). The exact column of
+    // the incremental-dedup matrix (q190 minhash / q191 semantic).
+    // SIDE-EFFECTING like q192/q193 (the two-job shape IS the
+    // contract under test).
+    "q196_exact_lake" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lake = s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ex"
+      Dedup.writeContentHashes(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text",
+        s"$lake/hashes")
+      Dedup.exactCrossFromArtifacts(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        s.read.parquet(s"$lake/hashes"), "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+    // ---- quality-filter threshold sweep: the docs/tokens retention
+    // curve that calibrates a filter before a full-corpus run, over
+    // the q31 quality score (rounded to 6 first so the threshold
+    // compares are bit-safe cross-engine), token-count weighted
+    "q197_filter_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.filterSweep(
+        docs.select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "quality", "n_tokens",
+        thresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8))
+    }),
+    // ---- full exact-lake LIFECYCLE: build the lake from third 0,
+    // dedup third 1 against it and fold the survivors' hashes back in
+    // (blind append — multiplicity never changes an anti-join), then
+    // dedup third 2 against the merged lake. The steady-state
+    // increment cycle; globally equivalent to first-occurrence by
+    // (third, id), which is exactly what the oracle replays.
+    // SIDE-EFFECTING.
+    "q198_exact_lake_cycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lake = s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_cyc"
+      val third = pmod(col("doc_id"), lit(3))
+      Dedup.writeContentHashes(docs.where(third === 0), "text",
+        s"$lake/hashes")
+      val s1 = Dedup.exactCrossFromArtifacts(docs.where(third === 1),
+        s.read.parquet(s"$lake/hashes"), "text", "doc_id")
+      Dedup.appendContentHashes(s1, "text", s"$lake/hashes")
+      Dedup.exactCrossFromArtifacts(docs.where(third === 2),
+        s.read.parquet(s"$lake/hashes"), "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+    // ---- bigram-interpolated LM score (the CCNet perplexity-filter
+    // discipline, one model order above q104's unigram score)
+    "q199_lm_bigram" -> ((s, dir) =>
+      Analytics.lmScoreBigram(t(s, dir, "documents"), "text", "doc_id",
+        lambda = 0.75)),
     // ---- split-leakage audit: near-dup pairs that straddle the
     // train/test hash split — the eval-integrity check every corpus
     // assembly needs (a test doc with a >=0.5-Jaccard twin in train is
@@ -3032,6 +3099,97 @@ object SparkEntry {
            |      (SELECT DISTINCT source, bin FROM pk)),
            |    CAST(coalesce(sum(kt), 0) AS BIGINT) FROM pk)""".stripMargin
       },
+      "q195_segment_dedup" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+          |  FROM documents),
+          |occ AS (SELECT doc_id, w,
+          |    unnest(generate_series(0,
+          |      CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS idx
+          |  FROM toks),
+          |seg AS (SELECT doc_id, idx,
+          |    array_to_string(w[idx*10+1 : idx*10+10], ' ') AS seg
+          |  FROM occ),
+          |k AS (SELECT doc_id, idx, seg,
+          |    (row_number() OVER (PARTITION BY seg
+          |       ORDER BY doc_id, idx)) = 1 AS keep
+          |  FROM seg)
+          |SELECT doc_id,
+          |  coalesce(string_agg(CASE WHEN keep THEN seg END,
+          |    ' ' ORDER BY idx), '') AS clean_text,
+          |  CAST(count(*) AS BIGINT) AS n_segments,
+          |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+          |    AS n_removed
+          |FROM k GROUP BY 1""".stripMargin,
+      "q196_exact_lake" ->
+        """WITH ch AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |lake AS (SELECT DISTINCT h FROM ch WHERE doc_id % 2 = 0),
+          |keep AS (SELECT h, min(doc_id) AS doc_id FROM ch
+          |         WHERE doc_id % 2 = 1 GROUP BY 1)
+          |SELECT doc_id FROM keep
+          |WHERE h NOT IN (SELECT h FROM lake)""".stripMargin,
+      "q197_filter_sweep" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+          |    CAST(length(text) AS DOUBLE) AS nc,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
+          |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS nd,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+          |  FROM documents),
+          |q AS (SELECT doc_id, n_tokens,
+          |  round(least(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+          |                   ELSE nc / 10000.0 + 0.01 END, 1.0) * 0.25
+          |    + (alpha / greatest(nc, 1.0)) * 0.25
+          |    + (CASE WHEN alpha / greatest(nw, 1.0) >= 3
+          |             AND alpha / greatest(nw, 1.0) <= 10
+          |            THEN 1.0 ELSE 0.5 END) * 0.25
+          |    + (nd / greatest(nw, 1.0)) * 0.25, 6) AS quality
+          |  FROM c),
+          |tot AS (SELECT CAST(count(*) AS DOUBLE) AS td,
+          |        CAST(sum(n_tokens) AS DOUBLE) AS tw FROM q),
+          |t AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
+          |        AS DOUBLE) AS threshold)
+          |SELECT t.threshold,
+          |  CAST(count(CASE WHEN q.quality >= t.threshold THEN 1 END)
+          |    AS BIGINT) AS docs_kept,
+          |  CAST(coalesce(sum(CASE WHEN q.quality >= t.threshold
+          |    THEN q.n_tokens END), 0) AS BIGINT) AS weight_kept,
+          |  round(CAST(count(CASE WHEN q.quality >= t.threshold THEN 1
+          |    END) AS DOUBLE) / tot.td, 6) AS doc_frac,
+          |  round(CAST(coalesce(sum(CASE WHEN q.quality >= t.threshold
+          |    THEN q.n_tokens END), 0) AS DOUBLE) / tot.tw, 6)
+          |    AS weight_frac
+          |FROM t CROSS JOIN q CROSS JOIN tot
+          |GROUP BY t.threshold, tot.td, tot.tw""".stripMargin,
+      "q198_exact_lake_cycle" ->
+        """SELECT doc_id FROM (
+          |  SELECT doc_id, row_number() OVER (
+          |      PARTITION BY md5(text) ORDER BY doc_id % 3, doc_id)
+          |    AS rn
+          |  FROM documents)
+          |WHERE rn = 1 AND doc_id % 3 = 2""".stripMargin,
+      "q199_lm_bigram" ->
+        s"""WITH toks AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\\s+') AS w
+           |  FROM documents),
+           |uni AS (SELECT word, count(*) AS c FROM (
+           |    SELECT unnest(w) AS word FROM toks) GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+           |bi AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM (
+           |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1))
+           |      AS i
+           |    FROM toks WHERE len(w) >= 2)),
+           |bc AS (SELECT prev, cur, count(*) AS bc
+           |       FROM bi GROUP BY 1, 2)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(${dAvg("ln(0.75 * (CAST(bc.bc AS DOUBLE) / " +
+             "CAST(up.c AS DOUBLE)) + 0.25 * (CAST(uc.c AS DOUBLE) " +
+             "/ tot.t))")}, 6) AS logprob
+           |FROM bi JOIN bc ON bi.prev = bc.prev AND bi.cur = bc.cur
+           |  JOIN uni up ON up.word = bi.prev
+           |  JOIN uni uc ON uc.word = bi.cur
+           |  CROSS JOIN tot
+           |GROUP BY 1""".stripMargin,
       "q85_standardize" ->
         s"""WITH st AS (SELECT ${dSum("value")} AS s,
            |    ${dSum("value * value")} AS q,

@@ -330,6 +330,58 @@ object Analytics {
         round(-DetAgg.detSum(col("__plp")), 6).as("entropy"))
   }
 
+  /** Bigram-interpolated language-model score per document — the CCNet
+    * perplexity-filter discipline (Wenzek et al. 2020) one order up
+    * from the unigram score: fit unigram and bigram counts on the
+    * corpus itself, then score every document by the mean
+    * `log(λ·P(w|prev) + (1−λ)·P(w))` over its bigram positions, with
+    * `P(w|prev) = c(prev,w)/c(prev)` and `P(w) = c(w)/N`. Low scores
+    * mark gibberish and boilerplate the unigram model cannot see
+    * (plausible words in implausible order). Documents with fewer than
+    * two words have no bigram positions and drop out.
+    *
+    * Shape at scale: bigrams are projection-local (an index-sequence
+    * HOF over the word array — no window, no shuffle to build); the
+    * model fit is two map-side-combinable aggregates (vocabulary- and
+    * bigram-vocabulary-sized, Zipf-concentrated keys collapse to
+    * counters in the partial); scoring is three hash joins on word
+    * keys — linear row flow, hot words are fine because a join row
+    * never fans out. The corpus total rides as a one-row cross join,
+    * not a driver action. Returns (doc_id, n_bigrams, logprob),
+    * logprob summed through DetAgg's exact-decimal route and rounded
+    * to 6 — engine-exact. */
+  def lmScoreBigram(docs: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1], got $lambda")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("w"))
+    val words = base.select(explode(col("w")).as("word"))
+    val uni = Dedup.tracked(words.groupBy("word")
+      .agg(count(lit(1)).as("c")))
+    val tot = uni.agg(sum(col("c")).cast("double").as("t"))
+    val bi = base.where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("prev"),
+            element_at(col("w"), i + 1).as("cur")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"),
+        col("b.cur").as("cur"))
+    val bc = bi.groupBy("prev", "cur").agg(count(lit(1)).as("bc"))
+    val p = lit(lambda) *
+      (col("bc").cast("double") / col("cp").cast("double")) +
+      lit(1.0 - lambda) * (col("cw").cast("double") / col("t"))
+    bi.join(bc, Seq("prev", "cur"))
+      .join(uni.select(col("word").as("prev"), col("c").as("cp")),
+        Seq("prev"))
+      .join(uni.select(col("word").as("cur"), col("c").as("cw")),
+        Seq("cur"))
+      .crossJoin(tot)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(DetAgg.detAvg(log(p)), 6).as("logprob"))
+  }
+
   /** Per-group CUSUM change detection (Page 1954) over a PRE-AGGREGATED
     * ordered series: the one-sided cumulative sum
     * `s_i = max(0, s_{i−1} + (x_i − target))` with an alarm whenever

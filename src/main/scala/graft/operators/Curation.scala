@@ -153,6 +153,109 @@ object Curation {
           .as("n_removed"))
   }
 
+  /** Corpus-wide SEGMENT-level exact deduplication — the CCNet
+    * paragraph-dedup discipline (keep exactly ONE occurrence of every
+    * repeated paragraph corpus-wide, remove the rest), at fixed
+    * `segWords`-word block granularity. The fixed word block stands in
+    * for the paragraph unit on corpora without newline structure (this
+    * test corpus); a delimiter-based splitter drops in by swapping the
+    * segmenter expression. The canonical occurrence of a segment is the
+    * first by (doc_id, position); every other occurrence — intra- or
+    * cross-document — is removed. Complements [[spanScrub]], which
+    * excises ALL occurrences of a duplicated sliding window (Lee et
+    * al. 2022); here repeated content survives exactly once, the
+    * contract a training corpus usually wants for boilerplate.
+    * Returns one row per input document:
+    * `(doc_id, clean_text, n_segments, n_removed)` — fully-duplicate
+    * documents come back with an empty string.
+    *
+    * Shape at scale: segmentation is projection-local (split + slice
+    * HOFs, no shuffle to build); the canonical-occurrence choice is ONE
+    * map-side-combinable min-aggregate keyed by the 128-bit segment
+    * hash (hot boilerplate segments collapse to a single min row, never
+    * pair generators); the keep test is one hash join back on that key;
+    * the rebuild is one per-doc aggregate whose sorted collect is
+    * document-sized. No corpus-wide sort, no pair stream, no window
+    * wider than a document. md5 keys the shuffle: 16 bytes regardless
+    * of segment length, collision-free at any corpus a cluster holds. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+      segWords: Int = 10): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val k = segWords
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val words = split(col("text"), " ")
+    val nseg = ceil(size(words).cast("double") / k).cast("int")
+    // (doc, idx, segment, hash) occurrences; read twice (canonical
+    // aggregate + keep join), so persist like the other pair streams
+    val occ = Dedup.tracked(base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          b => array_join(slice(words, b * k + 1, lit(k)), " ")))
+          .as(Seq("idx", "seg")))
+      .withColumn("h", md5(col("seg"))))
+    val canon = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
+    occ.join(canon, Seq("h"))
+      .withColumn("__keep",
+        col("__first.doc_id") === col("doc_id") &&
+          col("__first.idx") === col("idx"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__keep"), struct(col("idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        sum((!col("__keep")).cast("long")).as("n_removed"))
+  }
+
+  /** Quality-filter threshold sweep — the retention curve that
+    * calibrates a filter BEFORE a 100 TB run: for each candidate
+    * threshold, how many documents and how much weight (token mass)
+    * survive `score >= t`, as counts and fractions of the corpus.
+    *
+    * Shape at scale: ONE pass over the corpus — each row is assigned
+    * the number of thresholds it passes (a fold of codegen'd
+    * conditionals, no UDF), aggregated into |T|+1 bins whose shuffle is
+    * |T|+1 rows per map partition (map-side combine; the few-key
+    * shuffle is never hot because partials, not rows, move). The curve
+    * itself is a ≤|T|²-row theta-join over the bin table — driver-scale
+    * by construction. Never one-scan-per-threshold, never a
+    * row×threshold fan-out. */
+  def filterSweep(df: DataFrame, scoreCol: String, weightCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds,
+      "thresholds must be non-empty, strictly ascending")
+    // bin = number of thresholds passed (0 = fails all of them)
+    val bin = thresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col(scoreCol) >= t, 1).otherwise(0)
+    }
+    val bins = Dedup.tracked(df
+      .select(bin.as("__bin"), col(weightCol).as("__w"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__docs"), sum(col("__w")).as("__wsum")))
+    val tdf = df.sparkSession
+      .createDataFrame(thresholds.zipWithIndex.map { case (t, i) =>
+        (i + 1, t)
+      })
+      .toDF("__i", "threshold")
+    val tot = bins.agg(sum(col("__docs")).as("__td"),
+      sum(col("__wsum")).as("__tw"))
+    // threshold i keeps every bin >= i; left join so a threshold that
+    // keeps nothing still emits a zero row
+    tdf.join(bins, col("__bin") >= col("__i"), "left")
+      .groupBy(col("__i"), col("threshold"))
+      .agg(coalesce(sum(col("__docs")), lit(0L)).as("docs_kept"),
+        coalesce(sum(col("__wsum")), lit(0L)).as("weight_kept"))
+      .crossJoin(tot)
+      .select(col("threshold"),
+        col("docs_kept"),
+        col("weight_kept"),
+        round(col("docs_kept").cast("double") /
+          col("__td").cast("double"), 6).as("doc_frac"),
+        round(col("weight_kept").cast("double") /
+          col("__tw").cast("double"), 6).as("weight_frac"))
+  }
+
   /** Per-group budgeted selection (the data-mixing primitive): within
     * each group, rank items by `rankCol` descending (ties by `idCol`)
     * and keep rows while the running `weightCol` total stays within

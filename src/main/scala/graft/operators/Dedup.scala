@@ -276,6 +276,55 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Job 1 of the EXACT-dedup lake contract: write the distinct content
+    * hashes of the reference corpus as the lake artifact. One 16-byte
+    * md5 per distinct document is the cheapest possible dedup state —
+    * a 100-billion-doc lake is ~3 TB of hashes, a routine parquet
+    * table — built with one map-side-combinable distinct and never
+    * rebuilt per increment. The exact sibling of
+    * [[writeBandedSignatures]] (near-dup) and
+    * `Similarity.writeSemDedupArtifacts` (semantic), completing the
+    * incremental-dedup matrix's exact column. */
+  def writeContentHashes(refDf: DataFrame, textCol: String,
+      path: String): Unit =
+    refDf.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Append an increment's surviving content hashes to the lake —
+    * job 3 of the cycle (build lake → dedup increment → fold survivors
+    * in), so the NEXT increment dedups against everything admitted so
+    * far. Duplicate hashes across append batches are harmless (the
+    * probe is an anti-join; multiplicity never changes its result), so
+    * appends need no read-modify-write — a blind O(increment) write
+    * with no lake-sized compaction on the ingest path. */
+  def appendContentHashes(survivors: DataFrame, textCol: String,
+      path: String): Unit =
+    survivors.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("append").parquet(path)
+
+  /** Job 2 of the EXACT-dedup lake contract: exact-dedup an increment
+    * against the lake artifact — keep the first occurrence by id of
+    * each content hash WITHIN the increment, minus anything whose hash
+    * is already in the lake. Returns the increment's surviving rows
+    * with their original schema. Two hash-keyed linear shuffles (a
+    * min-id aggregate and an anti join, both on the 16-byte hash); the
+    * lake side is hashes only and is never re-read as text. The exact
+    * twin of [[minhashLshCrossFromArtifacts]]. */
+  def exactCrossFromArtifacts(newDf: DataFrame, refHashes: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    require(refHashes.columns.toSet == Set("h"),
+      "refHashes must be a writeContentHashes table (h); " +
+        s"got ${refHashes.columns.mkString(",")}")
+    val withH = newDf.withColumn("__h", md5(col(textCol)))
+    val keep = withH.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .join(refHashes.select(col("h").as("__h")), Seq("__h"),
+        "left_anti")
+    withH.join(keep, Seq("__h"))
+      .where(col(idCol) === col("__keep_id"))
+      .drop("__h", "__keep_id")
+  }
+
   /** SimHash fingerprint: 64-bit signature where bit i is the sign of the
     * sum over shingles of (+1 if bit i of xxhash64(shingle) set else -1).
     * Expressed with aggregate/transform over the shingle array — per-row,

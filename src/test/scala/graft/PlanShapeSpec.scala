@@ -191,13 +191,15 @@ class PlanShapeSpec extends SparkTestBase {
     // future query can't quietly reintroduce a converter-boundary UDF.
     // Heavier than plan-only: several ANN builders run their bounded
     // codebook-sample collects while constructing, against the
-    // smoke-scale testdata. q192/q193 are skipped — they are the two
-    // documented SIDE-EFFECTING builders (constructing them executes
-    // full lake-artifact write jobs); their inner operators' plans are
-    // covered through q190/q191 and the artifact specs in
+    // smoke-scale testdata. q192/q193/q196/q198 are skipped — they are
+    // the documented SIDE-EFFECTING builders (constructing them
+    // executes full lake-artifact write jobs); their inner operators'
+    // plans are covered through q190/q191 (and plain md5/anti-join
+    // plans for the exact lake) and the artifact specs in
     // OperatorsSpec, which assert the no-re-shingle plan shape.
     val dir = "/root/testdata/sf0.001"
-    val sideEffecting = Set("q192_lake_artifacts", "q193_semlake_artifacts")
+    val sideEffecting = Set("q192_lake_artifacts", "q193_semlake_artifacts",
+      "q196_exact_lake", "q198_exact_lake_cycle")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions
