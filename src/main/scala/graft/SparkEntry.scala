@@ -2028,9 +2028,17 @@ object SparkEntry {
       val third = pmod(col("doc_id"), lit(3))
       Dedup.writeContentHashes(docs.where(third === 0), "text",
         s"$lake/hashes")
-      val s1 = Dedup.exactCrossFromArtifacts(docs.where(third === 1),
-        s.read.parquet(s"$lake/hashes"), "text", "doc_id")
+      // materialize stage-1 survivors BEFORE the append: their plan
+      // reads $lake/hashes (the anti-join side) and the append writes
+      // into that same directory — Spark only guards overwrite-into-
+      // read, not append-into-read, so without the eager cut the cycle
+      // would ride on file-listing-snapshot timing instead of an
+      // explicit read-then-write ordering
+      val s1 = graft.operators.Lineage.cut(
+        Dedup.exactCrossFromArtifacts(docs.where(third === 1),
+          s.read.parquet(s"$lake/hashes"), "text", "doc_id"))
       Dedup.appendContentHashes(s1, "text", s"$lake/hashes")
+      graft.operators.Lineage.free(s1) // consumed by the append only
       Dedup.exactCrossFromArtifacts(docs.where(third === 2),
         s.read.parquet(s"$lake/hashes"), "text", "doc_id")
         .select(col("doc_id"))
@@ -2076,10 +2084,16 @@ object SparkEntry {
         .groupBy(to_date(col("ts")).as("period_date"),
           hour(col("ts")).as("hour"))
         .agg(DetAgg.detAvg(col("value")).as("v"))
-      val (rC, gC, bC) = graft.plots.Render.rdbuCols(
-        graft.plots.Render.normCol(col("v"), col("lo"), col("hi")))
+      // materialize the norm result once: the 10-segment ramp CaseWhen
+      // references its input ~10× per channel, and CollapseProject
+      // keeps the non-cheap multiply-referenced alias in its own
+      // Project, so the duplicated subtree is a column ref, not the
+      // whole norm expression
+      val (rC, gC, bC) = graft.plots.Render.rdbuCols(col("__t"))
       cells.crossJoin(broadcast(
           cells.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))))
+        .withColumn("__t",
+          graft.plots.Render.normCol(col("v"), col("lo"), col("hi")))
         .select(col("period_date"), col("hour"),
           rC.as("r"), gC.as("g"), bC.as("b"))
     }),
@@ -2124,16 +2138,26 @@ object SparkEntry {
           (lit(1.0) - lit(2.0) * i) *
             ((ch / lit(255.0)) * (ch / lit(255.0)))) * lit(255.0)
           + lit(0.5)).cast("int")
-      val (rC, gC, bC) = graft.plots.Render.rdbuCols(
-        graft.plots.Render.normCol(col("v"), col("lo"), col("hi")))
+      // materialize the norm input AND the ramp channels in their own
+      // projections before blending: the ramp CaseWhen references its
+      // input ~10× per channel and blend() references its channel 3×;
+      // CollapseProject keeps non-cheap multiply-referenced aliases in
+      // their own Project, so each stage's expression is built (and
+      // codegen'd) once instead of being duplicated into every consumer
+      val (rC, gC, bC) = graft.plots.Render.rdbuCols(col("__t"))
       withRaw.crossJoin(broadcast(mm))
         .withColumn("i", when(col("rmax") === col("rmin"), lit(0.5))
           .otherwise((col("raw") - col("rmin"))
             / (col("rmax") - col("rmin"))))
+        .withColumn("__t",
+          graft.plots.Render.normCol(col("v"), col("lo"), col("hi")))
+        .select(col("period_date"), col("hour"), col("i"),
+          rC.cast("double").as("__r"), gC.cast("double").as("__g"),
+          bC.cast("double").as("__b"))
         .select(col("period_date"), col("hour"),
-          blend(rC.cast("double"), col("i")).as("r"),
-          blend(gC.cast("double"), col("i")).as("g"),
-          blend(bC.cast("double"), col("i")).as("b"))
+          blend(col("__r"), col("i")).as("r"),
+          blend(col("__g"), col("i")).as("g"),
+          blend(col("__b"), col("i")).as("b"))
     }),
     // ---- plot3d kind="contour" level bands (Render.renderContour /
     // contourBand): each cell quantized into one of 150 level bands

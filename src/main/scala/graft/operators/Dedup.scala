@@ -36,12 +36,27 @@ object Dedup {
 
   /** Unpersist every intermediate cached by dedup/similarity operators
     * since the last release (the paired release for their internal
-    * `persist`s). */
+    * `persist`s). Routed through [[Lineage.free]] because the CC
+    * operators track lineage-CUT frames here too, and a bare
+    * `Dataset.unpersist` cannot reclaim those (checkpointed blocks are
+    * not CacheManager entries). */
   def releaseIntermediates(): Unit =
     persistedIntermediates.synchronized {
-      persistedIntermediates.foreach(_.unpersist(blocking = false))
+      persistedIntermediates.foreach(Lineage.free)
       persistedIntermediates.clear()
     }
+
+  /** Aggregation-partition count from plan-stats bytes: one task per
+    * ~4 MB of source, clamped to [defaultParts, 4096]. Pure so both
+    * bounds are spec-pinned (OperatorsSpec): `sizeInBytes` on DERIVED
+    * inputs (joins/filters multiply stats) can exceed Long range, and a
+    * bare `BigInt.toLong` WRAPS — possibly to a negative value —
+    * silently collapsing the sizing back to defaultParts exactly when
+    * the input is largest. Clamping in BigInt space first makes huge or
+    * missing stats (`defaultSizeInBytes` = Long.MaxValue) saturate at
+    * the 4096 cap instead. */
+  private[graft] def aggPartsFor(statBytes: BigInt, defaultParts: Int): Int =
+    math.max(defaultParts, (statBytes / (4L << 20)).min(BigInt(4096)).toInt)
 
   /** Size the pair-generation stage of a posting-list pair stream by
     * the EXACT number of pairs it will emit. The explode that turns a
@@ -456,8 +471,7 @@ object Dedup {
     val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val defaultParts =
       df.sparkSession.sessionState.conf.numShufflePartitions
-    val aggParts = math.max(defaultParts.toLong,
-      math.min(4096L, (statBytes / (4L << 20)).toLong)).toInt
+    val aggParts = aggPartsFor(statBytes, defaultParts)
     val eligibleDf = tracked(inverted
       .repartition(aggParts, col("h1"), col("h2"))
       .groupBy("h1", "h2")
@@ -713,7 +727,10 @@ object Dedup {
       val next = Lineage.cut(labels.union(prop).groupBy("id")
         .agg(min(col("component")).as("component")))
       val nextSum = labelSum(next)
-      labels.unpersist(blocking = false)
+      // Lineage.free, not unpersist: cut frames' blocks live on the
+      // checkpointed RDD, invisible to CacheManager; `next` is already
+      // materialized (cut is eager), so the superseded round is dead
+      Lineage.free(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -792,7 +809,9 @@ object Dedup {
           .select(col("m").as("lo"), col("lo").as("hi"))
         .union(joined.select(col("m").as("lo"), col("hi")))))
       val cur = checksum(small)
-      edges.unpersist(blocking = false)
+      // Lineage.free (see duplicateComponents): reclaims the superseded
+      // round's checkpoint blocks/files, which unpersist cannot
+      Lineage.free(edges)
       edges = small
       converged = cur == prev
       prev = cur

@@ -18,7 +18,7 @@ object Graph {
     * `Dedup.releaseIntermediates` — Bench/Verify call it between
     * queries). */
   def releaseIntermediates(): Unit = persisted.synchronized {
-    persisted.foreach(_.unpersist(blocking = false))
+    persisted.foreach(Lineage.free) // handles cut frames too (see Dedup)
     persisted.clear()
   }
 
@@ -95,7 +95,13 @@ object Graph {
       val next = gathered.join(deg, "id")
         .select(col("id"), col("deg"),
           (lit(baseUnits) + expr("(7 * __g) DIV 8")).as("mu"))
+      val prev = state
       state = Lineage.cut(next)
+      // the cut is eager, so the superseded round is dead the moment it
+      // returns; free its checkpoint blocks/files (unpersist can't —
+      // cut frames are invisible to CacheManager). Round 0's `state` is
+      // a plain derived frame, for which free degrades to a no-op.
+      if (i > 0) Lineage.free(prev)
       i += 1
     }
     persisted.synchronized { persisted += sym; persisted += deg }

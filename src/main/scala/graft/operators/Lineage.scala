@@ -36,4 +36,33 @@ object Lineage {
       df.checkpoint()
     } else df.localCheckpoint()
   }
+
+  /** Release the storage behind a frame returned by [[cut]] (plus any
+    * plain cache on it). `Dataset.unpersist` alone is a NO-OP on cut
+    * frames — CacheManager never registered them; the blocks belong to
+    * the checkpointed RDD inside the plan's `LogicalRDD` leaf, and in
+    * reliable mode each cut also leaves checkpoint FILES that Spark
+    * never deletes (`spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is off by default). Without this, iterative operators leak one
+    * round's blocks/files per round across a long session. Only call on
+    * a SUPERSEDED frame whose consumers have already materialized: a
+    * freed cut frame cannot be recomputed (lineage is truncated by
+    * design). Safe on non-cut frames — they just fall through to the
+    * plain unpersist. */
+  def free(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Throwable => () } // best-effort cleanup
+        }
+      case _ => ()
+    }
+  }
 }

@@ -95,10 +95,19 @@ object Render {
     // JVM path ends at Math.round(NaN) = 0 → black (0,0,0) — while
     // Spark's least/greatest order NaN above every double, which would
     // pin NaN to the dark-blue 1.0 end (and ANSI mode forbids just
-    // letting NaN reach the int cast). Branch it out explicitly.
-    val nan = isnan(t)
+    // letting NaN reach the int cast). ONE outer when(nan, (0,0,0))
+    // guards the whole triple: CaseWhen branches evaluate lazily (in
+    // both interpreted and codegen paths, and subexpression elimination
+    // never hoists a branch-only expression), so the ANSI-unsafe
+    // x.cast("int") below can never see NaN — and keeping the guard out
+    // of `i` keeps it out of the 9 `i === seg` comparisons × 3 channels
+    // it would otherwise be duplicated into (the round-11 q185 floor
+    // exceedance was exactly that tree bloat). The struct form also
+    // lets codegen share one (x, i, f) evaluation across all three
+    // channel extracts when the extract-through-CaseWhen rewrite does
+    // not fire. PlotRenderSpec's twin==scalar NaN pins cover this path.
     val x = greatest(lit(0.0), least(lit(1.0), t)) * lit((RdBu.length - 1).toDouble)
-    val i = least(lit(RdBu.length - 2), when(nan, lit(0.0)).otherwise(x).cast("int"))
+    val i = least(lit(RdBu.length - 2), x.cast("int"))
     val f = x - i.cast("double")
     def chan(sel: ((Int, Int, Int)) => Int): org.apache.spark.sql.Column = {
       val mixed = (1 until RdBu.length - 1).foldLeft(
@@ -108,10 +117,13 @@ object Render {
           lit((sel(RdBu(seg + 1)) - sel(RdBu(seg))).toDouble) * f)
           .otherwise(acc)
       }
-      when(nan, lit(0)) // Math.round(NaN).toInt == 0, every channel
-        .otherwise(floor(mixed + lit(0.5)).cast("int")) // Math.round semantics
+      floor(mixed + lit(0.5)).cast("int") // Math.round semantics
     }
-    (chan(_._1), chan(_._2), chan(_._3))
+    val rgb = when(isnan(t), // Math.round(NaN).toInt == 0, every channel
+        struct(lit(0).as("r"), lit(0).as("g"), lit(0).as("b")))
+      .otherwise(struct(chan(_._1).as("r"), chan(_._2).as("g"),
+        chan(_._3).as("b")))
+    (rgb.getField("r"), rgb.getField("g"), rgb.getField("b"))
   }
 
   /** Column twin of [[contourBand]]. */

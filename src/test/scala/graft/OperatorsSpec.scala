@@ -890,6 +890,24 @@ class OperatorsSpec extends SparkTestBase {
     Dedup.releaseIntermediates()
   }
 
+  test("aggPartsFor: defaults on small/missing stats, saturates at the " +
+      "cap on huge stats, never wraps negative") {
+    // small input -> the session default, never fewer tasks
+    assert(Dedup.aggPartsFor(BigInt(1024), 32) == 32)
+    assert(Dedup.aggPartsFor(BigInt(0), 32) == 32)
+    // linear in-between: one task per ~4 MB
+    assert(Dedup.aggPartsFor(BigInt(400L * (4L << 20)), 32) == 400)
+    // missing stats surface as defaultSizeInBytes = Long.MaxValue -> cap
+    assert(Dedup.aggPartsFor(BigInt(Long.MaxValue), 32) == 4096)
+    // derived-input stats multiply past Long range; a bare .toLong
+    // would WRAP (possibly negative) and collapse to the default
+    // exactly when the input is largest — clamp must win instead
+    val huge = BigInt(Long.MaxValue) * BigInt(Long.MaxValue)
+    assert(Dedup.aggPartsFor(huge, 32) == 4096)
+    assert((huge / (4L << 20)).toLong < 0 || // the wrap this guards
+      (huge / (4L << 20)) > BigInt(Long.MaxValue))
+  }
+
   implicit class MediaOps(m: Multimodal.MediaFeature) {
     def sha_eq(o: Multimodal.MediaFeature): Boolean =
       m.n_bytes == o.n_bytes && m.width == o.width && m.height == o.height
