@@ -150,9 +150,15 @@ object Bench {
           .getOrElse(
             f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"omitted":${results.size},"floors_exceeded":${overFloor.size},"error_count":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
       }
+    // q194's per-stage boundary times (min across its runs), so floor
+    // adjudication can act per stage instead of on the masked total;
+    // stage 8 (pack + summary) is the query total minus these rows
+    val stages = SparkEntry.megaStageTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"q194_" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // min-merge this run's times into the persistent floor file so the
     // next run's retry thresholds are relative to the best-known floor.

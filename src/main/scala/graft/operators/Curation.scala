@@ -256,6 +256,37 @@ object Curation {
           col("__tw").cast("double"), 6).as("weight_frac"))
   }
 
+  /** Job 1 of the calibrate→run filter contract — the [[filterSweep]]
+    * analog of the lake builders: persist the retention curve as a
+    * parquet artifact so the threshold decision is made ONCE, recorded,
+    * and reusable across the runs it governs (a 100 TB filter job must
+    * not re-derive its own threshold per partition, per retry, or per
+    * increment — the curve artifact is the decision's audit trail).
+    * The curve is |thresholds| rows — coalesced to one file. */
+  def writeFilterCalibration(df: DataFrame, scoreCol: String,
+      weightCol: String, thresholds: Seq[Double], path: String): Unit =
+    filterSweep(df, scoreCol, weightCol, thresholds)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** The threshold decision between the contract's two jobs: the most
+    * aggressive (largest) calibrated threshold that still retains at
+    * least `minWeightFrac` of the corpus's weight, read from the curve
+    * artifact (bounded: |thresholds| rows — a driver-side scalar
+    * decision, like reading a codebook, never a corpus scan). The
+    * comparison uses the curve's stored round-6 `weight_frac`, so the
+    * pick is a pure function of the artifact — any engine replaying
+    * the artifact makes the same pick. Throws if no calibrated
+    * threshold meets the target (run a wider sweep, don't guess). */
+  def pickCalibratedThreshold(spark: org.apache.spark.sql.SparkSession,
+      path: String, minWeightFrac: Double): Double = {
+    val ok = spark.read.parquet(path)
+      .select(col("threshold"), col("weight_frac")).collect()
+      .filter(_.getDouble(1) >= minWeightFrac).map(_.getDouble(0))
+    require(ok.nonEmpty,
+      s"no calibrated threshold retains >= $minWeightFrac of weight")
+    ok.max
+  }
+
   /** Per-group budgeted selection (the data-mixing primitive): within
     * each group, rank items by `rankCol` descending (ties by `idCol`)
     * and keep rows while the running `weightCol` total stays within

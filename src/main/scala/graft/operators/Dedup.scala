@@ -27,7 +27,7 @@ object Dedup {
   private val persistedIntermediates =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private[operators] def tracked(df: DataFrame): DataFrame =
+  private[graft] def tracked(df: DataFrame): DataFrame =
     persistedIntermediates.synchronized {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persistedIntermediates += p
@@ -247,6 +247,52 @@ object Dedup {
     bandedSignatures(refDf, textCol, idCol, shingleLen, bands,
       rowsPerBand, Some(bucketCap))
       .write.mode("overwrite").parquet(path)
+
+  /** Job 3 of the incremental-dedup contract: fold an increment's
+    * SURVIVORS into the signature lake, so the next increment dedups
+    * against everything admitted so far — the banded-signature sibling
+    * of [[appendContentHashes]], completing the build→dedup→append
+    * cycle for the near-dup column. Only the survivors are signed
+    * (O(increment) — the lake's text is never touched); the write is
+    * an append of new parquet files, no lake-sized compaction.
+    *
+    * The one thing a blind append would break is `bucketCap`: the cap
+    * is the enroll-cap guard against boilerplate mega-buckets going
+    * quadratic in the probe join, and it must hold across the lake's
+    * LIFETIME, not per batch — cap-per-append grows a mega-bucket by
+    * up to `bucketCap` every increment. So the append is count-aware:
+    * it reads the lake's per-(band, bucket) occupancy (a
+    * column-pruned scan of two int columns — strictly cheaper than
+    * the full-artifact probe join every job 2 already pays) and
+    * enrolls only the first `bucketCap − stored` survivors per bucket
+    * (id ASC — the deterministic analog of
+    * [[graft.streaming.StreamNearDup]]'s first-cap-arrivals rule).
+    * Capped-out survivors are admitted to the corpus but not
+    * enrolled, exactly the streaming gate's semantics. The capped
+    * increment is materialized eagerly BEFORE the append because its
+    * plan reads `path` (the q198 read-then-write ordering discipline:
+    * Spark guards overwrite-into-read but not append-into-read).
+    * Parameters must match the write, as for
+    * [[minhashLshCrossFromArtifacts]]. */
+  def appendBandedSignatures(survivors: DataFrame, textCol: String,
+      idCol: String, path: String, shingleLen: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, bucketCap: Int = 2000): Unit = {
+    val spark = survivors.sparkSession
+    val stored = spark.read.parquet(path).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__stored"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy(col("id").asc)
+    val capped = bandedSignatures(survivors, textCol, idCol, shingleLen,
+        bands, rowsPerBand, None)
+      .join(stored, Seq("band", "bucket"), "left")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= lit(bucketCap.toLong) -
+        coalesce(col("__stored"), lit(0L)))
+      .select(col("id"), col("sig"), col("band"), col("bucket"))
+    val cut = Lineage.cut(capped)
+    cut.write.mode("append").parquet(path)
+    Lineage.free(cut)
+  }
 
   /** Job 2 of the incremental-dedup contract: dedup an increment
     * against a PRE-BUILT signature table ([[writeBandedSignatures]]'s

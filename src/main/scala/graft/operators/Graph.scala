@@ -104,7 +104,15 @@ object Graph {
       if (i > 0) Lineage.free(prev)
       i += 1
     }
-    persisted.synchronized { persisted += sym; persisted += deg }
+    // register the FINAL cut too (same contract as Dedup's labels/edges
+    // registration): without it, releaseIntermediates can never reclaim
+    // the last round's checkpoint blocks — or, in reliable mode, its
+    // files — and each pageRankMass call leaks one block set for the
+    // session. The between-queries release cadence bounds the returned
+    // frame's lifetime, exactly as for the duplicate-component labels.
+    persisted.synchronized {
+      persisted += sym; persisted += deg; persisted += state
+    }
     state.select(col("id"), (col("mu") / lit(unit.toDouble)).as("m"))
   }
 }

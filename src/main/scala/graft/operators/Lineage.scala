@@ -47,11 +47,15 @@ object Lineage {
     * round's blocks/files per round across a long session. Only call on
     * a SUPERSEDED frame whose consumers have already materialized: a
     * freed cut frame cannot be recomputed (lineage is truncated by
-    * design). Safe on non-cut frames — they just fall through to the
-    * plain unpersist. */
+    * design). Safe on non-cut frames — they fall through to the plain
+    * unpersist: the checkpoint reclaim fires ONLY when the analyzed
+    * plan IS the LogicalRDD leaf (i.e. the exact frame [[cut]]
+    * returned). A derived frame is never walked for upstream leaves —
+    * an input built over a caller-owned live checkpoint must not have
+    * that checkpoint destroyed out from under the caller. */
   def free(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
         lr.rdd.getCheckpointFile.foreach { dir =>
@@ -60,7 +64,14 @@ object Lineage {
             p.getFileSystem(
               df.sparkSession.sparkContext.hadoopConfiguration)
               .delete(p, true)
-          } catch { case _: Throwable => () } // best-effort cleanup
+          } catch {
+            // NonFatal only: an interrupt or OOM must propagate; a
+            // failed delete is a discoverable leak, so name the path.
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"graft.Lineage.free: leaked checkpoint dir $dir " +
+                  s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+          }
         }
       case _ => ()
     }

@@ -811,6 +811,56 @@ object Similarity {
     spark.read.parquet(s"$path/codebook").orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
 
+  /** Job 3 of the incremental SemDeDup contract: fold an increment's
+    * SURVIVORS into the keeper table, so the next increment dedups
+    * against everything admitted so far — the semantic sibling of
+    * [[graft.operators.Dedup.appendContentHashes]], completing the
+    * build→dedup→append cycle for the embedding column. The codebook
+    * is read back from the lake itself (geometry is fixed at write
+    * time — the contract), only the survivors pay an assignment pass,
+    * and the lake's vectors are never re-assigned or re-ranked from
+    * the corpus: the merge works entirely on the CAPPED keeper table.
+    *
+    * Unlike the hash and signature lakes, keepers cannot be blind-
+    * appended: `keeperCap` ranks by the GLOBAL priority key (distance
+    * to centroid, id), so a high-priority survivor must displace a
+    * stored keeper beyond the cap, not queue behind it. The fold-in is
+    * therefore a rank-merge REWRITE: union the stored keepers with the
+    * survivors' cap-candidate rows, re-rank per cell by `kok`, keep
+    * the top `keeperCap`, and overwrite the table. That preserves the
+    * build invariant — append(write(A), survivors(B)) produces exactly
+    * the keeper table write(A ∪ survivors(B)) would under the same
+    * codebook (spec-pinned) — and it stays O(keeper table), which the
+    * cap bounds at nlist × keeperCap rows regardless of corpus size
+    * (the rewrite never scales with the lake's documents, only with
+    * its cells). `dropDuplicates(cell, keeper)` makes re-appends
+    * idempotent (a duplicate row must not burn a cap slot). The merged
+    * table is materialized eagerly ([[graft.operators.Lineage.cut]])
+    * before the overwrite — its plan reads the path it replaces.
+    * `keepFarthest`/`keeperCap`/`nassign` must match the write. */
+  def appendSemKeepers(survivors: DataFrame, idCol: String,
+      vecCol: String, path: String, keepFarthest: Boolean = true,
+      keeperCap: Int = 1000, nassign: Int = 1): Unit = {
+    val spark = survivors.sparkSession
+    val centroids = readSemCodebook(spark, path)
+    val stored = spark.read.parquet(s"$path/keepers")
+    require(stored.columns.toSet == Set("cell", "keeper", "kv", "kn",
+      "kok"), "keepers must be a writeSemDedupArtifacts table; got " +
+      stored.columns.mkString(","))
+    val incoming = semAssign(survivors, idCol, vecCol, centroids,
+        keepFarthest, nassign, withOk = true)
+      .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
+        col("n").as("kn"), col("ok").as("kok"))
+    val w = Window.partitionBy("cell").orderBy(col("kok").asc)
+    val merged = stored.unionByName(incoming)
+      .dropDuplicates("cell", "keeper")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= keeperCap).drop("rk")
+    val cut = graft.operators.Lineage.cut(merged)
+    cut.write.mode("overwrite").parquet(s"$path/keepers")
+    graft.operators.Lineage.free(cut)
+  }
+
   /** Job 2 of the incremental SemDeDup contract: dedup an increment
     * against pre-built artifacts ([[writeSemDedupArtifacts]]) — the
     * keeper table is joined as loaded and the codebook drives only the

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -61,6 +62,14 @@ object StreamNearDup {
       sig: Array[Long])
   case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
   case class Cand(a: Long, b: Long, est_jaccard: Double)
+  /** Internal gate output: candidate rows (`is_cand`) interleaved with
+    * one per-(key, micro-batch) saturation summary row — the summary
+    * carries how many NOVEL arrivals were denied a cap slot this batch
+    * and whether the bucket sits at cap, and is emitted only when
+    * either is non-zero so the healthy path adds zero rows. */
+  private[streaming] case class GateOut(a: Long, b: Long,
+      est_jaccard: Double, is_cand: Boolean, enroll_rejected: Long,
+      at_cap: Long)
 
   // Catalyst's xxhash64(c1, c2, ...) FOLDS over its children starting
   // from seed 42: hash = XXH64(c1 bytes, 42), then XXH64(c2, hash), ...
@@ -151,7 +160,7 @@ object StreamNearDup {
   private[streaming] def gate(bands: Int, rowsPerBand: Int,
       minEstJaccard: Double, bucketCap: Int)(
       key: (Int, Long), rows: Iterator[BandRow],
-      state: GroupState[BucketState]): Iterator[Cand] = {
+      state: GroupState[BucketState]): Iterator[GateOut] = {
     val arrivals = rows.toArray.sortBy(_.doc_id)
     val st = state.getOption.getOrElse(
       BucketState(Array.empty, Array.empty))
@@ -161,7 +170,8 @@ object StreamNearDup {
     // ids.contains scan
     val seen = scala.collection.mutable.HashSet.empty[Long]
     ids.foreach(seen += _)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    var rejected = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[GateOut]
     arrivals.foreach { row =>
       var i = 0
       while (i < ids.length) {
@@ -170,8 +180,8 @@ object StreamNearDup {
               rowsPerBand) == row.band) {
           val est = estJaccard(sigs(i), row.sig)
           if (est >= minEstJaccard)
-            out += Cand(math.min(ids(i), row.doc_id),
-              math.max(ids(i), row.doc_id), est)
+            out += GateOut(math.min(ids(i), row.doc_id),
+              math.max(ids(i), row.doc_id), est, is_cand = true, 0L, 0L)
         }
         i += 1
       }
@@ -181,26 +191,72 @@ object StreamNearDup {
       // partners and can RE-EMIT candidate pairs — at-least-once under
       // re-delivery; candidates are deduped downstream (distinct on
       // (a, b) before verification), which absorbs it.
-      if (ids.length < bucketCap && !seen.contains(row.doc_id)) {
-        ids = ids :+ row.doc_id
-        sigs = sigs :+ row.sig
-        seen += row.doc_id
+      if (!seen.contains(row.doc_id)) {
+        if (ids.length < bucketCap) {
+          ids = ids :+ row.doc_id
+          sigs = sigs :+ row.sig
+          seen += row.doc_id
+        } else rejected += 1L // novel arrival denied a cap slot
       }
     }
     if (ids.length != st.ids.length) state.update(BucketState(ids, sigs))
+    val atCap = if (ids.length >= bucketCap) 1L else 0L
+    if (rejected > 0L || atCap > 0L)
+      out += GateOut(-1L, -1L, 0.0, is_cand = false, rejected, atCap)
     out.iterator
   }
 
-  /** Streaming candidate-pair gate over a `Dataset[Doc]` stream. */
-  def streaming(docs: Dataset[Doc], shingleLen: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 2, minEstJaccard: Double = 0.5,
-      bucketCap: Int = 2000): Dataset[Cand] = {
+  private def rawStream(docs: Dataset[Doc], shingleLen: Int, bands: Int,
+      rowsPerBand: Int, minEstJaccard: Double,
+      bucketCap: Int): Dataset[GateOut] = {
     import docs.sparkSession.implicits._
     docs.flatMap(bandRowsOf(_, shingleLen, bands, rowsPerBand))
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(
         gate(bands, rowsPerBand, minEstJaccard, bucketCap))
+  }
+
+  private def candsOf(raw: Dataset[GateOut]): Dataset[Cand] = {
+    import raw.sparkSession.implicits._
+    raw.toDF().where(col("is_cand"))
+      .select(col("a"), col("b"), col("est_jaccard")).as[Cand]
+  }
+
+  /** Streaming candidate-pair gate over a `Dataset[Doc]` stream. */
+  def streaming(docs: Dataset[Doc], shingleLen: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, minEstJaccard: Double = 0.5,
+      bucketCap: Int = 2000): Dataset[Cand] =
+    candsOf(rawStream(docs, shingleLen, bands, rowsPerBand,
+      minEstJaccard, bucketCap))
+
+  /** [[streaming]] with SATURATION OBSERVABILITY: identical gate and
+    * output, plus two per-micro-batch metrics published through the
+    * engine's own progress channel (`StreamingQueryProgress
+    * .observedMetrics(metricsName)` — a `Dataset.observe` aggregate,
+    * so it rides the progress listener every production harness
+    * already consumes; no side channel, no accumulators):
+    *  - `enroll_rejected`: novel arrivals denied a cap slot this batch
+    *    (the cap-pressure signal — rising means buckets are saturating
+    *    and later dup pairs will attribute to the stored prefix);
+    *  - `buckets_at_cap`: at-cap gate keys TOUCHED this batch.
+    * Both are exactly 0 on an unsaturated stream (the gate emits
+    * summary rows only under pressure, so the healthy path pays
+    * nothing). The alert wiring the SCALE.md cap-curve tables call
+    * for: recall holds at cap for this gate, but an operator watching
+    * enroll_rejected knows WHEN the cap is being exercised. */
+  def streamingObserved(docs: Dataset[Doc],
+      metricsName: String = "graft_neardup_gate", shingleLen: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2, minEstJaccard: Double = 0.5,
+      bucketCap: Int = 2000): Dataset[Cand] = {
+    import docs.sparkSession.implicits._
+    candsOf(rawStream(docs, shingleLen, bands, rowsPerBand,
+        minEstJaccard, bucketCap)
+      .observe(metricsName,
+        coalesce(sum(when(!col("is_cand"), col("enroll_rejected"))),
+          lit(0L)).as("enroll_rejected"),
+        coalesce(sum(when(!col("is_cand"), col("at_cap"))),
+          lit(0L)).as("buckets_at_cap")))
   }
 
   /** Batch twin — the SAME typed pipeline and gate run in batch mode

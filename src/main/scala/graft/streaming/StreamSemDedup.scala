@@ -83,6 +83,12 @@ object StreamSemDedup {
   case class CellState(ids: Array[Long], vecs: Array[Array[Float]],
       cellLists: Array[Array[Int]])
   case class Removal(vec_id: Long, keeper: Long, cos_sim: Double)
+  /** Internal gate output: removal rows (`is_rem`) interleaved with
+    * one per-(cell, micro-batch) saturation summary row (emitted only
+    * under cap pressure — see [[StreamNearDup.GateOut]]). */
+  private[streaming] case class RemOut(vec_id: Long, keeper: Long,
+      cos_sim: Double, is_rem: Boolean, enroll_rejected: Long,
+      at_cap: Long)
 
   /** Sequential-order dot product — bit-identical to the batch
     * pipeline's codegen'd VectorDot (per-element cast to double,
@@ -147,7 +153,7 @@ object StreamSemDedup {
     * same-batch arrivals; the first `cellCap` arrivals are stored. */
   private[streaming] def gate(threshold: Double, cellCap: Int)(
       key: Int, rows: Iterator[CellRow],
-      state: GroupState[CellState]): Iterator[Removal] = {
+      state: GroupState[CellState]): Iterator[RemOut] = {
     val arrivals = rows.toArray.sortBy(_.vec_id)
     val st = state.getOption.getOrElse(
       CellState(Array.empty, Array.empty, Array.empty))
@@ -157,7 +163,8 @@ object StreamSemDedup {
     // extra O(cap) pass on hot cells
     val seen = scala.collection.mutable.HashSet.empty[Long]
     ids.foreach(seen += _)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Removal]
+    var rejected = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[RemOut]
     arrivals.foreach { row =>
       val rn = math.sqrt(dotFF(row.vec, row.vec))
       var i = 0
@@ -168,7 +175,7 @@ object StreamSemDedup {
           val cos = round6(dotFF(row.vec, vecs(i)) /
             (rn * math.sqrt(dotFF(vecs(i), vecs(i)))))
           if (cos >= threshold) {
-            out += Removal(row.vec_id, ids(i), cos)
+            out += RemOut(row.vec_id, ids(i), cos, is_rem = true, 0L, 0L)
             emitted = true // first stored match = earliest arrival wins
           }
         }
@@ -182,14 +189,19 @@ object StreamSemDedup {
       // removal — the gate is at-least-once under re-delivery, which
       // downstream consumers must absorb (removal sets are idempotent
       // under distinct, the intended consumption).
-      if (ids.length < cellCap && !seen.contains(row.vec_id)) {
-        ids = ids :+ row.vec_id
-        vecs = vecs :+ row.vec
-        cl = cl :+ row.cells
-        seen += row.vec_id
+      if (!seen.contains(row.vec_id)) {
+        if (ids.length < cellCap) {
+          ids = ids :+ row.vec_id
+          vecs = vecs :+ row.vec
+          cl = cl :+ row.cells
+          seen += row.vec_id
+        } else rejected += 1L // novel arrival denied a cap slot
       }
     }
     if (ids.length != st.ids.length) state.update(CellState(ids, vecs, cl))
+    val atCap = if (ids.length >= cellCap) 1L else 0L
+    if (rejected > 0L || atCap > 0L)
+      out += RemOut(-1L, -1L, 0.0, is_rem = false, rejected, atCap)
     out.iterator
   }
 
@@ -208,17 +220,53 @@ object StreamSemDedup {
     (cents, cents.map(c => c.map(x => x * x).sum))
   }
 
-  /** Streaming removal gate over a `Dataset[EmbDoc]` stream against a
-    * pre-fit codebook. */
-  def streaming(docs: Dataset[EmbDoc], centroids: Array[Array[Double]],
-      threshold: Double, nassign: Int = 2, cellCap: Int = 1000)
-      : Dataset[Removal] = {
+  private def rawStream(docs: Dataset[EmbDoc],
+      centroids: Array[Array[Double]], threshold: Double, nassign: Int,
+      cellCap: Int): Dataset[RemOut] = {
     import docs.sparkSession.implicits._
     val centNorm2 = centroids.map(c => c.map(x => x * x).sum)
     docs.flatMap(cellRowsOf(_, centroids, centNorm2, nassign))
       .groupByKey(_.cell)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(gate(threshold, cellCap))
+  }
+
+  private def removalsOf(raw: Dataset[RemOut]): Dataset[Removal] = {
+    import raw.sparkSession.implicits._
+    raw.toDF().where(col("is_rem"))
+      .select(col("vec_id"), col("keeper"), col("cos_sim")).as[Removal]
+  }
+
+  /** Streaming removal gate over a `Dataset[EmbDoc]` stream against a
+    * pre-fit codebook. */
+  def streaming(docs: Dataset[EmbDoc], centroids: Array[Array[Double]],
+      threshold: Double, nassign: Int = 2, cellCap: Int = 1000)
+      : Dataset[Removal] =
+    removalsOf(rawStream(docs, centroids, threshold, nassign, cellCap))
+
+  /** [[streaming]] with SATURATION OBSERVABILITY — the
+    * [[StreamNearDup.streamingObserved]] twin: per-micro-batch
+    * `enroll_rejected` (novel arrivals denied a cap slot) and
+    * `cells_at_cap` (at-cap cells touched) published via
+    * `StreamingQueryProgress.observedMetrics(metricsName)`. For THIS
+    * gate the signal is load-bearing, not just informative: IVF cells
+    * are coarse Voronoi regions, so a clique-saturated cell starves
+    * unrelated dup pairs inside it (the StreamCapProbe recall curve —
+    * 0.83 at cap 250 under a one-cell hot clique). A rising
+    * enroll_rejected on a progress dashboard is the cue to grow
+    * `nlist` (partition the contention) before recall decays; a
+    * uniform stream holds both metrics at exactly 0. */
+  def streamingObserved(docs: Dataset[EmbDoc],
+      centroids: Array[Array[Double]], threshold: Double,
+      metricsName: String = "graft_semdedup_gate", nassign: Int = 2,
+      cellCap: Int = 1000): Dataset[Removal] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    removalsOf(rawStream(docs, centroids, threshold, nassign, cellCap)
+      .observe(metricsName,
+        coalesce(sum(when(!col("is_rem"), col("enroll_rejected"))),
+          lit(0L)).as("enroll_rejected"),
+        coalesce(sum(when(!col("is_rem"), col("at_cap"))),
+          lit(0L)).as("cells_at_cap")))
   }
 
   /** Batch twin — the SAME typed pipeline and gate in batch mode,

@@ -9,6 +9,33 @@ import graft.streaming.StreamDedup
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("calibrate→run: pickCalibratedThreshold takes the most " +
+      "aggressive threshold meeting the weight target, from the " +
+      "artifact alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cal").toString
+    // scores 0.1..1.0, weight 10 each: threshold t keeps (11-10t)/10
+    // of the weight -> 0.5 keeps 0.6, 0.6 keeps 0.5, ...
+    val rows = (1 to 10).map(i => (i.toLong, i / 10.0, 10L))
+      .toDF("id", "score", "w")
+    Curation.writeFilterCalibration(rows, "score", "w",
+      Seq(0.2, 0.5, 0.6, 0.9), s"$tmp/curve")
+    assert(Curation.pickCalibratedThreshold(spark, s"$tmp/curve",
+      minWeightFrac = 0.55) == 0.5) // 0.5 keeps 0.6; 0.6 keeps only 0.5
+    assert(Curation.pickCalibratedThreshold(spark, s"$tmp/curve",
+      minWeightFrac = 0.1) == 0.9) // most aggressive when all qualify
+    intercept[IllegalArgumentException] {
+      Curation.pickCalibratedThreshold(spark, s"$tmp/curve",
+        minWeightFrac = 0.99) // nothing retains 99%
+    }
+    // the composed run filters exactly the rows the curve promised:
+    // threshold 0.5 keeps scores >= 0.5 = 6 docs, 60 weight
+    val thr = Curation.pickCalibratedThreshold(spark, s"$tmp/curve", 0.55)
+    val kept = rows.where(col("score") >= thr)
+    assert(kept.count() == 6L)
+    assert(kept.agg(sum("w")).collect()(0).getLong(0) == 60L)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("vocabCoverage: ranks by count then token, coverage hits 1.0") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
     val v = Curation.vocabCoverage(docs, "text", topK = 10)

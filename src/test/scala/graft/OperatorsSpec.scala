@@ -745,6 +745,81 @@ class OperatorsSpec extends SparkTestBase {
     Dedup.releaseIntermediates()
   }
 
+  test("appendBandedSignatures enforces the LIFETIME bucketCap: a full " +
+      "bucket admits nothing, a part-full bucket admits first-by-id up " +
+      "to the remainder") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val uniq = "completely different words appear in this document here now"
+    // ref: two copies of `dup` (every bucket at cap 2), one `uniq`
+    val ref = Seq((0L, dup), (2L, dup), (4L, uniq)).toDF("doc_id", "text")
+    Dedup.writeBandedSignatures(ref, "text", "doc_id", s"$tmp/sigs",
+      bucketCap = 2)
+    val before = spark.read.parquet(s"$tmp/sigs")
+      .groupBy("band", "bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // survivors: one more `dup` (bucket full -> rejected everywhere) and
+    // two more `uniq` (1 slot left -> only the lower id enrolls)
+    val surv = Seq((5L, dup), (7L, uniq), (9L, uniq)).toDF("doc_id", "text")
+    Dedup.appendBandedSignatures(surv, "text", "doc_id", s"$tmp/sigs",
+      bucketCap = 2)
+    val after = spark.read.parquet(s"$tmp/sigs")
+    val counts = after.groupBy("band", "bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counts.values.forall(_ <= 2L),
+      s"cap violated across appends: $counts")
+    val ids = after.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 2L, 4L, 7L),
+      s"expected dup-5 capped out, uniq-7 enrolled, uniq-9 capped: $ids")
+    // the dup buckets were already full, so the append added only
+    // uniq-7's rows to uniq's buckets
+    assert(before.values.sum + 8 == counts.values.sum)
+    // a later increment still FINDS the enrolled survivor
+    val probe = Seq((11L, uniq)).toDF("doc_id", "text")
+    val found = Dedup.minhashLshCrossFromArtifacts(probe,
+      spark.read.parquet(s"$tmp/sigs"), "text", "doc_id",
+      minEstJaccard = 0.9).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((7L, 11L)), s"appended sig not probed: $found")
+  }
+
+  test("appendSemKeepers rank-merges by the global priority under " +
+      "keeperCap (displacing stored keepers) and re-appends are " +
+      "idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fold2").toString
+    // single cell (nlist=1): centroid = mean of ref = (0.5, 0.5);
+    // keepFarthest -> farthest-from-centroid outranks, id ASC ties
+    val ref = Seq((0L, Array(0f, 1f)), (2L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemDedupArtifacts(ref, "vec_id", "embedding",
+      s"$tmp/sem", nlist = 1, keeperCap = 2, seed = 7L)
+    // survivor (-1, 0) is FARTHER from the centroid than either stored
+    // keeper: it must displace the lower-priority one (the id-ASC
+    // tie-break keeps 0 and evicts 2)
+    val surv = Seq((5L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    Similarity.appendSemKeepers(surv, "vec_id", "embedding", s"$tmp/sem",
+      keeperCap = 2)
+    def keeperIds() = spark.read.parquet(s"$tmp/sem/keepers")
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert(keeperIds() == Set(5L, 0L), s"rank-merge wrong: ${keeperIds()}")
+    // idempotent: folding the same survivors in again changes nothing
+    Similarity.appendSemKeepers(surv, "vec_id", "embedding", s"$tmp/sem",
+      keeperCap = 2)
+    assert(keeperIds() == Set(5L, 0L))
+    assert(spark.read.parquet(s"$tmp/sem/keepers").count() == 2L)
+    // a later increment near the folded-in survivor is removed BY it
+    val inc = Seq((9L, Array(-0.99f, -0.01f))).toDF("vec_id", "embedding")
+    val removed = Similarity.semDedupCrossFromArtifacts(inc,
+      spark.read.parquet(s"$tmp/sem/keepers"),
+      Similarity.readSemCodebook(spark, s"$tmp/sem"),
+      "vec_id", "embedding", threshold = 0.9).collect()
+    assert(removed.length == 1 && removed(0).getLong(0) == 9L &&
+      removed(0).getLong(1) == 5L,
+      s"folded keeper did not remove its near-dup: ${removed.toSeq}")
+    Dedup.releaseIntermediates()
+  }
+
   test("hashSplit deterministically partitions into the named bands") {
     val rows = (0L until 200L).toDF("id")
     val bands = Seq(("train", 80), ("val", 90), ("test", 100))

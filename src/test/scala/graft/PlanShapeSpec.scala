@@ -199,7 +199,9 @@ class PlanShapeSpec extends SparkTestBase {
     // OperatorsSpec, which assert the no-re-shingle plan shape.
     val dir = "/root/testdata/sf0.001"
     val sideEffecting = Set("q192_lake_artifacts", "q193_semlake_artifacts",
-      "q196_exact_lake", "q198_exact_lake_cycle")
+      "q196_exact_lake", "q198_exact_lake_cycle",
+      "q200_neardup_lake_cycle", "q201_semlake_cycle",
+      "q202_calibrated_filter")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions

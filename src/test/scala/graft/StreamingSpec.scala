@@ -465,6 +465,74 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.length == 1 && streamed.head.startsWith("[1,3,"))
   }
 
+  test("gate saturation metrics ride the progress listener: rejected " +
+      "enrollments and at-cap keys rise under a hot clique, stay 0 on " +
+      "a uniform stream") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.{StreamNearDup, StreamSemDedup}
+    implicit val sqlCtx = spark.sqlContext
+    def metrics(qname: String, mk: () =>
+        org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+      val q = mk()
+      q.processAllAvailable(); q.stop()
+      val rows = q.recentProgress.toSeq
+        .flatMap(_.observedMetrics.asScala.get(qname))
+      (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum)
+    }
+    // ---- lexical gate: 5 identical docs through bucketCap=2 —
+    // every one of the 8 band buckets fills and rejects 3 novels
+    val clique = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val hotIn = MemoryStream[StreamNearDup.Doc]
+    hotIn.addData((1L to 5L).map(StreamNearDup.Doc(_, clique)): _*)
+    val (hotRej, hotCap) = metrics("nd_hot", () =>
+      StreamNearDup.streamingObserved(hotIn.toDS(), "nd_hot",
+          bucketCap = 2)
+        .writeStream.format("memory").queryName("ndhot")
+        .outputMode("append").start())
+    assert(hotRej == 24L, s"3 rejected x 8 buckets, got $hotRej")
+    assert(hotCap == 8L, s"all 8 band buckets at cap, got $hotCap")
+    // the observed variant's OUTPUT is the plain gate's: (1,2) within
+    // the stored prefix + each rejected doc 3..5 still PROBES both
+    // stored entries = 1 + 3x2 = 7 pairs, once each (band-0 bucket)
+    assert(spark.sql("SELECT count(*) FROM ndhot").collect()(0)
+      .getLong(0) == 7L)
+    // ---- lexical gate, uniform stream: disjoint vocab, zero pressure
+    val uniIn = MemoryStream[StreamNearDup.Doc]
+    uniIn.addData(
+      StreamNearDup.Doc(1L, "one two three four five six seven"),
+      StreamNearDup.Doc(2L, "eight nine ten eleven twelve thirteen"),
+      StreamNearDup.Doc(3L, "fourteen fifteen sixteen seventeen nope"))
+    val (uniRej, uniCap) = metrics("nd_uni", () =>
+      StreamNearDup.streamingObserved(uniIn.toDS(), "nd_uni",
+          bucketCap = 2)
+        .writeStream.format("memory").queryName("nduni")
+        .outputMode("append").start())
+    assert(uniRej == 0L && uniCap == 0L, s"uniform: $uniRej/$uniCap")
+    // ---- semantic gate: 5-vector clique into one cell, cellCap=2
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val semHot = MemoryStream[StreamSemDedup.EmbDoc]
+    semHot.addData((1L to 5L).map(i =>
+      StreamSemDedup.EmbDoc(i, Array(1.0f, i * 1e-4f))): _*)
+    val (shRej, shCap) = metrics("sem_hot", () =>
+      StreamSemDedup.streamingObserved(semHot.toDS(), cents,
+          threshold = 0.9, "sem_hot", nassign = 1, cellCap = 2)
+        .writeStream.format("memory").queryName("semhot")
+        .outputMode("append").start())
+    assert(shRej == 3L, s"3 novel arrivals denied, got $shRej")
+    assert(shCap == 1L, s"one hot cell at cap, got $shCap")
+    val semUni = MemoryStream[StreamSemDedup.EmbDoc]
+    semUni.addData(
+      StreamSemDedup.EmbDoc(1L, Array(1.0f, 0.0f)),
+      StreamSemDedup.EmbDoc(2L, Array(0.0f, 1.0f)))
+    val (suRej, suCap) = metrics("sem_uni", () =>
+      StreamSemDedup.streamingObserved(semUni.toDS(), cents,
+          threshold = 0.9, "sem_uni", nassign = 1, cellCap = 2)
+        .writeStream.format("memory").queryName("semuni")
+        .outputMode("append").start())
+    assert(suRej == 0L && suCap == 0L, s"uniform: $suRej/$suCap")
+  }
+
   test("StreamNearDup bucketCap bounds state: later arrivals compare, " +
       "don't enroll") {
     import graft.streaming.StreamNearDup
