@@ -176,7 +176,7 @@ object Dedup {
     * `bucketCap` (when set) drops oversized buckets whole via a
     * window count on the (band, bucket) key the downstream join
     * reuses. */
-  private def bandedSignatures(df: DataFrame, textCol: String,
+  private[operators] def bandedSignatures(df: DataFrame, textCol: String,
       idCol: String, shingleLen: Int, bands: Int, rowsPerBand: Int,
       bucketCap: Option[Int]): DataFrame = {
     val numHashes = bands * rowsPerBand
@@ -225,12 +225,15 @@ object Dedup {
   def minhashLshCross(newDf: DataFrame, refDf: DataFrame,
       textCol: String, idCol: String, shingleLen: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2,
-      minEstJaccard: Double = 0.5, bucketCap: Int = 2000): DataFrame = {
-    val br = tracked(bandedSignatures(refDf, textCol, idCol, shingleLen,
-      bands, rowsPerBand, Some(bucketCap)))
-    crossJoinTail(newDf, br, textCol, idCol, shingleLen, bands,
-      rowsPerBand, minEstJaccard)
-  }
+      minEstJaccard: Double = 0.5, bucketCap: Int = 2000): DataFrame =
+    // the ref side's banded signatures feed exactly ONE consumer (the
+    // bucket join) — no persist: caching a single-use frame is pure
+    // serialization overhead (measured 14% of this operator's wall at
+    // sf0.1, ProfQ190). Cross-increment reuse is the artifact path's
+    // job ([[writeBandedSignatures]]), not an in-job cache's.
+    crossJoinTail(newDf, bandedSignatures(refDf, textCol, idCol,
+        shingleLen, bands, rowsPerBand, Some(bucketCap)),
+      textCol, idCol, shingleLen, bands, rowsPerBand, minEstJaccard)
 
   /** Persist the lake side of the incremental-dedup contract: the
     * reference corpus's banded, bucket-capped MinHash signatures as a
@@ -277,21 +280,32 @@ object Dedup {
   def appendBandedSignatures(survivors: DataFrame, textCol: String,
       idCol: String, path: String, shingleLen: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 2, bucketCap: Int = 2000): Unit = {
-    val spark = survivors.sparkSession
-    val stored = spark.read.parquet(path).groupBy("band", "bucket")
+    val cut = Lineage.cut(cappedAppendSignatures(survivors, textCol,
+      idCol, survivors.sparkSession.read.parquet(path), shingleLen,
+      bands, rowsPerBand, bucketCap))
+    cut.write.mode("append").parquet(path)
+    Lineage.free(cut)
+  }
+
+  /** The append's enrollment plan, exposed for the plan-shape spec:
+    * the lake contributes ONLY a per-(band, bucket) occupancy count —
+    * the spec pins that its scan is column-pruned to those two int
+    * columns (never id/sig, and never any text source). */
+  private[graft] def cappedAppendSignatures(survivors: DataFrame,
+      textCol: String, idCol: String, storedSigs: DataFrame,
+      shingleLen: Int, bands: Int, rowsPerBand: Int,
+      bucketCap: Int): DataFrame = {
+    val stored = storedSigs.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__stored"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bucket").orderBy(col("id").asc)
-    val capped = bandedSignatures(survivors, textCol, idCol, shingleLen,
+    bandedSignatures(survivors, textCol, idCol, shingleLen,
         bands, rowsPerBand, None)
       .join(stored, Seq("band", "bucket"), "left")
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= lit(bucketCap.toLong) -
         coalesce(col("__stored"), lit(0L)))
       .select(col("id"), col("sig"), col("band"), col("bucket"))
-    val cut = Lineage.cut(capped)
-    cut.write.mode("append").parquet(path)
-    Lineage.free(cut)
   }
 
   /** Job 2 of the incremental-dedup contract: dedup an increment
@@ -317,7 +331,7 @@ object Dedup {
   /** Shared tail of the cross-corpus joins: sign the increment, probe
     * the (band, bucket) index, estimate Jaccard from full-signature
     * agreement, canonicalize pairs. */
-  private def crossJoinTail(newDf: DataFrame, refBanded: DataFrame,
+  private[operators] def crossJoinTail(newDf: DataFrame, refBanded: DataFrame,
       textCol: String, idCol: String, shingleLen: Int, bands: Int,
       rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand

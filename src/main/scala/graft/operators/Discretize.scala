@@ -120,7 +120,15 @@ object Discretize {
       method: ClusterMethod = ClusterMethod.KMeansMethod): EnergySeries = {
     require(series.indexCols.nonEmpty, "discretize requires a time index")
     val v = series.valueCol
-    val long = series.withStepColumn
+    // cache the INPUT before the step-inference collect: that sort+limit
+    // is a full-scan job (a global min-2 reads every partition), and
+    // without the cache the series' upstream plan — often an
+    // aggregation over a raw table — re-evaluates for the period pivot.
+    // One fill, two consumers; released by the session's between-queries
+    // clearCache like the `long` cache below.
+    val base = series.copy(df = series.df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val long = base.withStepColumn
       .withColumn("__period", (col("__step") / periodLength).cast(LongType))
       .withColumn("__slot", pmod(col("__step"), lit(periodLength)).cast(IntegerType))
       .cache()
@@ -165,9 +173,14 @@ object Discretize {
     val cols = frame.valueCols
     require(cols.nonEmpty, "frame has no value columns")
 
-    val long = cols.map(c => frame.df.select(col(ts), lit(c).as("__col"),
+    // cache the input frame before the step-inference collect (see
+    // discretize): the melt below re-reads it once PER VALUE COLUMN,
+    // so without the cache the upstream plan evaluates |cols|+1 times
+    val fdf = frame.df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val long = cols.map(c => fdf.select(col(ts), lit(c).as("__col"),
         col(c).cast("double").as("__v"))).reduce(_ unionByName _)
-    val firstTs = frame.df.select(col(ts)).orderBy(col(ts).asc).limit(2)
+    val firstTs = fdf.select(col(ts)).orderBy(col(ts).asc).limit(2)
       .collect().map(_.getTimestamp(0).getTime / 1000)
     require(firstTs.length >= 2, "need at least 2 rows")
     val stepSeconds = firstTs(1) - firstTs(0)

@@ -722,9 +722,13 @@ object Similarity {
     require(sample.nonEmpty, "semDedupCross needs a non-empty reference")
     val centroids: Seq[Seq[Double]] =
       LocalKMeans.fit(sample, nlist, seed)._2.toSeq.map(_.toSeq)
-    val keepers = semKeeperRank(Dedup.tracked(
+    // no persist on the ref assignment: it feeds exactly one consumer
+    // (the keeper rank → the cell join) — single-use caching is pure
+    // overhead (the minhashLshCross finding, ProfQ190); cross-increment
+    // reuse belongs to the artifact path ([[writeSemDedupArtifacts]])
+    val keepers = semKeeperRank(
       semAssign(refDf, idCol, vecCol, centroids, keepFarthest, nassign,
-        withOk = true)), keeperCap)
+        withOk = true), keeperCap)
     semCrossTail(semAssign(newDf, idCol, vecCol, centroids, keepFarthest,
       nassign, withOk = false), keepers, threshold)
   }

@@ -782,6 +782,22 @@ class OperatorsSpec extends SparkTestBase {
       minEstJaccard = 0.9).select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.contains((7L, 11L)), s"appended sig not probed: $found")
+    // plan guard: the append's lake read is column-pruned to the
+    // (band, bucket) occupancy columns — never id/sig (the count is
+    // strictly cheaper than the probe join every job 2 already pays)
+    val appendPlan = Dedup.cappedAppendSignatures(surv, "text",
+      "doc_id", spark.read.parquet(s"$tmp/sigs"), 3, 8, 2, 2)
+    // sparkPlan, not executedPlan: AQE wraps the adaptive root with no
+    // children, hiding leaf scans from collect
+    val lakeScans = appendPlan.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("/sigs")) =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(lakeScans.nonEmpty)
+    assert(lakeScans.forall(_ == Set("band", "bucket")),
+      s"append reads more than occupancy columns: $lakeScans")
   }
 
   test("appendSemKeepers rank-merges by the global priority under " +
