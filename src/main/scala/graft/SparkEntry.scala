@@ -30,7 +30,7 @@ object SparkEntry {
     * the same data dir can never race overwrite-vs-read on shared
     * artifact files; within one JVM the writers use overwrite mode, so
     * repeated builder calls stay idempotent. NOTE: q192/q193/q196/
-    * q198/q200/q201/q202 are the SIDE-EFFECTING entries in `queries` —
+    * q198/q200–q204 are the SIDE-EFFECTING entries in `queries` —
     * constructing them runs the artifact-write jobs (that multi-job
     * shape IS the contract under test); plan-only consumers should
     * skip them (PlanShapeSpec does). The append steps are also
@@ -2182,6 +2182,90 @@ object SparkEntry {
       recallGate(shouldRemove, removed2.select(col("id").as("vec")),
         Seq("vec"), threshold = 0.8)
     }),
+    // ---- NEAR-DUP lake lifecycle through the FUSED step
+    // (Dedup.minhashLshLakeStep: jobs 2+3 in one pass — each increment
+    // is signed ONCE for both the probe and the fold-in; the two-job
+    // q200 signs twice, ~40% of its append per ProfLakeCycle).
+    // Certified doc-level: the cycle's removed third-2 docs cover the
+    // exact should-remove set (q200's gate set projected to its
+    // third-2 doc). SIDE-EFFECTING.
+    "q203_neardup_lake_fused" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lake = s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ndf"
+      val third = pmod(col("doc_id"), lit(3))
+      Dedup.writeBandedSignatures(docs.where(third === 0), "text",
+        "doc_id", s"$lake/sigs")
+      val surv1 = Dedup.minhashLshLakeStep(docs.where(third === 1),
+        "text", "doc_id", s"$lake/sigs", shingleLen = 3, bands = 8,
+        rowsPerBand = 2, minEstJaccard = 0.35)
+      // the step folded surv1 in already; nothing else reads it
+      graft.operators.Lineage.free(surv1)
+      val surv2 = Dedup.minhashLshLakeStep(docs.where(third === 2),
+        "text", "doc_id", s"$lake/sigs", shingleLen = 3, bands = 8,
+        rowsPerBand = 2, minEstJaccard = 0.35)
+      val removed2 = docs.where(third === 2).select(col("doc_id"))
+        .join(surv2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val exact = Dedup.tracked(Dedup.ngramJaccardPairsPrefix(docs,
+        "text", "doc_id", shingleLen = 3, minJaccard = 0.5,
+        docFreqCap = 1000))
+      val ta = pmod(col("a"), lit(3))
+      val tb = pmod(col("b"), lit(3))
+      val exRemoved1 = exact
+        .where((ta === 1 && tb === 0) || (ta === 0 && tb === 1))
+        .select(when(ta === 1, col("a")).otherwise(col("b"))
+          .as("doc_id")).distinct()
+      val admitted = docs.where(third === 0).select(col("doc_id"))
+        .unionByName(docs.where(third === 1).select(col("doc_id"))
+          .join(exRemoved1, Seq("doc_id"), "left_anti"))
+        .withColumnRenamed("doc_id", "adm")
+      val shouldRemove = exact.where(ta === 2 || tb === 2)
+        .join(admitted,
+          when(ta === 2, col("b")).otherwise(col("a")) === col("adm"),
+          "left_semi")
+        .select(when(ta === 2, col("a")).otherwise(col("b"))
+          .as("doc_id")).distinct()
+      recallGate(shouldRemove, removed2, Seq("doc_id"), threshold = 0.8)
+    }),
+    // ---- SEMANTIC lake lifecycle through the FUSED step
+    // (Similarity.semDedupLakeStep: one assignment pass per increment
+    // instead of probe-assign + append-assign). Same gate as q201.
+    // SIDE-EFFECTING.
+    "q204_semlake_fused" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_semf"
+      val third = pmod(col("vec_id"), lit(3))
+      Similarity.writeSemDedupArtifacts(emb.where(third === 0),
+        "vec_id", "embedding", lake, nlist = 8, nassign = 3)
+      val surv1 = Similarity.semDedupLakeStep(emb.where(third === 1),
+        "vec_id", "embedding", lake, threshold = 0.4, nassign = 3)
+      graft.operators.Lineage.free(surv1)
+      val surv2 = Similarity.semDedupLakeStep(emb.where(third === 2),
+        "vec_id", "embedding", lake, threshold = 0.4, nassign = 3)
+      val removed2 = emb.where(third === 2).select(col("vec_id"))
+        .join(surv2.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      val exact = Dedup.tracked(Similarity.cosineNearDupPairs(emb,
+        "vec_id", "embedding", threshold = 0.4))
+      val ta = pmod(col("a"), lit(3))
+      val tb = pmod(col("b"), lit(3))
+      val exRemoved1 = exact
+        .where((ta === 1 && tb === 0) || (ta === 0 && tb === 1))
+        .select(when(ta === 1, col("a")).otherwise(col("b"))
+          .as("vec_id")).distinct()
+      val admitted = emb.where(third === 0).select(col("vec_id"))
+        .unionByName(emb.where(third === 1).select(col("vec_id"))
+          .join(exRemoved1, Seq("vec_id"), "left_anti"))
+        .withColumnRenamed("vec_id", "adm")
+      val shouldRemove = exact.where(ta === 2 || tb === 2)
+        .join(admitted,
+          when(ta === 2, col("b")).otherwise(col("a")) === col("adm"),
+          "left_semi")
+        .select(when(ta === 2, col("a")).otherwise(col("b")).as("vec"))
+        .distinct()
+      recallGate(shouldRemove,
+        removed2.select(col("vec_id").as("vec")), Seq("vec"),
+        threshold = 0.8)
+    }),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -2451,6 +2535,26 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(1 AS BIGINT) AS recall_ok FROM ($innerSql)""".stripMargin
 
+    // exact should-remove set of the semantic lake cycle (thirds
+    // composition over the cosine pairs) — shared by q201 (two-job
+    // path) and q204 (fused step), which remove by the same rule
+    val semCycleShouldRemoveSql: String =
+      s"""WITH p AS (${neardupSql(0.4)}),
+         |exr1 AS (SELECT DISTINCT CASE WHEN a % 3 = 1 THEN a ELSE b
+         |    END AS id
+         |  FROM p
+         |  WHERE (a % 3 = 1 AND b % 3 = 0)
+         |     OR (a % 3 = 0 AND b % 3 = 1)),
+         |adm AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1
+         |    AND vec_id NOT IN (SELECT id FROM exr1))
+         |SELECT DISTINCT CASE WHEN a % 3 = 2 THEN a ELSE b END AS vec
+         |FROM p
+         |WHERE (a % 3 = 2 OR b % 3 = 2)
+         |  AND (CASE WHEN a % 3 = 2 THEN b ELSE a END)
+         |    IN (SELECT vec_id FROM adm)""".stripMargin
+
     val langScores = TextOps.LangMarkers.map { case (lang, ms) =>
       val set = ms.map(m => s"'$m'").mkString(", ")
       lang -> s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($set)))"
@@ -2622,24 +2726,33 @@ object SparkEntry {
            |WHERE (a % 3 = 2 OR b % 3 = 2)
            |  AND (CASE WHEN a % 3 = 2 THEN b ELSE a END)
            |    IN (SELECT doc_id FROM adm)""".stripMargin),
-      // exact should-remove set of the semantic lake cycle (same
-      // thirds composition over the cosine pairs)
-      "q201_semlake_cycle" -> gateSql(
-        s"""WITH p AS (${neardupSql(0.4)}),
+      // q200's gate set projected to its third-2 doc — the fused
+      // step's cycle is certified doc-level (removed docs cover it)
+      "q203_neardup_lake_fused" -> gateSql(
+        s"""WITH pairs AS (${ngramPairsSql(0.5)}),
            |exr1 AS (SELECT DISTINCT CASE WHEN a % 3 = 1 THEN a ELSE b
            |    END AS id
-           |  FROM p
+           |  FROM pairs
            |  WHERE (a % 3 = 1 AND b % 3 = 0)
            |     OR (a % 3 = 0 AND b % 3 = 1)),
-           |adm AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+           |adm AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
            |  UNION ALL
-           |  SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1
-           |    AND vec_id NOT IN (SELECT id FROM exr1))
-           |SELECT DISTINCT CASE WHEN a % 3 = 2 THEN a ELSE b END AS vec
-           |FROM p
+           |  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+           |    AND doc_id NOT IN (SELECT id FROM exr1))
+           |SELECT DISTINCT CASE WHEN a % 3 = 2 THEN a ELSE b END
+           |  AS doc_id
+           |FROM pairs
            |WHERE (a % 3 = 2 OR b % 3 = 2)
            |  AND (CASE WHEN a % 3 = 2 THEN b ELSE a END)
-           |    IN (SELECT vec_id FROM adm)""".stripMargin),
+           |    IN (SELECT doc_id FROM adm)""".stripMargin),
+      // exact should-remove set of the semantic lake cycle (same
+      // thirds composition over the cosine pairs)
+      "q201_semlake_cycle" -> gateSql(semCycleShouldRemoveSql),
+      // the fused-step cycle (q204) removes by the SAME rule as the
+      // two-job cycle — one oracle certifies both (the q94/q183
+      // shared-oracle precedent; the equality of the two paths is
+      // additionally spec-pinned in OperatorsSpec)
+      "q204_semlake_fused" -> gateSql(semCycleShouldRemoveSql),
       "q179_split_leakage" ->
         s"""WITH pairs AS (${ngramPairsSql(0.5)}),
            |s AS (SELECT doc_id,

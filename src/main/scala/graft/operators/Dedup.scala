@@ -308,6 +308,60 @@ object Dedup {
       .select(col("id"), col("sig"), col("band"), col("bucket"))
   }
 
+  /** Jobs 2+3 of the near-dup lake contract FUSED — the steady-state
+    * increment step: sign the increment ONCE, dedup it against the
+    * lake artifact, fold the survivors' already-computed signatures
+    * back in, and return the survivors. The two-job composition
+    * ([[minhashLshCrossFromArtifacts]] then
+    * [[appendBandedSignatures]]) signs every increment twice — once to
+    * probe, once to append — which the 100× ProfLakeCycle probe
+    * measured at ~40% of the append's wall; here the banded rows are
+    * persisted across both consumers (a justified multi-consumer
+    * persist, unlike the single-use ones round 13 removed). Results
+    * are spec-pinned identical to the two-job path: same survivors,
+    * same lake contents, same lifetime `bucketCap` accounting.
+    * SIDE-EFFECTING (the append); the returned survivors frame is
+    * eagerly materialized, as it must be — its plan reads the
+    * directory the append writes into (the q198 ordering discipline).
+    * Removal rule: a new doc is removed iff it band-collides with any
+    * lake member at `minEstJaccard` signature agreement — exactly the
+    * new-side pair set of job 2. */
+  def minhashLshLakeStep(newDf: DataFrame, textCol: String,
+      idCol: String, path: String, shingleLen: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, minEstJaccard: Double = 0.5,
+      bucketCap: Int = 2000): DataFrame = {
+    val spark = newDf.sparkSession
+    val refSigs = spark.read.parquet(path)
+    require(refSigs.columns.toSet == Set("id", "sig", "band", "bucket"),
+      "path must hold a writeBandedSignatures table " +
+        s"(id, sig, band, bucket); got ${refSigs.columns.mkString(",")}")
+    val bn = tracked(bandedSignatures(newDf, textCol, idCol, shingleLen,
+      bands, rowsPerBand, None))
+    val removed = bandedCrossRaw(bn, refSigs, bands * rowsPerBand)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("n_id").as(idCol)).distinct()
+    val survivors = Lineage.cut(
+      newDf.join(removed, Seq(idCol), "left_anti"))
+    // fold-in from the SAME banded rows: semi-join to survivors, then
+    // the appendBandedSignatures occupancy accounting verbatim
+    val stored = refSigs.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__stored"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy(col("id").asc)
+    val capped = bn
+      .join(survivors.select(col(idCol).as("id")), Seq("id"),
+        "left_semi")
+      .join(stored, Seq("band", "bucket"), "left")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= lit(bucketCap.toLong) -
+        coalesce(col("__stored"), lit(0L)))
+      .select(col("id"), col("sig"), col("band"), col("bucket"))
+    val cut = Lineage.cut(capped)
+    cut.write.mode("append").parquet(path)
+    Lineage.free(cut)
+    survivors
+  }
+
   /** Job 2 of the incremental-dedup contract: dedup an increment
     * against a PRE-BUILT signature table ([[writeBandedSignatures]]'s
     * output, loaded by the caller) — the lake is never re-shingled or
@@ -334,22 +388,30 @@ object Dedup {
   private[operators] def crossJoinTail(newDf: DataFrame, refBanded: DataFrame,
       textCol: String, idCol: String, shingleLen: Int, bands: Int,
       rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val bn = bandedSignatures(newDf, textCol, idCol, shingleLen, bands,
       rowsPerBand, None)
+    bandedCrossRaw(bn, refBanded, bands * rowsPerBand)
+      .select(least(col("n_id"), col("r_id")).as("a"),
+        greatest(col("n_id"), col("r_id")).as("b"), col("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** The probe join on an ALREADY-banded new side, sides kept apart
+    * ((n_id, r_id), not canonicalized) — shared by [[crossJoinTail]]
+    * and the fused [[minhashLshLakeStep]], which needs the new-side
+    * ids and reuses the banded rows for the fold-in. */
+  private[operators] def bandedCrossRaw(bn: DataFrame,
+      refBanded: DataFrame, numHashes: Int): DataFrame =
     bn.select(col("band"), col("bucket"), col("id").as("n_id"),
         col("sig").as("sig_n"))
       .join(refBanded.select(col("band"), col("bucket"),
         col("id").as("r_id"), col("sig").as("sig_r")),
         Seq("band", "bucket"))
       .where(col("n_id") =!= col("r_id"))
-      .select(least(col("n_id"), col("r_id")).as("a"),
-        greatest(col("n_id"), col("r_id")).as("b"),
+      .select(col("n_id"), col("r_id"),
         (size(filter(zip_with(col("sig_n"), col("sig_r"), (x, y) =>
           x === y), c => c)) / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
-      .where(col("est_jaccard") >= minEstJaccard)
-  }
 
   /** Job 1 of the EXACT-dedup lake contract: write the distinct content
     * hashes of the reference corpus as the lake artifact. One 16-byte

@@ -841,6 +841,12 @@ object Similarity {
     * idempotent (a duplicate row must not burn a cap slot). The merged
     * table is materialized eagerly ([[graft.operators.Lineage.cut]])
     * before the overwrite — its plan reads the path it replaces.
+    * CALLERS carry the same duty: any still-lazy frame whose plan
+    * reads the keeper table (the increment's removal set, survivors
+    * derived from it) must be materialized BEFORE this call — the
+    * rewrite replaces the files underneath it (q201 cuts its
+    * survivors first; [[semDedupLakeStep]] fuses the jobs and owns
+    * the ordering internally).
     * `keepFarthest`/`keeperCap`/`nassign` must match the write. */
   def appendSemKeepers(survivors: DataFrame, idCol: String,
       vecCol: String, path: String, keepFarthest: Boolean = true,
@@ -855,14 +861,7 @@ object Similarity {
         keepFarthest, nassign, withOk = true)
       .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
         col("n").as("kn"), col("ok").as("kok"))
-    val w = Window.partitionBy("cell").orderBy(col("kok").asc)
-    val merged = stored.unionByName(incoming)
-      .dropDuplicates("cell", "keeper")
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= keeperCap).drop("rk")
-    val cut = graft.operators.Lineage.cut(merged)
-    cut.write.mode("overwrite").parquet(s"$path/keepers")
-    graft.operators.Lineage.free(cut)
+    overwriteMergedKeepers(stored, incoming, keeperCap, path)
   }
 
   /** Job 2 of the incremental SemDeDup contract: dedup an increment
@@ -874,6 +873,57 @@ object Similarity {
     * parameters (`nassign`/`threshold` may differ per increment;
     * `keepFarthest`/`keeperCap`/codebook geometry are fixed at write
     * time, which is exactly the lake contract). */
+  /** Jobs 2+3 of the semantic lake contract FUSED — the
+    * [[graft.operators.Dedup.minhashLshLakeStep]] analog: assign the
+    * increment ONCE (the two-job path assigns it to probe, then
+    * re-assigns the survivors to fold in — the assignment's
+    * literal-codebook distance expressions are the append's dominant
+    * cost at production nlist), dedup against the keeper artifact,
+    * rank-merge the survivors' already-assigned rows into the keeper
+    * table under `keeperCap`, and return the survivors.
+    * Results are spec-pinned identical to the two-job path.
+    * SIDE-EFFECTING (the keeper-table rewrite); the survivors and the
+    * merged table are eagerly materialized BEFORE the overwrite —
+    * both their plans read the table being replaced. */
+  def semDedupLakeStep(newDf: DataFrame, idCol: String, vecCol: String,
+      path: String, threshold: Double, keepFarthest: Boolean = true,
+      keeperCap: Int = 1000, nassign: Int = 1): DataFrame = {
+    val spark = newDf.sparkSession
+    val centroids = readSemCodebook(spark, path)
+    val stored = spark.read.parquet(s"$path/keepers")
+    require(stored.columns.toSet == Set("cell", "keeper", "kv", "kn",
+      "kok"), "keepers must be a writeSemDedupArtifacts table; got " +
+      stored.columns.mkString(","))
+    val assigned = Dedup.tracked(semAssign(newDf, idCol, vecCol,
+      centroids, keepFarthest, nassign, withOk = true))
+    val removed = semCrossTail(assigned.drop("ok"), stored, threshold)
+    val survivors = graft.operators.Lineage.cut(
+      newDf.join(removed.select(col("id").as(idCol)), Seq(idCol),
+        "left_anti"))
+    val incoming = assigned
+      .join(survivors.select(col(idCol).as("id")), Seq("id"),
+        "left_semi")
+      .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
+        col("n").as("kn"), col("ok").as("kok"))
+    overwriteMergedKeepers(stored, incoming, keeperCap, path)
+    survivors
+  }
+
+  /** Shared fold-in tail: rank-merge incoming keeper-candidate rows
+    * against the stored table under `keeperCap`, materialize eagerly
+    * (the plan reads the table being replaced), overwrite, free. */
+  private def overwriteMergedKeepers(stored: DataFrame,
+      incoming: DataFrame, keeperCap: Int, path: String): Unit = {
+    val w = Window.partitionBy("cell").orderBy(col("kok").asc)
+    val merged = stored.unionByName(incoming)
+      .dropDuplicates("cell", "keeper")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= keeperCap).drop("rk")
+    val cut = graft.operators.Lineage.cut(merged)
+    cut.write.mode("overwrite").parquet(s"$path/keepers")
+    graft.operators.Lineage.free(cut)
+  }
+
   def semDedupCrossFromArtifacts(newDf: DataFrame, keepers: DataFrame,
       centroids: Seq[Seq[Double]], idCol: String, vecCol: String,
       threshold: Double, nassign: Int = 1): DataFrame = {

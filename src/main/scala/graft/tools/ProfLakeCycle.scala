@@ -89,6 +89,20 @@ object ProfLakeCycle {
         "text", "doc_id", s"$root/sigs_rebuild")
     }
     println(f"""LAKEREBUILD {"col":"neardup","sec":$tRebuild%.1f}""")
+    // FUSED step (jobs 2+3, one signing pass) over an identical lake
+    Dedup.writeBandedSignatures(docs.where(slice < nInc), "text",
+      "doc_id", s"$root/sigs_f")
+    (1 to nInc).foreach { k =>
+      val (surv, t) = sec {
+        Dedup.minhashLshLakeStep(docInc(k), "text", "doc_id",
+          s"$root/sigs_f", shingleLen = 3, bands = 8, rowsPerBand = 2,
+          minEstJaccard = 0.35)
+      }
+      println(f"""LAKECYCLE {"col":"neardup","step":"fused$k","sec":$t%.1f}""")
+      graft.operators.Lineage.free(surv)
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+    }
 
     // ---- semantic column ------------------------------------------------
     val nlist = math.max(8, (3 * emb.count() / 1000).toInt)
@@ -117,6 +131,21 @@ object ProfLakeCycle {
       val keeperRows = spark.read.parquet(s"$root/sem/keepers").count()
       println(f"""LAKECYCLE {"col":"sem","step":"inc$k","dedup_sec":$tDedup%.1f,"append_sec":$tAppend%.1f,"keeper_rows":$keeperRows}""")
       graft.operators.Lineage.free(survivors)
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+    }
+    // FUSED semantic step over an identical lake
+    Similarity.writeSemDedupArtifacts(emb.where(vslice < nInc),
+      "vec_id", "embedding", s"$root/sem_f", nlist = nlist,
+      nassign = 3, keeperCap = 250,
+      sampleRows = math.max(4096, 8 * nlist))
+    (1 to nInc).foreach { k =>
+      val (surv, t) = sec {
+        Similarity.semDedupLakeStep(embInc(k), "vec_id", "embedding",
+          s"$root/sem_f", threshold = 0.4, keeperCap = 250, nassign = 3)
+      }
+      println(f"""LAKECYCLE {"col":"sem","step":"fused$k","sec":$t%.1f}""")
+      graft.operators.Lineage.free(surv)
       Dedup.releaseIntermediates()
       spark.catalog.clearCache()
     }

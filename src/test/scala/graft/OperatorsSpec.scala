@@ -836,6 +836,70 @@ class OperatorsSpec extends SparkTestBase {
     Dedup.releaseIntermediates()
   }
 
+  test("fused lake steps equal the two-job path: same survivors, same " +
+      "lake contents, one signing/assignment pass") {
+    import org.apache.spark.sql.DataFrame
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuse").toString
+    val ref = docs.where($"doc_id" % 2 === 0)
+    val inc = docs.where($"doc_id" % 2 === 1)
+    def ids(df: DataFrame, c: String = "doc_id") =
+      df.select(c).collect().map(_.getLong(0)).toSet
+    // ---- near-dup column
+    Dedup.writeBandedSignatures(ref, "text", "doc_id", s"$tmp/a")
+    Dedup.writeBandedSignatures(ref, "text", "doc_id", s"$tmp/b")
+    val pairs = Dedup.minhashLshCrossFromArtifacts(inc,
+      spark.read.parquet(s"$tmp/a"), "text", "doc_id",
+      minEstJaccard = 0.35)
+    val removed = pairs.select(
+      when($"a" % 2 === 1, $"a").otherwise($"b").as("doc_id")).distinct()
+    val survA = inc.join(removed, Seq("doc_id"), "left_anti")
+    // materialize BEFORE the append — the two-job caller's ordering
+    // duty (the fused step does its own eager cut internally)
+    val survAIds = ids(survA)
+    Dedup.appendBandedSignatures(survA, "text", "doc_id", s"$tmp/a")
+    val survB = Dedup.minhashLshLakeStep(inc, "text", "doc_id",
+      s"$tmp/b", minEstJaccard = 0.35)
+    assert(survAIds == ids(survB),
+      s"survivors differ: $survAIds vs ${ids(survB)}")
+    def sigRows(p: String) = spark.read.parquet(p)
+      .select("id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(sigRows(s"$tmp/a") == sigRows(s"$tmp/b"))
+    Dedup.releaseIntermediates()
+    // ---- semantic column
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f)), (2L, Array(0.00f, 1.00f)),
+      (1L, Array(0.99f, 0.01f)), // near-dup of 0 -> removed
+      (3L, Array(-1.00f, 0.00f)), (5L, Array(0.02f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val vRef = vecs.where($"vec_id" % 2 === 0)
+    val vInc = vecs.where($"vec_id" % 2 === 1)
+    Similarity.writeSemDedupArtifacts(vRef, "vec_id", "embedding",
+      s"$tmp/sa", nlist = 2, nassign = 2, seed = 7L)
+    Similarity.writeSemDedupArtifacts(vRef, "vec_id", "embedding",
+      s"$tmp/sb", nlist = 2, nassign = 2, seed = 7L)
+    val vRemoved = Similarity.semDedupCrossFromArtifacts(vInc,
+      spark.read.parquet(s"$tmp/sa/keepers"),
+      Similarity.readSemCodebook(spark, s"$tmp/sa"),
+      "vec_id", "embedding", threshold = 0.9, nassign = 2)
+    val vSurvA = vInc.join(vRemoved.select($"id".as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    // materialize before the keeper-table rewrite: this plan reads the
+    // table the append replaces
+    val vSurvAIds = ids(vSurvA, "vec_id")
+    Similarity.appendSemKeepers(vSurvA, "vec_id", "embedding",
+      s"$tmp/sa", nassign = 2)
+    val vSurvB = Similarity.semDedupLakeStep(vInc, "vec_id",
+      "embedding", s"$tmp/sb", threshold = 0.9, nassign = 2)
+    assert(vSurvAIds == ids(vSurvB, "vec_id"))
+    assert(ids(vSurvB, "vec_id") == Set(3L)) // 1 removed by 0, 5 by 2
+    def keeperRows(p: String) = spark.read.parquet(s"$p/keepers")
+      .select("cell", "keeper").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(keeperRows(s"$tmp/sa") == keeperRows(s"$tmp/sb"))
+    Dedup.releaseIntermediates()
+  }
+
   test("hashSplit deterministically partitions into the named bands") {
     val rows = (0L until 200L).toDF("id")
     val bands = Seq(("train", 80), ("val", 90), ("test", 100))

@@ -201,7 +201,8 @@ class PlanShapeSpec extends SparkTestBase {
     val sideEffecting = Set("q192_lake_artifacts", "q193_semlake_artifacts",
       "q196_exact_lake", "q198_exact_lake_cycle",
       "q200_neardup_lake_cycle", "q201_semlake_cycle",
-      "q202_calibrated_filter")
+      "q202_calibrated_filter", "q203_neardup_lake_fused",
+      "q204_semlake_fused")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions
