@@ -30,7 +30,7 @@ object SparkEntry {
     * the same data dir can never race overwrite-vs-read on shared
     * artifact files; within one JVM the writers use overwrite mode, so
     * repeated builder calls stay idempotent. NOTE: q192/q193/q196/
-    * q198/q200–q204 are the SIDE-EFFECTING entries in `queries` —
+    * q198/q200–q206 are the SIDE-EFFECTING entries in `queries` —
     * constructing them runs the artifact-write jobs (that multi-job
     * shape IS the contract under test); plan-only consumers should
     * skip them (PlanShapeSpec does). The append steps are also
@@ -2266,6 +2266,58 @@ object SparkEntry {
         removed2.select(col("vec_id").as("vec")), Seq("vec"),
         threshold = 0.8)
     }),
+    // ---- LAKE-SEEDED streaming ingest gate: the StreamNearDup keyed
+    // state PRE-SEEDED from the banded-signature artifact
+    // (flatMapGroupsWithState initialState) — micro-batch one dedups
+    // against the whole admitted corpus without replaying history
+    // through the stream. Run through the batch twin (same typed
+    // pipeline + initial state in batch mode), recall-gated on every
+    // exact pair touching the streamed (odd) side. SIDE-EFFECTING.
+    "q205_lake_seeded_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_seed"
+      Dedup.writeBandedSignatures(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text",
+        "doc_id", s"$lake/sigs")
+      val detected = graft.streaming.StreamNearDup.batchFromLake(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        s.read.parquet(s"$lake/sigs"), "text", "doc_id",
+        shingleLen = 3, bands = 8, rowsPerBand = 2,
+        minEstJaccard = 0.35)
+      val exact = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+        .where(pmod(col("a"), lit(2)) === 1 ||
+          pmod(col("b"), lit(2)) === 1)
+      recallGate(exact, detected, Seq("a", "b"), threshold = 0.8)
+    }),
+    // ---- SEMANTIC lake-seeded ingest gate — the q205 twin in
+    // embedding space: StreamSemDedup's keyed state pre-seeded from
+    // the keeper artifact (priority-ordered, the same cap-ranked core
+    // semDedupCross probes), codebook from the same lake. Gated like
+    // q193: removed odd docs cover the exact cross should-remove set.
+    // SIDE-EFFECTING.
+    "q206_semlake_seeded_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_semseed"
+      Similarity.writeSemDedupArtifacts(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", lake, nlist = 8, nassign = 3)
+      val removed = graft.streaming.StreamSemDedup.batchFromLake(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        Similarity.readSemCodebook(s, lake).map(_.toArray).toArray,
+        s.read.parquet(s"$lake/keepers"), "vec_id", "embedding",
+        threshold = 0.4, nassign = 3)
+      val exactCross = Similarity.cosineNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.4)
+        .where(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      val shouldRemove = exactCross.select(
+        when(pmod(col("a"), lit(2)) === 1, col("a")).otherwise(col("b"))
+          .as("vec")).distinct()
+      recallGate(shouldRemove, removed.select(col("vec_id").as("vec")),
+        Seq("vec"), threshold = 0.8)
+    }),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -2726,6 +2778,16 @@ object SparkEntry {
            |WHERE (a % 3 = 2 OR b % 3 = 2)
            |  AND (CASE WHEN a % 3 = 2 THEN b ELSE a END)
            |    IN (SELECT doc_id FROM adm)""".stripMargin),
+      // every exact pair touching the streamed (odd) side — the
+      // lake-seeded gate must catch stream-vs-lake AND stream-internal
+      "q205_lake_seeded_gate" -> gateSql(
+        s"""SELECT * FROM (${ngramPairsSql(0.5)})
+           |WHERE (a % 2 = 1 OR b % 2 = 1)""".stripMargin),
+      // same rule as q193: the seeded gate's removals must cover the
+      // exact odd-side cross removals
+      "q206_semlake_seeded_gate" -> gateSql(
+        s"""SELECT DISTINCT CASE WHEN (a % 2) = 1 THEN a ELSE b END AS v
+           |FROM (${neardupSql(0.4)}) WHERE (a % 2) <> (b % 2)""".stripMargin),
       // q200's gate set projected to its third-2 doc — the fused
       // step's cycle is certified doc-level (removed docs cover it)
       "q203_neardup_lake_fused" -> gateSql(

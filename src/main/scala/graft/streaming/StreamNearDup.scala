@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit, slice, sort_array, struct, sum, when}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -162,6 +162,9 @@ object StreamNearDup {
       key: (Int, Long), rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[GateOut] = {
     val arrivals = rows.toArray.sortBy(_.doc_id)
+    // lake-seeded runs can invoke state-only keys (initial state, no
+    // batch data): nothing to compare, nothing to report
+    if (arrivals.isEmpty) return Iterator.empty
     val st = state.getOption.getOrElse(
       BucketState(Array.empty, Array.empty))
     var ids = st.ids; var sigs = st.sigs
@@ -229,6 +232,62 @@ object StreamNearDup {
       bucketCap: Int = 2000): Dataset[Cand] =
     candsOf(rawStream(docs, shingleLen, bands, rowsPerBand,
       minEstJaccard, bucketCap))
+
+  /** [[streaming]] with its keyed state PRE-SEEDED from the batch
+    * lake artifact ([[graft.operators.Dedup.writeBandedSignatures]]'s
+    * table) — the production ingest edge: a new crawl stream dedups
+    * against the ENTIRE admitted corpus from micro-batch one, without
+    * replaying a byte of history through the stream. The artifact
+    * rows are grouped into per-(band, bucket) initial `BucketState`
+    * (first `bucketCap` by id — the same deterministic enroll rule
+    * the gate itself applies, so a cap-truncated lake table and a
+    * raw one seed identically), handed to Spark's
+    * `flatMapGroupsWithState(initialState=…)`; the gate function is
+    * UNCHANGED — lake members are simply prior arrivals, compared
+    * and stored exactly like live ones. State size is the lake's
+    * banded-signature mass, key-partitioned across executors —
+    * identical to what the same corpus streamed through the gate
+    * would have built, reached in zero stream time. Parameters must
+    * match the artifact's write (a mismatch probes nothing). */
+  def streamingFromLake(docs: Dataset[Doc], lakeSigs: DataFrame,
+      shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5, bucketCap: Int = 2000)
+      : Dataset[Cand] = {
+    import docs.sparkSession.implicits._
+    require(lakeSigs.columns.toSet == Set("id", "sig", "band", "bucket"),
+      "lakeSigs must be a writeBandedSignatures table " +
+        s"(id, sig, band, bucket); got ${lakeSigs.columns.mkString(",")}")
+    val init = lakeSigs
+      .groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))),
+        1, bucketCap).as("entries"))
+      .select(col("band"), col("bucket"),
+        col("entries.id").as("ids"), col("entries.sig").as("sigs"))
+      .as[(Int, Long, Array[Long], Array[Array[Long]])]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => BucketState(r._3, r._4))
+    candsOf(docs.flatMap(bandRowsOf(_, shingleLen, bands, rowsPerBand))
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout, init)(
+        gate(bands, rowsPerBand, minEstJaccard, bucketCap)))
+  }
+
+  /** Batch twin of [[streamingFromLake]] — the same typed pipeline
+    * and initial state in batch mode (each key sees its arrivals over
+    * the lake-seeded state, in doc_id order). */
+  def batchFromLake(docs: DataFrame, lakeSigs: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5, bucketCap: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(
+      docs(idCol).cast("long").as("doc_id"),
+      docs(textCol).as("text")).as[Doc]
+    streamingFromLake(typed, lakeSigs, shingleLen, bands, rowsPerBand,
+      minEstJaccard, bucketCap).toDF()
+  }
 
   /** [[streaming]] with SATURATION OBSERVABILITY: identical gate and
     * output, plus two per-micro-batch metrics published through the

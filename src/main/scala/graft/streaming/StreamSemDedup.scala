@@ -155,6 +155,9 @@ object StreamSemDedup {
       key: Int, rows: Iterator[CellRow],
       state: GroupState[CellState]): Iterator[RemOut] = {
     val arrivals = rows.toArray.sortBy(_.vec_id)
+    // lake-seeded runs can invoke state-only keys (initial state, no
+    // batch data): nothing to compare, nothing to report
+    if (arrivals.isEmpty) return Iterator.empty
     val st = state.getOption.getOrElse(
       CellState(Array.empty, Array.empty, Array.empty))
     var ids = st.ids; var vecs = st.vecs; var cl = st.cellLists
@@ -243,6 +246,70 @@ object StreamSemDedup {
       threshold: Double, nassign: Int = 2, cellCap: Int = 1000)
       : Dataset[Removal] =
     removalsOf(rawStream(docs, centroids, threshold, nassign, cellCap))
+
+  /** [[streaming]] with its keyed state PRE-SEEDED from the semantic
+    * lake artifact ([[graft.operators.Similarity.writeSemDedupArtifacts]]'s
+    * keeper table + codebook) — the
+    * [[StreamNearDup.streamingFromLake]] twin: micro-batch one dedups
+    * against the whole admitted corpus' cap-ranked keepers, no
+    * history replay. Per cell, the stored entries are the keeper
+    * table's rows in PRIORITY (kok) order — exactly the cap-ranked
+    * core [[graft.operators.Similarity.semDedupCross]] probes, so the
+    * seeded stream's removal rule matches the batch incremental
+    * operator's; live arrivals then enroll behind them in arrival
+    * order up to `cellCap`, exactly like an unseeded run. Lake
+    * members' nassign cell lists are not stored in the artifact and
+    * are recomputed against the same codebook at state build (same
+    * geometry, deterministic — the exactly-once min-shared-cell rule
+    * needs them). `nassign` must match the write. */
+  def streamingFromLake(docs: Dataset[EmbDoc],
+      centroids: Array[Array[Double]], keepers: DataFrame,
+      threshold: Double, nassign: Int = 2, cellCap: Int = 1000)
+      : Dataset[Removal] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, collect_list, slice, sort_array, struct}
+    require(keepers.columns.toSet == Set("cell", "keeper", "kv", "kn",
+      "kok"), "keepers must be a writeSemDedupArtifacts table; got " +
+      keepers.columns.mkString(","))
+    val centNorm2 = centroids.map(c => c.map(x => x * x).sum)
+    val na = math.max(1, nassign)
+    val init = keepers
+      .groupBy(col("cell"))
+      .agg(slice(sort_array(collect_list(struct(col("kok"),
+        col("keeper"), col("kv")))), 1, cellCap).as("e"))
+      .select(col("cell"), col("e.keeper").as("ids"),
+        col("e.kv").as("vecs"))
+      .as[(Int, Array[Long], Array[Array[Float]])]
+      .groupByKey(_._1)
+      .mapValues(r => CellState(r._2, r._3,
+        r._3.map(v => cellsOf(v, centroids, centNorm2, na))))
+    removalsOf(docs.flatMap(cellRowsOf(_, centroids, centNorm2, na))
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout, init)(gate(threshold, cellCap)))
+  }
+
+  /** Batch twin of [[streamingFromLake]] — same typed pipeline and
+    * initial state in batch mode, collapsed to one row per removed
+    * doc like [[batch]]. */
+  def batchFromLake(emb: DataFrame, centroids: Array[Array[Double]],
+      keepers: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nassign: Int = 2, cellCap: Int = 1000)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select(
+      emb(idCol).cast("long").as("vec_id"),
+      emb(vecCol).as("embedding")).as[EmbDoc]
+    streamingFromLake(typed, centroids, keepers, threshold, nassign,
+      cellCap).toDF()
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(
+          col("keeper"), col("cos_sim"))).as("k"))
+      .select(col("vec_id"), col("k.keeper").as("keeper"),
+        col("k.cos_sim").as("cos_sim"))
+  }
 
   /** [[streaming]] with SATURATION OBSERVABILITY — the
     * [[StreamNearDup.streamingObserved]] twin: per-micro-batch

@@ -202,7 +202,8 @@ class PlanShapeSpec extends SparkTestBase {
       "q196_exact_lake", "q198_exact_lake_cycle",
       "q200_neardup_lake_cycle", "q201_semlake_cycle",
       "q202_calibrated_filter", "q203_neardup_lake_fused",
-      "q204_semlake_fused")
+      "q204_semlake_fused", "q205_lake_seeded_gate",
+      "q206_semlake_seeded_gate")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions

@@ -533,6 +533,92 @@ class StreamingSpec extends SparkTestBase {
     assert(suRej == 0L && suCap == 0L, s"uniform: $suRej/$suCap")
   }
 
+  test("lake-seeded streaming gate: micro-batch ONE dedups against the " +
+      "artifact, stream equals the batch twin, unseeded gate misses") {
+    import graft.streaming.StreamNearDup
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seed").toString
+    val lakeDocs = Seq((2L, base),
+      (4L, "completely different words in this one nothing shared " +
+        "with the template at all whatsoever here"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandedSignatures(lakeDocs, "text", "doc_id", s"$tmp/sigs")
+    val arrivals = Seq(
+      StreamNearDup.Doc(11L, base + " edited"), // near-dup of LAKE doc 2
+      StreamNearDup.Doc(13L, "short unrelated thing"))
+    val stream = MemoryStream[StreamNearDup.Doc]
+    val q = StreamNearDup.streamingFromLake(stream.toDS(),
+        spark.read.parquet(s"$tmp/sigs"), minEstJaccard = 0.5)
+      .writeStream.format("memory").queryName("seeded")
+      .outputMode("append").start()
+    stream.addData(arrivals: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT a, b, est_jaccard FROM seeded")
+      .collect().map(_.toString).sorted.toSeq
+    // the FIRST micro-batch caught the lake near-dup
+    assert(streamed.length == 1 && streamed.head.startsWith("[2,11,"),
+      s"lake pair not caught: $streamed")
+    // batch twin is bit-identical
+    val arrivalsDf = arrivals.toDS().toDF()
+    val bt = StreamNearDup.batchFromLake(arrivalsDf,
+        spark.read.parquet(s"$tmp/sigs"), "text", "doc_id",
+        minEstJaccard = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bt == streamed)
+    // without the seed the same arrivals produce NOTHING — the lake
+    // history is what the initial state buys
+    assert(StreamNearDup.batch(arrivalsDf, "text", "doc_id",
+      minEstJaccard = 0.5).collect().isEmpty)
+    // seeding respects the enroll cap: with bucketCap 1 only lake doc
+    // 2 (lowest id) is stored per bucket, and it still pairs
+    val capped = StreamNearDup.batchFromLake(arrivalsDf,
+        spark.read.parquet(s"$tmp/sigs"), "text", "doc_id",
+        minEstJaccard = 0.5, bucketCap = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(capped == streamed)
+  }
+
+  test("semantic lake-seeded gate: keeper state from the artifact " +
+      "removes in batch one; stream equals batch twin; unseeded misses") {
+    import graft.streaming.StreamSemDedup
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semseed").toString
+    val lake = Seq((0L, Array(1.00f, 0.00f)), (2L, Array(0.00f, 1.00f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemDedupArtifacts(lake, "vec_id", "embedding",
+      s"$tmp/sem", nlist = 2, nassign = 2, seed = 7L)
+    val cb = Similarity.readSemCodebook(spark, s"$tmp/sem")
+      .map(_.toArray).toArray
+    val keepers = spark.read.parquet(s"$tmp/sem/keepers")
+    val arrivals = Seq(
+      StreamSemDedup.EmbDoc(11L, Array(0.99f, 0.01f)), // ~ lake doc 0
+      StreamSemDedup.EmbDoc(13L, Array(-1.0f, -0.3f)))
+    val stream = MemoryStream[StreamSemDedup.EmbDoc]
+    val q = StreamSemDedup.streamingFromLake(stream.toDS(), cb, keepers,
+        threshold = 0.9, nassign = 2)
+      .writeStream.format("memory").queryName("semseeded")
+      .outputMode("append").start()
+    stream.addData(arrivals: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+        "SELECT vec_id, keeper, cos_sim FROM semseeded")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.length == 1 && streamed.head.startsWith("[11,0,"),
+      s"lake keeper did not remove its near-dup: $streamed")
+    val bt = StreamSemDedup.batchFromLake(arrivals.toDS().toDF(), cb,
+        keepers, "vec_id", "embedding", threshold = 0.9, nassign = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bt == streamed)
+    // no seed -> no history -> nothing removed
+    assert(StreamSemDedup.batch(arrivals.toDS().toDF(), "vec_id",
+      "embedding", threshold = 0.9, nlist = 2, nassign = 2,
+      seed = 7L).collect().isEmpty)
+  }
+
   test("StreamNearDup bucketCap bounds state: later arrivals compare, " +
       "don't enroll") {
     import graft.streaming.StreamNearDup
