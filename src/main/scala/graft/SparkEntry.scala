@@ -30,7 +30,7 @@ object SparkEntry {
     * the same data dir can never race overwrite-vs-read on shared
     * artifact files; within one JVM the writers use overwrite mode, so
     * repeated builder calls stay idempotent. NOTE: q192/q193/q196/
-    * q198/q200–q207 are the SIDE-EFFECTING entries in `queries` —
+    * q198/q200–q208 are the SIDE-EFFECTING entries in `queries` —
     * constructing them runs the artifact-write jobs (that multi-job
     * shape IS the contract under test); plan-only consumers should
     * skip them (PlanShapeSpec does). The append steps are also
@@ -2400,6 +2400,66 @@ object SparkEntry {
         .unionAll(st("4_sem_cross", s4))
         .unionAll(st("5_filters", s5))
     }),
+    // ---- STREAMING LAKE-INGEST contract on real data — the
+    // foreachBatch deployment shape of the q207 chain (state in the
+    // lake artifacts, not a state store; see StreamLakeIngest): init
+    // the lake from the even half, run the odd half through one
+    // curateIncrement micro-batch, and gate the removals against the
+    // exact should-remove set — decon windows and content hashes are
+    // exact operators (full coverage), near-dup/semantic use the
+    // cross-parity exact pairs (the lake side is always enrolled, so
+    // only LSH/IVF recall is at stake — the q205/q206 gates).
+    // Micro-batch mechanics (multi-batch, replay, snapshot pruning)
+    // are spec-certified on controlled data (LakeIngestSpec).
+    // SIDE-EFFECTING.
+    "q208_stream_lake_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ingest"
+      val joined = docs.join(emb.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+      val bench = docs.where(col("doc_id") < 10)
+      val hist = joined.where(col("doc_id") >= 10 &&
+        pmod(col("doc_id"), lit(2)) === 0)
+      val inc = joined.where(col("doc_id") >= 10 &&
+        pmod(col("doc_id"), lit(2)) === 1)
+      val p = graft.streaming.StreamLakeIngest.Params(
+        minEstJaccard = 0.35, nlist = 8, nassign = 3)
+      graft.streaming.StreamLakeIngest.initLake(hist, bench, "text",
+        "doc_id", "embedding", lake, p)
+      val admitted = Dedup.tracked(
+        graft.streaming.StreamLakeIngest.curateIncrement(inc, lake,
+          s"$lake/admitted", "text", "doc_id", "embedding", 0L, p))
+      val removed = inc.select(col("doc_id"))
+        .join(admitted.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
+      val contam = Dedup.contaminatedDocs(inc, bench, "text", "doc_id",
+        windowLen = 50).select(col("id").as("doc_id"))
+      val oh = inc.select(col("doc_id"), md5(col("text")).as("__h"))
+      val exEv = oh.join(hist.select(md5(col("text")).as("__h"))
+        .distinct(), Seq("__h"), "left_semi").select("doc_id")
+      val exWithin = oh.join(oh.groupBy("__h")
+          .agg(min(col("doc_id")).as("__m")), Seq("__h"))
+        .where(col("doc_id") =!= col("__m")).select("doc_id")
+      val odd = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(2)) === 1
+      val nd = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+        .where(col("a") >= 10 && col("b") >= 10 &&
+          odd(col("a")) =!= odd(col("b")))
+        .select(when(odd(col("a")), col("a")).otherwise(col("b"))
+          .as("doc_id"))
+      val sem = Similarity.cosineNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.4)
+        .where(col("a") >= 10 && col("b") >= 10 &&
+          odd(col("a")) =!= odd(col("b")))
+        .select(when(odd(col("a")), col("a")).otherwise(col("b"))
+          .as("doc_id"))
+      val shouldRemove = contam.unionByName(exEv).unionByName(exWithin)
+        .unionByName(nd).unionByName(sem).distinct()
+      recallGate(shouldRemove, removed, Seq("doc_id"), threshold = 0.8)
+    }),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -3547,6 +3607,37 @@ object SparkEntry {
            |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
            |  UNION ALL SELECT '5_filters', CAST(count(*) AS BIGINT),
            |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5)""".stripMargin,
+      // q208: the streaming lake-ingest gate — exact should-remove set
+      // of one odd-half increment against the even-half lake: decon
+      // windows + content-hash dups (within-increment min-id rule and
+      // vs the lake) + cross-parity near-dup and semantic pairs
+      "q208_stream_lake_ingest" -> gateSql(
+        s"""SELECT DISTINCT doc_id FROM (
+           |  SELECT doc_id FROM (${winSql(
+                "doc_id >= 10 AND doc_id % 2 = 1", withDoc = true)})
+           |    WHERE win IN (SELECT win FROM
+           |      (${winSql("doc_id < 10", withDoc = false)}))
+           |  UNION
+           |  SELECT doc_id FROM (SELECT doc_id, md5(text) AS h
+           |      FROM documents WHERE doc_id >= 10 AND doc_id % 2 = 1)
+           |    WHERE h IN (SELECT md5(text) FROM documents
+           |      WHERE doc_id >= 10 AND doc_id % 2 = 0)
+           |  UNION
+           |  SELECT o.doc_id FROM
+           |    (SELECT doc_id, md5(text) AS h FROM documents
+           |      WHERE doc_id >= 10 AND doc_id % 2 = 1) o
+           |    JOIN (SELECT md5(text) AS h, min(doc_id) AS m
+           |      FROM documents WHERE doc_id >= 10 AND doc_id % 2 = 1
+           |      GROUP BY 1) g
+           |    ON o.h = g.h AND o.doc_id <> g.m
+           |  UNION
+           |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+           |    FROM (${ngramPairsSql(0.5)})
+           |    WHERE a >= 10 AND b >= 10 AND (a % 2) <> (b % 2)
+           |  UNION
+           |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+           |    FROM (${neardupSql(0.4)})
+           |    WHERE a >= 10 AND b >= 10 AND (a % 2) <> (b % 2))""".stripMargin),
       "q194_megapipeline" -> {
         s"""WITH RECURSIVE
            |tw AS MATERIALIZED (${winSql("doc_id >= 10", withDoc = true)}),

@@ -329,17 +329,59 @@ object Dedup {
   def minhashLshLakeStep(newDf: DataFrame, textCol: String,
       idCol: String, path: String, shingleLen: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 2, minEstJaccard: Double = 0.5,
-      bucketCap: Int = 2000): DataFrame = {
-    val spark = newDf.sparkSession
-    val refSigs = spark.read.parquet(path)
+      bucketCap: Int = 2000): DataFrame =
+    minhashLshLakeStepAt(newDf, newDf.sparkSession.read.parquet(path),
+      textCol, idCol, path,
+      org.apache.spark.sql.SaveMode.Append, shingleLen, bands,
+      rowsPerBand, minEstJaccard, bucketCap)
+
+  /** The fused step against an EXPLICIT visible-state frame, folding
+    * into an EXPLICIT target directory — the micro-batch form used by
+    * [[graft.streaming.StreamLakeIngest]], where the signature lake is
+    * a directory of per-increment subdirectories: the caller passes
+    * the union of every increment EXCEPT the current one as `refSigs`
+    * and this batch's own subdirectory as `writePath` with Overwrite,
+    * so replaying a failed micro-batch recomputes from the same
+    * visible state and rewrites its own contribution instead of
+    * appending a duplicate (exactly-once without a transaction log).
+    * Semantics otherwise identical to [[minhashLshLakeStep]], which
+    * delegates here with (flat read of `path`, `path`, Append).
+    *
+    * `dedupWithinIncrement` additionally removes WITHIN-increment
+    * near-dups (larger id of every banded pair at `minEstJaccard` —
+    * pair-based, so a removed doc still removes its own later dups,
+    * the q207 chain rule) from the SAME banded rows — no second
+    * signing pass. The cross-only default matches the batch cycles
+    * (q200/q203), whose increments are pre-deduped corpus thirds; a
+    * micro-batch from a live stream has no such guarantee. */
+  def minhashLshLakeStepAt(newDf: DataFrame, refSigs: DataFrame,
+      textCol: String, idCol: String, writePath: String,
+      writeMode: org.apache.spark.sql.SaveMode, shingleLen: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2, minEstJaccard: Double = 0.5,
+      bucketCap: Int = 2000,
+      dedupWithinIncrement: Boolean = false): DataFrame = {
     require(refSigs.columns.toSet == Set("id", "sig", "band", "bucket"),
-      "path must hold a writeBandedSignatures table " +
+      "refSigs must hold a writeBandedSignatures table " +
         s"(id, sig, band, bucket); got ${refSigs.columns.mkString(",")}")
+    val numHashes = bands * rowsPerBand
     val bn = tracked(bandedSignatures(newDf, textCol, idCol, shingleLen,
       bands, rowsPerBand, None))
-    val removed = bandedCrossRaw(bn, refSigs, bands * rowsPerBand)
+    val crossRemoved = bandedCrossRaw(bn, refSigs, numHashes)
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("n_id").as(idCol)).distinct()
+    val removed =
+      if (!dedupWithinIncrement) crossRemoved
+      else crossRemoved.unionByName(
+        bn.select(col("band"), col("bucket"), col("id").as("wa"),
+            col("sig").as("sa"))
+          .join(bn.select(col("band"), col("bucket"),
+            col("id").as("wb"), col("sig").as("sb")),
+            Seq("band", "bucket"))
+          .where(col("wa") < col("wb"))
+          .where(size(filter(zip_with(col("sa"), col("sb"),
+              (x, y) => x === y), c => c)) / lit(numHashes.toDouble)
+            >= minEstJaccard)
+          .select(col("wb").as(idCol)).distinct()).distinct()
     val survivors = Lineage.cut(
       newDf.join(removed, Seq(idCol), "left_anti"))
     // fold-in from the SAME banded rows: semi-join to survivors, then
@@ -357,7 +399,7 @@ object Dedup {
         coalesce(col("__stored"), lit(0L)))
       .select(col("id"), col("sig"), col("band"), col("bucket"))
     val cut = Lineage.cut(capped)
-    cut.write.mode("append").parquet(path)
+    cut.write.mode(writeMode).parquet(writePath)
     Lineage.free(cut)
     survivors
   }
@@ -460,6 +502,24 @@ object Dedup {
     withH.join(keep, Seq("__h"))
       .where(col(idCol) === col("__keep_id"))
       .drop("__h", "__keep_id")
+  }
+
+  /** Jobs 2+3 of the EXACT lake contract fused for the micro-batch
+    * layout: dedup the increment against the caller-assembled visible
+    * hash lake, write the SURVIVORS' hashes to `foldDir` (Overwrite —
+    * an increment-owned subdirectory, so replaying the same
+    * micro-batch rewrites its own contribution; see
+    * [[minhashLshLakeStepAt]] for the exactly-once argument), and
+    * return the survivors eagerly materialized (the one evaluation
+    * feeds both the fold-in write and the caller's next stage).
+    * The returned cut frame is the caller's to [[Lineage.free]]. */
+  def exactLakeStepAt(newDf: DataFrame, refHashes: DataFrame,
+      textCol: String, idCol: String, foldDir: String): DataFrame = {
+    val survivors = Lineage.cut(
+      exactCrossFromArtifacts(newDf, refHashes, textCol, idCol))
+    survivors.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("overwrite").parquet(foldDir)
+    survivors
   }
 
   /** SimHash fingerprint: 64-bit signature where bit i is the sign of the
@@ -771,6 +831,34 @@ object Dedup {
       .select(col("w")).distinct()
     windowHashes(train, textCol, idCol, windowLen)
       .join(broadcast(benchWindows), Seq("w"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated_windows"))
+  }
+
+  /** Write the benchmark's distinct window-hash set as a lake artifact
+    * — the decontamination analog of [[writeContentHashes]]: the
+    * benchmark is hashed ONCE at lake-build time and every later
+    * increment probes the stored hashes, never the benchmark text.
+    * `windowLen` must match the probe (store it beside the table in
+    * production). */
+  def writeBenchWindows(bench: DataFrame, textCol: String,
+      idCol: String, path: String, windowLen: Int = 50): Unit =
+    windowHashes(bench, textCol, idCol, windowLen)
+      .select(col("w")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** [[contaminatedDocs]] against a PRE-BUILT window artifact
+    * ([[writeBenchWindows]]'s output, loaded by the caller): one pass
+    * over the increment's window stream, broadcast semi-join against
+    * the stored set. Returns (train id, n_contaminated_windows). */
+  def contaminatedDocsFromArtifact(train: DataFrame,
+      refWindows: DataFrame, textCol: String, idCol: String,
+      windowLen: Int = 50): DataFrame = {
+    require(refWindows.columns.toSet == Set("w"),
+      "refWindows must be a writeBenchWindows table (w); " +
+        s"got ${refWindows.columns.mkString(",")}")
+    windowHashes(train, textCol, idCol, windowLen)
+      .join(broadcast(refWindows), Seq("w"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated_windows"))
   }

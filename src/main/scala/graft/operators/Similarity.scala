@@ -861,7 +861,8 @@ object Similarity {
         keepFarthest, nassign, withOk = true)
       .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
         col("n").as("kn"), col("ok").as("kok"))
-    overwriteMergedKeepers(stored, incoming, keeperCap, path)
+    overwriteMergedKeepers(stored, incoming, keeperCap,
+      s"$path/keepers")
   }
 
   /** Job 2 of the incremental SemDeDup contract: dedup an increment
@@ -891,12 +892,53 @@ object Similarity {
     val spark = newDf.sparkSession
     val centroids = readSemCodebook(spark, path)
     val stored = spark.read.parquet(s"$path/keepers")
+    semDedupLakeStepAt(newDf, idCol, vecCol, centroids, stored,
+      s"$path/keepers", threshold, keepFarthest, keeperCap, nassign)
+  }
+
+  /** The fused semantic step against an EXPLICIT stored-keeper frame
+    * and an EXPLICIT output snapshot directory — the micro-batch form
+    * used by [[graft.streaming.StreamLakeIngest]]: because the keeper
+    * table is a capped rank-merge REWRITE (not an append), the
+    * streaming layout versions it as one snapshot per micro-batch; the
+    * caller passes the latest snapshot OLDER than the current batch as
+    * `stored` and the batch's own snapshot directory as `outDir`, so a
+    * replay recomputes from the same visible state and rewrites its
+    * own snapshot (exactly-once without a transaction log; the
+    * snapshot is O(nlist × keeperCap) regardless of corpus size, so a
+    * per-batch rewrite never scales with the lake).
+    * [[semDedupLakeStep]] delegates here with (read keepers, same
+    * keepers dir) — the in-place batch form.
+    *
+    * `dedupWithinIncrement` additionally removes WITHIN-increment
+    * near-dups (larger id of every same-cell pair at `threshold`
+    * cosine — pair-based, so chains hold) from the SAME assignment
+    * rows — no second assignment pass. Cross-only default matches the
+    * batch cycles (q201/q204); see [[graft.operators.Dedup
+    * .minhashLshLakeStepAt]] for the rationale. */
+  def semDedupLakeStepAt(newDf: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], stored: DataFrame,
+      outDir: String, threshold: Double, keepFarthest: Boolean = true,
+      keeperCap: Int = 1000, nassign: Int = 1,
+      dedupWithinIncrement: Boolean = false): DataFrame = {
     require(stored.columns.toSet == Set("cell", "keeper", "kv", "kn",
       "kok"), "keepers must be a writeSemDedupArtifacts table; got " +
       stored.columns.mkString(","))
     val assigned = Dedup.tracked(semAssign(newDf, idCol, vecCol,
       centroids, keepFarthest, nassign, withOk = true))
-    val removed = semCrossTail(assigned.drop("ok"), stored, threshold)
+    val crossRemoved = semCrossTail(assigned.drop("ok"), stored,
+      threshold).select(col("id"))
+    val removed =
+      if (!dedupWithinIncrement) crossRemoved
+      else crossRemoved.unionByName(
+        assigned.select(col("cell"), col("id").as("wa"),
+            col("v").as("va"), col("n").as("na"))
+          .join(assigned.select(col("cell"), col("id").as("wb"),
+            col("v").as("vb"), col("n").as("nb")), Seq("cell"))
+          .where(col("wa") < col("wb"))
+          .where(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+            >= threshold)
+          .select(col("wb").as("id")).distinct()).distinct()
     val survivors = graft.operators.Lineage.cut(
       newDf.join(removed.select(col("id").as(idCol)), Seq(idCol),
         "left_anti"))
@@ -905,7 +947,7 @@ object Similarity {
         "left_semi")
       .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
         col("n").as("kn"), col("ok").as("kok"))
-    overwriteMergedKeepers(stored, incoming, keeperCap, path)
+    overwriteMergedKeepers(stored, incoming, keeperCap, outDir)
     survivors
   }
 
@@ -913,14 +955,14 @@ object Similarity {
     * against the stored table under `keeperCap`, materialize eagerly
     * (the plan reads the table being replaced), overwrite, free. */
   private def overwriteMergedKeepers(stored: DataFrame,
-      incoming: DataFrame, keeperCap: Int, path: String): Unit = {
+      incoming: DataFrame, keeperCap: Int, outDir: String): Unit = {
     val w = Window.partitionBy("cell").orderBy(col("kok").asc)
     val merged = stored.unionByName(incoming)
       .dropDuplicates("cell", "keeper")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= keeperCap).drop("rk")
     val cut = graft.operators.Lineage.cut(merged)
-    cut.write.mode("overwrite").parquet(s"$path/keepers")
+    cut.write.mode("overwrite").parquet(outDir)
     graft.operators.Lineage.free(cut)
   }
 

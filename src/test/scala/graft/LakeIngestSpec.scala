@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamLakeIngest
+import graft.operators.Dedup
+
+/** The streaming lake-ingest loop: every stage of the five-stage chain
+  * removes exactly what it is designed to remove across micro-batches,
+  * the lake artifacts are the only state (a doc admitted in batch 1
+  * dedups a doc in batch 2), a quality-FILTERED doc still dedups later
+  * copies (fold-before-filter), keeper snapshots version and prune,
+  * and re-running a micro-batch against its own leftover state
+  * reproduces identical results (the replay exactly-once property the
+  * layout exists for). */
+case class IngestDoc(doc_id: Long, text: String, vec: Array[Float])
+
+class LakeIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val p = StreamLakeIngest.Params(windowLen = 20,
+    minEstJaccard = 0.35, nlist = 2, nassign = 2,
+    minQuality = 0.0, maxTopBigramFrac = 1.0, lang = "en")
+
+  // admitted history: two long English docs, orthogonal embeddings
+  private val histT10 = "the quick brown fox jumps over the lazy dog " +
+    "and the dog is of a sleepy kind so it naps under the old oak " +
+    "tree near the barn"
+  private val histT12 = "a steady flow of data is the heart of any " +
+    "engine and the pipes must hold under pressure every day of the " +
+    "year in all seasons"
+  private val benchT = "THEBENCHMARKSECRETPASSAGEBODY IS HERE NOW OK"
+
+  private val t5 = "counting stars is a fine way of passing the " +
+    "night and the sky is full of the brightest lights you will " +
+    "ever see up there"
+  private val t11 = "fresh words entirely new and the content here " +
+    "is of a different nature than the rest of all the corpus so " +
+    "far today"
+  private val t13 = "rivers carve the canyon and the water is of a " +
+    "patient kind that wins against the stone over the long " +
+    "centuries always"
+  private val t15de = "der hund und die katze das ist und der die " +
+    "das und ist immer so weiter und der tag ist lang und die " +
+    "nacht ist kurz"
+  private val t208 = "glass towers rise over the bay and the light " +
+    "is of a golden shade at dusk when the ferries cross the water " +
+    "home again"
+  private val t210 = "seven drummers kept the beat and the crowd is " +
+    "of a joyful mood tonight while the lanterns float over the " +
+    "quiet river"
+
+  private val batch1 = Seq(
+    // copies a >=20-char benchmark window -> decon (stage 1)
+    IngestDoc(101L, "the model memorized THEBENCHMARKSECRETPASSAGEBODY " +
+      "and the answer is of a kind", Array(0f, 0f, 1f)),
+    // exact copy of lake history -> exact cross (stage 2)
+    IngestDoc(103L, histT10, Array(0f, 0f, 1f)),
+    IngestDoc(105L, t5, Array(0f, 0f, 1f)),
+    // within-batch exact dup of 105 -> min-id rule (stage 2)
+    IngestDoc(107L, t5, Array(0f, 0f, 1f)),
+    // one word changed vs lake history -> near-dup cross (stage 3)
+    IngestDoc(109L, histT10.replace("near the barn", "near the house"),
+      Array(0f, 0f, 1f)),
+    // embedding next to lake history h12 -> semantic cross (stage 4)
+    IngestDoc(111L, t11, Array(0.05f, 0.995f, 0f)),
+    IngestDoc(113L, t13, Array(-1f, 0f, 0f)),
+    // German -> quality filter (stage 5), but still enrolled in lakes
+    IngestDoc(115L, t15de, Array(0f, -1f, 0f)))
+
+  private val batch2 = Seq(
+    // exact copy of batch-1 ADMITTED doc -> cross-batch exact
+    IngestDoc(202L, t13, Array(0f, 0f, 1f)),
+    // exact copy of batch-1 FILTERED doc -> proves fold-before-filter
+    IngestDoc(204L, t15de, Array(0f, 0f, 1f)),
+    // one word changed vs batch-1 admitted 105 -> cross-batch near-dup
+    IngestDoc(206L, t5.replace("up there", "up above"),
+      Array(0f, 0f, -1f)),
+    // embedding next to batch-1 admitted 113 -> cross-batch semantic
+    IngestDoc(208L, t208, Array(-0.995f, 0.05f, 0f)),
+    IngestDoc(210L, t210, Array(0f, 0f, -1f)))
+
+  private def admittedIds(dir: String): Set[Long] =
+    spark.read.parquet(dir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+  test("five-stage streaming ingest: lake state dedups across " +
+      "micro-batches, snapshots version and prune") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("lake_ingest").toString
+    val lake = s"$root/lake"
+    val admitted = s"$root/admitted"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    StreamLakeIngest.initLake(hist, bench, "text", "doc_id", "vec",
+      lake, p)
+
+    val stream = MemoryStream[IngestDoc]
+    val q = StreamLakeIngest.ingest(stream.toDF(), lake, admitted,
+      s"$root/ckpt", "text", "doc_id", "vec", p)
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    // every removal lands at its designed stage
+    assert(admittedIds(s"$admitted/inc_b0") == Set(105L, 113L))
+    assert(admittedIds(s"$admitted/inc_b1") == Set(210L))
+
+    // the hash lake folded the EXACT-stage survivors (105 109 111 113
+    // 115) — near-dup/sem/filter removals still enroll their hashes
+    assert(spark.read.parquet(s"$lake/hashes/inc_b0").count() == 5L)
+    // batch 2: 206 208 210 survive the exact stage (202/204 are dups;
+    // 208's TEXT is unique — it is removed later, in embedding space)
+    assert(spark.read.parquet(s"$lake/hashes/inc_b1").count() == 3L)
+    // the signature lake folded the NEAR-DUP-stage survivors
+    assert(spark.read.parquet(s"$lake/sigs/inc_b0")
+      .select("id").distinct().count() == 4L) // 105 111 113 115
+    // keeper snapshots: b0 and b1 exist, the init snapshot was pruned
+    // once no replay could read it
+    val sem = new java.io.File(s"$lake/sem")
+    val dirs = sem.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("codebook", "keepers_b0", "keepers_b1"))
+  }
+
+  test("micro-batch replay against its own leftover state is " +
+      "exactly-once: identical admitted rows, identical lake") {
+    val root = Files.createTempDirectory("lake_replay").toString
+    val lake = s"$root/lake"
+    val admitted = s"$root/admitted"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    StreamLakeIngest.initLake(hist, bench, "text", "doc_id", "vec",
+      lake, p)
+
+    def runBatch(rows: Seq[IngestDoc], bid: Long): Set[Long] = {
+      val out = StreamLakeIngest.curateIncrement(rows.toDF(), lake,
+        admitted, "text", "doc_id", "vec", bid, p)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.operators.Lineage.free(out)
+      Dedup.releaseIntermediates()
+      ids
+    }
+    def lakeState(): (Long, Long, Set[String]) = (
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$lake/hashes").count(),
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$lake/sigs").count(),
+      spark.read.parquet(s"$lake/sem/keepers_b1").collect()
+        .map(_.toString).toSet)
+
+    assert(runBatch(batch1, 0L) == Set(105L, 113L))
+    assert(runBatch(batch2, 1L) == Set(210L))
+    val before = lakeState()
+    // the replay: batch 1's own fold-ins are already on disk — the
+    // visible-state assembly must exclude them, the writes must
+    // overwrite them
+    assert(runBatch(batch2, 1L) == Set(210L))
+    assert(lakeState() == before)
+    assert(admittedIds(s"$admitted/inc_b1") == Set(210L))
+  }
+}

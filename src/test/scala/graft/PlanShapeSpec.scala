@@ -203,7 +203,8 @@ class PlanShapeSpec extends SparkTestBase {
       "q200_neardup_lake_cycle", "q201_semlake_cycle",
       "q202_calibrated_filter", "q203_neardup_lake_fused",
       "q204_semlake_fused", "q205_lake_seeded_gate",
-      "q206_semlake_seeded_gate", "q207_incremental_pipeline")
+      "q206_semlake_seeded_gate", "q207_incremental_pipeline",
+      "q208_stream_lake_ingest")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions
