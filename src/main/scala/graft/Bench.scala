@@ -156,7 +156,9 @@ object Bench {
     val stages = SparkEntry.megaStageTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"q194_" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.write(
+    // only full runs rewrite the detail artifact — a filtered local
+    // iteration would otherwise clobber the round's full-run record
+    if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }

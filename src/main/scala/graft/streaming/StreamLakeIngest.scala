@@ -106,10 +106,70 @@ object StreamLakeIngest {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val subs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName != s"inc_b$batchId")
+      .filter { p =>
+        val n = p.getName
+        n != s"inc_b$batchId" && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
       .map(_.toString).sorted
     require(subs.nonEmpty, s"$dir holds no lake state — run initLake")
     spark.read.parquet(subs.toIndexedSeq: _*)
+  }
+
+  /** Maintenance compaction for the directory-of-increments columns:
+    * rewrite `hashes/` and `sigs/` each into a single fresh `base`
+    * subdirectory. The inc-subdir layout buys replay idempotency at
+    * the cost of one directory per micro-batch — at thousands of
+    * batches, file LISTING (a per-batch driver-side O(#dirs) metadata
+    * pass) becomes the creeping cost, so a periodic compaction between
+    * batches is part of the deployment contract, exactly like any
+    * log-structured store. Run it BETWEEN batches (same single-
+    * maintainer assumption as the batch lake cycles — there is one
+    * ingest query per lake by construction; its checkpoint serializes
+    * batches). Restart-safe: the staged rewrite lives in a hidden
+    * `_compact` directory (ignored by [[curateIncrement]]'s listing
+    * and by Spark's file index), and a rerun after a crash either
+    * restarts the rewrite (no `_SUCCESS` yet — the live dirs are
+    * untouched) or resumes the swap (staging complete — deletes the
+    * remaining live dirs and promotes staging). The NEWEST increment
+    * directory is always left out of the compaction: if the ingest
+    * crashed mid-batch, that batch will be replayed, and its
+    * visible-state assembly excludes its own subdirectory by name —
+    * folding it into `base` would make the replay collide with its
+    * own first attempt. The keeper column needs no compaction: it is
+    * already one pruned snapshot. */
+  def compact(spark: SparkSession, lakeRoot: String): Unit =
+    Seq(s"$lakeRoot/hashes", s"$lakeRoot/sigs")
+      .foreach(compactDir(spark, _))
+
+  private def compactDir(spark: SparkSession, dir: String): Unit = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path, "_compact")
+    // live = compactable dirs: every visible subdir EXCEPT the newest
+    // increment (see scaladoc — it may belong to a replayable batch)
+    def live: Array[Path] = {
+      val all = fs.listStatus(path).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      val incIds = all.map(_.getName)
+        .collect { case s if s.startsWith("inc_b") =>
+          s.stripPrefix("inc_b").toLong }
+      if (incIds.isEmpty) all
+      else all.filter(_.getName != s"inc_b${incIds.max}")
+    }
+    if (!fs.exists(new Path(staging, "_SUCCESS"))) {
+      val dirs = live
+      require(dirs.nonEmpty, s"$dir holds no lake state")
+      spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+    live.foreach(p => fs.delete(p, true))
+    require(fs.rename(staging, new Path(path, "base")),
+      s"compaction swap failed for $dir — staging left at $staging")
   }
 
   /** The latest keeper snapshot OLDER than this batch: `keepers_b<k>`

@@ -19,8 +19,11 @@ case class IngestDoc(doc_id: Long, text: String, vec: Array[Float])
 class LakeIngestSpec extends SparkTestBase {
   import spark.implicits._
 
+  // semThreshold 0.7: the designed semantic pairs sit at cos ≈ 0.995
+  // and the survivors' vectors at ≤ 0.58 — with ±axis keepers in 3-D,
+  // 0.4 would leave NO direction a survivor could occupy
   private val p = StreamLakeIngest.Params(windowLen = 20,
-    minEstJaccard = 0.35, nlist = 2, nassign = 2,
+    minEstJaccard = 0.35, semThreshold = 0.7, nlist = 2, nassign = 2,
     minQuality = 0.0, maxTopBigramFrac = 1.0, lang = "en")
 
   // admitted history: two long English docs, orthogonal embeddings
@@ -160,5 +163,51 @@ class LakeIngestSpec extends SparkTestBase {
     assert(runBatch(batch2, 1L) == Set(210L))
     assert(lakeState() == before)
     assert(admittedIds(s"$admitted/inc_b1") == Set(210L))
+  }
+
+  test("compaction folds increments into base, keeps the newest " +
+      "(replayable) increment live, and preserves dedup state") {
+    val root = Files.createTempDirectory("lake_compact").toString
+    val lake = s"$root/lake"
+    val admitted = s"$root/admitted"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    StreamLakeIngest.initLake(hist, bench, "text", "doc_id", "vec",
+      lake, p)
+    def runBatch(rows: Seq[IngestDoc], bid: Long): Set[Long] = {
+      val out = StreamLakeIngest.curateIncrement(rows.toDF(), lake,
+        admitted, "text", "doc_id", "vec", bid, p)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.operators.Lineage.free(out)
+      Dedup.releaseIntermediates()
+      ids
+    }
+    def counts(): (Long, Long) = (
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$lake/hashes").count(),
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$lake/sigs").count())
+    runBatch(batch1, 0L); runBatch(batch2, 1L)
+    val before = counts()
+    StreamLakeIngest.compact(spark, lake)
+    def subdirs(d: String): Set[String] =
+      new java.io.File(d).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+    // inc_b0 folded into base; inc_b1 (newest — a crashed batch 1
+    // would replay and must not see its own fold-in inside base)
+    // stays live
+    assert(subdirs(s"$lake/hashes") == Set("base", "inc_b1"))
+    assert(subdirs(s"$lake/sigs") == Set("base", "inc_b1"))
+    assert(counts() == before)
+    // the compacted lake still dedups: an exact copy of a batch-1
+    // admitted doc and a near-dup of a batch-0 admitted doc both go
+    assert(runBatch(Seq(
+      IngestDoc(302L, t210, Array(0.5f, 0.5f, 0.5f)),
+      IngestDoc(304L, t5.replace("ever see", "never see"),
+        Array(0.5f, -0.5f, 0.5f)),
+      IngestDoc(306L, "entirely novel content and the words are of a " +
+        "new kind that is the hallmark of an original document here",
+        Array(0.6f, -0.6f, -0.6f))), 2L) == Set(306L))
   }
 }
