@@ -2460,6 +2460,23 @@ object SparkEntry {
         .unionByName(nd).unionByName(sem).distinct()
       recallGate(shouldRemove, removed, Seq("doc_id"), threshold = 0.8)
     }),
+    // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25
+    // lexical top-20 (probe terms) and the embedding cosine top-20
+    // (probe vector doc 5) into one ranking — rank-only fusion, so the
+    // two scorers' incomparable scales never need calibration. The
+    // corpus scans live in the two upstream rankers; the fusion itself
+    // joins two 20-row lists.
+    "q209_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.operators.Retrieval.bm25TopK(docs, "text",
+          "doc_id", Seq("spark", "hash", "merge"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val sem = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id") === 5), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+    }),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -2698,6 +2715,45 @@ object SparkEntry {
          |  AS BIGINT) AS rank FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_sim
          |FROM ranked WHERE rank <= 5""".stripMargin
+
+    // Okapi BM25 top-k for the fixed probe query, parameterized on k
+    // (q143 directly; q209 embeds the top-20 as its lexical CTE)
+    def bm25Sql(k: Int): String = {
+      val terms = Seq("spark", "hash", "merge")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val c1 = d17(1.2 + 1.0)
+      val termSum = terms.map(t =>
+        s"coalesce(sum(CASE WHEN word = '$t' THEN s END), 0.0)")
+        .mkString("\n         + ")
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents),
+         |dl AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+         |  WHERE word IN ($inList) GROUP BY 1, 2),
+         |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
+         |idf AS (SELECT word,
+         |    ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+         |      AS idf
+         |  FROM dfc CROSS JOIN st),
+         |sc AS (SELECT doc_id, word,
+         |    idf * (tf * $c1) /
+         |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+         |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+         |  CROSS JOIN st),
+         |pd AS (SELECT doc_id, $termSum AS tot
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT doc_id, round(tot, 6) AS score,
+         |    row_number() OVER (ORDER BY round(tot, 6) DESC, doc_id ASC)
+         |      AS rank
+         |  FROM pd)
+         |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $k""".stripMargin
+    }
 
     // shared by q94 (keyed window) and q183 (chunk-parallel twin):
     // the operators are bit-identical by construction, so one oracle
@@ -4275,42 +4331,32 @@ object SparkEntry {
       // the stateful stream twin folds the SAME staged-min semantics
       // (q142 emits identical counts, so it shares the oracle)
       "q142_stream_funnel" -> funnelSql,
-      "q143_bm25" -> {
-        val terms = Seq("spark", "hash", "merge")
-        val inList = terms.map(t => s"'$t'").mkString(", ")
-        val c1 = d17(1.2 + 1.0)
-        val termSum = terms.map(t =>
-          s"coalesce(sum(CASE WHEN word = '$t' THEN s END), 0.0)")
-          .mkString("\n         + ")
-        s"""WITH w AS (SELECT doc_id,
-           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
-           |  FROM documents),
-           |dl AS (SELECT doc_id,
-           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
-           |  FROM documents),
-           |st AS (SELECT count(*) AS n_docs,
-           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-           |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
-           |  WHERE word IN ($inList) GROUP BY 1, 2),
-           |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
-           |idf AS (SELECT word,
-           |    ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
-           |      AS idf
-           |  FROM dfc CROSS JOIN st),
-           |sc AS (SELECT doc_id, word,
-           |    idf * (tf * $c1) /
-           |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
-           |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
-           |  CROSS JOIN st),
-           |pd AS (SELECT doc_id, $termSum AS tot
-           |  FROM sc GROUP BY 1),
-           |r AS (SELECT doc_id, round(tot, 6) AS score,
-           |    row_number() OVER (ORDER BY round(tot, 6) DESC, doc_id ASC)
+      "q143_bm25" -> bm25Sql(10),
+      // same fusion arithmetic and association order as rrfFuse:
+      // lexical contribution first, then semantic, each 1/(60+rank)
+      "q209_rrf_fusion" ->
+        s"""WITH l AS (SELECT doc_id, rank FROM (${bm25Sql(20)})),
+           |s AS (SELECT neighbor_id AS doc_id, rank FROM (
+           |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |             FROM embeddings WHERE vec_id = 5),
+           |  scored AS (
+           |    SELECT query_id, c.vec_id AS neighbor_id,
+           |      round(${cos("qv", "c.embedding")}, 6) AS cos_sim
+           |    FROM embeddings c CROSS JOIN q WHERE c.vec_id != query_id),
+           |  ranked AS (SELECT *, row_number() OVER (
+           |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           |    FROM scored)
+           |  SELECT neighbor_id, rank FROM ranked WHERE rank <= 20)),
+           |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           |    coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0.0)
+           |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank), 0.0) AS sc
+           |  FROM l FULL OUTER JOIN s ON l.doc_id = s.doc_id),
+           |r AS (SELECT doc_id, round(sc, 9) AS rrf_score,
+           |    row_number() OVER (ORDER BY round(sc, 9) DESC, doc_id ASC)
            |      AS rank
-           |  FROM pd)
-           |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
-           |FROM r WHERE rank <= 10""".stripMargin
-      },
+           |  FROM f)
+           |SELECT doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 10""".stripMargin,
       "q144_pagerank" -> {
         // unrolled power iteration: one chained CTE per round, each the
         // same join+agg as the engine's BSP round, in the IDENTICAL

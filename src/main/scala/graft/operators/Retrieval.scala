@@ -73,4 +73,53 @@ object Retrieval {
     ranked.orderBy(col("score").desc, id.asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of N
+    * ranked candidate lists into one hybrid ranking:
+    * `score(d) = Σ_i 1/(kRrf + rank_i(d))`, a document missing from a
+    * list contributing 0 for it. The standard way to combine lexical
+    * (BM25) and semantic (embedding top-k) retrieval without score
+    * calibration — only ranks enter, so the two scorers' incomparable
+    * scales never meet.
+    *
+    * Inputs carry `queryCols ++ (idCol, rank)`; pass `queryCols` to
+    * fuse many queries' lists at once (e.g. [[Similarity.cosineTopK]]'s
+    * `query_id`), leave it empty for a single query.
+    *
+    * Scale shape: each input is already a per-query top-N, so the
+    * full-outer join chain runs on O(queries × N × lists) rows — the
+    * heavy corpus scans live inside the upstream rankers, never here.
+    * With `queryCols` the final ranking windows by query (≤ N×lists
+    * rows per partition); the single-query shape takes the
+    * TakeOrderedAndProject route instead of a one-task global window.
+    *
+    * Determinism: ranks are exact longs, each contribution is the same
+    * double `1/(kRrf+rank)` on any engine, the sum runs left-to-right
+    * in list order (mirrored in the oracle SQL), and the output orders
+    * by the ROUNDED score with the doc id as tie-break.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 10,
+      kRrf: Int = 60, queryCols: Seq[String] = Nil): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    val keys = queryCols :+ idCol
+    val prepared = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(keys.map(col) :+ col("rank").as(s"__r$i"): _*)
+    }
+    val joined = prepared.reduceLeft(_.join(_, keys, "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf) + col(s"__r$i")), lit(0.0)))
+      .reduceLeft(_ + _)
+    val fused = joined.select(
+      keys.map(col) :+ round(score, 9).as("rrf_score"): _*)
+    if (queryCols.isEmpty) {
+      val w = Window.orderBy(col("rrf_score").desc, col(idCol).asc)
+      fused.orderBy(col("rrf_score").desc, col(idCol).asc).limit(k)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    } else {
+      val w = Window.partitionBy(queryCols.map(col): _*)
+        .orderBy(col("rrf_score").desc, col(idCol).asc)
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+    }
+  }
 }

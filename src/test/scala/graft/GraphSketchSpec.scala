@@ -33,6 +33,32 @@ class GraphSketchSpec extends SparkTestBase {
     assert(top.forall(_.getDouble(1) > 0.0))
   }
 
+  test("rrf fusion: rank-sum semantics, missing-list docs score lower, " +
+      "per-query variant partitions") {
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 11 is in both lists -> 1/62 + 1/61 beats every single-list doc
+    assert(fused.head._1 == 11L && fused.head._3 == 1L)
+    val byDoc = fused.map(t => t._1 -> t._2).toMap
+    assert(math.abs(byDoc(11L) - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    assert(math.abs(byDoc(10L) - 1.0 / 61) < 1e-9)
+    // 10 (rank 1 lexical) vs 13 (rank 2 semantic): 1/61 > 1/62
+    assert(byDoc(10L) > byDoc(13L))
+    assert(fused.map(_._3).toSeq == (1L to fused.length))
+    // per-query: fusion and ranking stay within each query_id
+    val lexQ = Seq((1L, 10L, 1L), (2L, 11L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val semQ = Seq((1L, 11L, 1L), (2L, 11L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val perQ = Retrieval.rrfFuse(Seq(lexQ, semQ), "doc_id", k = 1,
+        queryCols = Seq("query_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // query 1: docs 10/11 tie at 1/61 -> doc-id tie-break picks 10
+    assert(perQ == Map(1L -> 10L, 2L -> 11L))
+  }
+
   test("pagerank: regular graph is an exact fixed point at mass 1.0") {
     // triangle: every node deg 2 — gather is exactly one unit, so the
     // integer update returns unit/8 + 7·unit/8 = unit every round
