@@ -2477,6 +2477,19 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
     }),
+    // ---- MMR diversified re-rank of the probe query's cosine top-20:
+    // greedy λ·rel − (1−λ)·maxSim cut, k=5. The corpus scan is the
+    // upstream retriever; the greedy fold runs on the driver over the
+    // bounded 20-row list (the adjudicated codebook-collect pattern).
+    "q210_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cand = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id") === 5), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("vec_id"), col("cos_sim"))
+        .join(emb, Seq("vec_id"))
+      Similarity.mmrRerank(cand, "vec_id", "embedding", "cos_sim",
+        k = 5, lambda = 0.7)
+    }),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -4357,6 +4370,47 @@ object SparkEntry {
            |  FROM f)
            |SELECT doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 10""".stripMargin,
+      // unrolled greedy MMR (one CTE pair per step, like the unrolled
+      // PageRank rounds): identical arithmetic and tie-breaks to
+      // Similarity.mmrRerank — λ and (1−λ) as the exact double
+      // literals, scores and pairwise cosines rounded to 6 before
+      // comparison, first pick's redundancy term literally 0
+      "q210_mmr_rerank" -> {
+        val l = d17(0.7)
+        val m = d17(1.0 - 0.7)
+        val steps = (2 to 5).map { i =>
+          s"""sc$i AS (SELECT c.id, round($l * c.rel - $m * max(s.s), 6)
+             |      AS score
+             |  FROM cand c JOIN sim s ON s.a = c.id
+             |    AND s.b IN (SELECT id FROM sel${i - 1})
+             |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+             |  GROUP BY c.id, c.rel),
+             |p$i AS (SELECT id, score FROM sc$i
+             |  ORDER BY score DESC, id LIMIT 1),
+             |sel$i AS (SELECT * FROM sel${i - 1}
+             |  UNION ALL SELECT id, $i AS rank, score FROM p$i)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+           |           WHERE vec_id = 5),
+           |cand AS (SELECT c.vec_id AS id,
+           |    round(${cos("qv", "c.embedding")}, 6) AS rel,
+           |    c.embedding AS v
+           |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != 5
+           |  ORDER BY rel DESC, id LIMIT 20),
+           |sim AS (SELECT a.id AS a, b.id AS b,
+           |    round(${cos("a.v", "b.v")}, 6) AS s
+           |  FROM cand a JOIN cand b ON a.id != b.id),
+           |sc1 AS (SELECT id, round($l * rel - $m * 0.0, 6) AS score
+           |  FROM cand),
+           |p1 AS (SELECT id, score FROM sc1
+           |  ORDER BY score DESC, id LIMIT 1),
+           |sel1 AS (SELECT id, 1 AS rank, score FROM p1),
+           |$steps
+           |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,
+           |  score AS mmr_score
+           |FROM sel5""".stripMargin
+      },
       "q144_pagerank" -> {
         // unrolled power iteration: one chained CTE per round, each the
         // same join+agg as the engine's BSP round, in the IDENTICAL

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -1066,5 +1067,88 @@ object Similarity {
     } && ev.last >= -1e-9)
     Seq((n, d.toLong, if (traceOk) 1L else 0L, if (monotone) 1L else 0L))
       .toDF("n", "dim", "trace_ok", "monotone_ok")
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` candidates, each maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — the standard
+    * diversity-aware cut over a retriever's candidate list (diverse
+    * few-shot example selection, de-redundified search hits).
+    *
+    * The greedy recurrence is inherently sequential in k, so this is
+    * a DRIVER-SIDE fold over a BOUNDED candidate list (`maxCandidates`
+    * loudly enforced) — the same adjudicated pattern as the codebook
+    * collects: the corpus scan lives in the upstream distributed
+    * retriever ([[cosineTopK]]/[[ivfTopK]]); MMR only ever sees that
+    * top-N, and k·N cosine folds over ≤4096 rows are driver-trivial.
+    * Nothing changes at 100 TB — the bound is per QUERY, not corpus.
+    *
+    * Determinism: pairwise cosines and marginal scores round to 6
+    * (Spark's HALF_UP BigDecimal semantics, mirrored here) before any
+    * comparison; ties break by id ascending; the first pick scores
+    * `λ·rel − (1−λ)·0` (empty selected set ⇒ zero redundancy), and
+    * later maxes run over the true selected-set cosines (no zero
+    * clamp — all-negative similarity neighborhoods stay negative).
+    * The oracle SQL unrolls the same k steps verbatim.
+    */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double = 0.7,
+      maxCandidates: Int = 4096): DataFrame = {
+    val spark = candidates.sparkSession
+    val idField = candidates.schema(idCol)
+    val rows = candidates.select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)),
+        col(relCol).cast(DoubleType))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank re-ranks a bounded candidate list on the driver; " +
+        s"got > $maxCandidates rows — cut the list with a distributed " +
+        "top-N retriever first")
+    def round6(x: Double): Double =
+      BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i)
+        i += 1
+      }
+      round6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+    }
+    val idLt: (Any, Any) => Boolean = {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case (x, y)                 => x.toString < y.toString
+    }
+    final case class Cand(id: Any, vec: Array[Double], rel: Double,
+        var maxSim: Double)
+    val remaining = scala.collection.mutable.ArrayBuffer(rows.map { r =>
+      Cand(r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        Double.NegativeInfinity)
+    }: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
+    while (picked.length < k && remaining.nonEmpty) {
+      // first pick sees an empty selected set: redundancy term is 0
+      def score(c: Cand): Double = round6(lambda * c.rel -
+        (1.0 - lambda) * (if (picked.isEmpty) 0.0 else c.maxSim))
+      val best = remaining.reduceLeft { (a, b) =>
+        val (sa, sb) = (score(a), score(b))
+        if (sa > sb || (sa == sb && idLt(a.id, b.id))) a else b
+      }
+      picked += ((best.id, score(best)))
+      remaining -= best
+      remaining.foreach { c =>
+        c.maxSim = math.max(c.maxSim, cos6(c.vec, best.vec))
+      }
+    }
+    val out = picked.zipWithIndex.map { case ((id, s), i) =>
+      org.apache.spark.sql.Row((i + 1).toLong, id, s)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(out.asJava),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        idField.copy(name = idCol),
+        StructField("mmr_score", DoubleType, nullable = false))))
   }
 }

@@ -449,6 +449,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(top.map(_.getLong(2)).toSeq == Seq(3L, 1L, 2L))
   }
 
+  test("mmr rerank trades relevance for diversity and bounds the list") {
+    // query axis x: docs 1/3 nearly parallel to each other, doc 2 less
+    // relevant but orthogonal to everything — plain top-2 is (3, 1);
+    // MMR at λ=0.5 swaps the redundant 1 for the diverse 2
+    val cand = Seq(
+      (1L, Array(0.9f, 0.1f), 0.993884),
+      (2L, Array(0.0f, 1.0f), 0.5),
+      (3L, Array(1.0f, 0.05f), 0.99875)
+    ).toDF("vec_id", "embedding", "rel")
+    val mmr = Similarity.mmrRerank(cand, "vec_id", "embedding", "rel",
+      k = 2, lambda = 0.5).orderBy("rank").collect()
+    assert(mmr.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    // first pick's score is λ·rel (empty selected set): 0.499375
+    assert(mmr.head.getDouble(2) == 0.499375)
+    // greedy is k-bounded and ranks are 1..k
+    assert(mmr.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(cand, "vec_id", "embedding", "rel", k = 2,
+        lambda = 0.5, maxCandidates = 2)
+    }
+    assert(e.getMessage.contains("bounded candidate list"))
+  }
+
   test("vec_dot is SQL-callable via GraftExtensions and codegen-exact") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
