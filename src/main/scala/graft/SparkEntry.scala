@@ -2490,6 +2490,22 @@ object SparkEntry {
       Similarity.mmrRerank(cand, "vec_id", "embedding", "cos_sim",
         k = 5, lambda = 0.7)
     }),
+    // ---- DSIR data selection (Xie et al., NeurIPS 2023): hashed
+    // bag-of-ngrams importance resampling against the English subset
+    // as the target distribution — top-100 docs by log importance
+    // ratio. Two scans of the feature stream (one bucket-model agg,
+    // one broadcast-scored doc agg), top-k never sorts the corpus.
+    "q211_dsir_select" -> ((s, dir) =>
+      graft.operators.Curation.dsirSelect(t(s, dir, "documents"),
+        "text", "doc_id", isTarget = col("lang") === "en",
+        buckets = 1024, k = 100)),
+    // ---- BPE tokenizer induction (Sennrich et al., ACL 2016): the
+    // first 8 merge operations learned over the corpus word vocabulary
+    // — one vocab-bounded pair-count aggregate + bounded argmax pick +
+    // projection-local merge application per round.
+    "q212_bpe_merges" -> ((s, dir) =>
+      graft.operators.Tokenizer.bpeMerges(t(s, dir, "documents"),
+        "text", merges = 8)),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -4410,6 +4426,67 @@ object SparkEntry {
            |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,
            |  score AS mmr_score
            |FROM sel5""".stripMargin
+      },
+      "q211_dsir_select" ->
+        """WITH tok AS (
+          |  SELECT doc_id, (lang = 'en') AS is_t,
+          |         string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |uni AS (SELECT doc_id, is_t, unnest(ws) AS w FROM tok),
+          |big AS (SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS w
+          |        FROM tok, unnest(range(1, len(ws))) AS r(i)),
+          |feat AS (SELECT doc_id, is_t,
+          |    CAST('0x' || substring(md5(w || 'graft'), 1, 8) AS BIGINT)
+          |      % 1024 AS b
+          |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+          |c AS (SELECT b, count(*) AS rc,
+          |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+          |      FROM feat GROUP BY 1),
+          |t AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt,
+          |             CAST(sum(tc) AS DOUBLE) AS tt FROM c),
+          |lr AS (SELECT b,
+          |    ln((tc + 1.0) / (tt + 1024.0))
+          |      - ln((rc + 1.0) / (rt + 1024.0)) AS lr
+          |  FROM c CROSS JOIN t)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+          |  round(CAST(sum(CAST(lr AS DECIMAL(30,6))) AS DOUBLE), 6) AS iw
+          |FROM feat JOIN lr USING (b)
+          |GROUP BY 1
+          |ORDER BY iw DESC, doc_id
+          |LIMIT 100""".stripMargin,
+      "q212_bpe_merges" -> {
+        // unrolled BPE learning loop: one chained CTE triple per round
+        // (pair counts over the vocab, deterministic argmax, literal
+        // replace on the doubled-sentinel symbol sequence — the same
+        // left-to-right non-overlapping merge the engine applies)
+        val rounds = (1 to 8).map { i =>
+          s"""p$i AS (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
+             |    sum(cnt) AS c
+             |  FROM (SELECT string_split(trim(seq, '·'), '··') AS tk,
+             |          cnt FROM v${i - 1}),
+             |       unnest(range(1, len(tk))) AS u(j)
+             |  GROUP BY 1, 2),
+             |m$i AS (SELECT lhs, rhs, c FROM p$i WHERE c >= 1
+             |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+             |v$i AS (SELECT replace(seq, '·' || lhs || '··' || rhs || '·',
+             |    '·' || lhs || rhs || '·') AS seq, cnt
+             |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to 8).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS step, lhs, rhs,
+             |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
+             |FROM m$i""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH v0 AS (
+           |  SELECT regexp_replace(w, '(.)', '·\\1·', 'g') AS seq, cnt
+           |  FROM (
+           |    SELECT w, count(*) AS cnt FROM (
+           |      SELECT unnest(string_split_regex(trim(lower(text)),
+           |          '\\s+')) AS w
+           |      FROM documents)
+           |    WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1)),
+           |$rounds
+           |SELECT * FROM ($unions) ORDER BY step""".stripMargin
       },
       "q144_pagerank" -> {
         // unrolled power iteration: one chained CTE per round, each the

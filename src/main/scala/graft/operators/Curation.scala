@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.DetAgg
+
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * over the whole document set: vocabulary statistics, blocklist
   * scrubbing, cross-document span-duplication profiling, blocked fuzzy
@@ -310,6 +312,67 @@ object Curation {
       .where(col("__keep"))
       .select(col(groupCol), col(idCol), col(weightCol),
         col("__rn").as("rank"))
+  }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * NeurIPS 2023, arXiv:2302.03169) — the corpus-selection step a
+    * pretraining pipeline runs after curation: fit hashed bag-of-ngrams
+    * models on a target (quality-exemplar) subset and on the full raw
+    * corpus, weight every document by its add-one-smoothed log
+    * importance ratio Σ_f [ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))] over
+    * its feature occurrences, and keep the top `k` by weight.
+    *
+    * Features are hashed unigrams + word bigrams in `buckets` buckets
+    * (the paper's hashed-ngram generative model); the md5-band bucket
+    * is the engine-portable hash the split/band operators already use
+    * ([[Sampling.hashSplit]]), so the oracle replays bit-identically.
+    *
+    * Shape at scale: the two bucket models fold into ONE map-side-
+    * combined hash aggregate with ≤`buckets` output rows (target counts
+    * ride along as a conditional sum — the feature stream is scanned
+    * once for modeling, once for scoring, never cached); the log-ratio
+    * table (≤`buckets` rows) broadcasts back onto the feature stream,
+    * so scoring is one doc-keyed shuffle of map-side partial sums
+    * (≈ one row per document) and selection is a
+    * `TakeOrderedAndProject` top-k, never a global sort. Per-feature
+    * contributions accumulate in DECIMAL(30,6) ([[graft.core.DetAgg]])
+    * so the weight is run- and engine-deterministic.
+    */
+  def dsirSelect(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 1024, k: Int = 100,
+      salt: String = "graft"): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536] (got $buckets): the log-ratio " +
+        "table must stay broadcast-sized")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = df.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+        explode(concat(toks, bigrams)).as("__w"))
+      .withColumn("__b", conv(substring(
+          md5(concat(col("__w"), lit(salt))), 1, 8), 16, 10)
+        .cast("long") % buckets)
+      .drop("__w")
+    // one aggregate builds BOTH models: raw count + target-conditional
+    // count per bucket (<= `buckets` rows out)
+    val counts = feats.groupBy("__b").agg(
+      count(lit(1)).as("__rc"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
+    val totals = counts.agg(sum(col("__rc")).as("__rt"),
+      sum(col("__tc")).as("__tt"))
+    val logRatio = counts.crossJoin(broadcast(totals)).select(col("__b"),
+      (log((col("__tc").cast("double") + 1.0) /
+           (col("__tt").cast("double") + buckets.toDouble)) -
+       log((col("__rc").cast("double") + 1.0) /
+           (col("__rt").cast("double") + buckets.toDouble))).as("__lr"))
+    feats.join(broadcast(logRatio), "__b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        round(DetAgg.detSum(col("__lr")), 6).as("iw"))
+      .orderBy(col("iw").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** Blocked fuzzy matching over a name column — the record-linkage

@@ -36,6 +36,68 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("dsirSelect: importance ratio ranks target-like docs first, " +
+      "matches the hand-computed smoothed log ratio, enforces k") {
+    // features (B=1024, salt 'graft', no bucket collisions — verified):
+    // doc 1 (target) "a a" -> a,a,'a a'; doc 2 "b b" -> b,b,'b b';
+    // doc 3 "a b" -> a,b,'a b'. Target model: a:2,'a a':1 (T=3);
+    // raw model: a:3,b:3,'a a':1,'b b':1,'a b':1 (R=9).
+    val docs = Seq((1L, "a a", true), (2L, "b b", false),
+      (3L, "a b", false)).toDF("doc_id", "text", "t")
+    val r = Curation.dsirSelect(docs, "text", "doc_id", col("t"),
+      buckets = 1024, k = 3).collect()
+    def term(t: Int, rc: Int): BigDecimal =
+      BigDecimal(math.log((t + 1.0) / (3 + 1024.0)) -
+        math.log((rc + 1.0) / (9 + 1024.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def w(terms: BigDecimal*): Double =
+      (terms.sum.toDouble * 1e6).round / 1e6
+    val expect = Map(
+      1L -> w(term(2, 3), term(2, 3), term(1, 1)),
+      2L -> w(term(0, 3), term(0, 3), term(0, 1)),
+      3L -> w(term(2, 3), term(0, 3), term(0, 1)))
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L)) // target-like first
+    r.foreach { row =>
+      assert(row.getLong(1) == 3L) // n_features = 2*len-1
+      assert(row.getDouble(2) == expect(row.getLong(0)))
+    }
+    // k bound: top-2 only, same order
+    assert(Curation.dsirSelect(docs, "text", "doc_id", col("t"),
+      buckets = 1024, k = 2).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("bpeMerges: learns the classic low/lower/lowest merges with " +
+      "deterministic tie-breaks, ignores non-alpha words") {
+    // vocab: low:3, lower:1, lowest:1 ("Low!" is filtered). Round 1
+    // ties (l,o)=5 with (o,w)=5 -> lex pick (l,o); then (lo,w)=5,
+    // (low,e)=2, and a 3-way tie at 1 -> (lowe,r).
+    val docs = Seq((1L, "low low lower Low!"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text", merges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(m == Seq(
+      (1L, "l", "o", "lo", 5L),
+      (2L, "lo", "w", "low", 5L),
+      (3L, "low", "e", "lowe", 2L),
+      (4L, "lowe", "r", "lower", 1L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("bpeMerges: overlapping-run merge is left-to-right BPE " +
+      "(aaaa -> aa aa), and learning stops when no pair remains") {
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text", merges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+      .toSeq
+    // (a,a) counts overlapping-adjacent (3 per word x 2 words); the
+    // merge leaves TWO 'aa' symbols per word, so round 2 sees (aa,aa)
+    // once per word; round 3 has a single symbol -> early stop.
+    assert(m == Seq((1L, "aa", 6L), (2L, "aaaa", 2L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("vocabCoverage: ranks by count then token, coverage hits 1.0") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
     val v = Curation.vocabCoverage(docs, "text", topK = 10)
