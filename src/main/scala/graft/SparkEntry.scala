@@ -2506,6 +2506,16 @@ object SparkEntry {
     "q212_bpe_merges" -> ((s, dir) =>
       graft.operators.Tokenizer.bpeMerges(t(s, dir, "documents"),
         "text", merges = 8)),
+    // ---- BPE learn→encode two-job contract: job 1 learns the merge
+    // list (bounded, <=64 rows -> literals), job 2 is a ZERO-shuffle
+    // map-only token-count pass over the corpus under that tokenizer
+    "q213_bpe_token_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+          merges = 8).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
+    }),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -2668,6 +2678,31 @@ object SparkEntry {
   // =========================================================== oracle SQL
 
   def oracleSql: Map[String, String] = {
+    // shared BPE learning CTE chain (q212 learn, q213 learn+encode):
+    // v0 = word vocab as sentinel symbol sequences; per round i, pair
+    // counts -> deterministic argmax -> literal replace merge
+    val bpeRounds = (1 to 8).map { i =>
+      s"""p$i AS (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
+         |    sum(cnt) AS c
+         |  FROM (SELECT string_split(trim(seq, '·'), '··') AS tk,
+         |          cnt FROM v${i - 1}),
+         |       unnest(range(1, len(tk))) AS u(j)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lhs, rhs, c FROM p$i WHERE c >= 1
+         |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |v$i AS (SELECT replace(seq, '·' || lhs || '··' || rhs || '·',
+         |    '·' || lhs || rhs || '·') AS seq, cnt
+         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    val bpeVocab0 =
+      """v0 AS (
+        |  SELECT regexp_replace(w, '(.)', '·\1·', 'g') AS seq, cnt
+        |  FROM (
+        |    SELECT w, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split_regex(trim(lower(text)),
+        |          '\s+')) AS w
+        |      FROM documents)
+        |    WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1))""".stripMargin
     val funnelSql =
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -4459,34 +4494,37 @@ object SparkEntry {
         // (pair counts over the vocab, deterministic argmax, literal
         // replace on the doubled-sentinel symbol sequence — the same
         // left-to-right non-overlapping merge the engine applies)
-        val rounds = (1 to 8).map { i =>
-          s"""p$i AS (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
-             |    sum(cnt) AS c
-             |  FROM (SELECT string_split(trim(seq, '·'), '··') AS tk,
-             |          cnt FROM v${i - 1}),
-             |       unnest(range(1, len(tk))) AS u(j)
-             |  GROUP BY 1, 2),
-             |m$i AS (SELECT lhs, rhs, c FROM p$i WHERE c >= 1
-             |  ORDER BY c DESC, lhs, rhs LIMIT 1),
-             |v$i AS (SELECT replace(seq, '·' || lhs || '··' || rhs || '·',
-             |    '·' || lhs || rhs || '·') AS seq, cnt
-             |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
-        }.mkString(",\n")
         val unions = (1 to 8).map { i =>
           s"""SELECT CAST($i AS BIGINT) AS step, lhs, rhs,
              |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
              |FROM m$i""".stripMargin
         }.mkString("\nUNION ALL ")
-        s"""WITH v0 AS (
-           |  SELECT regexp_replace(w, '(.)', '·\\1·', 'g') AS seq, cnt
-           |  FROM (
-           |    SELECT w, count(*) AS cnt FROM (
-           |      SELECT unnest(string_split_regex(trim(lower(text)),
-           |          '\\s+')) AS w
-           |      FROM documents)
-           |    WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1)),
-           |$rounds
+        s"""WITH $bpeVocab0,
+           |$bpeRounds
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q213_bpe_token_counts" -> {
+        // learn (the q212 chain), then encode: the merge chain applies
+        // as nested literal replaces in learning order; alphabetic
+        // words count their surviving symbols, anything else is one
+        // OOV token
+        val encChain = (1 to 8).foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $bpeVocab0,
+           |$bpeRounds,
+           |w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+           |  FROM documents)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+           |    THEN len(string_split(trim($encChain, '·'), '··'))
+           |    ELSE 1 END) AS BIGINT) AS n_tokens
+           |FROM w $crossMs
+           |GROUP BY 1""".stripMargin
       },
       "q144_pagerank" -> {
         // unrolled power iteration: one chained CTE per round, each the

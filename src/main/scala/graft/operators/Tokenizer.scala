@@ -99,4 +99,42 @@ object Tokenizer {
       .select(col("step").cast("long"), col("lhs"), col("rhs"),
         col("merged"), col("pair_count"))
   }
+
+  /** Tokenizer-aware token counting — encode every document under an
+    * already-learned merge list (the run half of the learn→encode
+    * two-job contract: [[bpeMerges]] is the bounded job 1, its ≤64-row
+    * result collects to literals, and this is job 2 over the corpus).
+    *
+    * Per document: alphabetic words are sentinel-encoded and the merge
+    * chain applies IN LEARNING ORDER as `merges.size` projection-local
+    * replaces (the same doubled-sentinel left-to-right semantics the
+    * learner used), then the token count is the surviving symbol
+    * count; every other word counts as one OOV token. The whole pass
+    * is pure per-row Column expressions — ZERO shuffle, no join: at
+    * 100 TB this is a map-only scan, which is exactly what a
+    * token-budget accounting pass over a full corpus must be.
+    *
+    * Returns (doc_id, n_words, n_tokens).
+    */
+  def bpeTokenCounts(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"merges must be 1..64 literal pairs (got ${merges.size})")
+    val words = split(trim(lower(col(textCol))), "\\s+")
+    def nTok(w: org.apache.spark.sql.Column) = {
+      val enc0 = regexp_replace(w, "(.)", S + "$1" + S)
+      val enc = merges.foldLeft(enc0) { case (e, (l, r)) =>
+        regexp_replace(e,
+          java.util.regex.Pattern.quote(S + l + S + S + r + S),
+          java.util.regex.Matcher.quoteReplacement(S + l + r + S))
+      }
+      size(split(org.apache.spark.sql.functions.trim(enc, S), S + S))
+        .cast("long")
+    }
+    df.select(col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L),
+        (acc, w) => acc + when(w.rlike("^[a-z]+$"), nTok(w))
+          .otherwise(lit(1L))).as("n_tokens"))
+  }
 }

@@ -98,6 +98,23 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpeTokenCounts: encodes under learned merges in order, " +
+      "counts OOV words as one token") {
+    val docs = Seq((1L, "low low lower Low!"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text", merges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val r = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // doc 1: low,low,lower each one merged token + "low!" OOV = 4;
+    // doc 2: low (1) + lowest -> lowe|s|t (3) = 4
+    assert(r == Seq((1L, 4L, 4L), (2L, 2L, 4L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("vocabCoverage: ranks by count then token, coverage hits 1.0") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
     val v = Curation.vocabCoverage(docs, "text", topK = 10)
