@@ -2516,6 +2516,20 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
     }),
+    // ---- per-source token-budget admission under the LEARNED
+    // tokenizer: BPE learn -> zero-shuffle token counting -> the
+    // budget gate's batch twin (one source-keyed window; the streaming
+    // gate holds one Long per source and is spec'd stream==batch)
+    "q214_token_budget_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+          merges = 8).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = graft.operators.Tokenizer
+        .bpeTokenCounts(docs, "text", "doc_id", m)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.streaming.StreamTokenBudget.batch(counts, budget = 800L)
+    }),
     // ---- CALIBRATE→RUN filter contract: job 1 writes the q197
     // retention curve as an artifact, the threshold decision picks the
     // most aggressive calibrated threshold retaining >= 60% of token
@@ -4525,6 +4539,34 @@ object SparkEntry {
            |    ELSE 1 END) AS BIGINT) AS n_tokens
            |FROM w $crossMs
            |GROUP BY 1""".stripMargin
+      },
+      "q214_token_budget_gate" -> {
+        // learn + encode (the q213 chain), then a per-source running
+        // sum admits a doc iff tokens admitted BEFORE it are under
+        // budget (the crossing doc is admitted, then the gate closes)
+        val encChain = (1 to 8).foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $bpeVocab0,
+           |$bpeRounds,
+           |w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+           |  FROM documents),
+           |tc AS (SELECT doc_id,
+           |    CAST(sum(CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+           |      THEN len(string_split(trim($encChain, '·'), '··'))
+           |      ELSE 1 END) AS BIGINT) AS n_tokens
+           |  FROM w $crossMs
+           |  GROUP BY 1),
+           |c AS (SELECT d.doc_id, d.source, tc.n_tokens,
+           |    sum(tc.n_tokens) OVER (PARTITION BY d.source
+           |      ORDER BY d.doc_id) AS cum
+           |  FROM documents d JOIN tc USING (doc_id))
+           |SELECT doc_id, source, n_tokens
+           |FROM c WHERE cum - n_tokens < 800""".stripMargin
       },
       "q144_pagerank" -> {
         // unrolled power iteration: one chained CTE per round, each the

@@ -151,6 +151,32 @@ object ScaleProbe {
         val docs = docsOf(s, dir)
         val bench = docs.orderBy("doc_id").limit(100)
         graft.streaming.StreamDecon.batch(docs, bench, "text")
+      }),
+      // DSIR selection: two corpus scans (one bucket-model agg, one
+      // broadcast-scored doc agg) — predicted ~linear, shuffle is the
+      // 1024-bucket model + one partial-sum row per doc
+      "op_dsir" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Curation.dsirSelect(docsOf(s, dir), "text",
+          "doc_id", isTarget = col("lang") === "en",
+          buckets = 1024, k = 100)
+      }),
+      // BPE learning: 8 driver-coordinated rounds over the WORD VOCAB
+      // (not the corpus) — predicted sub-linear in corpus size once
+      // the vocab saturates; the corpus cost is the one vocab agg
+      "op_bpe" -> ((s, dir) =>
+        graft.operators.Tokenizer.bpeMerges(docsOf(s, dir), "text",
+          merges = 8)),
+      // BPE encode: learn on the corpus, then the zero-shuffle
+      // map-only token-count pass — predicted linear, zero shuffle in
+      // the encode stage
+      "op_bpe_encode" -> ((s, dir) => {
+        val docs = docsOf(s, dir)
+        val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+            merges = 8).orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Tokenizer.bpeTokenCounts(docs, "text",
+          "doc_id", m)
       }))
     def query(name: String): (SparkSession, String) => DataFrame =
       opQueries.getOrElse(name, graft.SparkEntry.queries(name))

@@ -720,6 +720,31 @@ class StreamingSpec extends SparkTestBase {
       "SELECT * FROM semdedup_replay WHERE vec_id = 3").count() == 2)
   }
 
+  test("StreamTokenBudget: crossing doc admitted then gate closes, " +
+      "state persists across batches, stream == batch") {
+    import graft.streaming.StreamTokenBudget
+    import graft.streaming.StreamTokenBudget.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // src a: 60+50 crosses the 100 budget at doc 2 (admitted), doc 3
+    // in a LATER batch must be rejected from carried state; src b
+    // stays under budget throughout
+    val b1 = Seq(Doc(1L, "a", 60L), Doc(2L, "a", 50L), Doc(10L, "b", 30L))
+    val b2 = Seq(Doc(3L, "a", 10L), Doc(11L, "b", 40L))
+    val stream = MemoryStream[Doc]
+    val q = StreamTokenBudget.streaming(stream.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("tokbudget")
+      .outputMode("append").start()
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT doc_id FROM tokbudget")
+      .as[Long].collect().sorted.toSeq
+    assert(streamed == Seq(1L, 2L, 10L, 11L))
+    val batch = StreamTokenBudget.batch((b1 ++ b2).toDS().toDF(), 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batch == streamed)
+  }
+
   test("StreamSemDedup cellCap bounds state: later arrivals compare, " +
       "don't enroll") {
     import graft.streaming.StreamSemDedup
