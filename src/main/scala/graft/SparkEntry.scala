@@ -2516,6 +2516,31 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
     }),
+    // ---- END-TO-END SELECTION PIPELINE: the corpus-to-training-set
+    // chain the new stages exist for — length floor -> exact dedup ->
+    // DSIR selection (top-200 vs the English target) -> BPE learned ON
+    // THE SELECTION -> per-source token-budget admission. Each stage
+    // is the already-certified operator; the selection frame persists
+    // once (tracked) because three downstream stages read it.
+    "q215_selection_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val filtered = docs.where(col("n_chars") >= 200)
+      val keepIds = graft.operators.Dedup.exact(filtered, "text",
+        "doc_id").select(col("keep_id").as("doc_id"))
+      val survivors = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+      val sel = graft.operators.Curation.dsirSelect(survivors, "text",
+        "doc_id", isTarget = col("lang") === "en",
+        buckets = 1024, k = 200)
+      val selDocs = graft.operators.Dedup.tracked(
+        survivors.join(sel.select("doc_id"), Seq("doc_id"), "left_semi"))
+      val m = graft.operators.Tokenizer.bpeMerges(selDocs, "text",
+          merges = 8).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = graft.operators.Tokenizer
+        .bpeTokenCounts(selDocs, "text", "doc_id", m)
+        .join(selDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.streaming.StreamTokenBudget.batch(counts, budget = 500L)
+    }),
     // ---- per-source token-budget admission under the LEARNED
     // tokenizer: BPE learn -> zero-shuffle token counting -> the
     // budget gate's batch twin (one source-keyed window; the streaming
@@ -2708,15 +2733,16 @@ object SparkEntry {
          |    '·' || lhs || rhs || '·') AS seq, cnt
          |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
-    val bpeVocab0 =
-      """v0 AS (
-        |  SELECT regexp_replace(w, '(.)', '·\1·', 'g') AS seq, cnt
-        |  FROM (
-        |    SELECT w, count(*) AS cnt FROM (
-        |      SELECT unnest(string_split_regex(trim(lower(text)),
-        |          '\s+')) AS w
-        |      FROM documents)
-        |    WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1))""".stripMargin
+    def bpeVocab0From(src: String): String =
+      s"""v0 AS (
+         |  SELECT regexp_replace(w, '(.)', '·\\1·', 'g') AS seq, cnt
+         |  FROM (
+         |    SELECT w, count(*) AS cnt FROM (
+         |      SELECT unnest(string_split_regex(trim(lower(text)),
+         |          '\\s+')) AS w
+         |      FROM $src)
+         |    WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1))""".stripMargin
+    val bpeVocab0 = bpeVocab0From("documents")
     val funnelSql =
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -4539,6 +4565,62 @@ object SparkEntry {
            |    ELSE 1 END) AS BIGINT) AS n_tokens
            |FROM w $crossMs
            |GROUP BY 1""".stripMargin
+      },
+      "q215_selection_pipeline" -> {
+        // full chain: length floor -> exact-dedup keepers -> the q211
+        // DSIR block over survivors -> q212 learning over the
+        // selection -> q213 encode -> q214 admission
+        val encChain = (1 to 8).foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH f AS (SELECT * FROM documents WHERE n_chars >= 200),
+           |k AS (SELECT md5(text) AS h, min(doc_id) AS keep
+           |  FROM f GROUP BY 1),
+           |s AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keep),
+           |dtok AS (SELECT doc_id, (lang = 'en') AS is_t,
+           |    string_split_regex(trim(text), '\\s+') AS ws FROM s),
+           |duni AS (SELECT doc_id, is_t, unnest(ws) AS w FROM dtok),
+           |dbig AS (SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS w
+           |        FROM dtok, unnest(range(1, len(ws))) AS r(i)),
+           |dfeat AS (SELECT doc_id, is_t,
+           |    CAST('0x' || substring(md5(w || 'graft'), 1, 8) AS BIGINT)
+           |      % 1024 AS b
+           |  FROM (SELECT * FROM duni UNION ALL SELECT * FROM dbig)),
+           |dc AS (SELECT b, count(*) AS rc,
+           |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+           |      FROM dfeat GROUP BY 1),
+           |dt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt,
+           |             CAST(sum(tc) AS DOUBLE) AS tt FROM dc),
+           |dlr AS (SELECT b,
+           |    ln((tc + 1.0) / (tt + 1024.0))
+           |      - ln((rc + 1.0) / (rt + 1024.0)) AS lr
+           |  FROM dc CROSS JOIN dt),
+           |sel AS (SELECT doc_id FROM (
+           |  SELECT doc_id,
+           |    round(CAST(sum(CAST(lr AS DECIMAL(30,6))) AS DOUBLE), 6)
+           |      AS iw
+           |  FROM dfeat JOIN dlr USING (b) GROUP BY 1
+           |  ORDER BY iw DESC, doc_id LIMIT 200)),
+           |sd AS (SELECT s.* FROM s JOIN sel USING (doc_id)),
+           |${bpeVocab0From("sd")},
+           |$bpeRounds,
+           |w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+           |  FROM sd),
+           |tc2 AS (SELECT doc_id,
+           |    CAST(sum(CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+           |      THEN len(string_split(trim($encChain, '·'), '··'))
+           |      ELSE 1 END) AS BIGINT) AS n_tokens
+           |  FROM w $crossMs GROUP BY 1),
+           |cw AS (SELECT sd.doc_id, sd.source, tc2.n_tokens,
+           |    sum(tc2.n_tokens) OVER (PARTITION BY sd.source
+           |      ORDER BY sd.doc_id) AS cum
+           |  FROM sd JOIN tc2 USING (doc_id))
+           |SELECT doc_id, source, n_tokens
+           |FROM cw WHERE cum - n_tokens < 500""".stripMargin
       },
       "q214_token_budget_gate" -> {
         // learn + encode (the q213 chain), then a per-source running
