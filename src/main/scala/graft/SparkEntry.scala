@@ -2516,6 +2516,24 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
     }),
+    // ---- DSIR score-gate contract: job 1 writes the dense
+    // fixed-point bucket model as a lake artifact; the gate collects
+    // it once (bounded: `buckets` longs, the codebook pattern) and
+    // admits target-leaning docs with a ZERO-shuffle stateless filter
+    // — the streaming twin is the identical plan (StreamDsirGate).
+    "q216_dsir_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_dsirmodel"
+      graft.operators.Curation.writeDsirModel(docs, "text",
+        isTarget = col("lang") === "en", buckets = 1024,
+        salt = "graft", lake)
+      val model = s.read.parquet(lake).orderBy("b").collect()
+      require(model.length == 1024 && model.head.getLong(0) == 0L,
+        "dsir model artifact must be dense over [0, buckets)")
+      val lr = model.map(_.getLong(1))
+      graft.streaming.StreamDsirGate.batch(docs, "text", "doc_id", lr)
+    }),
     // ---- END-TO-END SELECTION PIPELINE: the corpus-to-training-set
     // chain the new stages exist for — length floor -> exact dedup ->
     // DSIR selection (top-200 vs the English target) -> BPE learned ON
@@ -4566,6 +4584,34 @@ object SparkEntry {
            |FROM w $crossMs
            |GROUP BY 1""".stripMargin
       },
+      "q216_dsir_gate" ->
+        """WITH tok AS (SELECT doc_id, (lang = 'en') AS is_t,
+          |    string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |uni AS (SELECT doc_id, is_t, unnest(ws) AS w FROM tok),
+          |big AS (SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS w
+          |        FROM tok, unnest(range(1, len(ws))) AS r(i)),
+          |feat AS (SELECT doc_id, is_t,
+          |    CAST('0x' || substring(md5(w || 'graft'), 1, 8) AS BIGINT)
+          |      % 1024 AS b
+          |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+          |c AS (SELECT b, count(*) AS rc,
+          |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+          |      FROM feat GROUP BY 1),
+          |t AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt,
+          |             CAST(sum(tc) AS DOUBLE) AS tt FROM c),
+          |dense AS (SELECT r.b, coalesce(c.rc, 0) AS rc,
+          |    coalesce(c.tc, 0) AS tc
+          |  FROM range(0, 1024) r(b) LEFT JOIN c USING (b)),
+          |lr AS (SELECT b, CAST(round(
+          |    (ln((tc + 1.0) / (tt + 1024.0))
+          |      - ln((rc + 1.0) / (rt + 1024.0))) * 1000000.0)
+          |    AS BIGINT) AS lr_micro
+          |  FROM dense CROSS JOIN t)
+          |SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS iw_micro
+          |FROM feat JOIN lr USING (b)
+          |GROUP BY 1
+          |HAVING sum(lr_micro) >= 1""".stripMargin,
       "q215_selection_pipeline" -> {
         // full chain: length floor -> exact-dedup keepers -> the q211
         // DSIR block over survivors -> q212 learning over the

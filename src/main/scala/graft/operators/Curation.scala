@@ -338,23 +338,29 @@ object Curation {
     * contributions accumulate in DECIMAL(30,6) ([[graft.core.DetAgg]])
     * so the weight is run- and engine-deterministic.
     */
+  /** The DSIR hashed feature stream of a text column: unigram + word-
+    * bigram md5-band bucket ids, as an array column (projection-local;
+    * shared by selection, model writing and the stateless score). */
+  private[graft] def dsirFeatureBuckets(text: Column, buckets: Int,
+      salt: String): Column = {
+    val toks = split(trim(text), "\\s+")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(toks, bigrams), w => conv(substring(
+        md5(concat(w, lit(salt))), 1, 8), 16, 10)
+      .cast("long") % buckets)
+  }
+
   def dsirSelect(df: DataFrame, textCol: String, idCol: String,
       isTarget: Column, buckets: Int = 1024, k: Int = 100,
       salt: String = "graft"): DataFrame = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in (0, 65536] (got $buckets): the log-ratio " +
         "table must stay broadcast-sized")
-    val toks = split(trim(col(textCol)), "\\s+")
-    val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b))
     val feats = df.select(col(idCol).as("doc_id"), isTarget.as("__t"),
-        explode(concat(toks, bigrams)).as("__w"))
-      .withColumn("__b", conv(substring(
-          md5(concat(col("__w"), lit(salt))), 1, 8), 16, 10)
-        .cast("long") % buckets)
-      .drop("__w")
+      explode(dsirFeatureBuckets(col(textCol), buckets, salt)).as("__b"))
     // one aggregate builds BOTH models: raw count + target-conditional
     // count per bucket (<= `buckets` rows out)
     val counts = feats.groupBy("__b").agg(
@@ -373,6 +379,61 @@ object Curation {
         round(DetAgg.detSum(col("__lr")), 6).as("iw"))
       .orderBy(col("iw").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Job 1 of the DSIR score-gate contract: fit the hashed-ngram
+    * target/raw models over `df` and write the DENSE per-bucket log
+    * importance ratio as a `(b, lr_micro)` parquet artifact — every
+    * bucket in [0, buckets) gets a row, so a bucket no training
+    * feature ever hit carries the smoothed prior ratio
+    * ln((R+B)/(T+B)) and the scorer never needs a missing-key branch.
+    *
+    * `lr_micro` is the ratio in FIXED-POINT MICRO-UNITS
+    * (round(lr·1e6) as int64): per-document scores then accumulate in
+    * exact integer arithmetic — associative, run- and engine-
+    * deterministic with no decimal plumbing — the same fixed-point
+    * discipline as the PageRank loop. One corpus scan, one
+    * ≤`buckets`-row aggregate, one tiny artifact.
+    */
+  def writeDsirModel(df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int, salt: String, path: String): Unit = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536] (got $buckets)")
+    val feats = df.select(isTarget.as("__t"),
+      explode(dsirFeatureBuckets(col(textCol), buckets, salt)).as("b"))
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("__rc"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
+    val totals = counts.agg(sum(col("__rc")).as("__rt"),
+      sum(col("__tc")).as("__tt"))
+    val dense = df.sparkSession.range(0, buckets).toDF("b")
+      .join(counts, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("__rc"), lit(0L)).as("__rc"),
+        coalesce(col("__tc"), lit(0L)).as("__tc"))
+    dense.crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        (log((col("__tc").cast("double") + 1.0) /
+             (col("__tt").cast("double") + buckets.toDouble)) -
+         log((col("__rc").cast("double") + 1.0) /
+             (col("__rt").cast("double") + buckets.toDouble))) * 1e6)
+        .cast("long").as("lr_micro"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The per-document DSIR importance score in micro-units, against a
+    * COLLECTED dense model (`lrMicro(b)` = the artifact row for bucket
+    * b — bounded, ≤65536 longs, the codebook-as-literal pattern): a
+    * pure projection-local fold over the feature array with O(1)
+    * positional array access per feature. ZERO shuffle and zero state
+    * — this is what lets the gate run unchanged as a stateless
+    * streaming filter at the ingest edge ([[graft.streaming.StreamDsirGate]]). */
+  def dsirScoreMicro(text: Column, lrMicro: Array[Long],
+      salt: String = "graft"): Column = {
+    val model = typedLit(lrMicro.toSeq)
+    aggregate(dsirFeatureBuckets(text, lrMicro.length, salt), lit(0L),
+      (acc, b) => acc + element_at(model, (b + 1).cast("int")))
   }
 
   /** Blocked fuzzy matching over a name column — the record-linkage

@@ -67,6 +67,45 @@ class CurationSpec extends SparkTestBase {
       Seq(1L, 3L))
   }
 
+  test("writeDsirModel + dsirScoreMicro: dense fixed-point artifact, " +
+      "hand-computed scores, smoothed prior for unseen features") {
+    // same fixture as dsirSelect: target a:2,'a a':1 (T=3); raw
+    // a:3,b:3,'a a':1,'b b':1,'a b':1 (R=9); B=1024, no collisions
+    val docs = Seq((1L, "a a", true), (2L, "b b", false),
+      (3L, "a b", false)).toDF("doc_id", "text", "t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir")
+      .toString + "/model"
+    Curation.writeDsirModel(docs, "text", col("t"), buckets = 1024,
+      salt = "graft", tmp)
+    val model = spark.read.parquet(tmp).orderBy("b").collect()
+    assert(model.length == 1024 && model.head.getLong(0) == 0L)
+    val lr = model.map(_.getLong(1))
+    def micro(t: Int, r: Int): Long =
+      BigDecimal((math.log((t + 1.0) / (3 + 1024.0)) -
+        math.log((r + 1.0) / (9 + 1024.0))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // every never-hit bucket carries the smoothed prior ratio
+    assert(lr(0) == micro(0, 0))
+    val scored = graft.streaming.StreamDsirGate.batch(
+      docs.withColumn("doc_id", col("doc_id"))
+        .union(Seq((4L, "zzz qqq", false)).toDF("doc_id", "text", "t")),
+      "text", "doc_id", lr, minMicro = Long.MinValue)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val expect = Map(
+      1L -> (2 * micro(2, 3) + micro(1, 1)),
+      2L -> (2 * micro(0, 3) + micro(0, 1)),
+      3L -> (micro(2, 3) + micro(0, 3) + micro(0, 1)),
+      4L -> 3 * micro(0, 0)) // all features unseen -> prior ratio
+    assert(scored == Seq(1L, 2L, 3L, 4L).map(i => (i, expect(i))))
+    // the gate thresholds exactly: pick the midpoint of docs 3 and 1
+    val thr = (expect(3L) + expect(1L)) / 2
+    val admitted = graft.streaming.StreamDsirGate.batch(docs, "text",
+      "doc_id", lr, minMicro = thr).collect().map(_.getLong(0)).toSeq
+    assert(admitted == Seq(
+      Seq(1L, 2L, 3L).filter(i => expect(i) >= thr): _*))
+  }
+
   test("bpeMerges: learns the classic low/lower/lowest merges with " +
       "deterministic tie-breaks, ignores non-alpha words") {
     // vocab: low:3, lower:1, lowest:1 ("Low!" is filtered). Round 1

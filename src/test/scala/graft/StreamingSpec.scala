@@ -745,6 +745,39 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == streamed)
   }
 
+  test("StreamDsirGate: the stateless scorer admits identically on " +
+      "stream and batch") {
+    import graft.streaming.StreamDsirGate
+    import graft.streaming.StreamDsirGate.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "a a", true), (2L, "b b", false),
+      (3L, "a b", false)).toDF("doc_id", "text", "t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsirgate")
+      .toString + "/model"
+    graft.operators.Curation.writeDsirModel(train, "text", col("t"),
+      buckets = 1024, salt = "graft", tmp)
+    val lr = spark.read.parquet(tmp).orderBy("b").collect()
+      .map(_.getLong(1))
+    val arrivals = Seq(Doc(10L, "a a"), Doc(11L, "b b"), Doc(12L, "a b"))
+    // threshold at the max score -> the gate must split the arrivals
+    val thr = StreamDsirGate.batch(arrivals.toDS().toDF(), "text",
+        "doc_id", lr, minMicro = Long.MinValue)
+      .select("iw_micro").as[Long].collect().max
+    val batchIds = StreamDsirGate.batch(arrivals.toDS().toDF(), "text",
+        "doc_id", lr, minMicro = thr)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val stream = MemoryStream[Doc]
+    val q = StreamDsirGate.streaming(stream.toDS(), lr, minMicro = thr)
+      .writeStream.format("memory").queryName("dsirgate")
+      .outputMode("append").start()
+    stream.addData(arrivals: _*); q.processAllAvailable(); q.stop()
+    val streamIds = spark.sql("SELECT doc_id FROM dsirgate")
+      .as[Long].collect().sorted.toSeq
+    assert(streamIds == batchIds)
+    // the gate split the arrivals (some admitted, some rejected)
+    assert(batchIds.nonEmpty && batchIds.size < arrivals.size)
+  }
+
   test("StreamSemDedup cellCap bounds state: later arrivals compare, " +
       "don't enroll") {
     import graft.streaming.StreamSemDedup
