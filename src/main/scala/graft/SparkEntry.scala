@@ -2528,7 +2528,31 @@ object SparkEntry {
       graft.operators.Curation.writeDsirModel(docs, "text",
         isTarget = col("lang") === "en", buckets = 1024,
         salt = "graft", lake)
-      val model = s.read.parquet(lake).orderBy("b").collect()
+      val model = s.read.parquet(lake).select(col("b"), col("lr_micro"))
+        .orderBy("b").collect()
+      require(model.length == 1024 && model.head.getLong(0) == 0L,
+        "dsir model artifact must be dense over [0, buckets)")
+      val lr = model.map(_.getLong(1))
+      graft.streaming.StreamDsirGate.batch(docs, "text", "doc_id", lr)
+    }),
+    // ---- DSIR model FOLD-IN (the artifact-append sibling of the
+    // hash/sig/keeper lakes, but EXACT: bucket counts are additive
+    // integers, so append-then-gate is bit-identical to rebuild —
+    // the oracle is q216's full-corpus replica, unchanged): build the
+    // model on even docs, fold in the odd docs, gate the corpus.
+    "q217_dsir_model_fold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_dsirfold"
+      graft.operators.Curation.writeDsirModel(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text",
+        isTarget = col("lang") === "en", buckets = 1024,
+        salt = "graft", lake)
+      graft.operators.Curation.appendDsirModel(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), "text",
+        isTarget = col("lang") === "en", salt = "graft", lake)
+      val model = s.read.parquet(lake).select(col("b"), col("lr_micro"))
+        .orderBy("b").collect()
       require(model.length == 1024 && model.head.getLong(0) == 0L,
         "dsir model artifact must be dense over [0, buckets)")
       val lr = model.map(_.getLong(1))
@@ -4585,6 +4609,37 @@ object SparkEntry {
            |GROUP BY 1""".stripMargin
       },
       "q216_dsir_gate" ->
+        """WITH tok AS (SELECT doc_id, (lang = 'en') AS is_t,
+          |    string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |uni AS (SELECT doc_id, is_t, unnest(ws) AS w FROM tok),
+          |big AS (SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS w
+          |        FROM tok, unnest(range(1, len(ws))) AS r(i)),
+          |feat AS (SELECT doc_id, is_t,
+          |    CAST('0x' || substring(md5(w || 'graft'), 1, 8) AS BIGINT)
+          |      % 1024 AS b
+          |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+          |c AS (SELECT b, count(*) AS rc,
+          |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+          |      FROM feat GROUP BY 1),
+          |t AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt,
+          |             CAST(sum(tc) AS DOUBLE) AS tt FROM c),
+          |dense AS (SELECT r.b, coalesce(c.rc, 0) AS rc,
+          |    coalesce(c.tc, 0) AS tc
+          |  FROM range(0, 1024) r(b) LEFT JOIN c USING (b)),
+          |lr AS (SELECT b, CAST(round(
+          |    (ln((tc + 1.0) / (tt + 1024.0))
+          |      - ln((rc + 1.0) / (rt + 1024.0))) * 1000000.0)
+          |    AS BIGINT) AS lr_micro
+          |  FROM dense CROSS JOIN t)
+          |SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS iw_micro
+          |FROM feat JOIN lr USING (b)
+          |GROUP BY 1
+          |HAVING sum(lr_micro) >= 1""".stripMargin,
+      // fold-in is EXACT (additive integer counts), so the oracle for
+      // the folded model's gate is the unchanged full-corpus replica —
+      // passing it IS the append==rebuild proof at bucket granularity
+      "q217_dsir_model_fold" ->
         """WITH tok AS (SELECT doc_id, (lang = 'en') AS is_t,
           |    string_split_regex(trim(text), '\s+') AS ws
           |  FROM documents),

@@ -404,22 +404,74 @@ object Curation {
     val counts = feats.groupBy("b").agg(
       count(lit(1)).as("__rc"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
-    val totals = counts.agg(sum(col("__rc")).as("__rt"),
-      sum(col("__tc")).as("__tt"))
     val dense = df.sparkSession.range(0, buckets).toDF("b")
       .join(counts, Seq("b"), "left")
       .select(col("b"),
-        coalesce(col("__rc"), lit(0L)).as("__rc"),
-        coalesce(col("__tc"), lit(0L)).as("__tc"))
+        coalesce(col("__rc"), lit(0L)).as("rc"),
+        coalesce(col("__tc"), lit(0L)).as("tc"))
+    writeDsirArtifact(dense, buckets, path)
+  }
+
+  /** Derive `lr_micro` from dense (b, rc, tc) counts and write the
+    * artifact. The artifact CARRIES THE COUNTS next to the derived
+    * ratio so the model is incrementally maintainable: bucket counts
+    * are additive integers, which is what makes [[appendDsirModel]]
+    * EXACTLY equal to a from-scratch rebuild — there is no
+    * approximation anywhere in this fold-in, unlike the banded-
+    * signature lakes whose append preserves a recall gate. */
+  private def writeDsirArtifact(dense: DataFrame, buckets: Int,
+      path: String): Unit = {
+    val totals = dense.agg(sum(col("rc")).as("__rt"),
+      sum(col("tc")).as("__tt"))
     dense.crossJoin(broadcast(totals))
-      .select(col("b"), round(
-        (log((col("__tc").cast("double") + 1.0) /
+      .select(col("b"), col("rc"), col("tc"), round(
+        (log((col("tc").cast("double") + 1.0) /
              (col("__tt").cast("double") + buckets.toDouble)) -
-         log((col("__rc").cast("double") + 1.0) /
+         log((col("rc").cast("double") + 1.0) /
              (col("__rt").cast("double") + buckets.toDouble))) * 1e6)
         .cast("long").as("lr_micro"))
       .repartition(1)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold an increment into a stored DSIR model (the model artifact's
+    * fold-in job, sibling of the hash/signature/keeper lake appends):
+    * count the increment's hashed features, ADD them to the stored
+    * per-bucket counts, recompute every bucket's log ratio from the
+    * new totals, and rewrite the artifact. Because the counts are
+    * additive integers and the ratio is a pure function of
+    * (counts, totals), append-then-gate is BIT-IDENTICAL to
+    * rebuild-then-gate — q217's oracle asserts the full equivalence.
+    *
+    * The stored side is ≤`buckets` rows (bounded — the codebook
+    * pattern), so the merge reads the artifact once, joins the
+    * increment's one aggregate against it, and rewrites; the increment
+    * is the only corpus-scale scan. The artifact materializes
+    * (collect, bounded) BEFORE the overwrite so the rewrite never
+    * reads the files it is replacing (the q198 ordering lesson).
+    */
+  def appendDsirModel(incDf: DataFrame, textCol: String,
+      isTarget: Column, salt: String, path: String): Unit = {
+    val spark = incDf.sparkSession
+    import spark.implicits._
+    val stored = spark.read.parquet(path)
+      .select(col("b"), col("rc"), col("tc")).orderBy(col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val buckets = stored.length
+    require(buckets > 0 && stored.head._1 == 0L,
+      s"$path is not a dense writeDsirModel artifact")
+    val inc = incDf.select(isTarget.as("__t"),
+        explode(dsirFeatureBuckets(col(textCol), buckets, salt))
+          .as("b"))
+      .groupBy("b").agg(count(lit(1)).as("__rc"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = stored.map { case (b, rcv, tcv) =>
+      val (ir, it) = inc.getOrElse(b, (0L, 0L))
+      (b, rcv + ir, tcv + it)
+    }.toSeq.toDF("b", "rc", "tc")
+    writeDsirArtifact(merged, buckets, path)
   }
 
   /** The per-document DSIR importance score in micro-units, against a

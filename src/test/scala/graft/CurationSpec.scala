@@ -106,6 +106,29 @@ class CurationSpec extends SparkTestBase {
       Seq(1L, 2L, 3L).filter(i => expect(i) >= thr): _*))
   }
 
+  test("appendDsirModel: fold-in artifact is BIT-IDENTICAL to a " +
+      "from-scratch rebuild on the union") {
+    val even = Seq((0L, "a a", true), (2L, "a b", false))
+      .toDF("doc_id", "text", "t")
+    val odd = Seq((1L, "b b", false), (3L, "b a b", true))
+      .toDF("doc_id", "text", "t")
+    val base = java.nio.file.Files.createTempDirectory("graft_dsirf")
+      .toString
+    Curation.writeDsirModel(even, "text", col("t"), buckets = 1024,
+      salt = "graft", s"$base/folded")
+    Curation.appendDsirModel(odd, "text", col("t"), salt = "graft",
+      s"$base/folded")
+    Curation.writeDsirModel(even.union(odd), "text", col("t"),
+      buckets = 1024, salt = "graft", s"$base/rebuilt")
+    def rows(p: String) = spark.read.parquet(p).orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val folded = rows(s"$base/folded")
+    assert(folded == rows(s"$base/rebuilt"))
+    // and it is a real model of the union (nonzero target mass)
+    assert(folded.map(_._3).sum == 3L + 5L) // 'a a' feats + 'b a b' feats
+  }
+
   test("bpeMerges: learns the classic low/lower/lowest merges with " +
       "deterministic tie-breaks, ignores non-alpha words") {
     // vocab: low:3, lower:1, lowest:1 ("Low!" is filtered). Round 1

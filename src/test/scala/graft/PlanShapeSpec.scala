@@ -205,10 +205,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q204_semlake_fused", "q205_lake_seeded_gate",
       "q206_semlake_seeded_gate", "q207_incremental_pipeline",
       "q208_stream_lake_ingest",
-      // q216 writes the DSIR model artifact on construction; its
+      // q216/q217 write the DSIR model artifact on construction; the
       // scorer expression is covered by the CurationSpec hand-check
       // (pure HOF fold + array literal, no UDF anywhere to host one)
-      "q216_dsir_gate")
+      "q216_dsir_gate", "q217_dsir_model_fold")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions
