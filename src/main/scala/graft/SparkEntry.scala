@@ -2477,6 +2477,22 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
     }),
+    // ---- retrieval eval: recall@10 and nDCG@10 of the lexical BM25
+    // ranking against the semantic cosine top-k as gold — the
+    // retriever-audit metric row (both lists SQL-exact, so the oracle
+    // hashes the metrics themselves)
+    "q218_ranking_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.operators.Retrieval.bm25TopK(docs, "text",
+          "doc_id", Seq("spark", "hash", "merge"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val gold = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id") === 5), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rankingMetrics(lex, gold, "doc_id",
+        k = 10)
+    }),
     // ---- MMR diversified re-rank of the probe query's cosine top-20:
     // greedy λ·rel − (1−λ)·maxSim cut, k=5. The corpus scan is the
     // upstream retriever; the greedy fold runs on the driver over the
@@ -4480,6 +4496,32 @@ object SparkEntry {
       "q143_bm25" -> bm25Sql(10),
       // same fusion arithmetic and association order as rrfFuse:
       // lexical contribution first, then semantic, each 1/(60+rank)
+      "q218_ranking_metrics" ->
+        s"""WITH l AS (SELECT doc_id, rank FROM (${bm25Sql(20)})
+           |           WHERE rank <= 10),
+           |g AS (SELECT neighbor_id AS doc_id, rank AS grank FROM (
+           |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |             FROM embeddings WHERE vec_id = 5),
+           |  scored AS (
+           |    SELECT query_id, c.vec_id AS neighbor_id,
+           |      round(${cos("qv", "c.embedding")}, 6) AS cos_sim
+           |    FROM embeddings c CROSS JOIN q WHERE c.vec_id != query_id),
+           |  ranked AS (SELECT *, row_number() OVER (
+           |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           |    FROM scored)
+           |  SELECT neighbor_id, rank FROM ranked WHERE rank <= 10)),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           |    coalesce(CAST(SUM(CAST(ln(2) / ln(l.rank + 1.0)
+           |      AS DECIMAL(30,6))) AS DOUBLE), 0.0) AS dcg
+           |  FROM l JOIN g USING (doc_id)),
+           |i AS (SELECT CAST(count(*) AS BIGINT) AS n_gold,
+           |    CAST(SUM(CAST(ln(2) / ln(grank + 1.0)
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS idcg
+           |  FROM g)
+           |SELECT n_gold, n_hits,
+           |  round(CAST(n_hits AS DOUBLE) / n_gold, 6) AS recall,
+           |  round(dcg / idcg, 6) AS ndcg
+           |FROM m CROSS JOIN i""".stripMargin,
       "q209_rrf_fusion" ->
         s"""WITH l AS (SELECT doc_id, rank FROM (${bm25Sql(20)})),
            |s AS (SELECT neighbor_id AS doc_id, rank FROM (

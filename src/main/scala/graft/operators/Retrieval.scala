@@ -122,4 +122,39 @@ object Retrieval {
         .where(col("rank") <= k)
     }
   }
+
+  /** Ranking-quality metrics — recall@k and binary-relevance nDCG@k of
+    * a ranked list against a gold list (both `(idCol, rank)` top-k
+    * frames from upstream retrievers): the eval an index/retriever
+    * audit needs, as one engine-deterministic row
+    * `(n_gold, n_hits, recall, ndcg)`.
+    *
+    * recall@k = |ranked_k ∩ gold_k| / |gold_k|; DCG sums ln2/ln(pos+1)
+    * over the hits at the RANKED positions, IDCG over all gold
+    * positions. Both sums are DetAgg-routed (decimal) so the score is
+    * bit-stable across runs and engines; an empty intersection scores
+    * 0.0, never null. Inputs are top-k lists — everything here is
+    * bounded; the corpus-scale work lives in the retrievers upstream.
+    */
+  def rankingMetrics(ranked: DataFrame, gold: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    import graft.core.DetAgg
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val l = ranked.where(col("rank") <= k)
+      .select(col(idCol), col("rank"))
+    val g = gold.where(col("rank") <= k)
+      .select(col(idCol), col("rank").as("__grank"))
+    def dcgTerm(rank: org.apache.spark.sql.Column) =
+      lit(math.log(2.0)) / log(rank.cast("double") + 1.0)
+    val m = l.join(g, Seq(idCol)).agg(
+      count(lit(1)).as("n_hits"),
+      coalesce(DetAgg.detSum(dcgTerm(col("rank"))), lit(0.0))
+        .as("__dcg"))
+    val i = g.agg(count(lit(1)).as("n_gold"),
+      DetAgg.detSum(dcgTerm(col("__grank"))).as("__idcg"))
+    m.crossJoin(i).select(col("n_gold"), col("n_hits"),
+      round(col("n_hits").cast("double") / col("n_gold").cast("double"),
+        6).as("recall"),
+      round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+  }
 }

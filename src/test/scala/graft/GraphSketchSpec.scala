@@ -59,6 +59,29 @@ class GraphSketchSpec extends SparkTestBase {
     assert(perQ == Map(1L -> 10L, 2L -> 11L))
   }
 
+  test("rankingMetrics: hand-computed recall@k and nDCG@k, empty " +
+      "intersection scores 0.0") {
+    val ranked = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val gold = Seq((2L, 1L), (3L, 2L), (9L, 3L)).toDF("doc_id", "rank")
+    val r = Retrieval.rankingMetrics(ranked, gold, "doc_id", k = 3)
+      .collect().head
+    def t(pos: Long): BigDecimal =
+      BigDecimal(math.log(2.0) / math.log(pos + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getDouble(2) == r6(2.0 / 3.0)) // recall
+    // hits at ranked positions 2,3; ideal over gold positions 1,2,3
+    val dcg = (t(2) + t(3)).toDouble
+    val idcg = (t(1) + t(2) + t(3)).toDouble
+    assert(r.getDouble(3) == r6(dcg / idcg))
+    val none = Retrieval.rankingMetrics(ranked,
+      Seq((7L, 1L)).toDF("doc_id", "rank"), "doc_id", k = 3)
+      .collect().head
+    assert(none.getLong(1) == 0L && none.getDouble(2) == 0.0 &&
+      none.getDouble(3) == 0.0)
+  }
+
   test("pagerank: regular graph is an exact fixed point at mass 1.0") {
     // triangle: every node deg 2 — gather is exactly one unit, so the
     // integer update returns unit/8 + 7·unit/8 = unit every round
