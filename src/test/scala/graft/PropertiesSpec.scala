@@ -172,4 +172,110 @@ class PropertiesSpec extends SparkTestBase {
         row.getAs[Long]("n_rows") == rows.size.toLong
     }, n = 8)
   }
+
+  // ---- differential properties: the distributed implementations vs
+  // naive single-threaded reference models on random corpora ----
+
+  /** Reference BPE: weighted word vocab, overlapping-adjacent pair
+    * counts, (count desc, lhs, rhs) argmax, left-to-right merge. */
+  private def naiveBpe(words: Seq[String],
+      k: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.groupBy(identity)
+      .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val pc = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) += c)
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("property: bpeMerges equals the naive weighted-vocab BPE " +
+      "reference on random corpora") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Tokenizer}
+    val word = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    check(Prop.forAll(corpus) { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = Tokenizer.bpeMerges(docs, "text", merges = 4)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      Dedup.releaseIntermediates()
+      got == naiveBpe(words, 4)
+    }, n = 10)
+  }
+
+  test("property: dsirSelect equals the naive importance-ratio model, " +
+      "collisions included (B=64)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val B = 64
+    def bucket(w: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((w + "graft").getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % B).toInt
+    }
+    val word = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val doc = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(doc, Gen.oneOf(true, false))))
+    check(Prop.forAll(corpus) { ds =>
+      val rows = ds.zipWithIndex.map { case ((ws, t), i) =>
+        (i.toLong, ws.mkString(" "), t)
+      }
+      val got = graft.operators.Curation.dsirSelect(
+          rows.toDF("doc_id", "text", "t"), "text", "doc_id",
+          col("t"), buckets = B, k = 99)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // naive model: per-bucket occurrence counts over uni+bigrams
+      def feats(ws: Seq[String]): Seq[Int] =
+        (ws ++ ws.zip(ws.tail).map { case (a, b) => s"$a $b" })
+          .map(bucket)
+      val all = rows.map { case (id, text, t) =>
+        (id, feats(text.split(" ").toSeq), t)
+      }
+      val rc = all.flatMap(_._2).groupBy(identity).map {
+        case (b, g) => b -> g.size.toLong
+      }
+      val tc = all.filter(_._3).flatMap(_._2).groupBy(identity).map {
+        case (b, g) => b -> g.size.toLong
+      }
+      val (rt, tt) = (rc.values.sum.toDouble,
+        tc.values.sum.toDouble)
+      def term(b: Int): BigDecimal = BigDecimal(
+        math.log((tc.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+          math.log((rc(b) + 1.0) / (rt + B)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val expect = all.map { case (id, fs, _) =>
+        val iw = fs.map(term).sum.toDouble
+        (id, fs.size.toLong, math.round(iw * 1e6) / 1e6)
+      }.sortBy { case (id, _, iw) => (-iw, id) }
+      got == expect
+    }, n = 10)
+  }
 }
