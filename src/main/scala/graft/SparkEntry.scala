@@ -2493,6 +2493,25 @@ object SparkEntry {
       graft.operators.Retrieval.rankingMetrics(lex, gold, "doc_id",
         k = 10)
     }),
+    // ---- per-query retrieval eval: how well does 8-of-64-dim
+    // truncated retrieval approximate the full-dimension gold, per
+    // query — the dimension-budget audit (recall@10 / nDCG@10 rows
+    // per query, hitless queries still report 0.0)
+    "q219_perquery_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val emb8 = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding"))
+      val gold = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val ranked = Similarity.cosineTopK(emb8,
+          emb8.where(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Retrieval.rankingMetrics(ranked, gold, "doc_id",
+        k = 10, queryCols = Seq("query_id"))
+    }),
     // ---- MMR diversified re-rank of the probe query's cosine top-20:
     // greedy λ·rel − (1−λ)·maxSim cut, k=5. The corpus scan is the
     // upstream retriever; the greedy fold runs on the driver over the
@@ -4496,6 +4515,37 @@ object SparkEntry {
       "q143_bm25" -> bm25Sql(10),
       // same fusion arithmetic and association order as rrfFuse:
       // lexical contribution first, then semantic, each 1/(60+rank)
+      "q219_perquery_metrics" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 3),
+           |fs AS (SELECT query_id, c.vec_id AS nid,
+           |    round(${cos("qv", "c.embedding")}, 6) AS cs
+           |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != query_id),
+           |g AS (SELECT query_id, nid, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cs DESC, nid ASC) AS rank FROM fs)
+           |  WHERE rank <= 10),
+           |ts AS (SELECT query_id, c.vec_id AS nid,
+           |    round(${cos("qv[1:8]", "c.embedding[1:8]")}, 6) AS cs
+           |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != query_id),
+           |l AS (SELECT query_id, nid, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cs DESC, nid ASC) AS rank FROM ts)
+           |  WHERE rank <= 10),
+           |m AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+           |    CAST(SUM(CAST(ln(2) / ln(l.rank + 1.0)
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS dcg
+           |  FROM l JOIN g USING (query_id, nid) GROUP BY 1),
+           |i AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold,
+           |    CAST(SUM(CAST(ln(2) / ln(rank + 1.0)
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS idcg
+           |  FROM g GROUP BY 1)
+           |SELECT i.query_id, n_gold,
+           |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_gold, 6)
+           |    AS recall,
+           |  round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg
+           |FROM i LEFT JOIN m USING (query_id)""".stripMargin,
       "q218_ranking_metrics" ->
         s"""WITH l AS (SELECT doc_id, rank FROM (${bm25Sql(20)})
            |           WHERE rank <= 10),

@@ -137,24 +137,40 @@ object Retrieval {
     * bounded; the corpus-scale work lives in the retrievers upstream.
     */
   def rankingMetrics(ranked: DataFrame, gold: DataFrame, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, queryCols: Seq[String] = Nil): DataFrame = {
     import graft.core.DetAgg
     require(k >= 1, s"k must be >= 1 (got $k)")
+    val keys = queryCols :+ idCol
     val l = ranked.where(col("rank") <= k)
-      .select(col(idCol), col("rank"))
+      .select(keys.map(col) :+ col("rank"): _*)
     val g = gold.where(col("rank") <= k)
-      .select(col(idCol), col("rank").as("__grank"))
+      .select(keys.map(col) :+ col("rank").as("__grank"): _*)
     def dcgTerm(rank: org.apache.spark.sql.Column) =
       lit(math.log(2.0)) / log(rank.cast("double") + 1.0)
-    val m = l.join(g, Seq(idCol)).agg(
-      count(lit(1)).as("n_hits"),
-      coalesce(DetAgg.detSum(dcgTerm(col("rank"))), lit(0.0))
-        .as("__dcg"))
-    val i = g.agg(count(lit(1)).as("n_gold"),
-      DetAgg.detSum(dcgTerm(col("__grank"))).as("__idcg"))
-    m.crossJoin(i).select(col("n_gold"), col("n_hits"),
-      round(col("n_hits").cast("double") / col("n_gold").cast("double"),
-        6).as("recall"),
-      round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+    val hits = l.join(g, keys)
+    def metrics(m: DataFrame): DataFrame =
+      m.select(queryCols.map(col) :+ col("n_gold") :+
+        coalesce(col("n_hits"), lit(0L)).as("n_hits") :+
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_gold").cast("double"), 6).as("recall") :+
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6)
+          .as("ndcg"): _*)
+    if (queryCols.isEmpty) {
+      val m = hits.agg(count(lit(1)).as("n_hits"),
+        coalesce(DetAgg.detSum(dcgTerm(col("rank"))), lit(0.0))
+          .as("__dcg"))
+      val i = g.agg(count(lit(1)).as("n_gold"),
+        DetAgg.detSum(dcgTerm(col("__grank"))).as("__idcg"))
+      metrics(m.crossJoin(i))
+    } else {
+      // per-query: gold drives (a query with zero hits still reports),
+      // one keyed shuffle per aggregate, join back on the query key
+      val qk = queryCols.map(col)
+      val m = hits.groupBy(qk: _*).agg(count(lit(1)).as("n_hits"),
+        DetAgg.detSum(dcgTerm(col("rank"))).as("__dcg"))
+      val i = g.groupBy(qk: _*).agg(count(lit(1)).as("n_gold"),
+        DetAgg.detSum(dcgTerm(col("__grank"))).as("__idcg"))
+      metrics(i.join(m, queryCols, "left"))
+    }
   }
 }

@@ -80,6 +80,16 @@ class GraphSketchSpec extends SparkTestBase {
       .collect().head
     assert(none.getLong(1) == 0L && none.getDouble(2) == 0.0 &&
       none.getDouble(3) == 0.0)
+    // per-query: a hitless query still reports a 0.0 row
+    val rq = Seq((1L, 10L, 1L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val gq = Seq((1L, 10L, 1L), (2L, 99L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val pm = Retrieval.rankingMetrics(rq, gq, "doc_id", k = 3,
+        queryCols = Seq("query_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    assert(pm == Seq((1L, 1L, 1.0, 1.0), (2L, 0L, 0.0, 0.0)))
   }
 
   test("pagerank: regular graph is an exact fixed point at mass 1.0") {
