@@ -77,7 +77,8 @@ class CurationSpec extends SparkTestBase {
       .toString + "/model"
     Curation.writeDsirModel(docs, "text", col("t"), buckets = 1024,
       salt = "graft", tmp)
-    val model = spark.read.parquet(tmp).orderBy("b").collect()
+    val model = spark.read.parquet(tmp)
+      .select(col("b"), col("lr_micro")).orderBy("b").collect()
     assert(model.length == 1024 && model.head.getLong(0) == 0L)
     val lr = model.map(_.getLong(1))
     def micro(t: Int, r: Int): Long =

@@ -756,7 +756,8 @@ class StreamingSpec extends SparkTestBase {
       .toString + "/model"
     graft.operators.Curation.writeDsirModel(train, "text", col("t"),
       buckets = 1024, salt = "graft", tmp)
-    val lr = spark.read.parquet(tmp).orderBy("b").collect()
+    val lr = spark.read.parquet(tmp)
+      .select(col("b"), col("lr_micro")).orderBy("b").collect()
       .map(_.getLong(1))
     val arrivals = Seq(Doc(10L, "a a"), Doc(11L, "b b"), Doc(12L, "a b"))
     // threshold at the max score -> the gate must split the arrivals
