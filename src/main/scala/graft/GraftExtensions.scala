@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        requireArity("nfc_normalize", "nfc_normalize(s)", 1, exprs)
+        graft.functions.NfcNormalize(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("rolling_window_hashes"),
       new ExpressionInfo(classOf[graft.functions.RollingWindowHashes].getName,
         "rolling_window_hashes"),

@@ -2493,6 +2493,15 @@ object SparkEntry {
       graft.operators.Retrieval.rankingMetrics(lex, gold, "doc_id",
         k = 10)
     }),
+    // ---- ingest text cleanup: NFC canonical form (native codegen'd
+    // expression — Spark has no builtin), control/format chars to
+    // spaces, whitespace collapsed. Shuffle-free map pass; every step
+    // has an exact DuckDB twin.
+    "q220_normalize_text" -> ((s, dir) => {
+      val clean = TextOps.normalizeText(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        clean.as("clean_text"), (col("text") =!= clean).as("changed"))
+    }),
     // ---- per-query retrieval eval: how well does 8-of-64-dim
     // truncated retrieval approximate the full-dimension gold, per
     // query — the dimension-budget audit (recall@10 / nDCG@10 rows
@@ -4515,6 +4524,15 @@ object SparkEntry {
       "q143_bm25" -> bm25Sql(10),
       // same fusion arithmetic and association order as rrfFuse:
       // lexical contribution first, then semantic, each 1/(60+rank)
+      "q220_normalize_text" ->
+        """SELECT doc_id, clean_text,
+          |  (text != clean_text) AS changed
+          |FROM (
+          |  SELECT doc_id, text,
+          |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          |      '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g'))
+          |      AS clean_text
+          |  FROM documents)""".stripMargin,
       "q219_perquery_metrics" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
            |           FROM embeddings WHERE vec_id < 3),

@@ -172,6 +172,27 @@ object TextOps {
           .as("chunk_text")))
   }
 
+  /** Unicode NFC canonical normalization — a native codegen'd Catalyst
+    * expression ([[graft.functions.NfcNormalize]], matched to DuckDB's
+    * `nfc_normalize`); Spark ships no builtin. Decomposed and
+    * precomposed spellings of the same text must hash/shingle/dedup
+    * identically, so this runs FIRST in any ingest chain. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text)))
+
+  /** Full ingest text cleanup: NFC canonical form, control/format
+    * characters (C0/C1, zero-widths, BOM) to spaces, whitespace runs
+    * collapsed, ends trimmed. Pure per-row expressions (the NFC step
+    * is the codegen'd native expression, the rest is two regexes) —
+    * shuffle-free, and every step has an exact DuckDB twin
+    * (`nfc_normalize` + the same RE2-compatible classes) so the
+    * cleanup is oracle-checkable end to end. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(nfcNormalize(text),
+      "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " "))
+
   /** Order-sensitive polynomial rolling hash over the word sequence
     * (base-P Horner fold of per-word xxhash64) — the streaming-friendly
     * fingerprint: O(1) per word, content+order sensitive, pure

@@ -557,6 +557,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(b(0L) == b(1L))
   }
 
+  test("nfcNormalize + normalizeText: NFC composes, controls and " +
+      "zero-widths collapse, SQL function registered") {
+    // decomposed e + COMBINING ACUTE (U+0301) -> precomposed U+00E9
+    val row = docs.limit(1).select(
+      TextOps.nfcNormalize(lit("e\u0301cole")).as("nfc"),
+      TextOps.nfcNormalize(lit("plain ascii")).as("id"),
+      TextOps.normalizeText(
+        lit(" a\u0007b\t\tc \u200bd ")).as("clean")).head()
+    assert(row.getAs[String]("nfc") == "\u00e9cole")
+    assert(row.getAs[String]("id") == "plain ascii")
+    assert(row.getAs[String]("clean") == "a b c d")
+    // the SQL-side registration (GraftExtensions)
+    assert(spark.sql("SELECT nfc_normalize('e\u0301') AS x")
+      .head().getString(0) == "\u00e9")
+    // dedup motivation: decomposed and precomposed spellings
+    // fingerprint identically after normalization
+    val fp = docs.limit(1).select(
+      TextOps.fingerprint(TextOps.normalizeText(
+        lit("e\u0301cole test"))).as("a"),
+      TextOps.fingerprint(TextOps.normalizeText(
+        lit("\u00e9cole  test"))).as("b")).head()
+    assert(fp.getString(0) == fp.getString(1))
+  }
+
   test("text ops: counts, quality bounds, langid, fingerprint") {
     val t = lit("The quick brown fox! It runs 42 km.")
     val row = docs.limit(1).select(
