@@ -167,6 +167,36 @@ object ScaleProbe {
       "op_bpe" -> ((s, dir) =>
         graft.operators.Tokenizer.bpeMerges(docsOf(s, dir), "text",
           merges = 8)),
+      // the q215 end-to-end selection pipeline (filter -> exact dedup
+      // -> DSIR top-k -> BPE learn on selection -> budget admission) —
+      // predicted ~op_dsir-shaped (its dominant stage) since every
+      // post-selection stage runs on <= k rows
+      "op_selection" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val docs = docsOf(s, dir)
+        // vary the plan per construction (semantically a no-op) so the
+        // second run cannot reuse the first run's tracked persists —
+        // this op must measure the COLD pipeline, not a cache read
+        val filtered = docs.where(col("n_chars") >= 200 &&
+          lit(System.nanoTime()) > 0L)
+        val keepIds = Dedup.exact(filtered, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val survivors = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+        val sel = graft.operators.Curation.dsirSelect(survivors, "text",
+          "doc_id", isTarget = col("lang") === "en",
+          buckets = 1024, k = 200)
+        val selDocs = Dedup.tracked(
+          survivors.join(sel.select("doc_id"), Seq("doc_id"),
+            "left_semi"))
+        val m = graft.operators.Tokenizer.bpeMerges(selDocs, "text",
+            merges = 8).orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val counts = graft.operators.Tokenizer
+          .bpeTokenCounts(selDocs, "text", "doc_id", m)
+          .join(selDocs.select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+        graft.streaming.StreamTokenBudget.batch(counts, budget = 800L)
+      }),
       // BPE encode: learn on the corpus, then the zero-shuffle
       // map-only token-count pass — predicted linear, zero shuffle in
       // the encode stage
