@@ -43,6 +43,79 @@ object SparkEntry {
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
+  /** Stage boundaries of the incremental-curation chain, shared by the
+    * per-stage summary (q207) and the per-doc disposition audit
+    * (q221). `contaminated`/`rem3`/`rem4` are the removal sets;
+    * s1..s5 the survivors after each stage. */
+  private case class IncStages(contaminated: DataFrame, s1: DataFrame,
+      s2: DataFrame, rem3: DataFrame, s3: DataFrame, rem4: DataFrame,
+      s4: DataFrame, s5: DataFrame)
+
+  /** The q207 chain: decon -> exact-vs-lake -> near-dup cross ->
+    * semantic cross -> quality filters (history outranks increment,
+    * earlier id wins). SIDE-EFFECTING: writes the hash-lake artifact
+    * under `LakeRoot` + `lakeSuffix`. */
+  private def incPipelineStages(s: SparkSession, dir: String,
+      lakeSuffix: String): IncStages = {
+    val cut = graft.operators.Lineage.cut _
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lake =
+      s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}$lakeSuffix"
+    val bench = docs.where(col("doc_id") < 10)
+    val hist = docs.where(col("doc_id") >= 10 &&
+      pmod(col("doc_id"), lit(2)) === 0)
+    val inc = docs.where(col("doc_id") >= 10 &&
+      pmod(col("doc_id"), lit(2)) === 1)
+    Dedup.writeContentHashes(hist, "text", s"$lake/hashes")
+    val contaminated = Dedup.contaminatedDocs(inc, bench, "text",
+      "doc_id", windowLen = 50).select(col("id").as("doc_id"))
+    val s1 = cut(inc.join(contaminated, Seq("doc_id"), "left_anti"))
+    val s2 = cut(Dedup.exactCrossFromArtifacts(s1,
+      s.read.parquet(s"$lake/hashes"), "text", "doc_id"))
+    // exact near-dup cross over the increment ∪ history pool: pool
+    // parity IS membership (odds = s2 survivors, evens = history),
+    // so one PPJoin classifies every pair
+    val pool = s2.select(col("doc_id"), col("text"))
+      .unionByName(hist.select(col("doc_id"), col("text")))
+    val pairs = Dedup.ngramJaccardPairsPrefix(pool, "text", "doc_id",
+      shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+    val rem3 = pairs.select(
+      when(pmod(col("a"), lit(2)) === 1 &&
+          pmod(col("b"), lit(2)) === 0, col("a"))
+        .when(pmod(col("b"), lit(2)) === 1, col("b"))
+        .as("doc_id"))
+      .where(col("doc_id").isNotNull).distinct()
+    val s3 = cut(s2.join(rem3, Seq("doc_id"), "left_anti"))
+    // exact semantic cross: cosine pairs over the full embedding
+    // table, membership resolved by joins (bench and already-removed
+    // docs must not trigger removals)
+    val cp = Similarity.cosineNearDupPairs(emb, "vec_id",
+      "embedding", threshold = 0.4)
+    val s3a = s3.select(col("doc_id").as("a"), lit(1).as("__a3"))
+    val s3b = s3.select(col("doc_id").as("b"), lit(1).as("__b3"))
+    val ha = hist.select(col("doc_id").as("a"), lit(1).as("__ah"))
+    val hb = hist.select(col("doc_id").as("b"), lit(1).as("__bh"))
+    val rem4 = cp.join(s3a, Seq("a"), "left")
+      .join(s3b, Seq("b"), "left")
+      .join(ha, Seq("a"), "left").join(hb, Seq("b"), "left")
+      .select(
+        when(col("__b3") === 1 &&
+            (col("__ah") === 1 || col("__a3") === 1), col("b"))
+          .when(col("__a3") === 1 && col("__bh") === 1, col("a"))
+          .as("doc_id"))
+      .where(col("doc_id").isNotNull).distinct()
+    val s4 = cut(s3.join(rem4, Seq("doc_id"), "left_anti"))
+    val s5 = cut(s4
+      .withColumn("__r", TextOps.repetitionScores(col("text")))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .where(col("quality") >= 0.5 &&
+        col("__r.top_bigram_frac") <= 0.2 &&
+        TextOps.langId(col("text")) === "en")
+      .drop("__r", "quality"))
+    IncStages(contaminated, s1, s2, rem3, s3, rem4, s4, s5)
+  }
+
   /** Per-stage wall seconds of the q194 mega-pipeline's last runs
     * (min-merged across runs within the JVM) — populated by the q194
     * builder's timed stage boundaries, read by Bench into
@@ -2332,73 +2405,37 @@ object SparkEntry {
     // documented store-even-if-removed rule). SIDE-EFFECTING (the
     // hash-lake artifact write is job 1 of the real contract).
     "q207_incremental_pipeline" -> ((s, dir) => {
-      val cut = graft.operators.Lineage.cut _
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val lake =
-        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_incpipe"
-      val bench = docs.where(col("doc_id") < 10)
-      val hist = docs.where(col("doc_id") >= 10 &&
-        pmod(col("doc_id"), lit(2)) === 0)
-      val inc = docs.where(col("doc_id") >= 10 &&
-        pmod(col("doc_id"), lit(2)) === 1)
-      Dedup.writeContentHashes(hist, "text", s"$lake/hashes")
-      val contaminated = Dedup.contaminatedDocs(inc, bench, "text",
-        "doc_id", windowLen = 50).select(col("id").as("doc_id"))
-      val s1 = cut(inc.join(contaminated, Seq("doc_id"), "left_anti"))
-      val s2 = cut(Dedup.exactCrossFromArtifacts(s1,
-        s.read.parquet(s"$lake/hashes"), "text", "doc_id"))
-      // exact near-dup cross over the increment ∪ history pool: pool
-      // parity IS membership (odds = s2 survivors, evens = history),
-      // so one PPJoin classifies every pair
-      val pool = s2.select(col("doc_id"), col("text"))
-        .unionByName(hist.select(col("doc_id"), col("text")))
-      val pairs = Dedup.ngramJaccardPairsPrefix(pool, "text", "doc_id",
-        shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
-      val rem3 = pairs.select(
-        when(pmod(col("a"), lit(2)) === 1 &&
-            pmod(col("b"), lit(2)) === 0, col("a"))
-          .when(pmod(col("b"), lit(2)) === 1, col("b"))
-          .as("doc_id"))
-        .where(col("doc_id").isNotNull).distinct()
-      val s3 = cut(s2.join(rem3, Seq("doc_id"), "left_anti"))
-      // exact semantic cross: cosine pairs over the full embedding
-      // table, membership resolved by joins (bench and already-removed
-      // docs must not trigger removals)
-      val cp = Similarity.cosineNearDupPairs(emb, "vec_id",
-        "embedding", threshold = 0.4)
-      val s3a = s3.select(col("doc_id").as("a"), lit(1).as("__a3"))
-      val s3b = s3.select(col("doc_id").as("b"), lit(1).as("__b3"))
-      val ha = hist.select(col("doc_id").as("a"), lit(1).as("__ah"))
-      val hb = hist.select(col("doc_id").as("b"), lit(1).as("__bh"))
-      val rem4 = cp.join(s3a, Seq("a"), "left")
-        .join(s3b, Seq("b"), "left")
-        .join(ha, Seq("a"), "left").join(hb, Seq("b"), "left")
-        .select(
-          when(col("__b3") === 1 &&
-              (col("__ah") === 1 || col("__a3") === 1), col("b"))
-            .when(col("__a3") === 1 && col("__bh") === 1, col("a"))
-            .as("doc_id"))
-        .where(col("doc_id").isNotNull).distinct()
-      val s4 = cut(s3.join(rem4, Seq("doc_id"), "left_anti"))
-      val s5 = cut(s4
-        .withColumn("__r", TextOps.repetitionScores(col("text")))
-        .withColumn("quality", TextOps.qualityScore(col("text")))
-        .where(col("quality") >= 0.5 &&
-          col("__r.top_bigram_frac") <= 0.2 &&
-          TextOps.langId(col("text")) === "en")
-        .drop("__r", "quality"))
+      val p = incPipelineStages(s, dir, "_incpipe")
       def st(name: String, df: DataFrame): DataFrame =
         df.agg(
             coalesce(sum(col("n_chars")), lit(0L)).cast("long")
               .as("metric"),
             count(lit(1)).as("n_docs"))
           .select(lit(name).as("stage"), col("n_docs"), col("metric"))
-      st("1_decon", s1)
-        .unionAll(st("2_exact_lake", s2))
-        .unionAll(st("3_neardup_cross", s3))
-        .unionAll(st("4_sem_cross", s4))
-        .unionAll(st("5_filters", s5))
+      st("1_decon", p.s1)
+        .unionAll(st("2_exact_lake", p.s2))
+        .unionAll(st("3_neardup_cross", p.s3))
+        .unionAll(st("4_sem_cross", p.s4))
+        .unionAll(st("5_filters", p.s5))
+    }),
+    // ---- per-document DISPOSITION audit over the same chain: every
+    // increment document reports the stage that removed it (or
+    // 'admitted') — the "why was my document dropped" operational
+    // query a curation platform must answer. Stages are disjoint by
+    // construction (first removal wins), so this is a pure union of
+    // the stage boundaries the summary already materializes.
+    "q221_disposition_audit" -> ((s, dir) => {
+      val p = incPipelineStages(s, dir, "_disp")
+      def tag(df: DataFrame, stage: String): DataFrame =
+        df.select(col("doc_id"), lit(stage).as("stage"))
+      tag(p.contaminated, "1_decontaminated")
+        .unionByName(tag(p.s1.join(p.s2.select(col("doc_id")),
+          Seq("doc_id"), "left_anti"), "2_exact_dup"))
+        .unionByName(tag(p.rem3, "3_near_dup"))
+        .unionByName(tag(p.rem4, "4_semantic_dup"))
+        .unionByName(tag(p.s4.join(p.s5.select(col("doc_id")),
+          Seq("doc_id"), "left_anti"), "5_quality"))
+        .unionByName(tag(p.s5, "6_admitted"))
     }),
     // ---- STREAMING LAKE-INGEST contract on real data — the
     // foreachBatch deployment shape of the q207 chain (state in the
@@ -3024,6 +3061,80 @@ object SparkEntry {
     val langCase = langScores.map { case (lang, sc) =>
       s"WHEN $sc = best AND $sc > 0 THEN '$lang'"
     }.mkString(" ")
+
+    val incPipeCtes =
+      s"""tw AS MATERIALIZED (${winSql(
+                "doc_id >= 10 AND doc_id % 2 = 1", withDoc = true)}),
+           |bw AS MATERIALIZED (${winSql("doc_id < 10", withDoc = false)}),
+           |contaminated AS MATERIALIZED (SELECT DISTINCT doc_id FROM tw
+           |  WHERE win IN (SELECT win FROM bw)),
+           |hist AS MATERIALIZED (SELECT * FROM documents
+           |  WHERE doc_id >= 10 AND doc_id % 2 = 0),
+           |s1 AS MATERIALIZED (SELECT * FROM documents
+           |  WHERE doc_id >= 10 AND doc_id % 2 = 1
+           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |lakeh AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM hist),
+           |s2 AS MATERIALIZED (SELECT * FROM s1
+           |  WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY md5(text))
+           |    AND md5(text) NOT IN (SELECT h FROM lakeh)),
+           |pool AS MATERIALIZED (SELECT doc_id, text FROM s2
+           |  UNION ALL SELECT doc_id, text FROM hist),
+           |cdocs AS MATERIALIZED (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(words) - 2, 0)),
+           |    i -> array_to_string(words[i:i+2], ' '))) AS sh
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM pool)),
+           |cex AS MATERIALIZED (SELECT doc_id, len(sh) AS n_sh,
+           |  unnest(sh) AS shingle FROM cdocs),
+           |celig AS MATERIALIZED (SELECT shingle FROM cex GROUP BY shingle
+           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |cpairs AS MATERIALIZED (
+           |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na,
+           |    r.n_sh AS nb, count(*) AS n_inter
+           |  FROM cex l JOIN cex r
+           |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           |  WHERE l.shingle IN (SELECT shingle FROM celig)
+           |  GROUP BY 1, 2, 3, 4),
+           |np AS MATERIALIZED (SELECT a, b FROM (
+           |  SELECT a, b, n_inter / (na + nb - n_inter) AS j FROM cpairs)
+           |  WHERE j >= 0.5),
+           |rem3 AS MATERIALIZED (SELECT DISTINCT CASE
+           |    WHEN a % 2 = 1 AND b % 2 = 0 THEN a
+           |    WHEN b % 2 = 1 THEN b END AS doc_id
+           |  FROM np WHERE a % 2 = 1 OR b % 2 = 1),
+           |s3 AS MATERIALIZED (SELECT * FROM s2
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM rem3)),
+           |cpq AS MATERIALIZED (${neardupSql(0.4)}),
+           |rem4 AS MATERIALIZED (SELECT DISTINCT CASE
+           |    WHEN b IN (SELECT doc_id FROM s3)
+           |     AND (a IN (SELECT doc_id FROM hist)
+           |       OR a IN (SELECT doc_id FROM s3)) THEN b
+           |    WHEN a IN (SELECT doc_id FROM s3)
+           |     AND b IN (SELECT doc_id FROM hist) THEN a END AS doc_id
+           |  FROM cpq),
+           |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN
+           |  (SELECT doc_id FROM rem4 WHERE doc_id IS NOT NULL)),
+           |c1 AS MATERIALIZED (SELECT doc_id, text,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+           |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS nd,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    string_split_regex(trim(text), '\\s+') AS words
+           |  FROM s4),
+           |c2 AS MATERIALIZED (SELECT *, $bestExpr AS best,
+           |    list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+           |      i -> array_to_string(words[i:i+1], ' ')) AS bg
+           |  FROM c1),
+           |scored AS MATERIALIZED (SELECT doc_id, $qualityExpr AS quality,
+           |    CASE $langCase ELSE 'und' END AS pred_lang,
+           |    CASE WHEN len(bg) <= 0 THEN 0.0
+           |         ELSE round(list_max(list_transform(list_distinct(bg),
+           |                x -> len(list_filter(bg, y -> y = x)))) / len(bg), 6)
+           |    END AS tb
+           |  FROM c2),
+           |s5 AS MATERIALIZED (SELECT s4.* FROM s4 JOIN (SELECT doc_id FROM scored
+           |    WHERE quality >= 0.5 AND tb <= 0.2 AND pred_lang = 'en') f
+           |  USING (doc_id))""".stripMargin
 
     Map(
       "q01_reportdata_series" ->
@@ -3770,78 +3881,7 @@ object SparkEntry {
       // removal by the history-outranks-increment + earlier-id rule
       "q207_incremental_pipeline" ->
         s"""WITH
-           |tw AS MATERIALIZED (${winSql(
-                "doc_id >= 10 AND doc_id % 2 = 1", withDoc = true)}),
-           |bw AS MATERIALIZED (${winSql("doc_id < 10", withDoc = false)}),
-           |contaminated AS MATERIALIZED (SELECT DISTINCT doc_id FROM tw
-           |  WHERE win IN (SELECT win FROM bw)),
-           |hist AS MATERIALIZED (SELECT * FROM documents
-           |  WHERE doc_id >= 10 AND doc_id % 2 = 0),
-           |s1 AS MATERIALIZED (SELECT * FROM documents
-           |  WHERE doc_id >= 10 AND doc_id % 2 = 1
-           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-           |lakeh AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM hist),
-           |s2 AS MATERIALIZED (SELECT * FROM s1
-           |  WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY md5(text))
-           |    AND md5(text) NOT IN (SELECT h FROM lakeh)),
-           |pool AS MATERIALIZED (SELECT doc_id, text FROM s2
-           |  UNION ALL SELECT doc_id, text FROM hist),
-           |cdocs AS MATERIALIZED (
-           |  SELECT doc_id, list_distinct(list_transform(
-           |    generate_series(1, greatest(len(words) - 2, 0)),
-           |    i -> array_to_string(words[i:i+2], ' '))) AS sh
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM pool)),
-           |cex AS MATERIALIZED (SELECT doc_id, len(sh) AS n_sh,
-           |  unnest(sh) AS shingle FROM cdocs),
-           |celig AS MATERIALIZED (SELECT shingle FROM cex GROUP BY shingle
-           |  HAVING count(*) BETWEEN 2 AND 1000),
-           |cpairs AS MATERIALIZED (
-           |  SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na,
-           |    r.n_sh AS nb, count(*) AS n_inter
-           |  FROM cex l JOIN cex r
-           |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-           |  WHERE l.shingle IN (SELECT shingle FROM celig)
-           |  GROUP BY 1, 2, 3, 4),
-           |np AS MATERIALIZED (SELECT a, b FROM (
-           |  SELECT a, b, n_inter / (na + nb - n_inter) AS j FROM cpairs)
-           |  WHERE j >= 0.5),
-           |rem3 AS MATERIALIZED (SELECT DISTINCT CASE
-           |    WHEN a % 2 = 1 AND b % 2 = 0 THEN a
-           |    WHEN b % 2 = 1 THEN b END AS doc_id
-           |  FROM np WHERE a % 2 = 1 OR b % 2 = 1),
-           |s3 AS MATERIALIZED (SELECT * FROM s2
-           |  WHERE doc_id NOT IN (SELECT doc_id FROM rem3)),
-           |cpq AS MATERIALIZED (${neardupSql(0.4)}),
-           |rem4 AS MATERIALIZED (SELECT DISTINCT CASE
-           |    WHEN b IN (SELECT doc_id FROM s3)
-           |     AND (a IN (SELECT doc_id FROM hist)
-           |       OR a IN (SELECT doc_id FROM s3)) THEN b
-           |    WHEN a IN (SELECT doc_id FROM s3)
-           |     AND b IN (SELECT doc_id FROM hist) THEN a END AS doc_id
-           |  FROM cpq),
-           |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN
-           |  (SELECT doc_id FROM rem4 WHERE doc_id IS NOT NULL)),
-           |c1 AS MATERIALIZED (SELECT doc_id, text,
-           |    CAST(length(text) AS DOUBLE) AS nc,
-           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
-           |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS nd,
-           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
-           |    string_split_regex(trim(text), '\\s+') AS words
-           |  FROM s4),
-           |c2 AS MATERIALIZED (SELECT *, $bestExpr AS best,
-           |    list_transform(generate_series(1, greatest(len(words) - 1, 0)),
-           |      i -> array_to_string(words[i:i+1], ' ')) AS bg
-           |  FROM c1),
-           |scored AS MATERIALIZED (SELECT doc_id, $qualityExpr AS quality,
-           |    CASE $langCase ELSE 'und' END AS pred_lang,
-           |    CASE WHEN len(bg) <= 0 THEN 0.0
-           |         ELSE round(list_max(list_transform(list_distinct(bg),
-           |                x -> len(list_filter(bg, y -> y = x)))) / len(bg), 6)
-           |    END AS tb
-           |  FROM c2),
-           |s5 AS MATERIALIZED (SELECT s4.* FROM s4 JOIN (SELECT doc_id FROM scored
-           |    WHERE quality >= 0.5 AND tb <= 0.2 AND pred_lang = 'en') f
-           |  USING (doc_id))
+           |$incPipeCtes
            |SELECT stage, n_docs, metric FROM (
            |  SELECT '1_decon' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
            |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS metric FROM s1
@@ -3853,6 +3893,22 @@ object SparkEntry {
            |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
            |  UNION ALL SELECT '5_filters', CAST(count(*) AS BIGINT),
            |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5)""".stripMargin,
+      // per-doc disposition over the same chain: the CTE prefix is
+      // IDENTICAL to q207's — only the final projection differs
+      "q221_disposition_audit" ->
+        s"""WITH
+           |$incPipeCtes
+           |SELECT doc_id, stage FROM (
+           |  SELECT doc_id, '1_decontaminated' AS stage FROM contaminated
+           |  UNION ALL SELECT doc_id, '2_exact_dup' FROM s1
+           |    WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+           |  UNION ALL SELECT doc_id, '3_near_dup' FROM rem3
+           |    WHERE doc_id IS NOT NULL
+           |  UNION ALL SELECT doc_id, '4_semantic_dup' FROM rem4
+           |    WHERE doc_id IS NOT NULL
+           |  UNION ALL SELECT doc_id, '5_quality' FROM s4
+           |    WHERE doc_id NOT IN (SELECT doc_id FROM s5)
+           |  UNION ALL SELECT doc_id, '6_admitted' FROM s5)""".stripMargin,
       // q208: the streaming lake-ingest gate — exact should-remove set
       // of one odd-half increment against the even-half lake: decon
       // windows + content-hash dups (within-increment min-id rule and

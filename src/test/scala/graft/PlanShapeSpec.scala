@@ -208,7 +208,9 @@ class PlanShapeSpec extends SparkTestBase {
       // q216/q217 write the DSIR model artifact on construction; the
       // scorer expression is covered by the CurationSpec hand-check
       // (pure HOF fold + array literal, no UDF anywhere to host one)
-      "q216_dsir_gate", "q217_dsir_model_fold")
+      "q216_dsir_gate", "q217_dsir_model_fold",
+      // q221 shares q207's side-effecting chain (hash-lake write)
+      "q221_disposition_audit")
     def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collectWithSubqueries {
         case n => n.expressions
