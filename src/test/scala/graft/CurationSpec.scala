@@ -178,6 +178,26 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("disposition audit is an exact partition of the increment: " +
+      "every doc exactly one stage, admitted == pipeline survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val disp = SparkEntry.queries("q221_disposition_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val inc = graft.Tables.load(spark, dir, "documents")
+      .where(col("doc_id") >= 10 && pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(disp.length == inc.size) // total coverage
+    assert(disp.map(_._1).toSet == inc) // same docs
+    assert(disp.map(_._1).distinct.length == disp.length) // disjoint
+    // 'admitted' matches the summary query's final-stage doc count
+    val admitted = disp.count(_._2 == "6_admitted")
+    val summary = SparkEntry
+      .queries("q207_incremental_pipeline")(spark, dir)
+      .where(col("stage") === "5_filters").collect().head
+    assert(admitted.toLong == summary.getAs[Long]("n_docs"))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("vocabCoverage: ranks by count then token, coverage hits 1.0") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
     val v = Curation.vocabCoverage(docs, "text", topK = 10)
