@@ -227,6 +227,52 @@ class PropertiesSpec extends SparkTestBase {
     }, n = 10)
   }
 
+  test("property: bpeTokenCounts equals naive merge application on " +
+      "random corpora") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Tokenizer}
+    def applyMerges(word: String,
+        merges: Seq[(String, String)]): Int = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += l + r; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms.length
+    }
+    val word = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(corpus) { ds =>
+      val rows = ds.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val m = Tokenizer.bpeMerges(df, "text", merges = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val ok = if (m.isEmpty) true else {
+        val got = Tokenizer.bpeTokenCounts(df, "text", "doc_id", m)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        rows.forall { case (id, text) =>
+          val ws = text.split(" ").toSeq
+          got(id) == ((ws.size.toLong,
+            ws.map(w => applyMerges(w, m).toLong).sum))
+        }
+      }
+      Dedup.releaseIntermediates()
+      ok
+    }, n = 10)
+  }
+
   test("property: dsirSelect equals the naive importance-ratio model, " +
       "collisions included (B=64)") {
     import spark.implicits._
