@@ -1558,6 +1558,16 @@ object SparkEntry {
           (col("l_partkey") * 2 + 1).as("dst")),
         "src", "dst", iters = 10)
     }),
+    // ---- community detection: deterministic synchronous label
+    // propagation over the supplier–part co-purchase graph (the q144
+    // graph) — 4 fixed rounds, smallest-label ties, unrollable oracle
+    "q222_label_propagation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.labelPropagation(
+        li.select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", iters = 4)
+    }),
     // ---- weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES) — hash-derived uniforms, so the draw is reproducible AND
     // oracle-checkable; chars-weighted 5 docs per source
@@ -4916,6 +4926,27 @@ object SparkEntry {
            |  FROM documents d JOIN tc USING (doc_id))
            |SELECT doc_id, source, n_tokens
            |FROM c WHERE cum - n_tokens < 800""".stripMargin
+      },
+      "q222_label_propagation" -> {
+        // unrolled synchronous LPA: per round, neighbor-label counts
+        // then a (count desc, label asc) argmax per node — the same
+        // deterministic tie rule the engine's struct-max encodes
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS (SELECT e.dst AS node, l.lab, count(*) AS c
+             |  FROM e JOIN l${i - 1} l ON l.node = e.src
+             |  GROUP BY 1, 2),
+             |l$i AS (SELECT node, lab FROM (
+             |  SELECT node, lab, row_number() OVER (PARTITION BY node
+             |    ORDER BY c DESC, lab ASC) AS rn FROM c$i)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+           |    l_partkey * 2 + 1 AS dst FROM lineitem),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+           |$rounds
+           |SELECT node, lab AS label FROM l4""".stripMargin
       },
       "q144_pagerank" -> {
         // unrolled power iteration: one chained CTE per round, each the

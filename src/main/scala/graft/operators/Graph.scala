@@ -115,4 +115,54 @@ object Graph {
     }
     state.select(col("id"), (col("mu") / lit(unit.toDouble)).as("m"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007,
+    * arXiv:0709.2938) — community detection, the DETERMINISTIC
+    * variant: every round each node adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label, for
+    * exactly `iters` rounds. (Classic LPA's random tie-breaks and
+    * asynchronous visit order are irreproducible; fixed rounds +
+    * lexicographic ties make the result engine-replayable, so the
+    * oracle is an unrolled CTE chain.) Labels start as node ids;
+    * node ids must be non-negative (the argmax packs `-label` into a
+    * struct max).
+    *
+    * Same BSP shape as [[pageRankMass]]: symmetrized edges
+    * hash-partitioned ONCE and cached, per-round shuffle is the N-row
+    * label state (never the E-row edges), per-round lineage cut +
+    * superseded-round block reclamation. The per-node argmax is one
+    * `max(struct(cnt, -label))` aggregate — map-side combined, no
+    * ranking window anywhere.
+    *
+    * @return (node, label) for every node of the symmetrized graph */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    var i = 0
+    while (i < iters) {
+      val nbr = sym.join(state, sym("src") === state("id"))
+        .select(sym("dst").as("id"), col("lab"))
+      val counts = nbr.groupBy("id", "lab").agg(count(lit(1)).as("__c"))
+      // argmax (count desc, label asc) as ONE aggregate: struct max
+      // orders by count, then by -label (largest -label = smallest)
+      val next = counts.groupBy("id")
+        .agg(max(struct(col("__c"), (-col("lab")).as("__nl"))).as("__b"))
+        .select(col("id"), (-col("__b.__nl")).as("lab"))
+      // symmetrized graph: every node has >= 1 incoming edge, so the
+      // gather covers the full vertex set (the pageRankMass argument)
+      val prev = state
+      state = Lineage.cut(next)
+      if (i > 0) Lineage.free(prev)
+      i += 1
+    }
+    persisted.synchronized { persisted += sym; persisted += state }
+    state.select(col("id").as("node"), col("lab").as("label"))
+  }
 }

@@ -92,6 +92,23 @@ class GraphSketchSpec extends SparkTestBase {
     assert(pm == Seq((1L, 1L, 1.0, 1.0), (2L, 0L, 0.0, 0.0)))
   }
 
+  test("labelPropagation: two triangles joined by a bridge settle " +
+      "into two communities (hand-traced 4 rounds)") {
+    // triangles {1,2,3} and {10,11,12}, bridge 3-10. Deterministic
+    // sync LPA with smallest-label ties, traced by hand:
+    // r1: 1->2 2->1 3->1 10->3 11->10 12->10
+    // r2: 1->1 2->1 3->1 10->10 11->3 12->3
+    // r3: 1->1 2->1 3->1 10->3 11->3 12->3   r4: stable
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(r == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 3L), (11L, 3L), (12L, 3L)))
+    Graph.releaseIntermediates()
+  }
+
   test("pagerank: regular graph is an exact fixed point at mass 1.0") {
     // triangle: every node deg 2 — gather is exactly one unit, so the
     // integer update returns unit/8 + 7·unit/8 = unit every round
