@@ -273,6 +273,35 @@ class PropertiesSpec extends SparkTestBase {
     }, n = 10)
   }
 
+  test("property: labelPropagation equals a naive synchronous LPA on " +
+      "random graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def naiveLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+      var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = adj.map { case (n, nbrs) =>
+          val counts = nbrs.map(lab).groupBy(identity)
+            .map { case (l, g) => l -> g.size }
+          n -> counts.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lab
+    }
+    val edge = Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L))
+      .suchThat { case (a, b) => a != b }
+    val graph = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, edge))
+    check(Prop.forAll(graph) { edges =>
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"),
+          "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Graph.releaseIntermediates()
+      got == naiveLpa(edges, 3)
+    }, n = 10)
+  }
+
   test("property: dsirSelect equals the naive importance-ratio model, " +
       "collisions included (B=64)") {
     import spark.implicits._
