@@ -1568,6 +1568,17 @@ object SparkEntry {
           (col("l_partkey") * 2 + 1).as("dst")),
         "src", "dst", iters = 4)
     }),
+    // ---- near-dup communities: LPA over the exact PPJoin pair graph
+    // -> label histogram (q136's CC sizes, finer-grained: LPA splits
+    // weakly-bridged chains CC merges)
+    "q223_neardup_communities" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"),
+        "text", "doc_id", shingleLen = 3, minJaccard = 0.5,
+        docFreqCap = 1000)
+      graft.operators.Graph.labelPropagation(
+          pairs.select(col("a"), col("b")), "a", "b", iters = 4)
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+    }),
     // ---- weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES) — hash-derived uniforms, so the draw is reproducible AND
     // oracle-checkable; chars-weighted 5 docs per source
@@ -2930,6 +2941,21 @@ object SparkEntry {
          |SELECT a, b, jaccard FROM (
          |  SELECT a, b, n_inter / (na + nb - n_inter) AS jaccard FROM pairs)
          |WHERE jaccard >= $minJ""".stripMargin
+
+    // unrolled synchronous LPA rounds over a CTE `e(src, dst)` with
+    // initial labels `l0(node, lab)`: per round, neighbor-label counts
+    // then a (count desc, label asc) argmax per node — the same
+    // deterministic tie rule the engine's struct-max encodes (q222,
+    // q223)
+    val lpaRounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.lab, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.node = e.src
+         |  GROUP BY 1, 2),
+         |l$i AS (SELECT node, lab FROM (
+         |  SELECT node, lab, row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lab ASC) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
 
     // exact embedding near-dup pairs (q28 + the q51 recall gate)
     def neardupSql(threshold: Double): String =
@@ -4927,27 +4953,26 @@ object SparkEntry {
            |SELECT doc_id, source, n_tokens
            |FROM c WHERE cum - n_tokens < 800""".stripMargin
       },
-      "q222_label_propagation" -> {
-        // unrolled synchronous LPA: per round, neighbor-label counts
-        // then a (count desc, label asc) argmax per node — the same
-        // deterministic tie rule the engine's struct-max encodes
-        val rounds = (1 to 4).map { i =>
-          s"""c$i AS (SELECT e.dst AS node, l.lab, count(*) AS c
-             |  FROM e JOIN l${i - 1} l ON l.node = e.src
-             |  GROUP BY 1, 2),
-             |l$i AS (SELECT node, lab FROM (
-             |  SELECT node, lab, row_number() OVER (PARTITION BY node
-             |    ORDER BY c DESC, lab ASC) AS rn FROM c$i)
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
+      "q222_label_propagation" ->
         s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
            |    l_partkey * 2 + 1 AS dst FROM lineitem),
            |e AS (SELECT src, dst FROM e0
            |      UNION SELECT dst, src FROM e0),
            |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
-           |$rounds
-           |SELECT node, lab AS label FROM l4""".stripMargin
-      },
+           |$lpaRounds
+           |SELECT node, lab AS label FROM l4""".stripMargin,
+      // near-dup COMMUNITIES: LPA over the exact PPJoin pair graph,
+      // reported as a label histogram — the finer-grained sibling of
+      // q136's connected-component sizes (LPA splits weakly-bridged
+      // chains that CC merges)
+      "q223_neardup_communities" ->
+        s"""WITH np AS (SELECT a, b FROM (${ngramPairsSql(0.5)})),
+           |e AS (SELECT a AS src, b AS dst FROM np
+           |      UNION SELECT b, a FROM np),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+           |$lpaRounds
+           |SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_members
+           |FROM l4 GROUP BY 1""".stripMargin,
       "q144_pagerank" -> {
         // unrolled power iteration: one chained CTE per round, each the
         // same join+agg as the engine's BSP round, in the IDENTICAL
