@@ -152,6 +152,17 @@ object ScaleProbe {
         val bench = docs.orderBy("doc_id").limit(100)
         graft.streaming.StreamDecon.batch(docs, bench, "text")
       }),
+      // label propagation over the q144 graph (60M edges at 100×):
+      // same BSP shape as pagerank — edges cached once, N-row label
+      // state per round; predicted ~pagerank-shaped per round
+      "op_lpa" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val li = graft.Tables.load(s, dir, "lineitem")
+        graft.operators.Graph.labelPropagation(
+          li.select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")),
+          "src", "dst", iters = 4)
+      }),
       // DSIR selection: two corpus scans (one bucket-model agg, one
       // broadcast-scored doc agg) — predicted ~linear, shuffle is the
       // 1024-bucket model + one partial-sum row per doc
