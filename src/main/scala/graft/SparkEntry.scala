@@ -1579,6 +1579,17 @@ object SparkEntry {
           pairs.select(col("a"), col("b")), "a", "b", iters = 4)
         .groupBy("label").agg(count(lit(1)).as("n_members"))
     }),
+    // ---- deterministic training-shard layout: reproducible
+    // pseudo-random global order (md5 of the id), a new shard every
+    // 5000 tokens of running weight — the output-layout step between
+    // selection and the trainer's data loader
+    "q224_shard_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      Sampling.shardAssign(docs, "doc_id", "n_tokens",
+        shardWeight = 5000L)
+    }),
     // ---- weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES) — hash-derived uniforms, so the draw is reproducible AND
     // oracle-checkable; chars-weighted 5 docs per source
@@ -4953,6 +4964,21 @@ object SparkEntry {
            |SELECT doc_id, source, n_tokens
            |FROM c WHERE cum - n_tokens < 800""".stripMargin
       },
+      "q224_shard_assign" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t)
+          |SELECT doc_id, n_tokens,
+          |  CAST(before // 5000 AS BIGINT) AS shard,
+          |  CAST(before % 5000 AS BIGINT) AS "offset"
+          |FROM c""".stripMargin,
       "q222_label_propagation" ->
         s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
            |    l_partkey * 2 + 1 AS dst FROM lineitem),

@@ -136,4 +136,57 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k).drop("__rn")
   }
+
+  /** Deterministic training-shard assignment — the output-layout step
+    * after curation/selection: lay the corpus out in a reproducible
+    * pseudo-random global order (md5 of the id, the hash-split
+    * discipline: engine-replayable and decorrelated from ingest order)
+    * and cut a new shard every `shardWeight` of running weight —
+    * shard = ⌊weight-before / shardWeight⌋, so each document lands
+    * wholly in the shard where it starts (the same greedy crossing
+    * rule as the token-budget gate). Returns
+    * (idCol, weightCol, shard, offset) with offset = weight before the
+    * document within its shard.
+    *
+    * Scalable global running sum WITHOUT a one-partition window: range
+    * sort on the hash key, then the classic two-pass scan — one
+    * bounded job collects a single long per partition, the prefix
+    * offsets broadcast back, and the second pass emits cumulative
+    * weights partition-locally. The sorted frame persists between the
+    * two passes (tracked — released with the operator pool), so the
+    * sort runs once. Same RDD discipline as
+    * [[Analytics.distributedRank]] / `EnergySeries.ldc`.
+    */
+  def shardAssign(df: DataFrame, idCol: String, weightCol: String,
+      shardWeight: Long, salt: String = "graft"): DataFrame = {
+    require(shardWeight > 0, s"shardWeight must be > 0 (got $shardWeight)")
+    val spark = df.sparkSession
+    val sorted = Dedup.tracked(df
+      .select(col(idCol), col(weightCol).cast("long").as(weightCol))
+      .withColumn("__k",
+        md5(concat(col(idCol).cast("string"), lit(salt))))
+      .orderBy(col("__k"), col(idCol))
+      .select(col(idCol), col(weightCol)))
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefixes = partTotals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(prefixes)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        var cum = bc.value(i)
+        it.map { r =>
+          val w = r.getLong(1); val before = cum; cum += w
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+            Seq(before / shardWeight, before % shardWeight))
+        }
+      }, schema)
+  }
 }

@@ -581,6 +581,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(fp.getString(0) == fp.getString(1))
   }
 
+  test("shardAssign: greedy crossing cuts in md5 order; the two-pass " +
+      "cumulative sum matches the naive scan") {
+    val rows = (1L to 20L).map(i => (i, i * 3L))
+    val got = Sampling.shardAssign(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", shardWeight = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def key(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"${id}graft".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    var cum = 0L
+    val expect = rows.sortBy { case (id, _) => (key(id), id) }
+      .map { case (id, w) =>
+        val before = cum; cum += w
+        (id, w, before / 50L, before % 50L)
+      }.toSet
+    assert(got == expect)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("text ops: counts, quality bounds, langid, fingerprint") {
     val t = lit("The quick brown fox! It runs 42 km.")
     val row = docs.limit(1).select(
