@@ -51,6 +51,32 @@ object SparkEntry {
       s2: DataFrame, rem3: DataFrame, s3: DataFrame, rem4: DataFrame,
       s4: DataFrame, s5: DataFrame)
 
+  /** The q215 selection chain (length floor -> exact dedup -> DSIR
+    * top-200 vs the English target -> BPE learned ON the selection ->
+    * per-source token-budget admission), shared by the pipeline query
+    * (q215) and the corpus-to-shards capstone (q225). Each stage is
+    * the already-certified operator; the selection frame persists once
+    * (tracked) because three downstream stages read it. */
+  private def selectionPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val filtered = docs.where(col("n_chars") >= 200)
+    val keepIds = graft.operators.Dedup.exact(filtered, "text",
+      "doc_id").select(col("keep_id").as("doc_id"))
+    val survivors = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+    val sel = graft.operators.Curation.dsirSelect(survivors, "text",
+      "doc_id", isTarget = col("lang") === "en",
+      buckets = 1024, k = 200)
+    val selDocs = graft.operators.Dedup.tracked(
+      survivors.join(sel.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val m = graft.operators.Tokenizer.bpeMerges(selDocs, "text",
+        merges = 8).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = graft.operators.Tokenizer
+      .bpeTokenCounts(selDocs, "text", "doc_id", m)
+      .join(selDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    graft.streaming.StreamTokenBudget.batch(counts, budget = 500L)
+  }
+
   /** The q207 chain: decon -> exact-vs-lake -> near-dup cross ->
     * semantic cross -> quality filters (history outranks increment,
     * earlier id wins). SIDE-EFFECTING: writes the hash-lake artifact
@@ -2677,25 +2703,16 @@ object SparkEntry {
     // THE SELECTION -> per-source token-budget admission. Each stage
     // is the already-certified operator; the selection frame persists
     // once (tracked) because three downstream stages read it.
-    "q215_selection_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val filtered = docs.where(col("n_chars") >= 200)
-      val keepIds = graft.operators.Dedup.exact(filtered, "text",
-        "doc_id").select(col("keep_id").as("doc_id"))
-      val survivors = filtered.join(keepIds, Seq("doc_id"), "left_semi")
-      val sel = graft.operators.Curation.dsirSelect(survivors, "text",
-        "doc_id", isTarget = col("lang") === "en",
-        buckets = 1024, k = 200)
-      val selDocs = graft.operators.Dedup.tracked(
-        survivors.join(sel.select("doc_id"), Seq("doc_id"), "left_semi"))
-      val m = graft.operators.Tokenizer.bpeMerges(selDocs, "text",
-          merges = 8).orderBy("step").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val counts = graft.operators.Tokenizer
-        .bpeTokenCounts(selDocs, "text", "doc_id", m)
-        .join(selDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      graft.streaming.StreamTokenBudget.batch(counts, budget = 500L)
-    }),
+    "q215_selection_pipeline" -> ((s, dir) =>
+      selectionPipeline(s, dir)),
+    // ---- CAPSTONE corpus-to-shards: the q215 chain's admitted set
+    // laid out as deterministic training shards (q224's layout step)
+    // — the full platform arc, curation to the trainer's loader
+    "q225_selection_shards" -> ((s, dir) =>
+      Sampling.shardAssign(
+        selectionPipeline(s, dir).select(col("doc_id"),
+          col("n_tokens")),
+        "doc_id", "n_tokens", shardWeight = 800L)),
     // ---- per-source token-budget admission under the LEARNED
     // tokenizer: BPE learn -> zero-shuffle token counting -> the
     // budget gate's batch twin (one source-keyed window; the streaming
@@ -3182,6 +3199,64 @@ object SparkEntry {
            |s5 AS MATERIALIZED (SELECT s4.* FROM s4 JOIN (SELECT doc_id FROM scored
            |    WHERE quality >= 0.5 AND tb <= 0.2 AND pred_lang = 'en') f
            |  USING (doc_id))""".stripMargin
+
+    val selectionPipelineSql: String = {
+    // full chain: length floor -> exact-dedup keepers -> the q211
+    // DSIR block over survivors -> q212 learning over the
+    // selection -> q213 encode -> q214 admission
+    val encChain = (1 to 8).foldLeft(
+      "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+      s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+        s"'·' || m$i.lhs || m$i.rhs || '·')"
+    }
+    val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+    s"""WITH f AS (SELECT * FROM documents WHERE n_chars >= 200),
+       |k AS (SELECT md5(text) AS h, min(doc_id) AS keep
+       |  FROM f GROUP BY 1),
+       |s AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keep),
+       |dtok AS (SELECT doc_id, (lang = 'en') AS is_t,
+       |    string_split_regex(trim(text), '\\s+') AS ws FROM s),
+       |duni AS (SELECT doc_id, is_t, unnest(ws) AS w FROM dtok),
+       |dbig AS (SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS w
+       |        FROM dtok, unnest(range(1, len(ws))) AS r(i)),
+       |dfeat AS (SELECT doc_id, is_t,
+       |    CAST('0x' || substring(md5(w || 'graft'), 1, 8) AS BIGINT)
+       |      % 1024 AS b
+       |  FROM (SELECT * FROM duni UNION ALL SELECT * FROM dbig)),
+       |dc AS (SELECT b, count(*) AS rc,
+       |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+       |      FROM dfeat GROUP BY 1),
+       |dt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt,
+       |             CAST(sum(tc) AS DOUBLE) AS tt FROM dc),
+       |dlr AS (SELECT b,
+       |    ln((tc + 1.0) / (tt + 1024.0))
+       |      - ln((rc + 1.0) / (rt + 1024.0)) AS lr
+       |  FROM dc CROSS JOIN dt),
+       |sel AS (SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    round(CAST(sum(CAST(lr AS DECIMAL(30,6))) AS DOUBLE), 6)
+       |      AS iw
+       |  FROM dfeat JOIN dlr USING (b) GROUP BY 1
+       |  ORDER BY iw DESC, doc_id LIMIT 200)),
+       |sd AS (SELECT s.* FROM s JOIN sel USING (doc_id)),
+       |${bpeVocab0From("sd")},
+       |$bpeRounds,
+       |w AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+       |  FROM sd),
+       |tc2 AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+       |      THEN len(string_split(trim($encChain, '·'), '··'))
+       |      ELSE 1 END) AS BIGINT) AS n_tokens
+       |  FROM w $crossMs GROUP BY 1),
+       |cw AS (SELECT sd.doc_id, sd.source, tc2.n_tokens,
+       |    sum(tc2.n_tokens) OVER (PARTITION BY sd.source
+       |      ORDER BY sd.doc_id) AS cum
+       |  FROM sd JOIN tc2 USING (doc_id))
+       |SELECT doc_id, source, n_tokens
+       |FROM cw WHERE cum - n_tokens < 500""".stripMargin
+      }
+
 
     Map(
       "q01_reportdata_series" ->
@@ -4880,62 +4955,23 @@ object SparkEntry {
           |FROM feat JOIN lr USING (b)
           |GROUP BY 1
           |HAVING sum(lr_micro) >= 1""".stripMargin,
-      "q215_selection_pipeline" -> {
-        // full chain: length floor -> exact-dedup keepers -> the q211
-        // DSIR block over survivors -> q212 learning over the
-        // selection -> q213 encode -> q214 admission
-        val encChain = (1 to 8).foldLeft(
-          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
-          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
-            s"'·' || m$i.lhs || m$i.rhs || '·')"
-        }
-        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
-        s"""WITH f AS (SELECT * FROM documents WHERE n_chars >= 200),
-           |k AS (SELECT md5(text) AS h, min(doc_id) AS keep
-           |  FROM f GROUP BY 1),
-           |s AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keep),
-           |dtok AS (SELECT doc_id, (lang = 'en') AS is_t,
-           |    string_split_regex(trim(text), '\\s+') AS ws FROM s),
-           |duni AS (SELECT doc_id, is_t, unnest(ws) AS w FROM dtok),
-           |dbig AS (SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS w
-           |        FROM dtok, unnest(range(1, len(ws))) AS r(i)),
-           |dfeat AS (SELECT doc_id, is_t,
-           |    CAST('0x' || substring(md5(w || 'graft'), 1, 8) AS BIGINT)
-           |      % 1024 AS b
-           |  FROM (SELECT * FROM duni UNION ALL SELECT * FROM dbig)),
-           |dc AS (SELECT b, count(*) AS rc,
-           |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
-           |      FROM dfeat GROUP BY 1),
-           |dt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt,
-           |             CAST(sum(tc) AS DOUBLE) AS tt FROM dc),
-           |dlr AS (SELECT b,
-           |    ln((tc + 1.0) / (tt + 1024.0))
-           |      - ln((rc + 1.0) / (rt + 1024.0)) AS lr
-           |  FROM dc CROSS JOIN dt),
-           |sel AS (SELECT doc_id FROM (
-           |  SELECT doc_id,
-           |    round(CAST(sum(CAST(lr AS DECIMAL(30,6))) AS DOUBLE), 6)
-           |      AS iw
-           |  FROM dfeat JOIN dlr USING (b) GROUP BY 1
-           |  ORDER BY iw DESC, doc_id LIMIT 200)),
-           |sd AS (SELECT s.* FROM s JOIN sel USING (doc_id)),
-           |${bpeVocab0From("sd")},
-           |$bpeRounds,
-           |w AS (SELECT doc_id,
-           |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
-           |  FROM sd),
-           |tc2 AS (SELECT doc_id,
-           |    CAST(sum(CASE WHEN regexp_matches(wd, '^[a-z]+$$')
-           |      THEN len(string_split(trim($encChain, '·'), '··'))
-           |      ELSE 1 END) AS BIGINT) AS n_tokens
-           |  FROM w $crossMs GROUP BY 1),
-           |cw AS (SELECT sd.doc_id, sd.source, tc2.n_tokens,
-           |    sum(tc2.n_tokens) OVER (PARTITION BY sd.source
-           |      ORDER BY sd.doc_id) AS cum
-           |  FROM sd JOIN tc2 USING (doc_id))
-           |SELECT doc_id, source, n_tokens
-           |FROM cw WHERE cum - n_tokens < 500""".stripMargin
-      },
+      "q215_selection_pipeline" -> selectionPipelineSql,
+      // capstone: the q215 chain's admitted set laid out as
+      // deterministic training shards (the q224 layout rule)
+      "q225_selection_shards" ->
+        s"""WITH sel_out AS (SELECT * FROM ($selectionPipelineSql)),
+           |st AS (SELECT doc_id, n_tokens,
+           |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+           |  FROM sel_out),
+           |sc AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS before
+           |  FROM st)
+           |SELECT doc_id, n_tokens,
+           |  CAST(before // 800 AS BIGINT) AS shard,
+           |  CAST(before % 800 AS BIGINT) AS "offset"
+           |FROM sc""".stripMargin,
       "q214_token_budget_gate" -> {
         // learn + encode (the q213 chain), then a per-source running
         // sum admits a doc iff tokens admitted BEFORE it are under
