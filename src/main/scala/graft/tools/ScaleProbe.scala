@@ -163,6 +163,20 @@ object ScaleProbe {
             (col("l_partkey") * 2 + 1).as("dst")),
           "src", "dst", iters = 4)
       }),
+      // deterministic shard layout: one range sort + the two-pass
+      // running-sum scan — predicted sort-bound, zero spill
+      "op_shard" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, size, split, trim}
+        // cold per construction (no-op literal varies the plan so run 2
+        // cannot reuse run 1's tracked sorted frame — op_selection note)
+        val docs = docsOf(s, dir)
+          .where(lit(System.nanoTime()) > 0L)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long")
+              .as("n_tokens"))
+        graft.operators.Sampling.shardAssign(docs, "doc_id",
+          "n_tokens", shardWeight = 5000L)
+      }),
       // DSIR selection: two corpus scans (one bucket-model agg, one
       // broadcast-scored doc agg) — predicted ~linear, shuffle is the
       // 1024-bucket model + one partial-sum row per doc
