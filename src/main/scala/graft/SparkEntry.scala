@@ -2645,6 +2645,29 @@ object SparkEntry {
     "q212_bpe_merges" -> ((s, dir) =>
       graft.operators.Tokenizer.bpeMerges(t(s, dir, "documents"),
         "text", merges = 8)),
+    // ---- BATCHED BPE merge learning (the merge-ceiling lift): per
+    // round ONE pair-count aggregate learns the top-4 mutually
+    // symbol-disjoint pairs (greedy in count order — disjoint merges
+    // commute, so one projection pass applies them all). 2 rounds x 4
+    // picks here = 8 merges for a quarter of the driver round-trips;
+    // at a 32k-merge production vocabulary this batching is what
+    // makes learning affordable (DEVIATIONS.md records the
+    // counts-not-refreshed-within-a-round approximation).
+    "q226_bpe_batched" -> ((s, dir) =>
+      graft.operators.Tokenizer.bpeMergesBatched(t(s, dir, "documents"),
+        "text", rounds = 2, batch = 4)),
+    // ---- batched learn -> NATIVE encode: the batched tokenizer's
+    // merge rows collect to the driver and every document encodes
+    // under the native one-pass bpe_token_count expression (rank-
+    // priority, cost independent of merge-list length) — the
+    // learn→encode contract at the lifted ceiling
+    "q227_bpe_batched_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Tokenizer.bpeMergesBatched(docs, "text",
+          rounds = 2, batch = 4).orderBy("step").collect()
+        .map(r => (r.getString(2), r.getString(3))).toSeq
+      graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
+    }),
     // ---- BPE learn→encode two-job contract: job 1 learns the merge
     // list (bounded, <=64 rows -> literals), job 2 is a ZERO-shuffle
     // map-only token-count pass over the corpus under that tokenizer
@@ -2892,6 +2915,14 @@ object SparkEntry {
     // shared BPE learning CTE chain (q212 learn, q213 learn+encode):
     // v0 = word vocab as sentinel symbol sequences; per round i, pair
     // counts -> deterministic argmax -> literal replace merge
+    // TOTALITY: each argmax CTE unions a sentinel no-op merge
+    // ('0','0' — a digit can never appear in a [a-z]+ symbol
+    // sequence, so its replace never fires) so a round with no
+    // learnable pair yields one harmless row instead of an EMPTY CTE;
+    // an empty m_i would annihilate every downstream CROSS JOIN and
+    // the oracle would return 0 rows on degenerate corpora while the
+    // engine stops early and keeps its shorter merge list. Consumers
+    // that emit merge ROWS filter the sentinels back out (c >= 1).
     val bpeRounds = (1 to 8).map { i =>
       s"""p$i AS (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
          |    sum(cnt) AS c
@@ -2899,12 +2930,57 @@ object SparkEntry {
          |          cnt FROM v${i - 1}),
          |       unnest(range(1, len(tk))) AS u(j)
          |  GROUP BY 1, 2),
-         |m$i AS (SELECT lhs, rhs, c FROM p$i WHERE c >= 1
+         |m$i AS (SELECT lhs, rhs, c FROM (
+         |    SELECT lhs, rhs, c FROM p$i WHERE c >= 1
+         |    UNION ALL SELECT '0', '0', 0)
          |  ORDER BY c DESC, lhs, rhs LIMIT 1),
          |v$i AS (SELECT replace(seq, '·' || lhs || '··' || rhs || '·',
          |    '·' || lhs || rhs || '·') AS seq, cnt
          |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
+    // batched-BPE oracle chain: per round, `batch` chained argmax
+    // picks (greedy in (count desc, lhs, rhs) order, each excluding
+    // every SYMBOL an earlier same-round pick used — exactly
+    // bpeMergesBatched's full-list greedy) applied as one nested
+    // replace pass. Exclusion subqueries skip the c >= 1 filter:
+    // sentinel symbol '0' never matches a real pair.
+    def bpeBatchedRounds(rounds: Int, batch: Int): String =
+      (1 to rounds).map { r =>
+        val pcte =
+          s"""r${r}p AS MATERIALIZED (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
+             |    sum(cnt) AS c
+             |  FROM (SELECT string_split(trim(seq, '·'), '··') AS tk,
+             |          cnt FROM bv${r - 1}),
+             |       unnest(range(1, len(tk))) AS u(j)
+             |  GROUP BY 1, 2)""".stripMargin
+        val mctes = (1 to batch).map { k =>
+          val excl =
+            if (k == 1) ""
+            else {
+              val syms = (1 until k).map(j =>
+                s"SELECT lhs AS s FROM r${r}m$j " +
+                  s"UNION ALL SELECT rhs FROM r${r}m$j")
+                .mkString(" UNION ALL ")
+              s"""
+                 |      AND lhs NOT IN (SELECT s FROM ($syms))
+                 |      AND rhs NOT IN (SELECT s FROM ($syms))""".stripMargin
+            }
+          s"""r${r}m$k AS MATERIALIZED (SELECT lhs, rhs, c FROM (
+             |    SELECT lhs, rhs, c FROM r${r}p WHERE c >= 1$excl
+             |    UNION ALL SELECT '0', '0', 0)
+             |  ORDER BY c DESC, lhs, rhs LIMIT 1)""".stripMargin
+        }
+        val repl = (1 to batch).foldLeft("seq") { (e, k) =>
+          s"replace($e, '·' || m$k.lhs || '··' || m$k.rhs || '·', " +
+            s"'·' || m$k.lhs || m$k.rhs || '·')"
+        }
+        val joins = (1 to batch).map(k => s"CROSS JOIN r${r}m$k m$k")
+          .mkString(" ")
+        val vcte =
+          s"bv$r AS MATERIALIZED " +
+            s"(SELECT $repl AS seq, cnt FROM bv${r - 1} $joins)"
+        (Seq(pcte) ++ mctes ++ Seq(vcte)).mkString(",\n")
+      }.mkString(",\n")
     def bpeVocab0From(src: String): String =
       s"""v0 AS (
          |  SELECT regexp_replace(w, '(.)', '·\\1·', 'g') AS seq, cnt
@@ -4867,11 +4943,55 @@ object SparkEntry {
         val unions = (1 to 8).map { i =>
           s"""SELECT CAST($i AS BIGINT) AS step, lhs, rhs,
              |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
-             |FROM m$i""".stripMargin
+             |FROM m$i WHERE c >= 1""".stripMargin
         }.mkString("\nUNION ALL ")
         s"""WITH $bpeVocab0,
            |$bpeRounds
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q226_bpe_batched" -> {
+        // batched learning: 2 rounds x 4 symbol-disjoint greedy picks;
+        // step numbering is the running count over real (non-sentinel)
+        // picks in (round, pick) order, exactly the engine's counter
+        val unions = (for { r <- 1 to 2; k <- 1 to 4 } yield
+          s"SELECT $r AS rnd, $k AS k, lhs, rhs, c FROM r${r}m$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH $bpeVocab0,
+           |bv0 AS MATERIALIZED (SELECT seq, cnt FROM v0),
+           |${bpeBatchedRounds(2, 4)}
+           |SELECT CAST(row_number() OVER (ORDER BY rnd, k) AS BIGINT)
+           |    AS step,
+           |  CAST(rnd AS BIGINT) AS round, lhs, rhs,
+           |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
+           |FROM ($unions)
+           |WHERE c >= 1""".stripMargin
+      },
+      "q227_bpe_batched_encode" -> {
+        // encode under the batched-learned list: the replace chain in
+        // step order (sentinel picks are no-ops, so applying all 8 is
+        // the engine's shorter-list encode on degenerate corpora too)
+        val aliases = for { r <- 1 to 2; k <- 1 to 4 }
+          yield s"r${r}m$k"
+        val encChain = aliases.indices.foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m${i + 1}.lhs || '··' || m${i + 1}.rhs " +
+            s"|| '·', '·' || m${i + 1}.lhs || m${i + 1}.rhs || '·')"
+        }
+        val crossMs = aliases.zipWithIndex
+          .map { case (a, i) => s"CROSS JOIN $a m${i + 1}" }
+          .mkString(" ")
+        s"""WITH $bpeVocab0,
+           |bv0 AS MATERIALIZED (SELECT seq, cnt FROM v0),
+           |${bpeBatchedRounds(2, 4)},
+           |w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+           |  FROM documents)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+           |    THEN len(string_split(trim($encChain, '·'), '··'))
+           |    ELSE 1 END) AS BIGINT) AS n_tokens
+           |FROM w $crossMs
+           |GROUP BY 1""".stripMargin
       },
       "q213_bpe_token_counts" -> {
         // learn (the q212 chain), then encode: the merge chain applies

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Preprocessed BPE merge table + the one-pass encoder it drives.
+  *
+  * Replaces the chained-`regexp_replace` encoder (one regex scan and
+  * one string rebuild PER MERGE per word — the largest per-row CPU
+  * cost in the tokenizer chain, and a hard ceiling on merge-list
+  * length) with a native per-word merge loop whose semantics are
+  * EXACTLY the chained left-to-right non-overlapping replace the
+  * learner and the DuckDB oracle apply:
+  *
+  *  - the FAST PATH is the classic rank-priority encode (GPT-2 style:
+  *    repeatedly merge the leftmost occurrence of the lowest-ranked
+  *    adjacent pair) — O(len²) per word, INDEPENDENT of merge count,
+  *    which is what makes 32k-merge vocabularies affordable;
+  *  - rank-priority equals sequential per-merge passes only when the
+  *    merge list is "well-formed": every component is a base symbol
+  *    (one char) or the output of an EARLIER merge, and all outputs
+  *    are distinct (then a merged-away pair can never re-appear, so
+  *    processing rank k after all ranks < k is exhaustive — the
+  *    property sequentially-learned lists have by construction);
+  *  - lists that fail the check (possible only for hand-built or
+  *    adversarial inputs: two merges producing the same string) fall
+  *    back to the exact per-merge pass loop — still native and
+  *    allocation-light, just O(merges × len).
+  *
+  * Serializable: ships to executors inside the expression's reference
+  * array; the lookup structures rebuild lazily per JVM.
+  */
+final class BpeMergeTable(val merges: Seq[(String, String)])
+    extends Serializable {
+
+  /** Well-formedness for the rank-priority path (see class doc). */
+  @transient private lazy val priorityOk: Boolean = {
+    val outputs = new java.util.HashSet[String]()
+    merges.forall { case (l, r) =>
+      (l.length == 1 || outputs.contains(l)) &&
+        (r.length == 1 || outputs.contains(r)) &&
+        outputs.add(l + r)
+    }
+  }
+
+  /** rank lookup: left symbol -> (right symbol -> 0-based rank) */
+  @transient private lazy val ranks
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.computeIfAbsent(l, _ => new java.util.HashMap[String, Integer]())
+        .putIfAbsent(r, Integer.valueOf(i))
+    }
+    m
+  }
+
+  private def rankOf(l: String, r: String): Int = {
+    val byR = ranks.get(l)
+    if (byR == null) Int.MaxValue
+    else {
+      val v = byR.get(r)
+      if (v == null) Int.MaxValue else v.intValue()
+    }
+  }
+
+  /** Symbol count of `word` after applying the merge list — the
+    * rank-priority loop (fast path). */
+  private def encodePriority(word: String): Int = {
+    var n = word.length
+    if (n < 2) return n
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    while (n > 1) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < n - 1) {
+        val r = rankOf(syms(j), syms(j + 1))
+        if (r < bestRank) { bestRank = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) return n
+      syms(bestPos) = syms(bestPos) + syms(bestPos + 1)
+      System.arraycopy(syms, bestPos + 2, syms, bestPos + 1,
+        n - bestPos - 2)
+      n -= 1
+    }
+    n
+  }
+
+  /** Symbol count via one left-to-right non-overlapping sweep per
+    * merge, in list order — the exact replay of the chained replaces
+    * (fallback for non-well-formed lists). */
+  private def encodePasses(word: String): Int = {
+    var n = word.length
+    if (n < 2) return n
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    merges.foreach { case (l, r) =>
+      var read = 0
+      var write = 0
+      while (read < n) {
+        if (read + 1 < n && syms(read) == l && syms(read + 1) == r) {
+          syms(write) = l + r; read += 2
+        } else { syms(write) = syms(read); read += 1 }
+        write += 1
+      }
+      n = write
+    }
+    n
+  }
+
+  /** Token count of one already-validated `[a-z]+` word. */
+  def encodeCount(word: String): Int =
+    if (priorityOk) encodePriority(word) else encodePasses(word)
+
+  @transient private lazy val wsSplit = java.util.regex.Pattern
+    .compile("\\s+")
+
+  private def isAlpha(w: String): Boolean = {
+    if (w.isEmpty) return false
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      i += 1
+    }
+    true
+  }
+
+  /** Whole-document token count, replicating the Column-expression
+    * formulation symbol for symbol: `split(trim(lower(text)), "\s+")`
+    * (the UTF8String lower/trim the builtins use, Java-regex split
+    * with limit -1 as StringSplit does), each `[a-z]+` word encoded,
+    * every other word one OOV token. */
+  def countTokens(text: UTF8String): Long = {
+    val s = text.toLowerCase.trim().toString
+    val words = wsSplit.split(s, -1)
+    var sum = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      sum += (if (isAlpha(w)) encodeCount(w).toLong else 1L)
+      i += 1
+    }
+    sum
+  }
+}
+
+/** `bpe_token_count(text)` — tokenizer-aware token counting under a
+  * learned merge list as ONE native codegen'd expression (the
+  * [[NfcNormalize]] shape: a single static-call site keeps the row
+  * inside whole-stage codegen). The merge list is bound at plan time
+  * (the learn→encode two-job contract collects ≤vocab-bounded merges
+  * to the driver); the per-row work is the [[BpeMergeTable]] encode
+  * loop — no regex chain, no per-merge string rebuilds, and the cost
+  * is independent of merge-list length on the fast path. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def prettyName: String = "bpe_token_count"
+  override def dataType: DataType = LongType
+
+  @transient private lazy val table = new BpeMergeTable(merges)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    table.countTokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.countTokens($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}

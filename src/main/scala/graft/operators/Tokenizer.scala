@@ -15,6 +15,38 @@ object Tokenizer {
     * `[a-z]+` so a sentinel can never occur inside a symbol. */
   private val S = "·"
 
+  /** Word vocabulary of the corpus, each word as its initial
+    * sentinel-delimited symbol sequence, weighted by corpus frequency
+    * — ONE map-side-combined hash aggregate; shared by both learners. */
+  private def initialVocab(df: DataFrame, textCol: String): DataFrame =
+    Dedup.tracked(df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("seq"),
+        col("cnt")))
+
+  /** Adjacent-symbol pair counts over a vocab frame — projection-local
+    * array ops feeding one map-side-combined aggregate. */
+  private def pairCounts(v: DataFrame): DataFrame = {
+    val tk = split(org.apache.spark.sql.functions.trim(col("seq"), S),
+      S + S)
+    val pairs = zip_with(
+      slice(tk, lit(1), size(tk) - 1),
+      slice(tk, lit(2), size(tk) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    v.select(col("cnt"), explode(pairs).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** The projection-local merge application shared by both learners. */
+  private def applyMerge(v: DataFrame, l: String, r: String): DataFrame =
+    v.withColumn("seq",
+      regexp_replace(col("seq"),
+        java.util.regex.Pattern.quote(S + l + S + S + r + S),
+        java.util.regex.Matcher.quoteReplacement(S + l + r + S)))
+
   /** Learn the first `merges` BPE merge operations over the corpus.
     *
     * The corpus collapses to its WORD VOCABULARY first — one map-side-
@@ -48,29 +80,12 @@ object Tokenizer {
     */
   def bpeMerges(df: DataFrame, textCol: String, merges: Int,
       minCount: Long = 1L): DataFrame = {
-    require(merges >= 1 && merges <= 64,
-      s"merges must be in [1, 64] (got $merges): each merge is a " +
-        "driver-coordinated round")
+    require(merges >= 1 && merges <= 512,
+      s"merges must be in [1, 512] (got $merges): each merge is a " +
+        "driver-coordinated round — for larger vocabularies use " +
+        "bpeMergesBatched (top-M disjoint pairs per round)")
     val spark = df.sparkSession
-    // word vocabulary, each word as its initial symbol sequence
-    val vocab0 = Dedup.tracked(df
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-      .where(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("seq"),
-        col("cnt")))
-
-    def pairCounts(v: DataFrame): DataFrame = {
-      val tk = split(org.apache.spark.sql.functions.trim(col("seq"), S),
-        S + S)
-      val pairs = zip_with(
-        slice(tk, lit(1), size(tk) - 1),
-        slice(tk, lit(2), size(tk) - 1),
-        (a, b) => struct(a.as("l"), b.as("r")))
-      v.select(col("cnt"), explode(pairs).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-    }
+    val vocab0 = initialVocab(df, textCol)
 
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -85,10 +100,7 @@ object Tokenizer {
           learned += ((step, l, r, l + r, c))
           // projection-local merge application; the chain over the
           // persisted vocab base stays <= `merges` projections deep
-          vocab = vocab.withColumn("seq",
-            regexp_replace(col("seq"),
-              java.util.regex.Pattern.quote(S + l + S + S + r + S),
-              java.util.regex.Matcher.quoteReplacement(S + l + r + S)))
+          vocab = applyMerge(vocab, l, r)
           step += 1
         case _ => done = true
       }
@@ -100,24 +112,137 @@ object Tokenizer {
         col("merged"), col("pair_count"))
   }
 
+  /** BATCHED BPE merge learning — the standard scalable approximation
+    * (one pair-count aggregate learns the top-`batch` MUTUALLY
+    * DISJOINT pairs per round instead of one), lifting the merge
+    * ceiling from "one driver round per merge" to `batch` merges per
+    * round. Within a round the picks are greedy in (count desc, lhs,
+    * rhs) order, skipping any pair sharing a SYMBOL with an earlier
+    * pick — disjoint pairs' merges commute (they can never overlap in
+    * a symbol sequence), so applying all of them in one projection
+    * pass is well-defined and the learned list is exactly replayable.
+    * DEVIATION from strict sequential BPE (documented in
+    * DEVIATIONS.md): counts are NOT refreshed between same-round
+    * picks, so a round's later picks may not be the globally most
+    * frequent pairs after its earlier merges apply. `batch = 1` is
+    * bit-identical to [[bpeMerges]].
+    *
+    * Exactness discipline: the greedy runs over a COLLECTED prefix of
+    * the ordered pair counts (bounded: `batch * 32` rows, max 4096);
+    * in the pathological case where the prefix exhausts before
+    * `batch` disjoint picks are found AND more candidates exist, the
+    * remaining picks re-query with the conflict exclusion pushed into
+    * the plan — so the result always equals the full-list greedy the
+    * oracle replays, never a prefix-truncated approximation.
+    *
+    * Returns (step, round, lhs, rhs, merged, pair_count) in learning
+    * order; `step` is the global rank the encoder consumes.
+    */
+  def bpeMergesBatched(df: DataFrame, textCol: String, rounds: Int,
+      batch: Int, minCount: Long = 1L): DataFrame = {
+    require(rounds >= 1 && rounds <= 512,
+      s"rounds must be in [1, 512] (got $rounds)")
+    require(batch >= 1 && batch <= 128,
+      s"batch must be in [1, 128] (got $batch)")
+    val spark = df.sparkSession
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var vocab = initialVocab(df, textCol)
+    var step = 1
+    var round = 1
+    var done = false
+    val prefixN = math.min(batch * 32, 4096)
+    while (round <= rounds && !done) {
+      val counts = pairCounts(vocab).where(col("c") >= minCount)
+      val prefix = counts
+        .orderBy(col("c").desc, col("l"), col("r")).limit(prefixN)
+        .collect()
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      prefix.iterator
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .foreach { case (l, r, c) =>
+          if (picks.length < batch && !used(l) && !used(r)) {
+            picks += ((l, r, c)); used += l; used += r
+          }
+        }
+      // exact fallback: the prefix was full AND exhausted before
+      // `batch` disjoint picks — continue the greedy with the
+      // exclusion in the plan (one bounded argmax per remaining pick)
+      if (picks.length < batch && prefix.length == prefixN) {
+        var more = true
+        while (picks.length < batch && more) {
+          val ex = used.toSeq.sorted
+          val top = counts
+            .where(!col("l").isin(ex: _*) && !col("r").isin(ex: _*))
+            .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+            .collect()
+          top.headOption match {
+            case Some(Row(l: String, r: String, c: Long)) =>
+              picks += ((l, r, c)); used += l; used += r
+            case _ => more = false
+          }
+        }
+      }
+      if (picks.isEmpty) done = true
+      else {
+        picks.foreach { case (l, r, c) =>
+          learned += ((step, round, l, r, l + r, c))
+          vocab = applyMerge(vocab, l, r)
+          step += 1
+        }
+        round += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq
+      .toDF("step", "round", "lhs", "rhs", "merged", "pair_count")
+      .select(col("step").cast("long"), col("round").cast("long"),
+        col("lhs"), col("rhs"), col("merged"), col("pair_count"))
+  }
+
   /** Tokenizer-aware token counting — encode every document under an
     * already-learned merge list (the run half of the learn→encode
-    * two-job contract: [[bpeMerges]] is the bounded job 1, its ≤64-row
-    * result collects to literals, and this is job 2 over the corpus).
+    * two-job contract: [[bpeMerges]]/[[bpeMergesBatched]] is the
+    * bounded job 1, its merge rows collect to the driver, and this is
+    * job 2 over the corpus).
     *
-    * Per document: alphabetic words are sentinel-encoded and the merge
-    * chain applies IN LEARNING ORDER as `merges.size` projection-local
-    * replaces (the same doubled-sentinel left-to-right semantics the
-    * learner used), then the token count is the surviving symbol
-    * count; every other word counts as one OOV token. The whole pass
-    * is pure per-row Column expressions — ZERO shuffle, no join: at
-    * 100 TB this is a map-only scan, which is exactly what a
-    * token-budget accounting pass over a full corpus must be.
+    * Per document: alphabetic words encode under the merge list IN
+    * LEARNING ORDER with left-to-right non-overlapping merge
+    * application (the learner's doubled-sentinel replace semantics),
+    * then the token count is the surviving symbol count; every other
+    * word counts as one OOV token. The encoder is ONE native
+    * codegen'd expression ([[graft.functions.BpeTokenCount]]) whose
+    * per-word cost is independent of merge-list length on its
+    * rank-priority fast path — the chained-regex formulation it
+    * replaced paid one regex scan per merge per word and capped the
+    * list at 64. The whole pass stays a pure per-row projection —
+    * ZERO shuffle, no join: at 100 TB this is a map-only scan, which
+    * is exactly what a token-budget accounting pass over a full
+    * corpus must be.
     *
     * Returns (doc_id, n_words, n_tokens).
     */
   def bpeTokenCounts(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 65536,
+      s"merges must be at most 65536 literal pairs (got ${merges.size})")
+    val words = split(trim(lower(col(textCol))), "\\s+")
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    df.select(col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      shim.column(graft.functions.BpeTokenCount(
+        shim.expression(col(textCol)), merges)).as("n_tokens"))
+  }
+
+  /** The chained-regex encoder the native expression replaced — kept
+    * as the independently-derived reference twin for the differential
+    * spec and the scale probe's A/B (it IS the oracle's `replace`
+    * chain, expression for expression). Not for production use: one
+    * regex scan + string rebuild per merge per word. */
+  def bpeTokenCountsChained(df: DataFrame, textCol: String,
+      idCol: String, merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty && merges.size <= 64,
       s"merges must be 1..64 literal pairs (got ${merges.size})")
     val words = split(trim(lower(col(textCol))), "\\s+")

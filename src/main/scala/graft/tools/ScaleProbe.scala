@@ -232,6 +232,30 @@ object ScaleProbe {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.operators.Tokenizer.bpeTokenCounts(docs, "text",
           "doc_id", m)
+      }),
+      // A/B twin of op_bpe_encode: the chained-regex encoder the
+      // native expression replaced (identical learn stage, so the
+      // delta IS the per-row encode cost)
+      "op_bpe_encode_chained" -> ((s, dir) => {
+        val docs = docsOf(s, dir)
+        val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+            merges = 8).orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Tokenizer.bpeTokenCountsChained(docs, "text",
+          "doc_id", m)
+      }),
+      // the lifted ceiling: 128 merges (16 batched rounds x 8
+      // disjoint picks) + native encode — the rank-priority encoder's
+      // cost is ~independent of merge count, so predicted ~=
+      // op_bpe_encode despite 16x the merge list (the regex chain
+      // cannot run here at all: 128 regex passes/word)
+      "op_bpe_encode_128" -> ((s, dir) => {
+        val docs = docsOf(s, dir)
+        val m = graft.operators.Tokenizer.bpeMergesBatched(docs,
+            "text", rounds = 16, batch = 8).orderBy("step").collect()
+          .map(r => (r.getString(2), r.getString(3))).toSeq
+        graft.operators.Tokenizer.bpeTokenCounts(docs, "text",
+          "doc_id", m)
       }))
     def query(name: String): (SparkSession, String) => DataFrame =
       opQueries.getOrElse(name, graft.SparkEntry.queries(name))

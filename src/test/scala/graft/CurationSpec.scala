@@ -178,6 +178,89 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpeTokenCounts: the native encoder takes the pass-based " +
+      "fallback on a non-well-formed merge list and still equals " +
+      "sequential pass application") {
+    // ("ab","c") ranked BEFORE ("a","b") references a symbol no
+    // earlier merge produces — the rank-priority precondition fails.
+    // Sequential passes on "abc": pass 1 finds no "ab" symbol, pass 2
+    // yields ab|c -> 2 tokens. A rank-priority encode would merge
+    // (a,b) first and then see (ab,c) -> 1 token — the fallback is
+    // what keeps list order authoritative.
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val r = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", merges)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 2L)))
+    // and an empty merge list is the degenerate char-count tokenizer
+    // (the oracle-totality contract: a corpus with no learnable pair
+    // must not fail the encode job)
+    val r0 = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", Nil)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSeq
+    assert(r0 == Seq((1L, 3L)))
+  }
+
+  test("bpeTokenCounts: plan carries the native bpe_token_count " +
+      "expression, not a regex chain") {
+    // range-backed input: a local Seq relation would constant-fold the
+    // whole projection into a LocalTableScan and hide the expression
+    val docs = spark.range(1, 3).select(col("id").as("doc_id"),
+      concat(lit("low lower doc"), col("id")).as("text"))
+    val plan = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", Seq(("l", "o")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_token_count"))
+    assert(!plan.contains("regexp_replace"))
+  }
+
+  test("bpeMergesBatched: batch=1 equals sequential bpeMerges; " +
+      "within-round picks are symbol-disjoint greedy") {
+    val docs = Seq((1L, "low low lower Low!"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val seq4 = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq
+    val b1 = graft.operators.Tokenizer.bpeMergesBatched(docs, "text",
+        rounds = 4, batch = 1).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        r.getLong(5))).toSeq
+    assert(b1 == seq4)
+    // batch=2, round 1 counts: (l,o)=5,(o,w)=5,(w,e)=2,(e,r)=1,
+    // (e,s)=1,(s,t)=1. Greedy: (l,o) first; (o,w) conflicts (shares
+    // o); (w,e) is disjoint -> picks {(l,o),(w,e)}.
+    val b2 = graft.operators.Tokenizer.bpeMergesBatched(docs, "text",
+        rounds = 1, batch = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4),
+        r.getLong(5))).toSeq
+    assert(b2 == Seq((1L, 1L, "lo", 5L), (2L, 1L, "we", 2L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("bpeMergesBatched: learned list is well-formed for the " +
+      "rank-priority encoder and the encode matches the chained " +
+      "reference") {
+    val docs = Seq((1L, "low low lower lowest lows slow slower below"),
+      (2L, "owl owls glow glows flow flows low lower"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMergesBatched(docs, "text",
+        rounds = 3, batch = 3).orderBy("step").collect()
+      .map(r => (r.getString(2), r.getString(3))).toSeq
+    assert(m.nonEmpty)
+    val native = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSeq
+    val chained = graft.operators.Tokenizer
+      .bpeTokenCountsChained(docs, "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSeq
+    assert(native == chained)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("disposition audit is an exact partition of the increment: " +
       "every doc exactly one stage, admitted == pipeline survivors") {
     val dir = "/root/testdata/sf0.001"

@@ -273,6 +273,94 @@ class PropertiesSpec extends SparkTestBase {
     }, n = 10)
   }
 
+  test("property: native bpe_token_count equals the chained-regex " +
+      "encoder under learned merge lists on random corpora") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Tokenizer}
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(corpus) { ds =>
+      val rows = ds.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val m = Tokenizer.bpeMerges(df, "text", merges = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val ok = m.isEmpty || {
+        val native = Tokenizer.bpeTokenCounts(df, "text", "doc_id", m)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val chained = Tokenizer
+          .bpeTokenCountsChained(df, "text", "doc_id", m)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        native == chained
+      }
+      Dedup.releaseIntermediates()
+      ok
+    }, n = 10)
+  }
+
+  /** Reference batched BPE: same pair counting as [[naiveBpe]], but
+    * per round the top-`batch` symbol-disjoint pairs by
+    * (count desc, lhs, rhs) greedy, all applied before recounting. */
+  private def naiveBpeBatched(words: Seq[String], rounds: Int,
+      batch: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.groupBy(identity)
+      .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val pc = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) += c)
+      }
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val picks = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }
+        .iterator.filter { case ((l, r), _) =>
+          if (used(l) || used(r)) false
+          else { used += l; used += r; true }
+        }.take(batch).toSeq
+      if (picks.isEmpty) done = true
+      else picks.foreach { case ((l, r), c) =>
+        out += ((l, r, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l &&
+                syms(i + 1) == r) { b += l + r; i += 2 }
+            else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("property: bpeMergesBatched equals the naive batched greedy " +
+      "reference on random corpora") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Tokenizer}
+    val word = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    check(Prop.forAll(corpus) { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = Tokenizer.bpeMergesBatched(docs, "text", rounds = 2,
+          batch = 3).orderBy("step").collect()
+        .map(r => (r.getString(2), r.getString(3), r.getLong(5))).toSeq
+      Dedup.releaseIntermediates()
+      got == naiveBpeBatched(words, 2, 3)
+    }, n = 10)
+  }
+
   test("property: labelPropagation equals a naive synchronous LPA on " +
       "random graphs") {
     import spark.implicits._
