@@ -2736,6 +2736,24 @@ object SparkEntry {
         selectionPipeline(s, dir).select(col("doc_id"),
           col("n_tokens")),
         "doc_id", "n_tokens", shardWeight = 800L)),
+    // ---- PHYSICAL shard layout: the q225 assignment LANDED as a
+    // shard=N/-partitioned parquet table (no second sort, no shuffle
+    // — the assignment's range order streams task-locally into the
+    // directories) and READ BACK — the oracle certifies the on-disk
+    // layout round-trips to exactly the q225 assignment, per-shard
+    // doc sets and offsets included. SIDE-EFFECTING like the lakes.
+    "q228_selection_shard_write" -> ((s, dir) => {
+      val assigned = Sampling.shardAssign(
+        selectionPipeline(s, dir).select(col("doc_id"),
+          col("n_tokens")),
+        "doc_id", "n_tokens", shardWeight = 800L)
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_shards"
+      Sampling.writeShards(assigned, path)
+      // partition-column type inference reads shard=N dirs as ints
+      s.read.parquet(path).select(col("doc_id"), col("n_tokens"),
+        col("shard").cast("long").as("shard"), col("offset"))
+    }),
     // ---- per-source token-budget admission under the LEARNED
     // tokenizer: BPE learn -> zero-shuffle token counting -> the
     // budget gate's batch twin (one source-keyed window; the streaming
@@ -5076,6 +5094,22 @@ object SparkEntry {
           |GROUP BY 1
           |HAVING sum(lr_micro) >= 1""".stripMargin,
       "q215_selection_pipeline" -> selectionPipelineSql,
+      // the landed layout must round-trip to exactly the q225
+      // assignment — same oracle, certified against the READ-BACK
+      "q228_selection_shard_write" ->
+        s"""WITH sel_out AS (SELECT * FROM ($selectionPipelineSql)),
+           |st AS (SELECT doc_id, n_tokens,
+           |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+           |  FROM sel_out),
+           |sc AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS before
+           |  FROM st)
+           |SELECT doc_id, n_tokens,
+           |  CAST(before // 800 AS BIGINT) AS shard,
+           |  CAST(before % 800 AS BIGINT) AS "offset"
+           |FROM sc""".stripMargin,
       // capstone: the q215 chain's admitted set laid out as
       // deterministic training shards (the q224 layout rule)
       "q225_selection_shards" ->

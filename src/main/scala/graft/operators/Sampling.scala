@@ -189,4 +189,28 @@ object Sampling {
         }
       }, schema)
   }
+
+  /** Physical shard layout writer — land a [[shardAssign]] result as a
+    * `shard=N/`-partitioned parquet table, the directory layout a
+    * training loader consumes (open shard k, stream rows in `offset`
+    * order).
+    *
+    * NO SECOND GLOBAL SORT and no shuffle of any kind: the assignment
+    * frame is already range-ordered by the layout key (shards are
+    * monotone across its partitions — that is what shardAssign's
+    * two-pass running sum produces, and its sorted frame is persisted
+    * by the time the assignment returns), so each write task holds a
+    * CONTIGUOUS shard range and `partitionBy` fans its rows into at
+    * most (1 + shards-spanned) files. The only plan node the write may
+    * add is the task-local sort-by-partition-column V1 writes require
+    * — over already-shard-ordered rows, never an Exchange (spec'd with
+    * a shuffle-bytes-is-zero listener). A shard spanning a task
+    * boundary lands as two files in its directory; `offset` carries
+    * the intra-shard order, so readers never depend on file order. At
+    * 100 TB this is the cheapest possible layout step: the corpus
+    * moves once in the assignment's metadata-only sort and then
+    * streams task-locally to its final directories. */
+  def writeShards(assigned: DataFrame, path: String,
+      shardCol: String = "shard"): Unit =
+    assigned.write.mode("overwrite").partitionBy(shardCol).parquet(path)
 }

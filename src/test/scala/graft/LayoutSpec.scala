@@ -31,6 +31,55 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("writeShards: lands the assignment shuffle-free (zero shuffle " +
+      "bytes in the write job) and the layout round-trips exactly") {
+    import java.util.concurrent.atomic.AtomicLong
+    val docs = spark.range(0, 500).select($"id".as("doc_id"),
+      (pmod($"id" * 37 + 11, lit(50)) + 1).as("w"))
+    val assigned = graft.operators.Sampling.shardAssign(docs, "doc_id",
+      "w", shardWeight = 600L)
+    val expected = assigned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // shuffle-bytes listener over exactly the write's jobs: the
+    // assignment's range sort already ran (shardAssign's construction
+    // collects partition totals over the persisted sorted frame), so
+    // the landing must move nothing through a shuffle
+    val written = new AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    spark.sparkContext.addSparkListener(l)
+    try {
+      graft.operators.Sampling.writeShards(assigned, path)
+      // the listener bus drains asynchronously — wait for quiescence
+      var last = -1L; var cur = written.get()
+      while (cur != last) { Thread.sleep(100); last = cur; cur = written.get() }
+      assert(written.get() == 0L,
+        s"writeShards shuffled ${written.get()} bytes — the layout " +
+          "write must stream task-locally")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // hive-style shard=N directories, one per assigned shard
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val shards = expected.map(_._3)
+    assert(dirs == shards.map(s => s"shard=$s"))
+    // read-back equals the assignment exactly (sets AND offsets)
+    val back = spark.read.parquet(path)
+      .select($"doc_id", $"w", $"shard".cast("long"), $"offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(back == expected)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val fact = spark.range(1000).select($"id",
