@@ -128,10 +128,23 @@ object StreamLakeIngest {
     * ingest query per lake by construction; its checkpoint serializes
     * batches). Restart-safe: the staged rewrite lives in a hidden
     * `_compact` directory (ignored by [[curateIncrement]]'s listing
-    * and by Spark's file index), and a rerun after a crash either
-    * restarts the rewrite (no `_SUCCESS` yet — the live dirs are
-    * untouched) or resumes the swap (staging complete — deletes the
-    * remaining live dirs and promotes staging). The NEWEST increment
+    * and by Spark's file index) and carries a MANIFEST of exactly the
+    * directories it compacted (`_compacted_dirs`, written only after
+    * the rewrite completes — it is the promote-enable marker). A rerun
+    * after a crash resolves against the manifest:
+    *  - no manifest → the rewrite never completed; restart it (the
+    *    live dirs are untouched);
+    *  - manifest present, every recorded dir still live, but NEW dirs
+    *    exist beside them (the ingest committed more micro-batches
+    *    between the crash and the rerun) → the staging is STALE;
+    *    discard it and rewrite over the current live set — promoting
+    *    it would silently drop the newer increments' rows from the
+    *    lake (permanent under-dedup);
+    *  - manifest present and some recorded dir already deleted → a
+    *    promote was interrupted; the staging is now the ONLY copy of
+    *    the deleted dirs' rows, so the promote MUST complete (delete
+    *    the remaining recorded dirs, swap staging in); any unrecorded
+    *    dirs beside it stay live as increments. The NEWEST increment
     * directory is always left out of the compaction: if the ingest
     * crashed mid-batch, that batch will be replayed, and its
     * visible-state assembly excludes its own subdirectory by name —
@@ -146,6 +159,7 @@ object StreamLakeIngest {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path, "_compact")
+    val manifest = new Path(staging, "_compacted_dirs")
     // live = compactable dirs: every visible subdir EXCEPT the newest
     // increment (see scaladoc — it may belong to a replayable batch)
     def live: Array[Path] = {
@@ -161,13 +175,38 @@ object StreamLakeIngest {
       if (incIds.isEmpty) all
       else all.filter(_.getName != s"inc_b${incIds.max}")
     }
-    if (!fs.exists(new Path(staging, "_SUCCESS"))) {
+    def readManifest(): Option[Seq[String]] =
+      if (!fs.exists(manifest)) None
+      else {
+        val in = fs.open(manifest)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList)
+        finally in.close()
+      }
+    val liveNames = live.map(_.getName).toSet
+    val recorded = readManifest()
+    val missing = recorded.map(_.toSet -- liveNames).getOrElse(Set.empty)
+    val extra = recorded.map(liveNames -- _.toSet).getOrElse(Set.empty)
+    if (recorded.isEmpty || (missing.isEmpty && extra.nonEmpty)) {
+      // no completed rewrite, or a STALE one (new increments landed
+      // after it was staged and before any promote delete): discard
+      // and rewrite over the current live set
+      fs.delete(staging, true)
       val dirs = live
       require(dirs.nonEmpty, s"$dir holds no lake state")
       spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(staging.toString)
+      val out = fs.create(manifest, true)
+      try out.write(
+        (dirs.map(_.getName).sorted.mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
     }
-    live.foreach(p => fs.delete(p, true))
+    // promote: delete EXACTLY the manifest's dirs (on a resumed
+    // half-promote the staging is the only copy of the already-deleted
+    // ones, so this must run to completion), then swap staging in
+    readManifest().get.foreach(n => fs.delete(new Path(path, n), true))
+    fs.delete(manifest, false)
     require(fs.rename(staging, new Path(path, "base")),
       s"compaction swap failed for $dir — staging left at $staging")
   }

@@ -210,4 +210,94 @@ class LakeIngestSpec extends SparkTestBase {
         "new kind that is the hallmark of an original document here",
         Array(0.6f, -0.6f, -0.6f))), 2L) == Set(306L))
   }
+
+  /** Shared prologue for the compaction crash-resume specs: init the
+    * lake, run batches 0 and 1, return (lake, admitted). */
+  private def crashFixture(): (String, String) = {
+    val root = Files.createTempDirectory("lake_crash").toString
+    val lake = s"$root/lake"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    StreamLakeIngest.initLake(hist, bench, "text", "doc_id", "vec",
+      lake, p)
+    Seq(batch1 -> 0L, batch2 -> 1L).foreach { case (rows, bid) =>
+      val out = StreamLakeIngest.curateIncrement(rows.toDF(), lake,
+        s"$root/admitted", "text", "doc_id", "vec", bid, p)
+      out.count(); graft.operators.Lineage.free(out)
+      Dedup.releaseIntermediates()
+    }
+    (lake, s"$root/admitted")
+  }
+
+  /** Simulate a compaction that crashed AFTER its rewrite completed
+    * (staging parquet + manifest present, nothing promoted yet). */
+  private def stageCrashedCompaction(hdir: String,
+      dirs: Seq[String]): Unit = {
+    spark.read.parquet(dirs.map(d => s"$hdir/$d"): _*)
+      .write.mode("overwrite").parquet(s"$hdir/_compact")
+    val w = new java.io.FileWriter(s"$hdir/_compact/_compacted_dirs")
+    try w.write(dirs.sorted.mkString("\n") + "\n") finally w.close()
+  }
+
+  private def hashCount(hdir: String): Long =
+    spark.read.option("recursiveFileLookup", "true").parquet(hdir)
+      .count()
+
+  private def subdirsOf(d: String): Set[String] =
+    new java.io.File(d).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+
+  test("compaction crash-resume: a staged rewrite is DISCARDED when " +
+      "micro-batches committed after the crash — their increments " +
+      "fold in instead of being silently dropped") {
+    val (lake, admitted) = crashFixture()
+    val hdir = s"$lake/hashes"
+    // crash state: batches 0,1 exist; a compaction of {base, inc_b0}
+    // (inc_b1 was newest then — left out) staged fully, never promoted
+    stageCrashedCompaction(hdir, Seq("base", "inc_b0"))
+    // the ingest then committed batch 2 — inc_b1 is no longer newest
+    val out = StreamLakeIngest.curateIncrement(Seq(
+      IngestDoc(401L, "entirely new words arrive after the crash and " +
+        "the lake is of a growing kind so the state must hold here",
+        Array(0.7f, 0.7f, 0f))).toDF(), lake, admitted, "text",
+      "doc_id", "vec", 2L, p)
+    out.count(); graft.operators.Lineage.free(out)
+    Dedup.releaseIntermediates()
+    val before = hashCount(hdir)
+    StreamLakeIngest.compact(spark, lake)
+    // the stale staging (without inc_b1) was discarded and rebuilt
+    // over {base, inc_b0, inc_b1}; inc_b2 (newest) stays live
+    assert(subdirsOf(hdir) == Set("base", "inc_b2"))
+    assert(hashCount(hdir) == before,
+      "post-crash increments' hashes were dropped by a stale staging")
+    // and the lake still dedups against an inc_b1-era hash: an exact
+    // copy of batch-2's t210 (whose hash lives only in inc_b1) goes
+    val chk = StreamLakeIngest.curateIncrement(Seq(
+      IngestDoc(501L, t210, Array(0.9f, -0.3f, 0.2f))).toDF(), lake,
+      admitted, "text", "doc_id", "vec", 3L, p)
+    assert(chk.select("doc_id").collect().isEmpty)
+    graft.operators.Lineage.free(chk)
+    Dedup.releaseIntermediates()
+  }
+
+  test("compaction crash-resume: an interrupted PROMOTE completes " +
+      "(staging is the only copy of already-deleted dirs)") {
+    val (lake, _) = crashFixture()
+    val hdir = s"$lake/hashes"
+    val before = hashCount(hdir)
+    stageCrashedCompaction(hdir, Seq("base", "inc_b0"))
+    // crash mid-promote: one recorded dir already deleted from disk
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(s"$hdir/inc_b0"))
+    StreamLakeIngest.compact(spark, lake)
+    // the resume finished the promote instead of re-staging from the
+    // mutilated live set: no rows lost, layout converged
+    assert(subdirsOf(hdir) == Set("base", "inc_b1"))
+    assert(hashCount(hdir) == before,
+      "half-promoted compaction lost the deleted dir's rows")
+  }
 }
