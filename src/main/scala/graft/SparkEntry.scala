@@ -2555,6 +2555,76 @@ object SparkEntry {
         .unionByName(nd).unionByName(sem).distinct()
       recallGate(shouldRemove, removed, Seq("doc_id"), threshold = 0.8)
     }),
+    // ---- SEVEN-stage streaming ingest: the q208 curation loop
+    // composed with the SELECTION stages — frozen-model DSIR admission
+    // (6) and per-source token-budget admission (7), both with
+    // lake-only versioned state (model_b<k> snapshots, used_b<k>
+    // ledgers). The gate's exact side gains the DSIR-rejected set
+    // (exactly SQL-replicable: the q216 arithmetic with the model fit
+    // on the history half); budget rejections are engine-verified in
+    // LakeIngestSpec (they depend on which docs the approximate dedup
+    // stages admit, so no standalone SQL twin exists) and can only ADD
+    // to the removed side here. SIDE-EFFECTING.
+    "q229_stream_full_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_fullingest"
+      val joined = docs.join(emb.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+      val bench = docs.where(col("doc_id") < 10)
+      val hist = joined.where(col("doc_id") >= 10 &&
+        pmod(col("doc_id"), lit(2)) === 0)
+      val inc = joined.where(col("doc_id") >= 10 &&
+        pmod(col("doc_id"), lit(2)) === 1)
+      val p = graft.streaming.StreamLakeIngest.Params(
+        minEstJaccard = 0.35, nlist = 8, nassign = 3)
+      val sp = graft.streaming.StreamLakeIngest.SelectParams(
+        minMicro = 1L, tokenBudget = 50000L)
+      graft.streaming.StreamLakeIngest.initLakeFull(hist, bench,
+        "text", "doc_id", "embedding", col("lang") === "en", lake, p,
+        sp)
+      val admitted = Dedup.tracked(
+        graft.streaming.StreamLakeIngest.curateIncrementFull(inc, lake,
+          s"$lake/admitted", "text", "doc_id", "embedding", "source",
+          0L, p, sp))
+      val removed = inc.select(col("doc_id"))
+        .join(admitted.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
+      val contam = Dedup.contaminatedDocs(inc, bench, "text", "doc_id",
+        windowLen = 50).select(col("id").as("doc_id"))
+      val oh = inc.select(col("doc_id"), md5(col("text")).as("__h"))
+      val exEv = oh.join(hist.select(md5(col("text")).as("__h"))
+        .distinct(), Seq("__h"), "left_semi").select("doc_id")
+      val exWithin = oh.join(oh.groupBy("__h")
+          .agg(min(col("doc_id")).as("__m")), Seq("__h"))
+        .where(col("doc_id") =!= col("__m")).select("doc_id")
+      val odd = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(2)) === 1
+      val nd = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
+          shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
+        .where(col("a") >= 10 && col("b") >= 10 &&
+          odd(col("a")) =!= odd(col("b")))
+        .select(when(odd(col("a")), col("a")).otherwise(col("b"))
+          .as("doc_id"))
+      val sem = Similarity.cosineNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.4)
+        .where(col("a") >= 10 && col("b") >= 10 &&
+          odd(col("a")) =!= odd(col("b")))
+        .select(when(odd(col("a")), col("a")).otherwise(col("b"))
+          .as("doc_id"))
+      val model = s.read.parquet(s"$lake/dsir/model_init")
+        .select(col("b"), col("lr_micro")).orderBy("b").collect()
+      val lr = model.map(_.getLong(1))
+      val dsirRej = inc.select(col("doc_id"),
+          graft.operators.Curation.dsirScoreMicro(col("text"), lr)
+            .as("__iw"))
+        .where(col("__iw") < sp.minMicro).select("doc_id")
+      val shouldRemove = contam.unionByName(exEv).unionByName(exWithin)
+        .unionByName(nd).unionByName(sem).unionByName(dsirRej)
+        .distinct()
+      recallGate(shouldRemove, removed, Seq("doc_id"), threshold = 0.8)
+    }),
     // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25
     // lexical top-20 (probe terms) and the embedding cosine top-20
     // (probe vector doc 5) into one ranking — rank-only fusion, so the
@@ -4156,6 +4226,78 @@ object SparkEntry {
            |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
            |    FROM (${neardupSql(0.4)})
            |    WHERE a >= 10 AND b >= 10 AND (a % 2) <> (b % 2))""".stripMargin),
+      "q229_stream_full_ingest" -> gateSql(
+        s"""SELECT DISTINCT doc_id FROM (
+           |  SELECT doc_id FROM (${winSql(
+                "doc_id >= 10 AND doc_id % 2 = 1", withDoc = true)})
+           |    WHERE win IN (SELECT win FROM
+           |      (${winSql("doc_id < 10", withDoc = false)}))
+           |  UNION
+           |  SELECT doc_id FROM (SELECT doc_id, md5(text) AS h
+           |      FROM documents WHERE doc_id >= 10 AND doc_id % 2 = 1)
+           |    WHERE h IN (SELECT md5(text) FROM documents
+           |      WHERE doc_id >= 10 AND doc_id % 2 = 0)
+           |  UNION
+           |  SELECT o.doc_id FROM
+           |    (SELECT doc_id, md5(text) AS h FROM documents
+           |      WHERE doc_id >= 10 AND doc_id % 2 = 1) o
+           |    JOIN (SELECT md5(text) AS h, min(doc_id) AS m
+           |      FROM documents WHERE doc_id >= 10 AND doc_id % 2 = 1
+           |      GROUP BY 1) g
+           |    ON o.h = g.h AND o.doc_id <> g.m
+           |  UNION
+           |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+           |    FROM (${ngramPairsSql(0.5)})
+           |    WHERE a >= 10 AND b >= 10 AND (a % 2) <> (b % 2)
+           |  UNION
+           |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+           |    FROM (${neardupSql(0.4)})
+           |    WHERE a >= 10 AND b >= 10 AND (a % 2) <> (b % 2)
+           |  UNION
+           |  -- stage-6 DSIR rejections: the q216 arithmetic, model
+           |  -- fit on the history half (even ids with an embedding),
+           |  -- scoring the increment half (odd ids with an embedding)
+           |  SELECT doc_id FROM (
+           |    WITH htok AS (SELECT (lang = 'en') AS is_t,
+           |        string_split_regex(trim(text), '\\s+') AS ws
+           |      FROM documents
+           |      WHERE doc_id >= 10 AND doc_id % 2 = 0
+           |        AND doc_id IN (SELECT vec_id FROM embeddings)),
+           |    hfeat AS (SELECT is_t,
+           |        CAST('0x' || substring(md5(w || 'graft'), 1, 8)
+           |          AS BIGINT) % 1024 AS b
+           |      FROM (SELECT is_t, unnest(ws) AS w FROM htok
+           |            UNION ALL
+           |            SELECT is_t, ws[i] || ' ' || ws[i + 1] AS w
+           |            FROM htok, unnest(range(1, len(ws))) AS r(i))),
+           |    hc AS (SELECT b, count(*) AS rc,
+           |        sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+           |      FROM hfeat GROUP BY 1),
+           |    ht AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt,
+           |        CAST(sum(tc) AS DOUBLE) AS tt FROM hc),
+           |    hlr AS (SELECT r.b, CAST(round(
+           |        (ln((coalesce(hc.tc, 0) + 1.0) / (ht.tt + 1024.0))
+           |         - ln((coalesce(hc.rc, 0) + 1.0) / (ht.rt + 1024.0)))
+           |        * 1000000.0) AS BIGINT) AS lr_micro
+           |      FROM range(0, 1024) r(b)
+           |      LEFT JOIN hc ON hc.b = r.b CROSS JOIN ht),
+           |    itok AS (SELECT doc_id,
+           |        string_split_regex(trim(text), '\\s+') AS ws
+           |      FROM documents
+           |      WHERE doc_id >= 10 AND doc_id % 2 = 1
+           |        AND doc_id IN (SELECT vec_id FROM embeddings)),
+           |    ifeat AS (SELECT doc_id,
+           |        CAST('0x' || substring(md5(w || 'graft'), 1, 8)
+           |          AS BIGINT) % 1024 AS b
+           |      FROM (SELECT doc_id, unnest(ws) AS w FROM itok
+           |            UNION ALL
+           |            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS w
+           |            FROM itok, unnest(range(1, len(ws))) AS r(i))),
+           |    iscore AS (SELECT doc_id, sum(lr_micro) AS iw
+           |      FROM ifeat JOIN hlr USING (b) GROUP BY 1)
+           |    SELECT t.doc_id
+           |    FROM itok t LEFT JOIN iscore s ON s.doc_id = t.doc_id
+           |    WHERE coalesce(s.iw, 0) < 1))""".stripMargin),
       "q194_megapipeline" -> {
         s"""WITH RECURSIVE
            |tw AS MATERIALIZED (${winSql("doc_id >= 10", withDoc = true)}),

@@ -451,15 +451,25 @@ object Curation {
     * reads the files it is replacing (the q198 ordering lesson).
     */
   def appendDsirModel(incDf: DataFrame, textCol: String,
-      isTarget: Column, salt: String, path: String): Unit = {
+      isTarget: Column, salt: String, path: String): Unit =
+    appendDsirModelAt(incDf, textCol, isTarget, salt, path, path)
+
+  /** [[appendDsirModel]] with separate source and destination paths —
+    * the versioned-snapshot shape the streaming lake needs (each
+    * fold-in writes `model_b<k>` beside its predecessor instead of
+    * overwriting, so a replayed micro-batch can still read exactly
+    * the model its first attempt saw). */
+  def appendDsirModelAt(incDf: DataFrame, textCol: String,
+      isTarget: Column, salt: String, srcPath: String,
+      dstPath: String): Unit = {
     val spark = incDf.sparkSession
     import spark.implicits._
-    val stored = spark.read.parquet(path)
+    val stored = spark.read.parquet(srcPath)
       .select(col("b"), col("rc"), col("tc")).orderBy(col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val buckets = stored.length
     require(buckets > 0 && stored.head._1 == 0L,
-      s"$path is not a dense writeDsirModel artifact")
+      s"$srcPath is not a dense writeDsirModel artifact")
     val inc = incDf.select(isTarget.as("__t"),
         explode(dsirFeatureBuckets(col(textCol), buckets, salt))
           .as("b"))
@@ -471,7 +481,7 @@ object Curation {
       val (ir, it) = inc.getOrElse(b, (0L, 0L))
       (b, rcv + ir, tcv + it)
     }.toSeq.toDF("b", "rc", "tc")
-    writeDsirArtifact(merged, buckets, path)
+    writeDsirArtifact(merged, buckets, dstPath)
   }
 
   /** The per-document DSIR importance score in micro-units, against a

@@ -1,10 +1,10 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.{Dedup, Lineage, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Lineage, Similarity, TextOps}
 
 /** STREAMING LAKE INGEST — the full incremental curation contract
   * (decontamination → exact dedup → near-dup dedup → semantic dedup →
@@ -251,6 +251,18 @@ object StreamLakeIngest {
   def curateIncrement(batch: DataFrame, lakeRoot: String,
       admittedDir: String, textCol: String, idCol: String,
       vecCol: String, batchId: Long, p: Params = Params()): DataFrame = {
+    val admitted = fiveStages(batch, lakeRoot, textCol, idCol, vecCol,
+      batchId, p)
+    admitted.write.mode("overwrite")
+      .parquet(s"$admittedDir/inc_b$batchId")
+    admitted
+  }
+
+  /** Stages 1-5 without the admitted write — the shared core of
+    * [[curateIncrement]] and [[curateIncrementFull]]. */
+  private def fiveStages(batch: DataFrame, lakeRoot: String,
+      textCol: String, idCol: String, vecCol: String, batchId: Long,
+      p: Params): DataFrame = {
     val spark = batch.sparkSession
     // 1. decontamination — stateless probe of the immutable artifact
     val contaminated = Dedup.contaminatedDocsFromArtifact(batch,
@@ -287,8 +299,6 @@ object StreamLakeIngest {
         TextOps.langId(col(textCol)) === p.lang)
       .drop("__r", "__q"))
     Lineage.free(s4)
-    admitted.write.mode("overwrite")
-      .parquet(s"$admittedDir/inc_b$batchId")
     admitted
   }
 
@@ -304,6 +314,179 @@ object StreamLakeIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = curateIncrement(batch, lakeRoot, admittedDir,
           textCol, idCol, vecCol, batchId, p)
+        Lineage.free(admitted)
+        Dedup.releaseIntermediates()
+      }
+      .start()
+
+  // ------------------------------------------------------------------
+  // The FULL SELECTION chain: stages 6-7 (model-based DSIR admission +
+  // per-source token-budget admission) composed onto the five-stage
+  // curation loop — the streamed twin of the q215 selection contract.
+  // Both new stages keep the lake-as-only-state discipline:
+  //  - the DSIR model is a VERSIONED artifact column (`dsir/model_init`
+  //    + `model_b<k>` written by the between-batches fold-in job, the
+  //    compact()-style maintenance hook): each batch reads the newest
+  //    snapshot OLDER than itself, so a replay scores against exactly
+  //    the model its first attempt saw, and a fold-in takes effect from
+  //    the next batch on with no gate restart;
+  //  - the budget state is one (source, tokens-admitted) row per source,
+  //    versioned per batch (`budget/used_b<k>`) exactly like the keeper
+  //    snapshots: read newest-older-than-this-batch, write own, prune
+  //    unreachable. Admission follows StreamTokenBudget's rule — a
+  //    source's docs admit in doc_id order while tokens admitted BEFORE
+  //    the doc (all prior batches + earlier docs this batch) are under
+  //    budget; the crossing doc is admitted, then the gate closes.
+  // Stage order: quality (5) before DSIR (6) before budget (7) — a doc
+  // that fails the cheap filters must not consume model scoring or
+  // budget, and budget is last so it meters exactly what would land.
+  // ------------------------------------------------------------------
+
+  /** Stage-6/7 knobs for the full chain. `isTarget` is the DSIR
+    * target-domain predicate evaluated over the HISTORY/fold-in rows
+    * (e.g. `col("lang") === "en"`). */
+  case class SelectParams(
+      dsirBuckets: Int = 1024,
+      dsirSalt: String = "graft",
+      minMicro: Long = 1L,
+      tokenBudget: Long = 1000L)
+
+  /** [[initLake]] plus the stage-6/7 artifacts: the initial DSIR model
+    * (`dsir/model_init`, fit on the history with `isTarget`) and the
+    * empty budget ledger (`budget/used_init`). */
+  def initLakeFull(hist: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, vecCol: String, isTarget: Column, lakeRoot: String,
+      p: Params = Params(), sp: SelectParams = SelectParams()): Unit = {
+    initLake(hist, bench, textCol, idCol, vecCol, lakeRoot, p)
+    Curation.writeDsirModel(hist, textCol, isTarget, sp.dsirBuckets,
+      sp.dsirSalt, s"$lakeRoot/dsir/model_init")
+    val spark = hist.sparkSession
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tokens",
+          org.apache.spark.sql.types.LongType))))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$lakeRoot/budget/used_init")
+  }
+
+  /** Newest `<prefix>_b<k>` subdir of `dir` with k < batchId, else
+    * `<prefix>_init`; prunes versions older than the returned one (a
+    * replay is only ever of THIS batch or later — the keepersBefore
+    * argument). */
+  private def versionBefore(spark: SparkSession, dir: String,
+      prefix: String, batchId: Long): String = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith(s"${prefix}_b") =>
+        s.stripPrefix(s"${prefix}_b").toLong }
+      .filter(_ < batchId)
+    val chosen =
+      if (versions.isEmpty) s"$dir/${prefix}_init"
+      else s"$dir/${prefix}_b${versions.max}"
+    if (versions.nonEmpty) {
+      versions.filter(_ < versions.max).foreach { k =>
+        try fs.delete(new Path(s"$dir/${prefix}_b$k"), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      try fs.delete(new Path(s"$dir/${prefix}_init"), true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    chosen
+  }
+
+  /** Between-batches MAINTENANCE (the compact() sibling): fold an
+    * increment's rows into the DSIR model as a NEW versioned snapshot
+    * `dsir/model_b<batchId>` — bucket counts are additive integers, so
+    * the folded model is bit-identical to a from-scratch rebuild over
+    * history ∪ increments (the q217 contract). Batches > batchId pick
+    * it up automatically; replays of ≤ batchId keep reading the older
+    * snapshot they saw first. */
+  def foldDsirModel(incDf: DataFrame, textCol: String, isTarget: Column,
+      lakeRoot: String, batchId: Long,
+      sp: SelectParams = SelectParams()): Unit = {
+    val spark = incDf.sparkSession
+    val src = versionBefore(spark, s"$lakeRoot/dsir", "model",
+      batchId + 1)
+    Curation.appendDsirModelAt(incDf, textCol, isTarget, sp.dsirSalt,
+      src, s"$lakeRoot/dsir/model_b$batchId")
+  }
+
+  /** One micro-batch through the SEVEN-stage chain: the five-stage
+    * [[curateIncrement]] core, then the frozen-model DSIR gate (6) and
+    * the per-source token-budget gate (7). Writes the admitted rows —
+    * now carrying (iw_micro, n_tokens) — to `admittedDir/inc_b<id>`
+    * and the updated budget ledger to `budget/used_b<id>`; replay-
+    * idempotent for the same reasons as the core (every read excludes
+    * this batch's own writes, every write is batch-id-derived). `batch`
+    * must carry `sourceCol` for the budget key. */
+  def curateIncrementFull(batch: DataFrame, lakeRoot: String,
+      admittedDir: String, textCol: String, idCol: String,
+      vecCol: String, sourceCol: String, batchId: Long,
+      p: Params = Params(), sp: SelectParams = SelectParams())
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val s5 = fiveStages(batch, lakeRoot, textCol, idCol, vecCol,
+      batchId, p)
+    // 6. DSIR gate against the newest model snapshot this batch may see
+    val modelPath = versionBefore(spark, s"$lakeRoot/dsir", "model",
+      batchId)
+    val model = spark.read.parquet(modelPath)
+      .select(col("b"), col("lr_micro")).orderBy("b").collect()
+    require(model.length == sp.dsirBuckets &&
+      model.head.getLong(0) == 0L,
+      s"$modelPath is not a dense ${sp.dsirBuckets}-bucket DSIR model")
+    val lr = model.map(_.getLong(1))
+    val s6 = s5.withColumn("iw_micro",
+        Curation.dsirScoreMicro(col(textCol), lr, sp.dsirSalt))
+      .where(col("iw_micro") >= sp.minMicro)
+    // 7. token-budget gate: prior ledger + within-batch running sum in
+    // doc_id order per source (bounded: increment-sized window, ledger
+    // is one row per source and broadcasts)
+    val prior = spark.read.parquet(
+      versionBefore(spark, s"$lakeRoot/budget", "used", batchId))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val metered = s6
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol))
+        .cast("long"))
+      .join(broadcast(prior
+        .select(col("source").as(sourceCol), col("tokens"))),
+        Seq(sourceCol), "left")
+      .withColumn("__prior", coalesce(col("tokens"), lit(0L)))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .where(col("__prior") + col("__cum") - col("n_tokens") <
+        sp.tokenBudget)
+      .drop("tokens")
+    val admitted = Lineage.cut(metered.drop("__prior", "__cum"))
+    Lineage.free(s5)
+    // new ledger = prior ∪ this batch's admissions, summed per source
+    val ledger = prior.select(col("source"), col("tokens"))
+      .unionByName(admitted.groupBy(col(sourceCol).as("source"))
+        .agg(sum(col("n_tokens")).as("tokens")))
+      .groupBy("source").agg(sum(col("tokens")).as("tokens"))
+    ledger.repartition(1).write.mode("overwrite")
+      .parquet(s"$lakeRoot/budget/used_b$batchId")
+    admitted.write.mode("overwrite")
+      .parquet(s"$admittedDir/inc_b$batchId")
+    admitted
+  }
+
+  /** The 7-stage loop: one [[curateIncrementFull]] per micro-batch. */
+  def ingestFull(stream: DataFrame, lakeRoot: String,
+      admittedDir: String, checkpointDir: String, textCol: String,
+      idCol: String, vecCol: String, sourceCol: String,
+      p: Params = Params(), sp: SelectParams = SelectParams())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = curateIncrementFull(batch, lakeRoot, admittedDir,
+          textCol, idCol, vecCol, sourceCol, batchId, p, sp)
         Lineage.free(admitted)
         Dedup.releaseIntermediates()
       }

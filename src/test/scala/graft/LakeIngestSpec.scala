@@ -211,6 +211,134 @@ class LakeIngestSpec extends SparkTestBase {
         Array(0.6f, -0.6f, -0.6f))), 2L) == Set(306L))
   }
 
+  test("seven-stage ingest: the DSIR gate reads the versioned frozen " +
+      "model (fold-ins apply from the NEXT batch), the budget ledger " +
+      "meters per source across micro-batches, and replay is " +
+      "exactly-once") {
+    import graft.operators.{Curation, TextOps}
+    val root = Files.createTempDirectory("lake_full").toString
+    val lake = s"$root/lake"
+    val admitted = s"$root/admitted"
+    // target = ordinary English (both real hist docs); raw-only = one
+    // marker doc of distinct nonsense vocabulary. Every feature a
+    // NATURAL English doc carries then leans target or unseen-positive
+    // (raw strictly contains target, so the smoothed prior is
+    // ln((rt+B)/(tt+B)) > 0) — the sign preconditions below are
+    // robust, not hash luck.
+    val zzzT = "zzz qux jolt vex brim clod dunes parn welk trid moss"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f)),
+      IngestDoc(14L, zzzT, Array(0.5f, 0.5f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    val isTarget = !col("text").contains("zzz")
+    val xText = "foxes and hounds roam the wide meadow at dawn while " +
+      "the hens peck seeds and the rooster calls the morning from " +
+      "the fence post"
+    def nTok(t: String): Long = spark.range(1)
+      .select(TextOps.tokenCount(lit(t)).cast("long")).head().getLong(0)
+    val sp0 = graft.streaming.StreamLakeIngest.SelectParams()
+    graft.streaming.StreamLakeIngest.initLakeFull(hist, bench, "text",
+      "doc_id", "vec", isTarget, lake, p, sp0)
+
+    // fold BEFORE any batch runs (legitimate: the fold-in reads only
+    // model snapshots, never batch state): 50 NON-target (zzz-marked)
+    // rows carrying exactly xText's distinctive unigrams — those
+    // buckets lean hard raw in model_b0 and flip xText's verdict,
+    // while the fold text shares no common English word, so the other
+    // docs' scores barely move. Batch 0 must still read model_init.
+    val foldText = "zzz foxes hounds roam meadow hens peck seeds " +
+      "rooster calls fence post dawn"
+    val foldRows = (1 to 50).map(i => (1000L + i, foldText))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamLakeIngest.foldDsirModel(foldRows, "text",
+      isTarget, lake, 0L, sp0)
+    // the wrapper's fold-in is EXACT: model_b0 == a from-scratch fit
+    // over history ∪ fold rows (the q217 contract, at this layer)
+    Curation.writeDsirModel(
+      hist.select(col("doc_id"), col("text"))
+        .unionByName(foldRows), "text", isTarget,
+      sp0.dsirBuckets, sp0.dsirSalt, s"$root/rebuilt")
+    def modelRows(pth: String) = spark.read.parquet(pth)
+      .orderBy("b").collect().map(_.toString).toSeq
+    assert(modelRows(s"$lake/dsir/model_b0") ==
+      modelRows(s"$root/rebuilt"))
+
+    def scoreUnder(modelPath: String, text: String): Long = {
+      val lr = spark.read.parquet(modelPath)
+        .select(col("b"), col("lr_micro")).orderBy("b").collect()
+        .map(_.getLong(1))
+      spark.range(1).select(Curation.dsirScoreMicro(lit(text), lr)
+        .as("s")).head().getLong(0)
+    }
+    // minMicro derived from the engine's own scores (the score
+    // ARITHMETIC is oracle-certified by q216/q217; this spec pins the
+    // PLUMBING — which model version each batch reads, and that the
+    // gate cuts exactly at minMicro). One robustness precondition:
+    // the 50-row fold must drop xText's score below every to-admit
+    // score — a 600-fold raw-count swing on 12 of its unigram buckets.
+    // minMicro sits at the floor of every score that must clear the
+    // gate — INCLUDING xText under the init model, so a batch-1 gate
+    // wrongly reading model_init would admit 205 and fail the test;
+    // only xText under the FOLDED model falls below it
+    val mustClear = Seq(
+      scoreUnder(s"$lake/dsir/model_init", t5),
+      scoreUnder(s"$lake/dsir/model_init", t13),
+      scoreUnder(s"$lake/dsir/model_init", xText),
+      scoreUnder(s"$lake/dsir/model_b0", t208),
+      scoreUnder(s"$lake/dsir/model_b0", t210))
+    val xScore = scoreUnder(s"$lake/dsir/model_b0", xText)
+    assert(xScore < mustClear.min, "fold-in did not dominate")
+    // budget: exactly t5's token count + 1, so doc 105 admits under
+    // budget, doc 113 CROSSES it (admitted — before-tokens still
+    // under), and every later s1 doc is shut out
+    val sp = graft.streaming.StreamLakeIngest.SelectParams(
+      minMicro = mustClear.min, tokenBudget = nTok(t5) + 1)
+
+    def runFull(rows: Seq[(Long, String, String, Array[Float])],
+        bid: Long): Set[Long] = {
+      val out = graft.streaming.StreamLakeIngest.curateIncrementFull(
+        rows.toDF("doc_id", "source", "text", "vec"), lake, admitted,
+        "text", "doc_id", "vec", "source", bid, p, sp)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.operators.Lineage.free(out)
+      Dedup.releaseIntermediates()
+      ids
+    }
+    // batch 0: both s1 docs pass stages 1-6; budget admits 105 and the
+    // crossing doc 113, then closes s1
+    assert(runFull(Seq(
+      (105L, "s1", t5, Array(0f, 0f, 1f)),
+      (113L, "s1", t13, Array(-1f, 0f, 0f))), 0L) == Set(105L, 113L))
+    def ledger(v: String): Map[String, Long] =
+      spark.read.parquet(s"$lake/budget/$v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger("used_b0") == Map("s1" -> (nTok(t5) + nTok(t13))))
+
+    // batch 1: 201 (s1) passes every stage but the CLOSED s1 budget;
+    // 203 (s2) admits — sources meter independently; 205 (s2, xText)
+    // is rejected by the stage-6 gate under the FOLDED model
+    assert(runFull(Seq(
+      (201L, "s1", t208, Array(0f, 0f, -1f)),
+      (203L, "s2", t210, Array(0f, -1f, 0f)),
+      (205L, "s2", xText, Array(0.6f, -0.6f, -0.6f))), 1L)
+      == Set(203L))
+    assert(ledger("used_b1") == Map(
+      "s1" -> (nTok(t5) + nTok(t13)), "s2" -> nTok(t210)))
+    // admitted rows carry the selection metadata
+    val cols = spark.read.parquet(s"$admitted/inc_b1").columns.toSet
+    assert(Set("iw_micro", "n_tokens").subsetOf(cols))
+
+    // replay of batch 1 against its own leftovers: identical admitted
+    // set, identical ledger (reads used_b0, overwrites used_b1)
+    assert(runFull(Seq(
+      (201L, "s1", t208, Array(0f, 0f, -1f)),
+      (203L, "s2", t210, Array(0f, -1f, 0f)),
+      (205L, "s2", xText, Array(0.6f, -0.6f, -0.6f))), 1L)
+      == Set(203L))
+    assert(ledger("used_b1") == Map(
+      "s1" -> (nTok(t5) + nTok(t13)), "s2" -> nTok(t210)))
+  }
+
   /** Shared prologue for the compaction crash-resume specs: init the
     * lake, run batches 0 and 1, return (lake, admitted). */
   private def crashFixture(): (String, String) = {
