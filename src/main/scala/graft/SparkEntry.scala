@@ -2625,6 +2625,20 @@ object SparkEntry {
         .distinct()
       recallGate(shouldRemove, removed, Seq("doc_id"), threshold = 0.8)
     }),
+    // ---- MULTI-QUERY BM25: three probes ranked in ONE corpus scan —
+    // the word stream prunes map-side against the broadcast probe
+    // vocabulary, each query's scores land via a broadcast join of the
+    // (query_id, term) table, per-query DetAgg-summed totals rank
+    // under one query-keyed window. The thousand-probe audit shape;
+    // rrfFuse(queryCols = Seq("query_id")) composes it per query.
+    "q230_bm25_multiquery" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq((0L, "spark"), (0L, "hash"), (1L, "merge"),
+        (1L, "sort"), (1L, "data"), (2L, "spark"), (2L, "merge"))
+        .toDF("query_id", "term")
+      graft.operators.Retrieval.bm25TopKQueries(t(s, dir, "documents"),
+        "text", "doc_id", probes, k = 10)
+    }),
     // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25
     // lexical top-20 (probe terms) and the embedding cosine top-20
     // (probe vector doc 5) into one ranking — rank-only fusion, so the
@@ -4936,6 +4950,51 @@ object SparkEntry {
       // (q142 emits identical counts, so it shares the oracle)
       "q142_stream_funnel" -> funnelSql,
       "q143_bm25" -> bm25Sql(10),
+      "q230_bm25_multiquery" -> {
+        // the bm25Sql scoring CTEs with the probe vocabulary as a
+        // VALUES table; per-query totals sum in DECIMAL(30,6) (the
+        // DetAgg twin) so the association order never matters
+        val probes = Seq((0, "spark"), (0, "hash"), (1, "merge"),
+          (1, "sort"), (1, "data"), (2, "spark"), (2, "merge"))
+        val values = probes.map { case (q, t) => s"($q, '$t')" }
+          .mkString(", ")
+        val c1 = d17(1.2 + 1.0)
+        s"""WITH probes(query_id, term) AS (VALUES $values),
+           |w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |dl AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\\s+'))
+           |      AS BIGINT) AS dl
+           |  FROM documents),
+           |st AS (SELECT count(*) AS n_docs,
+           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+           |  WHERE word IN (SELECT DISTINCT term FROM probes)
+           |  GROUP BY 1, 2),
+           |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
+           |idf AS (SELECT word,
+           |    ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)
+           |      + 1.0) AS idf
+           |  FROM dfc CROSS JOIN st),
+           |sc AS (SELECT doc_id, word,
+           |    idf * (tf * $c1) /
+           |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+           |  CROSS JOIN st),
+           |pq AS (SELECT p.query_id, sc.doc_id,
+           |    round(CAST(sum(CAST(s AS DECIMAL(30,6))) AS DOUBLE), 6)
+           |      AS score
+           |  FROM sc JOIN probes p ON sc.word = p.term
+           |  GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM pq)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           |  CAST(rank AS BIGINT) AS rank, doc_id, score
+           |FROM r WHERE rank <= 10""".stripMargin
+      },
       // same fusion arithmetic and association order as rrfFuse:
       // lexical contribution first, then semantic, each 1/(60+rank)
       "q220_normalize_text" ->

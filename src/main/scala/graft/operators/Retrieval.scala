@@ -74,6 +74,67 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** MULTI-QUERY Okapi BM25 — thousands of probes in ONE job, the
+    * shape a corpus-wide contamination or curation audit needs (the
+    * single-query [[bm25TopK]] bakes its terms into the plan as `isin`
+    * literals, so N probes would mean N corpus scans).
+    *
+    * `queries` is a bounded (query_id, term) frame. The corpus scans
+    * ONCE: the exploded word stream is pruned map-side by a BROADCAST
+    * semi-join against the distinct probe vocabulary (the 100 TB
+    * analog of the literal filter — still no shuffle before the
+    * prune), tf/df/idf are computed once over that vocabulary, and
+    * each query's scores materialize by broadcast-joining the tiny
+    * (query_id, term) table onto the scored (doc, term) rows — the
+    * same broadcast-probe shape [[Similarity.cosineTopK]] uses. One
+    * doc-keyed shuffle for tf, one (query, doc)-keyed aggregate, one
+    * per-query ranking window over ≤ |docs-with-hits| rows.
+    *
+    * Determinism: per-(doc, term) scores are the [[bm25TopK]] formula
+    * verbatim; the per-query total routes through DetAgg (decimal) so
+    * the sum is association-order-free, then rounds to 6 dp; ranking
+    * orders by the rounded score with the doc id tie-break. Output:
+    * (query_id, rank, idCol, score), k rows per query. Compose with
+    * [[rrfFuse]](queryCols = Seq("query_id")) to fuse against a
+    * per-query semantic ranking.
+    */
+  def bm25TopKQueries(df: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.core.DetAgg
+    val id = col(idCol)
+    val vocab = queries.select(col("term").as("word")).distinct()
+    val words = df.select(id,
+      explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    val dl = df.select(id,
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = words.join(broadcast(vocab), Seq("word"), "left_semi")
+      .groupBy(id, col("word")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("word").agg(count(lit(1)).as("dfc"))
+    val idf = dfc.crossJoin(broadcast(stats)).select(col("word"),
+      log((col("n_docs").cast("double") - col("dfc") + 0.5) /
+        (col("dfc") + 0.5) + 1.0).as("idf"))
+    val scored = tf.join(broadcast(idf), "word")
+      .join(dl, idCol).crossJoin(broadcast(stats))
+      .select(id, col("word"),
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+    val perDoc = scored
+      .join(broadcast(queries.select(col("query_id"),
+        col("term").as("word"))), Seq("word"))
+      .groupBy(col("query_id"), id)
+      .agg(round(DetAgg.detSum(col("s")), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, id.asc)
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), id, col("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of N
     * ranked candidate lists into one hybrid ranking:
     * `score(d) = Σ_i 1/(kRrf + rank_i(d))`, a document missing from a
@@ -148,11 +209,18 @@ object Retrieval {
     def dcgTerm(rank: org.apache.spark.sql.Column) =
       lit(math.log(2.0)) / log(rank.cast("double") + 1.0)
     val hits = l.join(g, keys)
+    // loud failure on an empty gold list (single-query branch only —
+    // the per-query branch is gold-driven, so its groups always carry
+    // n_gold >= 1): a null recall/ndcg row would read as "evaluated"
+    val goldN = when(col("n_gold") > 0, col("n_gold").cast("double"))
+      .otherwise(raise_error(lit(
+        "rankingMetrics: empty gold list — nothing to evaluate " +
+          "against")).cast("double"))
     def metrics(m: DataFrame): DataFrame =
       m.select(queryCols.map(col) :+ col("n_gold") :+
         coalesce(col("n_hits"), lit(0L)).as("n_hits") :+
         round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-          col("n_gold").cast("double"), 6).as("recall") :+
+          goldN, 6).as("recall") :+
         round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6)
           .as("ndcg"): _*)
     if (queryCols.isEmpty) {

@@ -72,7 +72,41 @@ object ScaleProbe {
     import graft.operators.{Dedup, Similarity}
     def docsOf(s: SparkSession, dir: String): DataFrame =
       graft.Tables.load(s, dir, "documents")
-    val opQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ENCODE-ONLY A/B family: the merge list is learned once per
+    // (dir, size) and cached across the probe's two runs, so the
+    // min-of-2 discipline isolates the ENCODE scan (run 2 pays zero
+    // learning) — the per-row CPU claim the native expression makes
+    lazy val encodeOnlyFamily
+        : Map[String, (SparkSession, String) => DataFrame] = {
+      val mergeCache = scala.collection.mutable.Map
+        .empty[(String, Int), Seq[(String, String)]]
+      def mergesFor(s: SparkSession, dir: String,
+          n: Int): Seq[(String, String)] =
+        mergeCache.getOrElseUpdate((dir, n), {
+          val m = graft.operators.Tokenizer.bpeMergesBatched(
+              docsOf(s, dir), "text", rounds = (n + 7) / 8, batch = 8)
+            .orderBy("step").collect()
+            .map(r => (r.getString(2), r.getString(3))).toSeq
+          graft.operators.Dedup.releaseIntermediates()
+          m.take(n)
+        })
+      def enc(n: Int, chained: Boolean)
+          : (SparkSession, String) => DataFrame = (s, dir) => {
+        val m = mergesFor(s, dir, n)
+        if (chained) graft.operators.Tokenizer
+          .bpeTokenCountsChained(docsOf(s, dir), "text", "doc_id", m)
+        else graft.operators.Tokenizer
+          .bpeTokenCounts(docsOf(s, dir), "text", "doc_id", m)
+      }
+      Map(
+        "op_enc8_native" -> enc(8, chained = false),
+        "op_enc8_chained" -> enc(8, chained = true),
+        "op_enc64_native" -> enc(64, chained = false),
+        "op_enc64_chained" -> enc(64, chained = true),
+        "op_enc128_native" -> enc(128, chained = false))
+    }
+    val opQueries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
       // nlist is a function of corpus size (Similarity scaladoc: cells
       // of ~1k keep the per-cell join quadratic-free) — the probe must
       // scale it with the corpus exactly as a production job would,
@@ -256,7 +290,7 @@ object ScaleProbe {
           .map(r => (r.getString(2), r.getString(3))).toSeq
         graft.operators.Tokenizer.bpeTokenCounts(docs, "text",
           "doc_id", m)
-      }))
+      })) ++ encodeOnlyFamily
     def query(name: String): (SparkSession, String) => DataFrame =
       opQueries.getOrElse(name, graft.SparkEntry.queries(name))
 
