@@ -2625,6 +2625,17 @@ object SparkEntry {
         .distinct()
       recallGate(shouldRemove, removed, Seq("doc_id"), threshold = 0.8)
     }),
+    // ---- LPA convergence report: per-round changed-label counts over
+    // the q222 graph — the evidence for choosing `iters` (churn at the
+    // last round means more rounds; an early 0 means stop sooner).
+    // One N-row join + count per round on the already-cut states.
+    "q231_lpa_convergence" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.labelPropagationConvergence(
+        li.select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", iters = 4)
+    }),
     // ---- MULTI-QUERY BM25: three probes ranked in ONE corpus scan —
     // the word stream prunes map-side against the broadcast probe
     // vocabulary, each query's scores land via a broadcast join of the
@@ -5378,6 +5389,21 @@ object SparkEntry {
            |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
            |$lpaRounds
            |SELECT node, lab AS label FROM l4""".stripMargin,
+      "q231_lpa_convergence" -> {
+        val diffs = (1 to 4).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS round,
+             |  CAST(count(*) AS BIGINT) AS n_changed
+             |FROM l$i a JOIN l${i - 1} b USING (node)
+             |WHERE a.lab <> b.lab""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+           |    l_partkey * 2 + 1 AS dst FROM lineitem),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+           |$lpaRounds
+           |$diffs""".stripMargin
+      },
       // near-dup COMMUNITIES: LPA over the exact PPJoin pair graph,
       // reported as a label histogram — the finer-grained sibling of
       // q136's connected-component sizes (LPA splits weakly-bridged

@@ -136,7 +136,29 @@ object Graph {
     *
     * @return (node, label) for every node of the symmetrized graph */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4): DataFrame =
+    lpaCore(edges, srcCol, dstCol, iters, track = false)._1
+
+  /** [[labelPropagation]] with CONVERGENCE REPORTING: returns one row
+    * per round, `(round, n_changed)` — the count of nodes whose label
+    * changed that round. The evidence for choosing `iters`: a run
+    * whose final rounds still churn needs more; one that hits 0 early
+    * can stop sooner. Tracking costs one N-row join + count per round
+    * against the already-cut states (the edges never re-shuffle), so
+    * it is opt-in rather than baked into every LPA call. */
+  def labelPropagationConvergence(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 4): DataFrame = {
+    val (state, changed) = lpaCore(edges, srcCol, dstCol, iters,
+      track = true)
+    val spark = state.sparkSession
+    import spark.implicits._
+    changed.zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, n) }
+      .toDF("round", "n_changed")
+  }
+
+  private def lpaCore(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, track: Boolean): (DataFrame, Seq[Long]) = {
     require(iters >= 1, "iters must be >= 1")
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -145,6 +167,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var state = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
+    val changed = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i < iters) {
       val nbr = sym.join(state, sym("src") === state("id"))
@@ -159,10 +182,16 @@ object Graph {
       // gather covers the full vertex set (the pageRankMass argument)
       val prev = state
       state = Lineage.cut(next)
+      if (track)
+        // one agg over the two N-row cut states — the round's churn
+        changed += state
+          .join(prev.withColumnRenamed("lab", "__pl"), "id")
+          .where(col("lab") =!= col("__pl")).count()
       if (i > 0) Lineage.free(prev)
       i += 1
     }
     persisted.synchronized { persisted += sym; persisted += state }
-    state.select(col("id").as("node"), col("lab").as("label"))
+    (state.select(col("id").as("node"), col("lab").as("label")),
+      changed.toSeq)
   }
 }

@@ -109,6 +109,19 @@ class GraphSketchSpec extends SparkTestBase {
     Graph.releaseIntermediates()
   }
 
+  test("labelPropagationConvergence: per-round churn reaches 0 once " +
+      "the labels settle (hand-traced triangle)") {
+    // K3 on {1,2,3}: r1 relabels all three (1->2, 2->1, 3->1),
+    // r2 only node 1 (2->1), r3/r4 are stable
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.labelPropagationConvergence(edges, "src", "dst",
+        iters = 4)
+      .orderBy("round").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 0L)))
+    Graph.releaseIntermediates()
+  }
+
   test("pagerank: regular graph is an exact fixed point at mass 1.0") {
     // triangle: every node deg 2 — gather is exactly one unit, so the
     // integer update returns unit/8 + 7·unit/8 = unit every round
