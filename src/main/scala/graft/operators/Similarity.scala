@@ -1096,6 +1096,10 @@ object Similarity {
       maxCandidates: Int = 4096): DataFrame = {
     val spark = candidates.sparkSession
     val idField = candidates.schema(idCol)
+    require(Seq(LongType, IntegerType, StringType)
+        .contains(idField.dataType),
+      s"mmrRerank: unsupported id type ${idField.dataType.sql} for " +
+        s"'$idCol' — tie-breaks need a long, int, or string id")
     val rows = candidates.select(col(idCol),
         col(vecCol).cast(ArrayType(DoubleType)),
         col(relCol).cast(DoubleType))
@@ -1113,13 +1117,22 @@ object Similarity {
         dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i)
         i += 1
       }
-      round6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+      // a zero-norm side contributes similarity 0.0 (not NaN — a NaN
+      // would poison every maxSim comparison downstream and make the
+      // greedy pick order-dependent)
+      if (daa == 0.0 || dbb == 0.0) 0.0
+      else round6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
     }
+    // tie-break order must be the oracle's: loudly reject id types
+    // whose toString order diverges from their natural order (Short,
+    // Double, Decimal would sort "10" before "2")
     val idLt: (Any, Any) => Boolean = {
       case (x: Long, y: Long)     => x < y
       case (x: Int, y: Int)       => x < y
       case (x: String, y: String) => x < y
-      case (x, y)                 => x.toString < y.toString
+      case (x, _) => throw new IllegalArgumentException(
+        s"mmrRerank: unsupported id type ${x.getClass.getName} — " +
+          "use a long, int, or string id column")
     }
     final case class Cand(id: Any, vec: Array[Double], rel: Double,
         var maxSim: Double)

@@ -470,6 +470,27 @@ class OperatorsSpec extends SparkTestBase {
         lambda = 0.5, maxCandidates = 2)
     }
     assert(e.getMessage.contains("bounded candidate list"))
+    // a zero-norm candidate scores similarity 0.0 (never NaN — a NaN
+    // would poison every later max and make the greedy order-dependent)
+    val withZero = Seq(
+      (1L, Array(1.0f, 0.0f), 0.9),
+      (2L, Array(0.0f, 0.0f), 0.8),
+      (3L, Array(0.9f, 0.1f), 0.85)
+    ).toDF("vec_id", "embedding", "rel")
+    val z = Similarity.mmrRerank(withZero, "vec_id", "embedding",
+      "rel", k = 3, lambda = 0.5).orderBy("rank").collect()
+    // pick 1: doc 1 (max rel). doc 2's maxSim stays 0.0, so its MMR
+    // score is a clean 0.4 and it outranks the redundant doc 3
+    assert(z.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(!z.exists(r => r.getDouble(2).isNaN))
+    // unsupported id types are rejected loudly at entry, not by a
+    // silent toString tie-order
+    val badId = Seq((1.5, Array(1.0f, 0.0f), 0.9))
+      .toDF("vec_id", "embedding", "rel")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(badId, "vec_id", "embedding", "rel", k = 1)
+    }
+    assert(e2.getMessage.contains("unsupported id type"))
   }
 
   test("vec_dot is SQL-callable via GraftExtensions and codegen-exact") {
