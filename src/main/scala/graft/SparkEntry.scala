@@ -2773,6 +2773,17 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
     }),
+    // ---- BPE tokenization to PIECES: the token sequence itself,
+    // (doc_id, pos, token) — what a packer or vocabulary audit
+    // consumes; one native bpe_tokenize expression + posexplode,
+    // zero shuffle (size(bpe_tokenize) == bpe_token_count spec'd)
+    "q232_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+          merges = 8).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer.bpeTokenize(docs, "text", "doc_id", m)
+    }),
     // ---- DSIR score-gate contract: job 1 writes the dense
     // fixed-point bucket model as a lake artifact; the gate collects
     // it once (bounded: `buckets` longs, the codebook pattern) and
@@ -5178,6 +5189,28 @@ object SparkEntry {
         s"""WITH $bpeVocab0,
            |$bpeRounds
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q232_bpe_tokenize" -> {
+        // per-word token lists (the q213 encode chain split back into
+        // pieces) flattened in document order with 1-based positions
+        val encChain = (1 to 8).foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $bpeVocab0,
+           |$bpeRounds,
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM documents),
+           |tl AS (SELECT doc_id, flatten(list_transform(ws, wd ->
+           |    CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+           |      THEN string_split(trim($encChain, '·'), '··')
+           |      ELSE [wd] END)) AS toks
+           |  FROM w $crossMs)
+           |SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS token
+           |FROM tl, unnest(range(1, len(toks) + 1)) u(i)""".stripMargin
       },
       "q226_bpe_batched" -> {
         // batched learning: 2 rounds x 4 symbol-disjoint greedy picks;

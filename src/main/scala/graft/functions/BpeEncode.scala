@@ -118,6 +118,73 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
   def encodeCount(word: String): Int =
     if (priorityOk) encodePriority(word) else encodePasses(word)
 
+  /** The surviving symbols of one `[a-z]+` word, in order — the
+    * count's sibling for consumers that need the PIECES. Same
+    * fast-path/fallback split; the two always agree (the count is the
+    * pieces' length by construction on both paths). */
+  def encodePieces(word: String): Array[String] = {
+    var n = word.length
+    val syms = new Array[String](math.max(n, 1))
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    if (n >= 2 && priorityOk) {
+      var done = false
+      while (!done && n > 1) {
+        var bestRank = Int.MaxValue
+        var bestPos = -1
+        var j = 0
+        while (j < n - 1) {
+          val r = rankOf(syms(j), syms(j + 1))
+          if (r < bestRank) { bestRank = r; bestPos = j }
+          j += 1
+        }
+        if (bestPos < 0) done = true
+        else {
+          syms(bestPos) = syms(bestPos) + syms(bestPos + 1)
+          System.arraycopy(syms, bestPos + 2, syms, bestPos + 1,
+            n - bestPos - 2)
+          n -= 1
+        }
+      }
+    } else if (n >= 2) {
+      merges.foreach { case (l, r) =>
+        var read = 0
+        var write = 0
+        while (read < n) {
+          if (read + 1 < n && syms(read) == l && syms(read + 1) == r) {
+            syms(write) = l + r; read += 2
+          } else { syms(write) = syms(read); read += 1 }
+          write += 1
+        }
+        n = write
+      }
+    }
+    java.util.Arrays.copyOf(syms, n)
+  }
+
+  /** Whole-document token sequence: every `[a-z]+` word's merged
+    * pieces in order, every other word passed through whole as its
+    * own OOV token — `tokenize(text).length == countTokens(text)` by
+    * construction. */
+  def tokenize(text: UTF8String): Array[UTF8String] = {
+    val s = text.toLowerCase.trim().toString
+    val words = wsSplit.split(s, -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (isAlpha(w)) {
+        val ps = encodePieces(w)
+        var j = 0
+        while (j < ps.length) {
+          out += UTF8String.fromString(ps(j)); j += 1
+        }
+      } else out += UTF8String.fromString(w)
+      i += 1
+    }
+    out.toArray
+  }
+
   @transient private lazy val wsSplit = java.util.regex.Pattern
     .compile("\\s+")
 
@@ -159,6 +226,49 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
   * to the driver); the per-row work is the [[BpeMergeTable]] encode
   * loop — no regex chain, no per-merge string rebuilds, and the cost
   * is independent of merge-list length on the fast path. */
+/** `bpe_tokenize(text)` — the token SEQUENCE under a learned merge
+  * list (the [[BpeTokenCount]] sibling for consumers that pack or
+  * inspect actual pieces: sequence packing, vocabulary audits,
+  * fertility stats). Same per-row encode loop, materializing the
+  * pieces instead of counting them; still one native expression, zero
+  * shuffle — `size(bpe_tokenize(text)) == bpe_token_count(text)` by
+  * construction (spec'd). */
+case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def prettyName: String = "bpe_tokenize"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table = new BpeMergeTable(merges)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      table.tokenize(s.asInstanceOf[UTF8String])
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    (Object[]) $ref.tokenize($s));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 

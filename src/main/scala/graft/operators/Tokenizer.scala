@@ -236,6 +236,27 @@ object Tokenizer {
         shim.expression(col(textCol)), merges)).as("n_tokens"))
   }
 
+  /** Tokenize — the token SEQUENCE under a learned merge list, one
+    * row per (doc_id, pos, token) with `pos` 1-based in document
+    * order: what sequence packing, vocabulary audits, and fertility
+    * stats consume (the count alone can't drive a packer). Same
+    * zero-shuffle map-only shape as [[bpeTokenCounts]]; the pieces
+    * materialize in ONE native `bpe_tokenize` expression and fan out
+    * through `posexplode` — no join, no window, so at 100 TB this is
+    * still a single scan whose output is the token stream itself. */
+  def bpeTokenize(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 65536,
+      s"merges must be at most 65536 literal pairs (got ${merges.size})")
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    df.select(col(idCol).as("doc_id"),
+        posexplode(shim.column(graft.functions.BpeTokenize(
+          shim.expression(col(textCol)), merges)))
+          .as(Seq("pos", "token")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("token"))
+  }
+
   /** The chained-regex encoder the native expression replaced — kept
     * as the independently-derived reference twin for the differential
     * spec and the scale probe's A/B (it IS the oracle's `replace`

@@ -215,6 +215,39 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("regexp_replace"))
   }
 
+  test("bpeTokenize: emits the pieces in document order, OOV words " +
+      "pass through whole, and size agrees with bpeTokenCounts") {
+    val docs = Seq((1L, "low lower Low!"), (2L, "lowest"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 4).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = graft.operators.Tokenizer
+      .bpeTokenize(docs, "text", "doc_id", m)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // merges learned on vocab {low:2, lower:1, lowest:1}: lo, low,
+    // lowe, lower -> doc 1: low | lower | "low!" (OOV, lowercased);
+    // doc 2: lowe|s|t
+    assert(toks == Seq((1L, 1L, "low"), (1L, 2L, "lower"),
+      (1L, 3L, "low!"), (2L, 1L, "lowe"), (2L, 2L, "s"),
+      (2L, 3L, "t")))
+    // size(tokenize) == token count, by construction on both paths
+    val counts = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sizes = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(sizes == counts)
+    // the pass-based fallback emits pieces too (the q213 divergence
+    // list): "abc" under [(ab,c),(a,b)] -> ab | c
+    val fb = graft.operators.Tokenizer.bpeTokenize(
+        Seq((1L, "abc")).toDF("doc_id", "text"), "text", "doc_id",
+        Seq(("ab", "c"), ("a", "b")))
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(fb == Seq("ab", "c"))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("bpeMergesBatched: batch=1 equals sequential bpeMerges; " +
       "within-round picks are symbol-disjoint greedy") {
     val docs = Seq((1L, "low low lower Low!"), (2L, "low lowest"))
