@@ -2650,6 +2650,30 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopKQueries(t(s, dir, "documents"),
         "text", "doc_id", probes, k = 10)
     }),
+    // ---- MULTI-QUERY HYBRID retrieval capstone: three probes, each
+    // with BM25 terms AND an embedding — per-query lexical top-20
+    // (one corpus scan for all probes) fused with per-query cosine
+    // top-20 via rrfFuse(queryCols) into one per-probe ranking. The
+    // thousand-probe audit composed end to end: every stage is
+    // one-scan-many-probes.
+    "q233_multiquery_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val probes = Seq((5L, "spark"), (5L, "hash"), (7L, "merge"),
+        (7L, "data"), (9L, "spark"), (9L, "merge"))
+        .toDF("query_id", "term")
+      val lex = graft.operators.Retrieval.bm25TopKQueries(docs, "text",
+          "doc_id", probes, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val sem = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id").isin(5L, 7L, 9L)), "vec_id",
+          "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id",
+        k = 10, queryCols = Seq("query_id"))
+    }),
     // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25
     // lexical top-20 (probe terms) and the embedding cosine top-20
     // (probe vector doc 5) into one ranking — rank-only fusion, so the
@@ -4972,6 +4996,71 @@ object SparkEntry {
       // (q142 emits identical counts, so it shares the oracle)
       "q142_stream_funnel" -> funnelSql,
       "q143_bm25" -> bm25Sql(10),
+      "q233_multiquery_hybrid" -> {
+        // per-query BM25 top-20 (the q230 CTEs, probe set 5/7/9) fused
+        // with per-query cosine top-20 — contributions in list order
+        // (lexical first), each coalesce(1/(60+rank), 0), round 9
+        val probes = Seq((5, "spark"), (5, "hash"), (7, "merge"),
+          (7, "data"), (9, "spark"), (9, "merge"))
+        val values = probes.map { case (q, t) => s"($q, '$t')" }
+          .mkString(", ")
+        val c1 = d17(1.2 + 1.0)
+        s"""WITH probes(query_id, term) AS (VALUES $values),
+           |w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |dl AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\\s+'))
+           |      AS BIGINT) AS dl
+           |  FROM documents),
+           |st AS (SELECT count(*) AS n_docs,
+           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+           |  WHERE word IN (SELECT DISTINCT term FROM probes)
+           |  GROUP BY 1, 2),
+           |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
+           |idf AS (SELECT word,
+           |    ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)
+           |      + 1.0) AS idf
+           |  FROM dfc CROSS JOIN st),
+           |sc AS (SELECT doc_id, word,
+           |    idf * (tf * $c1) /
+           |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+           |  CROSS JOIN st),
+           |pq AS (SELECT p.query_id, sc.doc_id,
+           |    round(CAST(sum(CAST(s AS DECIMAL(30,6))) AS DOUBLE), 6)
+           |      AS score
+           |  FROM sc JOIN probes p ON sc.word = p.term
+           |  GROUP BY 1, 2),
+           |lex AS (SELECT query_id, doc_id, rank FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, doc_id ASC) AS rank
+           |    FROM pq) WHERE rank <= 20),
+           |qv AS (SELECT vec_id AS query_id, embedding AS qe
+           |       FROM embeddings WHERE vec_id IN (5, 7, 9)),
+           |cs AS (SELECT query_id, c.vec_id AS doc_id,
+           |    round(${cos("qe", "c.embedding")}, 6) AS cs
+           |  FROM embeddings c CROSS JOIN qv
+           |  WHERE c.vec_id != query_id),
+           |sem AS (SELECT query_id, doc_id, rank FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cs DESC, doc_id ASC) AS rank
+           |    FROM cs) WHERE rank <= 20),
+           |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+           |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+           |    round(coalesce(1.0 / (60 + l.rank), 0.0)
+           |      + coalesce(1.0 / (60 + s.rank), 0.0), 9) AS rrf_score
+           |  FROM lex l FULL OUTER JOIN sem s
+           |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           |  rrf_score, CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
+           |WHERE rank <= 10""".stripMargin
+      },
       "q230_bm25_multiquery" -> {
         // the bm25Sql scoring CTEs with the probe vocabulary as a
         // VALUES table; per-query totals sum in DECIMAL(30,6) (the
