@@ -82,13 +82,50 @@ object ProfLakeIngest {
         f""""admitted":$out,"sec":$t%.1f,"hash_dirs":${nDirs("hashes")},""" +
         f""""sig_dirs":${nDirs("sigs")}$tag}""")
     }
-    // batches 0..nInc-2 accumulate increments, then compact, then the
-    // LAST slice runs as a fresh batch against the compacted lake
-    for (k <- 0 until nInc - 1) runBatch(k, "")
+    // batches 0..nInc-3 accumulate increments, then compact, then the
+    // next slice runs as a fresh batch against the compacted lake,
+    // and the LAST slice runs through the SEVEN-stage chain so the
+    // stage-6/7 delta (DSIR gate + budget ledger) is measurable
+    // against the immediately-preceding five-stage batch of the same
+    // slice size
+    for (k <- 0 until nInc - 2) runBatch(k, "")
     val (_, tc) = sec { StreamLakeIngest.compact(spark, lake) }
     println(f"""LAKECOMPACT {"sec":$tc%.1f,""" +
       f""""hash_dirs":${nDirs("hashes")},"sig_dirs":${nDirs("sigs")}}""")
-    runBatch(nInc - 1, ""","post_compact":true""")
+    runBatch(nInc - 2, ""","post_compact":true""")
+    // stage-6/7 artifacts (the initLakeFull pieces the 5-stage init
+    // skipped): the DSIR model over the history, the empty ledger
+    val isTarget = col("lang") === "en"
+    val sp = StreamLakeIngest.SelectParams(
+      minMicro = Long.MinValue, tokenBudget = Long.MaxValue / 4)
+    val (_, tFullInit) = sec {
+      graft.operators.Curation.writeDsirModel(
+        joined.where(slice < nInc), "text", isTarget, sp.dsirBuckets,
+        sp.dsirSalt, s"$lake/dsir/model_init")
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tokens",
+            org.apache.spark.sql.types.LongType))))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$lake/budget/used_init")
+    }
+    println(f"""LAKEFULLINIT {"sec":$tFullInit%.1f}""")
+    val incF = joined.where(slice === (2 * nInc - 1))
+    val nF = incF.count()
+    val (admF, tF) = sec {
+      val adm = StreamLakeIngest.curateIncrementFull(incF, lake,
+        admitted, "text", "doc_id", "embedding", "source",
+        (nInc - 1).toLong, p, sp)
+      val c = adm.count()
+      graft.operators.Lineage.free(adm)
+      Dedup.releaseIntermediates()
+      c
+    }
+    println(f"""LAKEFULL {"batch":${nInc - 1},"rows":$nF,""" +
+      f""""admitted":$admF,"sec":$tF%.1f,"stages":7}""")
     spark.stop()
   }
 }
