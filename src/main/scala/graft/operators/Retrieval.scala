@@ -37,14 +37,19 @@ object Retrieval {
     val id = col(idCol)
     val words = df.select(id,
       explode(split(trim(col(textCol)), "\\s+")).as("word"))
-    // doc length in words + corpus stats (two scalar-ish aggregates; the
-    // doc-count/avgdl row is broadcast, never shuffled against the corpus)
-    val dl = df.select(id,
-      size(split(trim(col(textCol)), "\\s+")).cast("long").as("dl"))
+    // doc length in words + corpus stats. dl PERSISTS (tracked — one
+    // narrow (id, long) row per doc): stats, the scoring join, and a
+    // naive re-derivation would otherwise each re-scan the corpus TEXT
+    // column just to recount words — the 100 TB cost is the text scan,
+    // not the 16-byte cache row.
+    val dl = Dedup.tracked(df.select(id,
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = words.where(col("word").isin(queryTerms: _*))
-      .groupBy(id, col("word")).agg(count(lit(1)).as("tf"))
+    // tf PERSISTS too (bounded: only docs hitting a probe term, one
+    // row per (doc, term)) — df-counting and scoring both read it
+    val tf = Dedup.tracked(words.where(col("word").isin(queryTerms: _*))
+      .groupBy(id, col("word")).agg(count(lit(1)).as("tf")))
     val dfc = tf.groupBy("word").agg(count(lit(1)).as("dfc"))
     val idf = dfc.crossJoin(broadcast(stats)).select(col("word"),
       log((col("n_docs").cast("double") - col("dfc") + 0.5) /
@@ -106,12 +111,17 @@ object Retrieval {
     val vocab = queries.select(col("term").as("word")).distinct()
     val words = df.select(id,
       explode(split(trim(col(textCol)), "\\s+")).as("word"))
-    val dl = df.select(id,
-      size(split(trim(col(textCol)), "\\s+")).cast("long").as("dl"))
+    // dl and tf persist (tracked) for the same reason as [[bm25TopK]]:
+    // the corpus TEXT must scan exactly twice (word stream + lengths),
+    // never once more per derived aggregate — dl is a narrow
+    // (id, long) row per doc, tf is bounded by probe-vocabulary hits
+    val dl = Dedup.tracked(df.select(id,
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = words.join(broadcast(vocab), Seq("word"), "left_semi")
-      .groupBy(id, col("word")).agg(count(lit(1)).as("tf"))
+    val tf = Dedup.tracked(words
+      .join(broadcast(vocab), Seq("word"), "left_semi")
+      .groupBy(id, col("word")).agg(count(lit(1)).as("tf")))
     val dfc = tf.groupBy("word").agg(count(lit(1)).as("dfc"))
     val idf = dfc.crossJoin(broadcast(stats)).select(col("word"),
       log((col("n_docs").cast("double") - col("dfc") + 0.5) /

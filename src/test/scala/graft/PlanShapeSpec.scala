@@ -76,6 +76,30 @@ class PlanShapeSpec extends SparkTestBase {
       s"no global single-partition stage:\n$p")
   }
 
+  test("multi-query BM25 broadcasts the probe side everywhere and " +
+      "never duplicates the corpus scan per query") {
+    import graft.operators.Retrieval
+    val probes = spark.range(3).select(col("id").as("query_id"),
+      concat(lit("t"), col("id").cast("string")).as("term"))
+    val p = plan(Retrieval.bm25TopKQueries(docs, "text", "doc_id",
+      probes, k = 5))
+    // the probe vocabulary, the idf table, the stats row, and the
+    // (query, term) table all ride broadcasts — no shuffle is keyed
+    // by anything query-sized
+    assert(countOccurrences(p, "BroadcastExchange") >= 3,
+      s"probe-side tables must broadcast:\n$p")
+    // the corpus TEXT materializes exactly twice (the word stream into
+    // the tracked tf cache, the lengths into the tracked dl cache);
+    // every other consumer reads the caches — the plan substitutes
+    // InMemoryRelation for tf (df-count + scoring) and dl (stats +
+    // scoring + ranking side), so N probes never multiply text scans.
+    // (Raw Range nodes in the STRING also appear inside each cached
+    // plan's rendering, so they can't be counted directly.)
+    assert(countOccurrences(p, "InMemoryRelation") >= 4,
+      s"tf/dl must be cache-substituted at every reuse site:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("hardNegatives broadcasts the query side") {
     val emb = Seq((0L, Seq(1.0f), 0)).toDF("vec_id", "embedding", "label")
     val p = plan(Similarity.hardNegatives(emb,
