@@ -2808,6 +2808,24 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Tokenizer.bpeTokenize(docs, "text", "doc_id", m)
     }),
+    // ---- tokenizer FERTILITY audit: per-source tokens-per-word under
+    // the learned tokenizer — the standard per-domain tokenizer-quality
+    // report (a domain whose fertility runs hot is under-served by the
+    // merge list and will eat budget). Exact integer sums + one
+    // rounded ratio; the corpus pass is the zero-shuffle native encode.
+    "q234_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+          merges = 8).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_tokens")).cast("double") /
+            sum(col("n_words")).cast("double"), 6).as("fertility"))
+    }),
     // ---- DSIR score-gate contract: job 1 writes the dense
     // fixed-point bucket model as a lake artifact; the gate collects
     // it once (bounded: `buckets` longs, the codebook pattern) and
@@ -5278,6 +5296,34 @@ object SparkEntry {
         s"""WITH $bpeVocab0,
            |$bpeRounds
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q234_tokenizer_fertility" -> {
+        // the q213 learn+encode chain grouped per source; one rounded
+        // double division over exact integer sums
+        val encChain = (1 to 8).foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $bpeVocab0,
+           |$bpeRounds,
+           |w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+           |  FROM documents),
+           |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+           |      THEN len(string_split(trim($encChain, '·'), '··'))
+           |      ELSE 1 END) AS BIGINT) AS n_tokens
+           |  FROM w $crossMs
+           |  GROUP BY 1)
+           |SELECT d.source,
+           |  CAST(sum(tc.n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(tc.n_tokens) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(tc.n_tokens) AS DOUBLE)
+           |    / CAST(sum(tc.n_words) AS DOUBLE), 6) AS fertility
+           |FROM tc JOIN documents d USING (doc_id)
+           |GROUP BY 1""".stripMargin
       },
       "q232_bpe_tokenize" -> {
         // per-word token lists (the q213 encode chain split back into

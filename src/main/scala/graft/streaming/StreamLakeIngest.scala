@@ -344,12 +344,17 @@ object StreamLakeIngest {
 
   /** Stage-6/7 knobs for the full chain. `isTarget` is the DSIR
     * target-domain predicate evaluated over the HISTORY/fold-in rows
-    * (e.g. `col("lang") === "en"`). */
+    * (e.g. `col("lang") === "en"`). `merges` non-empty switches the
+    * budget's token accounting from whitespace counts to the LEARNED
+    * tokenizer (the native `bpe_token_count` expression — budgets are
+    * usually stated in model tokens, not words); like every lake
+    * threshold it must then be held constant for the lake's lifetime. */
   case class SelectParams(
       dsirBuckets: Int = 1024,
       dsirSalt: String = "graft",
       minMicro: Long = 1L,
-      tokenBudget: Long = 1000L)
+      tokenBudget: Long = 1000L,
+      merges: Seq[(String, String)] = Nil)
 
   /** [[initLake]] plus the stage-6/7 artifacts: the initial DSIR model
     * (`dsir/model_init`, fit on the history with `isTarget`) and the
@@ -451,9 +456,15 @@ object StreamLakeIngest {
       versionBefore(spark, s"$lakeRoot/budget", "used", batchId))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val tokCount =
+      if (sp.merges.isEmpty) TextOps.tokenCount(col(textCol))
+        .cast("long")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.BpeTokenCount(
+          org.apache.spark.sql.graftshim.ColumnShim
+            .expression(col(textCol)), sp.merges))
     val metered = s6
-      .withColumn("n_tokens", TextOps.tokenCount(col(textCol))
-        .cast("long"))
+      .withColumn("n_tokens", tokCount)
       .join(broadcast(prior
         .select(col("source").as(sourceCol), col("tokens"))),
         Seq(sourceCol), "left")

@@ -337,6 +337,28 @@ class LakeIngestSpec extends SparkTestBase {
       == Set(203L))
     assert(ledger("used_b1") == Map(
       "s1" -> (nTok(t5) + nTok(t13)), "s2" -> nTok(t210)))
+
+    // batch 2 with `merges` set: the budget meters in LEARNED-tokenizer
+    // tokens (the native bpe_token_count), not whitespace words
+    val t302 = "maple leaves drift over the quiet pond while the " +
+      "geese call the morning and the water is of a calm kind today"
+    val m2 = Seq(("t", "h"), ("th", "e"))
+    val bpeTok = graft.operators.Tokenizer.bpeTokenCounts(
+        Seq((1L, t302)).toDF("doc_id", "text"), "text", "doc_id", m2)
+      .head().getLong(2)
+    assert(bpeTok != nTok(t302)) // the switch must be observable
+    val sp2 = sp.copy(merges = m2,
+      minMicro = scoreUnder(s"$lake/dsir/model_b0", t302))
+    val out2 = graft.streaming.StreamLakeIngest.curateIncrementFull(
+      Seq((302L, "s3", t302, Array(0.5f, -0.5f, 0.5f)))
+        .toDF("doc_id", "source", "text", "vec"),
+      lake, admitted, "text", "doc_id", "vec", "source", 2L, p, sp2)
+    assert(out2.select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((302L, bpeTok)))
+    graft.operators.Lineage.free(out2)
+    Dedup.releaseIntermediates()
+    assert(ledger("used_b2")("s3") == bpeTok)
   }
 
   /** Shared prologue for the compaction crash-resume specs: init the
