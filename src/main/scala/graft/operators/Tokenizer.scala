@@ -47,6 +47,30 @@ object Tokenizer {
         java.util.regex.Pattern.quote(S + l + S + S + r + S),
         java.util.regex.Matcher.quoteReplacement(S + l + r + S)))
 
+  /** Merge-application chains accumulate one projection per merge on
+    * the vocab plan; past a few dozen the DRIVER cost of re-analyzing
+    * an ever-deeper plan each round dominates learning. Every
+    * `CutEvery` applied merges the vocab materializes through a
+    * lineage cut (the PageRank-round discipline), so plan depth is
+    * bounded and total driver work stays linear in merges. */
+  private val CutEvery = 32
+  private final class VocabChain(var vocab: DataFrame) {
+    private var lastCut: Option[DataFrame] = None
+    /** Apply one merge; every `CutEvery` applied merges, cut the
+      * lineage (eager materialization) and free the SUPERSEDED cut —
+      * the LPA-round block-reclamation discipline, so a long learning
+      * run holds at most one vocab snapshot. */
+    def apply(l: String, r: String, applied: Int): Unit = {
+      vocab = applyMerge(vocab, l, r)
+      if (applied % CutEvery == 0) {
+        val c = Dedup.tracked(Lineage.cut(vocab))
+        lastCut.foreach(Lineage.free)
+        lastCut = Some(c)
+        vocab = c
+      }
+    }
+  }
+
   /** Learn the first `merges` BPE merge operations over the corpus.
     *
     * The corpus collapses to its WORD VOCABULARY first — one map-side-
@@ -89,18 +113,18 @@ object Tokenizer {
 
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
-    var vocab = vocab0
+    val chain = new VocabChain(vocab0)
     var step = 1
     var done = false
     while (step <= merges && !done) {
-      val top = pairCounts(vocab).where(col("c") >= minCount)
+      val top = pairCounts(chain.vocab).where(col("c") >= minCount)
         .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
       top.headOption match {
         case Some(Row(l: String, r: String, c: Long)) =>
           learned += ((step, l, r, l + r, c))
-          // projection-local merge application; the chain over the
-          // persisted vocab base stays <= `merges` projections deep
-          vocab = applyMerge(vocab, l, r)
+          // projection-local merge application; the chain stays
+          // <= CutEvery projections deep over the latest snapshot
+          chain.apply(l, r, step)
           step += 1
         case _ => done = true
       }
@@ -147,13 +171,13 @@ object Tokenizer {
     val spark = df.sparkSession
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, String, String, Long)]
-    var vocab = initialVocab(df, textCol)
+    val chain = new VocabChain(initialVocab(df, textCol))
     var step = 1
     var round = 1
     var done = false
     val prefixN = math.min(batch * 32, 4096)
     while (round <= rounds && !done) {
-      val counts = pairCounts(vocab).where(col("c") >= minCount)
+      val counts = pairCounts(chain.vocab).where(col("c") >= minCount)
       val prefix = counts
         .orderBy(col("c").desc, col("l"), col("r")).limit(prefixN)
         .collect()
@@ -189,7 +213,7 @@ object Tokenizer {
       else {
         picks.foreach { case (l, r, c) =>
           learned += ((step, round, l, r, l + r, c))
-          vocab = applyMerge(vocab, l, r)
+          chain.apply(l, r, step)
           step += 1
         }
         round += 1

@@ -103,7 +103,11 @@ object ScaleProbe {
         "op_enc8_chained" -> enc(8, chained = true),
         "op_enc64_native" -> enc(64, chained = false),
         "op_enc64_chained" -> enc(64, chained = true),
-        "op_enc128_native" -> enc(128, chained = false))
+        "op_enc128_native" -> enc(128, chained = false),
+        // real-vocabulary territory: 1024 merges (128 batched rounds,
+        // plan depth held by the CutEvery lineage cuts) — the encode
+        // must stay ~flat; the learning wall lands in run 1 only
+        "op_enc1024_native" -> enc(1024, chained = false))
     }
     val opQueries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
