@@ -361,6 +361,47 @@ class LakeIngestSpec extends SparkTestBase {
     assert(ledger("used_b2")("s3") == bpeTok)
   }
 
+  test("ingestFull: the seven-stage foreachBatch loop drives " +
+      "micro-batches end to end (admitted dirs + ledger progression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("lake_fullstream").toString
+    val lake = s"$root/lake"
+    val admitted = s"$root/admitted"
+    val zzzT = "zzz qux jolt vex brim clod dunes parn welk trid moss"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f)),
+      IngestDoc(14L, zzzT, Array(0.5f, 0.5f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    // generous gates: this spec pins the STREAM WIRING (per-batch
+    // dirs, cross-batch ledger reads); the gate semantics are pinned
+    // by the direct-call seven-stage spec above
+    val sp = graft.streaming.StreamLakeIngest.SelectParams(
+      minMicro = Long.MinValue, tokenBudget = Long.MaxValue / 4)
+    graft.streaming.StreamLakeIngest.initLakeFull(hist, bench, "text",
+      "doc_id", "vec", !col("text").contains("zzz"), lake, p, sp)
+    case class FullDoc(doc_id: Long, source: String, text: String,
+        vec: Array[Float])
+    val stream = MemoryStream[(Long, String, String, Array[Float])]
+    val q = graft.streaming.StreamLakeIngest.ingestFull(
+      stream.toDF().toDF("doc_id", "source", "text", "vec"), lake,
+      admitted, s"$root/ckpt", "text", "doc_id", "vec", "source", p, sp)
+    stream.addData((105L, "s1", t5, Array(0f, 0f, 1f)))
+    q.processAllAvailable()
+    stream.addData((203L, "s1", t210, Array(0f, -1f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    assert(admittedIds(s"$admitted/inc_b0") == Set(105L))
+    assert(admittedIds(s"$admitted/inc_b1") == Set(203L))
+    // batch 1's ledger accumulated batch 0's s1 tokens — the stream
+    // read used_b0, not the init ledger
+    def tok(t: String): Long = spark.range(1)
+      .select(graft.operators.TextOps.tokenCount(lit(t)).cast("long"))
+      .head().getLong(0)
+    val led = spark.read.parquet(s"$lake/budget/used_b1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(led == Map("s1" -> (tok(t5) + tok(t210))))
+  }
+
   /** Shared prologue for the compaction crash-resume specs: init the
     * lake, run batches 0 and 1, return (lake, admitted). */
   private def crashFixture(): (String, String) = {
