@@ -65,71 +65,17 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
     }
   }
 
-  /** Symbol count of `word` after applying the merge list — the
-    * rank-priority loop (fast path). */
-  private def encodePriority(word: String): Int = {
-    var n = word.length
+  /** The ONE merge core (count and pieces both read it, so
+    * `size(bpe_tokenize) == bpe_token_count` holds structurally, not
+    * by keeping twin loops in sync): merge `syms(0 until n)` in place
+    * and return the surviving symbol count. Rank-priority loop on the
+    * fast path, sequential left-to-right sweeps per merge on the
+    * fallback (the exact replay of the chained replaces). */
+  private def mergeInPlace(syms: Array[String], n0: Int): Int = {
+    var n = n0
     if (n < 2) return n
-    val syms = new Array[String](n)
-    var i = 0
-    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
-    while (n > 1) {
-      var bestRank = Int.MaxValue
-      var bestPos = -1
-      var j = 0
-      while (j < n - 1) {
-        val r = rankOf(syms(j), syms(j + 1))
-        if (r < bestRank) { bestRank = r; bestPos = j }
-        j += 1
-      }
-      if (bestPos < 0) return n
-      syms(bestPos) = syms(bestPos) + syms(bestPos + 1)
-      System.arraycopy(syms, bestPos + 2, syms, bestPos + 1,
-        n - bestPos - 2)
-      n -= 1
-    }
-    n
-  }
-
-  /** Symbol count via one left-to-right non-overlapping sweep per
-    * merge, in list order — the exact replay of the chained replaces
-    * (fallback for non-well-formed lists). */
-  private def encodePasses(word: String): Int = {
-    var n = word.length
-    if (n < 2) return n
-    val syms = new Array[String](n)
-    var i = 0
-    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
-    merges.foreach { case (l, r) =>
-      var read = 0
-      var write = 0
-      while (read < n) {
-        if (read + 1 < n && syms(read) == l && syms(read + 1) == r) {
-          syms(write) = l + r; read += 2
-        } else { syms(write) = syms(read); read += 1 }
-        write += 1
-      }
-      n = write
-    }
-    n
-  }
-
-  /** Token count of one already-validated `[a-z]+` word. */
-  def encodeCount(word: String): Int =
-    if (priorityOk) encodePriority(word) else encodePasses(word)
-
-  /** The surviving symbols of one `[a-z]+` word, in order — the
-    * count's sibling for consumers that need the PIECES. Same
-    * fast-path/fallback split; the two always agree (the count is the
-    * pieces' length by construction on both paths). */
-  def encodePieces(word: String): Array[String] = {
-    var n = word.length
-    val syms = new Array[String](math.max(n, 1))
-    var i = 0
-    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
-    if (n >= 2 && priorityOk) {
-      var done = false
-      while (!done && n > 1) {
+    if (priorityOk) {
+      while (n > 1) {
         var bestRank = Int.MaxValue
         var bestPos = -1
         var j = 0
@@ -138,15 +84,14 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
           if (r < bestRank) { bestRank = r; bestPos = j }
           j += 1
         }
-        if (bestPos < 0) done = true
-        else {
-          syms(bestPos) = syms(bestPos) + syms(bestPos + 1)
-          System.arraycopy(syms, bestPos + 2, syms, bestPos + 1,
-            n - bestPos - 2)
-          n -= 1
-        }
+        if (bestPos < 0) return n
+        syms(bestPos) = syms(bestPos) + syms(bestPos + 1)
+        System.arraycopy(syms, bestPos + 2, syms, bestPos + 1,
+          n - bestPos - 2)
+        n -= 1
       }
-    } else if (n >= 2) {
+      n
+    } else {
       merges.foreach { case (l, r) =>
         var read = 0
         var write = 0
@@ -158,8 +103,28 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
         }
         n = write
       }
+      n
     }
-    java.util.Arrays.copyOf(syms, n)
+  }
+
+  private def initialSyms(word: String): Array[String] = {
+    val syms = new Array[String](math.max(word.length, 1))
+    var i = 0
+    while (i < word.length) {
+      syms(i) = String.valueOf(word.charAt(i)); i += 1
+    }
+    syms
+  }
+
+  /** Token count of one already-validated `[a-z]+` word. */
+  def encodeCount(word: String): Int =
+    mergeInPlace(initialSyms(word), word.length)
+
+  /** The surviving symbols of one `[a-z]+` word, in order — the
+    * count's sibling for consumers that need the PIECES. */
+  def encodePieces(word: String): Array[String] = {
+    val syms = initialSyms(word)
+    java.util.Arrays.copyOf(syms, mergeInPlace(syms, word.length))
   }
 
   /** Whole-document token sequence: every `[a-z]+` word's merged

@@ -204,40 +204,30 @@ object StreamLakeIngest {
     }
     // promote: delete EXACTLY the manifest's dirs (on a resumed
     // half-promote the staging is the only copy of the already-deleted
-    // ones, so this must run to completion), then swap staging in
+    // ones, so this must run to completion), then swap staging in.
+    // The manifest is removed ONLY AFTER the rename lands: deleting it
+    // first would open a crash window where the staging — by then the
+    // only copy of the compacted rows — reads as "rewrite never
+    // completed" and gets discarded on resume. A crash between rename
+    // and the manifest delete merely leaves an underscore-prefixed
+    // file inside base/ (invisible to every parquet reader and to the
+    // next compaction's staging check, which looks under _compact/).
     readManifest().get.foreach(n => fs.delete(new Path(path, n), true))
-    fs.delete(manifest, false)
-    require(fs.rename(staging, new Path(path, "base")),
+    val base = new Path(path, "base")
+    require(fs.rename(staging, base),
       s"compaction swap failed for $dir — staging left at $staging")
+    try fs.delete(new Path(base, "_compacted_dirs"), false)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** The latest keeper snapshot OLDER than this batch: `keepers_b<k>`
-    * with the largest k < batchId, else the init snapshot `keepers`.
-    * Also prunes snapshots older than the returned one — a replay is
-    * only ever of THIS batch or later, and those read the returned
-    * snapshot or newer, so everything older is unreachable. */
+    * with the largest k < batchId, else the init snapshot `keepers`
+    * (the one versioned-snapshot family whose init name predates the
+    * `_init` convention). */
   private def keepersBefore(spark: SparkSession, semDir: String,
-      batchId: Long): String = {
-    val path = new Path(semDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(path).filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("keepers_b") =>
-        s.stripPrefix("keepers_b").toLong }
-      .filter(_ < batchId)
-    val chosen =
-      if (versions.isEmpty) s"$semDir/keepers"
-      else s"$semDir/keepers_b${versions.max}"
-    if (versions.nonEmpty) {
-      versions.filter(_ < versions.max).foreach { k =>
-        try fs.delete(new Path(s"$semDir/keepers_b$k"), true)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-      try fs.delete(new Path(s"$semDir/keepers"), true)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-    chosen
-  }
+      batchId: Long): String =
+    versionBefore(spark, semDir, "keepers", batchId,
+      initName = "keepers")
 
   /** One micro-batch through the five-stage chain. Pure function of
     * (batch rows, lake state visible to `batchId`) with all writes
@@ -365,7 +355,12 @@ object StreamLakeIngest {
     initLake(hist, bench, textCol, idCol, vecCol, lakeRoot, p)
     Curation.writeDsirModel(hist, textCol, isTarget, sp.dsirBuckets,
       sp.dsirSalt, s"$lakeRoot/dsir/model_init")
-    val spark = hist.sparkSession
+    writeEmptyLedger(hist.sparkSession, s"$lakeRoot/budget/used_init")
+  }
+
+  /** The budget ledger's schema in one place: (source, tokens). Public
+    * so probe tooling initializes ledgers the gate can actually read. */
+  def writeEmptyLedger(spark: SparkSession, path: String): Unit =
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
@@ -374,15 +369,18 @@ object StreamLakeIngest {
         org.apache.spark.sql.types.StructField("tokens",
           org.apache.spark.sql.types.LongType))))
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$lakeRoot/budget/used_init")
-  }
+      .write.mode("overwrite").parquet(path)
 
   /** Newest `<prefix>_b<k>` subdir of `dir` with k < batchId, else
-    * `<prefix>_init`; prunes versions older than the returned one (a
-    * replay is only ever of THIS batch or later — the keepersBefore
-    * argument). */
+    * the init snapshot `<initName>`; prunes versions older than the
+    * returned one, plus the init snapshot once any version exists (a
+    * replay is only ever of THIS batch or later, and those read the
+    * returned snapshot or newer, so everything older is unreachable).
+    * The one snapshot-selection rule for all three versioned families
+    * — keepers, DSIR models, budget ledgers. */
   private def versionBefore(spark: SparkSession, dir: String,
-      prefix: String, batchId: Long): String = {
+      prefix: String, batchId: Long, initName: String = null): String = {
+    val init = Option(initName).getOrElse(s"${prefix}_init")
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = fs.listStatus(path).filter(_.isDirectory)
@@ -391,14 +389,14 @@ object StreamLakeIngest {
         s.stripPrefix(s"${prefix}_b").toLong }
       .filter(_ < batchId)
     val chosen =
-      if (versions.isEmpty) s"$dir/${prefix}_init"
+      if (versions.isEmpty) s"$dir/$init"
       else s"$dir/${prefix}_b${versions.max}"
     if (versions.nonEmpty) {
       versions.filter(_ < versions.max).foreach { k =>
         try fs.delete(new Path(s"$dir/${prefix}_b$k"), true)
         catch { case scala.util.control.NonFatal(_) => () }
       }
-      try fs.delete(new Path(s"$dir/${prefix}_init"), true)
+      try fs.delete(new Path(s"$dir/$init"), true)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     chosen
@@ -415,8 +413,12 @@ object StreamLakeIngest {
       lakeRoot: String, batchId: Long,
       sp: SelectParams = SelectParams()): Unit = {
     val spark = incDf.sparkSession
-    val src = versionBefore(spark, s"$lakeRoot/dsir", "model",
-      batchId + 1)
+    // source = newest snapshot STRICTLY OLDER than batchId — never
+    // this fold's own output: a crashed-and-rerun fold for the same
+    // batchId must re-read the true predecessor (and overwrite its
+    // torn first attempt), not fold the increment in a second time
+    // from a possibly-corrupt model_b<batchId>
+    val src = versionBefore(spark, s"$lakeRoot/dsir", "model", batchId)
     Curation.appendDsirModelAt(incDf, textCol, isTarget, sp.dsirSalt,
       src, s"$lakeRoot/dsir/model_b$batchId")
   }

@@ -102,15 +102,8 @@ object ProfLakeIngest {
       graft.operators.Curation.writeDsirModel(
         joined.where(slice < nInc), "text", isTarget, sp.dsirBuckets,
         sp.dsirSalt, s"$lake/dsir/model_init")
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("source",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("tokens",
-            org.apache.spark.sql.types.LongType))))
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$lake/budget/used_init")
+      StreamLakeIngest.writeEmptyLedger(spark,
+        s"$lake/budget/used_init")
     }
     println(f"""LAKEFULLINIT {"sec":$tFullInit%.1f}""")
     val incF = joined.where(slice === (2 * nInc - 1))

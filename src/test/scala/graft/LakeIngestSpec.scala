@@ -262,6 +262,14 @@ class LakeIngestSpec extends SparkTestBase {
       .orderBy("b").collect().map(_.toString).toSeq
     assert(modelRows(s"$lake/dsir/model_b0") ==
       modelRows(s"$root/rebuilt"))
+    // a crashed-and-rerun fold for the SAME batch id is idempotent:
+    // it must re-read the true predecessor (model_init), never its own
+    // first attempt — a self-read would double-count the increment
+    val b0 = modelRows(s"$lake/dsir/model_b0")
+    graft.streaming.StreamLakeIngest.foldDsirModel(foldRows, "text",
+      isTarget, lake, 0L, sp0)
+    assert(modelRows(s"$lake/dsir/model_b0") == b0,
+      "fold re-run for the same batch id is not idempotent")
 
     def scoreUnder(modelPath: String, text: String): Long = {
       val lr = spark.read.parquet(modelPath)
@@ -490,5 +498,32 @@ class LakeIngestSpec extends SparkTestBase {
     assert(subdirsOf(hdir) == Set("base", "inc_b1"))
     assert(hashCount(hdir) == before,
       "half-promoted compaction lost the deleted dir's rows")
+  }
+
+  test("compaction crash-resume: a crash between the rename and the " +
+      "manifest cleanup leaves only a stray underscore file — the " +
+      "next compaction and every reader ignore it") {
+    val (lake, admitted) = crashFixture()
+    val hdir = s"$lake/hashes"
+    val before = hashCount(hdir)
+    // simulate the post-rename crash state: promoted base carrying the
+    // not-yet-deleted manifest file
+    val w = new java.io.FileWriter(s"$hdir/base/_compacted_dirs")
+    try w.write("base\n") finally w.close()
+    assert(hashCount(hdir) == before) // readers skip underscore files
+    // a later batch + compaction proceed normally (the staging check
+    // looks under _compact/, never inside base/)
+    val out = StreamLakeIngest.curateIncrement(Seq(
+      IngestDoc(601L, "wholly novel words after the stray manifest " +
+        "and the state is of a healthy kind so nothing is lost here",
+        Array(0.7f, -0.7f, 0f))).toDF(), lake, admitted, "text",
+      "doc_id", "vec", 2L, p)
+    out.count(); graft.operators.Lineage.free(out)
+    Dedup.releaseIntermediates()
+    val grew = hashCount(hdir)
+    StreamLakeIngest.compact(spark, lake)
+    assert(subdirsOf(hdir) == Set("base", "inc_b2"))
+    assert(hashCount(hdir) == grew)
+    assert(!new java.io.File(s"$hdir/base/_compacted_dirs").exists())
   }
 }
