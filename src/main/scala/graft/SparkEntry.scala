@@ -2884,6 +2884,16 @@ object SparkEntry {
         selectionPipeline(s, dir).select(col("doc_id"),
           col("n_tokens")),
         "doc_id", "n_tokens", shardWeight = 800L)),
+    // ---- shard provenance MANIFEST: per-shard doc count, token sum,
+    // and order-sensitive content digest (md5 of doc ids in offset
+    // order) over the q225 assignment — the reproducibility
+    // attestation recorded beside a landed training set; two layouts
+    // agree iff the digests do
+    "q235_shard_manifest" -> ((s, dir) =>
+      Sampling.shardManifest(Sampling.shardAssign(
+        selectionPipeline(s, dir).select(col("doc_id"),
+          col("n_tokens")),
+        "doc_id", "n_tokens", shardWeight = 800L))),
     // ---- PHYSICAL shard layout: the q225 assignment LANDED as a
     // shard=N/-partitioned parquet table (no second sort, no shuffle
     // — the assignment's range order streams task-locally into the
@@ -5474,6 +5484,25 @@ object SparkEntry {
           |GROUP BY 1
           |HAVING sum(lr_micro) >= 1""".stripMargin,
       "q215_selection_pipeline" -> selectionPipelineSql,
+      "q235_shard_manifest" ->
+        s"""WITH sel_out AS (SELECT * FROM ($selectionPipelineSql)),
+           |st AS (SELECT doc_id, n_tokens,
+           |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+           |  FROM sel_out),
+           |sc AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS before
+           |  FROM st),
+           |a AS (SELECT doc_id, n_tokens,
+           |    CAST(before // 800 AS BIGINT) AS shard,
+           |    CAST(before % 800 AS BIGINT) AS off
+           |  FROM sc)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+           |    ORDER BY off)) AS digest
+           |FROM a GROUP BY 1""".stripMargin,
       // the landed layout must round-trip to exactly the q225
       // assignment — same oracle, certified against the READ-BACK
       "q228_selection_shard_write" ->

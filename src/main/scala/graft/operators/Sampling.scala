@@ -213,4 +213,22 @@ object Sampling {
   def writeShards(assigned: DataFrame, path: String,
       shardCol: String = "shard"): Unit =
     assigned.write.mode("overwrite").partitionBy(shardCol).parquet(path)
+
+  /** Per-shard provenance manifest — the reproducibility attestation a
+    * training run records beside its shards: for every shard, the doc
+    * count, the token sum, and an ORDER-SENSITIVE content digest (md5
+    * of the comma-joined doc ids in offset order — two layouts agree
+    * iff every shard holds the same docs in the same order). One
+    * shard-keyed aggregate over the assignment (or the read-back
+    * layout — both carry (shard, offset)); the digest input is
+    * shard-sized, bounded by shardWeight. */
+  def shardManifest(assigned: DataFrame, idCol: String = "doc_id",
+      weightCol: String = "n_tokens"): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as(weightCol),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("offset"),
+            col(idCol).cast("string").as("__id")))),
+          s => s.getField("__id")), ",")).as("digest"))
 }

@@ -80,6 +80,27 @@ class LayoutSpec extends SparkTestBase {
     assert(back == expected)
   }
 
+  test("shardManifest: per-shard counts/sums and an order-sensitive " +
+      "digest (md5 of ids in offset order)") {
+    val docs = spark.range(0, 50).select($"id".as("doc_id"),
+      (pmod($"id" * 13 + 5, lit(20)) + 1).as("w"))
+    val assigned = graft.operators.Sampling.shardAssign(docs, "doc_id",
+      "w", shardWeight = 100L)
+    val rows = assigned.collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(0), r.getLong(1)))
+    val man = graft.operators.Sampling.shardManifest(assigned, "doc_id", "w")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val inOrder = rs.sortBy(_._2)
+      val expectDigest = java.security.MessageDigest.getInstance("MD5")
+        .digest(inOrder.map(_._3).mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(man(shard) ==
+        ((rs.size.toLong, rs.map(_._4).sum, expectDigest)))
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val fact = spark.range(1000).select($"id",
