@@ -41,6 +41,23 @@ object SparkEntry {
   private lazy val LakeRoot =
     java.nio.file.Files.createTempDirectory("graft_lake_").toString
 
+  /** The SIDE-EFFECTING queries (see the [[LakeRoot]] note): entries
+    * whose construction runs artifact-WRITE jobs against the lake
+    * roots. Bench runs these LAST — their hundreds-of-MB lake writes
+    * evict the page cache and were measured cooling alphabetical
+    * followers ~2.5x (q86–q90's floor exceedances all sat in q229's
+    * wake), so keeping them out of the read-only queries' wake keeps
+    * every other floor honest. */
+  val sideEffecting: Set[String] = Set(
+    "q192_lake_artifacts", "q193_semlake_artifacts", "q196_exact_lake",
+    "q198_exact_lake_cycle", "q200_neardup_lake_cycle",
+    "q201_semlake_cycle", "q202_calibrated_filter",
+    "q203_neardup_lake_fused", "q204_semlake_fused",
+    "q205_lake_seeded_gate", "q206_semlake_seeded_gate",
+    "q207_incremental_pipeline", "q208_stream_lake_ingest",
+    "q221_disposition_audit", "q228_selection_shard_write",
+    "q229_stream_full_ingest", "q239_stream_shard_append")
+
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
   /** Stage boundaries of the incremental-curation chain, shared by the
@@ -75,6 +92,27 @@ object SparkEntry {
       .bpeTokenCounts(selDocs, "text", "doc_id", m)
       .join(selDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
     graft.streaming.StreamTokenBudget.batch(counts, budget = 500L)
+  }
+
+  /** The NON-ASCII corpus for the unicode-tokenizer queries
+    * (q236/q237): the documents text with its vowels translated to
+    * accented forms (per-code-point `translate`, identical in Spark
+    * and DuckDB, so the derivation is engine-exact) UNION literal
+    * CJK / Cyrillic / mixed-case / digit rows. Every alphabetic word
+    * is thus OUTSIDE the ascii `[a-z]+` class — under the ascii
+    * tokenizer this whole corpus would bypass the vocabulary as OOV
+    * passthrough; the unicode mode is what makes it encodable. */
+  private def uniCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      translate(col("text"), "aeiou", "àéïöü").as("text"), col("lang"))
+    val extra = Seq(
+      (1000000L, "数据 模型 数据 训练 数据 模型 训练 数据", "zh"),
+      (1000001L, "данные поток данные система данные поток", "ru"),
+      (1000002L, "Übung Straße Übung größe 123 Übung 123", "de"),
+      (1000003L, "Ⅻ x² Ⅻ x² 数据 данные mixé-mot", "xx"))
+      .toDF("doc_id", "text", "lang")
+    base.unionByName(extra)
   }
 
   /** The q207 chain: decon -> exact-vs-lake -> near-dup cross ->
@@ -2674,6 +2712,34 @@ object SparkEntry {
       graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id",
         k = 10, queryCols = Seq("query_id"))
     }),
+    // ---- PER-QUERY MMR over the q233 hybrid: each probe's fused
+    // top-10 diversified independently (greedy λ·rel − (1−λ)·maxSim,
+    // rel = rrf_score), k=5 — DISTRIBUTED per query key (one shuffle,
+    // one bounded greedy per group), the shape a thousand-probe audit
+    // needs where the single-query driver fold would serialize.
+    "q238_mmr_perquery" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val probes = Seq((5L, "spark"), (5L, "hash"), (7L, "merge"),
+        (7L, "data"), (9L, "spark"), (9L, "merge"))
+        .toDF("query_id", "term")
+      val lex = graft.operators.Retrieval.bm25TopKQueries(docs, "text",
+          "doc_id", probes, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val sem = Similarity.cosineTopK(emb,
+          emb.where(col("vec_id").isin(5L, 7L, 9L)), "vec_id",
+          "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        "doc_id", k = 10, queryCols = Seq("query_id"))
+      val cand = fused.select(col("query_id"), col("doc_id"),
+          col("rrf_score"))
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      Similarity.mmrRerankPerQuery(cand, Seq("query_id"), "doc_id",
+        "embedding", "rrf_score", k = 5, lambda = 0.7)
+    }),
     // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25
     // lexical top-20 (probe terms) and the embedding cosine top-20
     // (probe vector doc 5) into one ranking — rank-only fusion, so the
@@ -2821,6 +2887,35 @@ object SparkEntry {
       graft.operators.Tokenizer.bpeTokenCounts(docs, "text", "doc_id", m)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy("source")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_tokens")).cast("double") /
+            sum(col("n_words")).cast("double"), 6).as("fertility"))
+    }),
+    // ---- UNICODE-mode BPE learning: the word class lifted from
+    // lowercase-ASCII [a-z]+ to full-Unicode letters+numbers
+    // ([\p{L}\p{N}]+, identical in Java and RE2; symbols are CODE
+    // POINTS), so accented/Cyrillic/CJK/digit words enter the learned
+    // vocabulary instead of bypassing it as single OOV tokens. Corpus:
+    // the documents text vowel-translated to accented forms + literal
+    // CJK/Cyrillic/mixed rows (uniCorpus) — all of it invisible to the
+    // ascii tokenizer, all of it encodable here.
+    "q236_bpe_unicode_merges" -> ((s, dir) =>
+      graft.operators.Tokenizer.bpeMerges(uniCorpus(s, dir), "text",
+        merges = 8, unicode = true)),
+    // ---- unicode learn -> NATIVE unicode encode -> per-lang
+    // FERTILITY on the non-ASCII corpus: fertility > 1 for every lang
+    // is the proof the text actually encodes under the learned
+    // vocabulary (ascii-mode OOV passthrough would pin it at 1.0).
+    "q237_bpe_unicode_fertility" -> ((s, dir) => {
+      val uc = uniCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(uc, "text",
+          merges = 8, unicode = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer
+        .bpeTokenCounts(uc, "text", "doc_id", m, unicode = true)
+        .join(uc.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
         .agg(sum(col("n_words")).as("n_words"),
           sum(col("n_tokens")).as("n_tokens"),
           round(sum(col("n_tokens")).cast("double") /
@@ -3099,7 +3194,10 @@ object SparkEntry {
     // the oracle would return 0 rows on degenerate corpora while the
     // engine stops early and keeps its shorter merge list. Consumers
     // that emit merge ROWS filter the sentinels back out (c >= 1).
-    val bpeRounds = (1 to 8).map { i =>
+    // sentinel char per mode: ascii uses '0' (a digit can never be a
+    // [a-z]+ symbol); unicode uses '-' (category Pd — outside
+    // [\p{L}\p{N}], while '0' IS a unicode-mode symbol)
+    def bpeRoundsGen(n: Int, sentinel: String): String = (1 to n).map { i =>
       s"""p$i AS (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
          |    sum(cnt) AS c
          |  FROM (SELECT string_split(trim(seq, '·'), '··') AS tk,
@@ -3108,12 +3206,14 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |m$i AS (SELECT lhs, rhs, c FROM (
          |    SELECT lhs, rhs, c FROM p$i WHERE c >= 1
-         |    UNION ALL SELECT '0', '0', 0)
+         |    UNION ALL SELECT '$sentinel', '$sentinel', 0)
          |  ORDER BY c DESC, lhs, rhs LIMIT 1),
          |v$i AS (SELECT replace(seq, '·' || lhs || '··' || rhs || '·',
          |    '·' || lhs || rhs || '·') AS seq, cnt
          |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
+    val bpeRounds = bpeRoundsGen(8, "0")
+    val bpeRoundsUni = bpeRoundsGen(8, "-")
     // batched-BPE oracle chain: per round, `batch` chained argmax
     // picks (greedy in (count desc, lhs, rhs) order, each excluding
     // every SYMBOL an earlier same-round pick used — exactly
@@ -3167,6 +3267,32 @@ object SparkEntry {
          |      FROM $src)
          |    WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1))""".stripMargin
     val bpeVocab0 = bpeVocab0From("documents")
+    // unicode-mode vocab: the full-Unicode letters+numbers word class
+    // (same literal regex class in Java and RE2; '(.)' splits per
+    // CODE POINT in both engines)
+    def bpeVocab0UniFrom(src: String): String =
+      s"""v0 AS (
+         |  SELECT regexp_replace(w, '(.)', '·\\1·', 'g') AS seq, cnt
+         |  FROM (
+         |    SELECT w, count(*) AS cnt FROM (
+         |      SELECT unnest(string_split_regex(trim(lower(text)),
+         |          '\\s+')) AS w
+         |      FROM $src)
+         |    WHERE regexp_matches(w, '^[\\p{L}\\p{N}]+$$')
+         |    GROUP BY 1))""".stripMargin
+    // the q236/q237 non-ASCII corpus: uniCorpus's SQL twin
+    val uniCorpusSql =
+      """ud AS (
+        |  SELECT doc_id, translate(text, 'aeiou', 'àéïöü') AS text,
+        |    lang
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.did AS BIGINT), v.txt, v.lng FROM (VALUES
+        |    (1000000, '数据 模型 数据 训练 数据 模型 训练 数据', 'zh'),
+        |    (1000001, 'данные поток данные система данные поток', 'ru'),
+        |    (1000002, 'Übung Straße Übung größe 123 Übung 123', 'de'),
+        |    (1000003, 'Ⅻ x² Ⅻ x² 数据 данные mixé-mot', 'xx'))
+        |    v(did, txt, lng))""".stripMargin
     val funnelSql =
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -3200,6 +3326,76 @@ object SparkEntry {
 
     def cos(a: String, b: String) =
       s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+    // the q233 hybrid chain as a reusable CTE list ending in `fused`
+    // (per-query BM25 top-20 for probe set 5/7/9, fused with per-query
+    // cosine top-20, rrf per-query top-10) — shared by the q233 oracle
+    // and the q238 per-query-MMR oracle built on top of it.
+    // Contributions in list order (lexical first), each
+    // coalesce(1/(60+rank), 0), round 9.
+    val hybridFusedCtes: String = {
+      val probes = Seq((5, "spark"), (5, "hash"), (7, "merge"),
+        (7, "data"), (9, "spark"), (9, "merge"))
+      val values = probes.map { case (q, t) => s"($q, '$t')" }
+        .mkString(", ")
+      val c1 = d17(1.2 + 1.0)
+      s"""probes(query_id, term) AS (VALUES $values),
+         |w AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents),
+         |dl AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS dl
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+         |  WHERE word IN (SELECT DISTINCT term FROM probes)
+         |  GROUP BY 1, 2),
+         |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
+         |idf AS (SELECT word,
+         |    ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)
+         |      + 1.0) AS idf
+         |  FROM dfc CROSS JOIN st),
+         |sc AS (SELECT doc_id, word,
+         |    idf * (tf * $c1) /
+         |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+         |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+         |  CROSS JOIN st),
+         |pq AS (SELECT p.query_id, sc.doc_id,
+         |    round(CAST(sum(CAST(s AS DECIMAL(30,6))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM sc JOIN probes p ON sc.word = p.term
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id ASC) AS rank
+         |    FROM pq) WHERE rank <= 20),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id IN (5, 7, 9)),
+         |cs AS (SELECT query_id, c.vec_id AS doc_id,
+         |    round(${cos("qe", "c.embedding")}, 6) AS cs
+         |  FROM embeddings c CROSS JOIN qv
+         |  WHERE c.vec_id != query_id),
+         |sem AS (SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cs DESC, doc_id ASC) AS rank
+         |    FROM cs) WHERE rank <= 20),
+         |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + l.rank), 0.0)
+         |      + coalesce(1.0 / (60 + s.rank), 0.0), 9) AS rrf_score
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |fused AS MATERIALIZED (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |    rrf_score, CAST(rank AS BIGINT) AS rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
+         |  WHERE rank <= 10)""".stripMargin
+    }
 
     // exact n-gram Jaccard pairs (shared by q27 and the q25/q26 recall
     // gates); mirrors the engine's df-cap pre-filter (2 <= df <= 1000)
@@ -5024,70 +5220,60 @@ object SparkEntry {
       // (q142 emits identical counts, so it shares the oracle)
       "q142_stream_funnel" -> funnelSql,
       "q143_bm25" -> bm25Sql(10),
-      "q233_multiquery_hybrid" -> {
+      "q233_multiquery_hybrid" ->
         // per-query BM25 top-20 (the q230 CTEs, probe set 5/7/9) fused
-        // with per-query cosine top-20 — contributions in list order
-        // (lexical first), each coalesce(1/(60+rank), 0), round 9
-        val probes = Seq((5, "spark"), (5, "hash"), (7, "merge"),
-          (7, "data"), (9, "spark"), (9, "merge"))
-        val values = probes.map { case (q, t) => s"($q, '$t')" }
-          .mkString(", ")
-        val c1 = d17(1.2 + 1.0)
-        s"""WITH probes(query_id, term) AS (VALUES $values),
-           |w AS (SELECT doc_id,
-           |    unnest(string_split_regex(trim(text), '\\s+')) AS word
-           |  FROM documents),
-           |dl AS (SELECT doc_id,
-           |    CAST(len(string_split_regex(trim(text), '\\s+'))
-           |      AS BIGINT) AS dl
-           |  FROM documents),
-           |st AS (SELECT count(*) AS n_docs,
-           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-           |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
-           |  WHERE word IN (SELECT DISTINCT term FROM probes)
-           |  GROUP BY 1, 2),
-           |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
-           |idf AS (SELECT word,
-           |    ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)
-           |      + 1.0) AS idf
-           |  FROM dfc CROSS JOIN st),
-           |sc AS (SELECT doc_id, word,
-           |    idf * (tf * $c1) /
-           |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
-           |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
-           |  CROSS JOIN st),
-           |pq AS (SELECT p.query_id, sc.doc_id,
-           |    round(CAST(sum(CAST(s AS DECIMAL(30,6))) AS DOUBLE), 6)
-           |      AS score
-           |  FROM sc JOIN probes p ON sc.word = p.term
-           |  GROUP BY 1, 2),
-           |lex AS (SELECT query_id, doc_id, rank FROM (
-           |    SELECT query_id, doc_id,
-           |      row_number() OVER (PARTITION BY query_id
-           |        ORDER BY score DESC, doc_id ASC) AS rank
-           |    FROM pq) WHERE rank <= 20),
-           |qv AS (SELECT vec_id AS query_id, embedding AS qe
-           |       FROM embeddings WHERE vec_id IN (5, 7, 9)),
-           |cs AS (SELECT query_id, c.vec_id AS doc_id,
-           |    round(${cos("qe", "c.embedding")}, 6) AS cs
-           |  FROM embeddings c CROSS JOIN qv
-           |  WHERE c.vec_id != query_id),
-           |sem AS (SELECT query_id, doc_id, rank FROM (
-           |    SELECT query_id, doc_id,
-           |      row_number() OVER (PARTITION BY query_id
-           |        ORDER BY cs DESC, doc_id ASC) AS rank
-           |    FROM cs) WHERE rank <= 20),
-           |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
-           |    coalesce(l.doc_id, s.doc_id) AS doc_id,
-           |    round(coalesce(1.0 / (60 + l.rank), 0.0)
-           |      + coalesce(1.0 / (60 + s.rank), 0.0), 9) AS rrf_score
-           |  FROM lex l FULL OUTER JOIN sem s
-           |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
-           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-           |  rrf_score, CAST(rank AS BIGINT) AS rank
-           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-           |    ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
-           |WHERE rank <= 10""".stripMargin
+        // with per-query cosine top-20 (hybridFusedCtes)
+        s"""WITH $hybridFusedCtes
+           |SELECT query_id, doc_id, rrf_score, rank
+           |FROM fused""".stripMargin,
+      "q238_mmr_perquery" -> {
+        // the q233 chain, then the q210 unrolled greedy PER QUERY:
+        // per-step argmax is a row_number()=1 per query_id; the
+        // selected-set max-sim and the not-yet-picked exclusion are
+        // explicit joins against the previous sel CTE (MATERIALIZED —
+        // each is referenced three times)
+        val l = d17(0.7)
+        val m = d17(1.0 - 0.7)
+        val steps = (2 to 5).map { i =>
+          s"""sc$i AS (SELECT c.query_id, c.id,
+             |      round($l * c.rel - $m * max(s.s), 6) AS score
+             |  FROM cand c
+             |  JOIN sim s ON s.query_id = c.query_id AND s.a = c.id
+             |  JOIN sel${i - 1} pk
+             |    ON pk.query_id = s.query_id AND pk.id = s.b
+             |  LEFT JOIN sel${i - 1} ex
+             |    ON ex.query_id = c.query_id AND ex.id = c.id
+             |  WHERE ex.id IS NULL
+             |  GROUP BY c.query_id, c.id, c.rel),
+             |p$i AS (SELECT query_id, id, score FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, id) AS rn FROM sc$i)
+             |  WHERE rn = 1),
+             |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+             |  UNION ALL
+             |  SELECT query_id, id, $i AS rank, score FROM p$i)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $hybridFusedCtes,
+           |cand AS MATERIALIZED (SELECT f2.query_id, f2.doc_id AS id,
+           |    f2.rrf_score AS rel, e.embedding AS v
+           |  FROM fused f2 JOIN embeddings e ON e.vec_id = f2.doc_id),
+           |sim AS MATERIALIZED (SELECT a.query_id, a.id AS a,
+           |    b.id AS b, round(${cos("a.v", "b.v")}, 6) AS s
+           |  FROM cand a JOIN cand b
+           |    ON a.query_id = b.query_id AND a.id != b.id),
+           |sc1 AS (SELECT query_id, id,
+           |    round($l * rel - $m * 0.0, 6) AS score FROM cand),
+           |p1 AS (SELECT query_id, id, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, id) AS rn FROM sc1)
+           |  WHERE rn = 1),
+           |sel1 AS MATERIALIZED (
+           |  SELECT query_id, id, 1 AS rank, score FROM p1),
+           |$steps
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+           |  id AS doc_id, score AS mmr_score
+           |FROM sel5""".stripMargin
       },
       "q230_bm25_multiquery" -> {
         // the bm25Sql scoring CTEs with the probe vocabulary as a
@@ -5335,6 +5521,51 @@ object SparkEntry {
            |FROM tc JOIN documents d USING (doc_id)
            |GROUP BY 1""".stripMargin
       },
+      "q236_bpe_unicode_merges" -> {
+        // the q212 unrolled learning loop with the UNICODE word class
+        // over the non-ASCII corpus; '-' sentinel (see bpeRoundsGen)
+        val unions = (1 to 8).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS step, lhs, rhs,
+             |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
+             |FROM m$i WHERE c >= 1""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH $uniCorpusSql,
+           |${bpeVocab0UniFrom("ud")},
+           |$bpeRoundsUni
+           |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q237_bpe_unicode_fertility" -> {
+        // the q234 learn+encode chain, unicode word class, grouped
+        // per lang over the non-ASCII corpus
+        val encChain = (1 to 8).foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $uniCorpusSql,
+           |${bpeVocab0UniFrom("ud")},
+           |$bpeRoundsUni,
+           |w AS (SELECT doc_id, lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
+           |      AS wd
+           |  FROM ud),
+           |tc AS (SELECT doc_id, lang,
+           |    CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(CASE
+           |      WHEN regexp_matches(wd, '^[\\p{L}\\p{N}]+$$')
+           |      THEN len(string_split(trim($encChain, '·'), '··'))
+           |      ELSE 1 END) AS BIGINT) AS n_tokens
+           |  FROM w $crossMs
+           |  GROUP BY 1, 2)
+           |SELECT lang,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(n_tokens) AS DOUBLE)
+           |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+           |FROM tc
+           |GROUP BY 1""".stripMargin
+      },
       "q232_bpe_tokenize" -> {
         // per-word token lists (the q213 encode chain split back into
         // pieces) flattened in document order with 1-based positions
@@ -5501,7 +5732,7 @@ object SparkEntry {
            |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
-           |    ORDER BY off)) AS digest
+           |    ORDER BY off, CAST(doc_id AS VARCHAR))) AS digest
            |FROM a GROUP BY 1""".stripMargin,
       // the landed layout must round-trip to exactly the q225
       // assignment — same oracle, certified against the READ-BACK

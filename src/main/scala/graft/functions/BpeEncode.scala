@@ -31,16 +31,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Serializable: ships to executors inside the expression's reference
   * array; the lookup structures rebuild lazily per JVM.
+  *
+  * `unicode = false` (the default) models lowercase-ASCII `[a-z]+`
+  * words only — every other whitespace token passes through as one
+  * OOV token. `unicode = true` lifts the word class to full-Unicode
+  * letters and numbers (`[\p{L}\p{N}]+`, the Java/RE2 categories —
+  * matched code point for code point by [[BpeMergeTable.isWordUni]]),
+  * and symbols are CODE POINTS, so accented/Cyrillic/CJK/digit words
+  * enter the learned vocabulary instead of bypassing it. The sentinel
+  * `·` (U+00B7, category Po) is in neither class, so it still can
+  * never occur inside a symbol. The mode must match the learner's
+  * ([[graft.operators.Tokenizer]] passes it through both jobs).
   */
-final class BpeMergeTable(val merges: Seq[(String, String)])
+final class BpeMergeTable(val merges: Seq[(String, String)],
+    val unicode: Boolean = false)
     extends Serializable {
 
-  /** Well-formedness for the rank-priority path (see class doc). */
+  /** Well-formedness for the rank-priority path (see class doc). A
+    * base symbol is one CODE POINT (a supplementary-plane character is
+    * two chars but still a base symbol in unicode mode). */
   @transient private lazy val priorityOk: Boolean = {
     val outputs = new java.util.HashSet[String]()
+    def base(s: String): Boolean =
+      s.nonEmpty && s.codePointCount(0, s.length) == 1
     merges.forall { case (l, r) =>
-      (l.length == 1 || outputs.contains(l)) &&
-        (r.length == 1 || outputs.contains(r)) &&
+      (base(l) || outputs.contains(l)) &&
+        (base(r) || outputs.contains(r)) &&
         outputs.add(l + r)
     }
   }
@@ -107,24 +123,35 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
     }
   }
 
+  /** One symbol per CODE POINT (identical to per-char on `[a-z]+`
+    * words; in unicode mode this is what keeps supplementary-plane
+    * characters whole instead of splitting surrogates). */
   private def initialSyms(word: String): Array[String] = {
-    val syms = new Array[String](math.max(word.length, 1))
+    val n = word.codePointCount(0, word.length)
+    val syms = new Array[String](math.max(n, 1))
     var i = 0
+    var k = 0
     while (i < word.length) {
-      syms(i) = String.valueOf(word.charAt(i)); i += 1
+      val cp = word.codePointAt(i)
+      syms(k) = new String(Character.toChars(cp))
+      k += 1
+      i += Character.charCount(cp)
     }
     syms
   }
 
-  /** Token count of one already-validated `[a-z]+` word. */
-  def encodeCount(word: String): Int =
-    mergeInPlace(initialSyms(word), word.length)
+  /** Token count of one already-validated in-class word. */
+  def encodeCount(word: String): Int = {
+    val syms = initialSyms(word)
+    mergeInPlace(syms, word.codePointCount(0, word.length))
+  }
 
-  /** The surviving symbols of one `[a-z]+` word, in order — the
+  /** The surviving symbols of one in-class word, in order — the
     * count's sibling for consumers that need the PIECES. */
   def encodePieces(word: String): Array[String] = {
     val syms = initialSyms(word)
-    java.util.Arrays.copyOf(syms, mergeInPlace(syms, word.length))
+    java.util.Arrays.copyOf(syms,
+      mergeInPlace(syms, word.codePointCount(0, word.length)))
   }
 
   /** Whole-document token sequence: every `[a-z]+` word's merged
@@ -138,7 +165,7 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      if (isAlpha(w)) {
+      if (isWord(w)) {
         val ps = encodePieces(w)
         var j = 0
         while (j < ps.length) {
@@ -153,6 +180,9 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
   @transient private lazy val wsSplit = java.util.regex.Pattern
     .compile("\\s+")
 
+  private def isWord(w: String): Boolean =
+    if (unicode) isWordUni(w) else isAlpha(w)
+
   private def isAlpha(w: String): Boolean = {
     if (w.isEmpty) return false
     var i = 0
@@ -160,6 +190,27 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
       val c = w.charAt(i)
       if (c < 'a' || c > 'z') return false
       i += 1
+    }
+    true
+  }
+
+  /** `^[\p{L}\p{N}]+$` code point for code point: Unicode Letter (the
+    * five L categories, `Character.isLetter`) or Number (Nd ∪ Nl ∪ No
+    * — note `Character.isDigit` alone is only Nd and would reject
+    * `Ⅻ`/`²` that the regex class accepts; verified category-parity
+    * against the Java pattern over the BMP). */
+  private def isWordUni(w: String): Boolean = {
+    if (w.isEmpty) return false
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      if (!Character.isLetter(cp)) {
+        val t = Character.getType(cp)
+        if (t != Character.DECIMAL_DIGIT_NUMBER &&
+            t != Character.LETTER_NUMBER &&
+            t != Character.OTHER_NUMBER) return false
+      }
+      i += Character.charCount(cp)
     }
     true
   }
@@ -176,7 +227,7 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      sum += (if (isAlpha(w)) encodeCount(w).toLong else 1L)
+      sum += (if (isWord(w)) encodeCount(w).toLong else 1L)
       i += 1
     }
     sum
@@ -198,14 +249,15 @@ final class BpeMergeTable(val merges: Seq[(String, String)])
   * pieces instead of counting them; still one native expression, zero
   * shuffle — `size(bpe_tokenize(text)) == bpe_token_count(text)` by
   * construction (spec'd). */
-case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
+case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
+    unicode: Boolean = false)
     extends UnaryExpression {
 
   override def prettyName: String = "bpe_tokenize"
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val table = new BpeMergeTable(merges)
+  @transient private lazy val table = new BpeMergeTable(merges, unicode)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -234,13 +286,14 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
       newChild: Expression): Expression = copy(child = newChild)
 }
 
-case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+case class BpeTokenCount(child: Expression,
+    merges: Seq[(String, String)], unicode: Boolean = false)
     extends UnaryExpression {
 
   override def prettyName: String = "bpe_token_count"
   override def dataType: DataType = LongType
 
-  @transient private lazy val table = new BpeMergeTable(merges)
+  @transient private lazy val table = new BpeMergeTable(merges, unicode)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -108,7 +108,11 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     import graft.core.DetAgg
     val id = col(idCol)
-    val vocab = queries.select(col("term").as("word")).distinct()
+    // duplicate (query_id, term) rows would double-count that term's
+    // per-doc score — the single-query path's isin literals are set-
+    // semantic, so mirror that here instead of silently inflating
+    val probes = queries.select(col("query_id"), col("term")).distinct()
+    val vocab = probes.select(col("term").as("word")).distinct()
     val words = df.select(id,
       explode(split(trim(col(textCol)), "\\s+")).as("word"))
     // dl and tf persist (tracked) for the same reason as [[bm25TopK]]:
@@ -134,7 +138,7 @@ object Retrieval {
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("s"))
     val perDoc = scored
-      .join(broadcast(queries.select(col("query_id"),
+      .join(broadcast(probes.select(col("query_id"),
         col("term").as("word"))), Seq("word"))
       .groupBy(col("query_id"), id)
       .agg(round(DetAgg.detSum(col("s")), 6).as("score"))

@@ -158,8 +158,11 @@ object Sampling {
     * [[Analytics.distributedRank]] / `EnergySeries.ldc`.
     */
   def shardAssign(df: DataFrame, idCol: String, weightCol: String,
-      shardWeight: Long, salt: String = "graft"): DataFrame = {
+      shardWeight: Long, salt: String = "graft",
+      startWeight: Long = 0L): DataFrame = {
     require(shardWeight > 0, s"shardWeight must be > 0 (got $shardWeight)")
+    require(startWeight >= 0,
+      s"startWeight must be >= 0 (got $startWeight)")
     val spark = df.sparkSession
     val sorted = Dedup.tracked(df
       .select(col(idCol), col(weightCol).cast("long").as(weightCol))
@@ -171,7 +174,10 @@ object Sampling {
     val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val prefixes = partTotals.scanLeft(0L)(_ + _)
+    // startWeight > 0 continues an existing layout's running weight —
+    // the streaming append's cursor ([[graft.streaming
+    // .StreamShardLayout]]); the batch shape is the 0 default
+    val prefixes = partTotals.scanLeft(startWeight)(_ + _)
     val bc = spark.sparkContext.broadcast(prefixes)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields ++ Seq(

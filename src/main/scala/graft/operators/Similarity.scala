@@ -1108,6 +1108,42 @@ object Similarity {
       s"mmrRerank re-ranks a bounded candidate list on the driver; " +
         s"got > $maxCandidates rows — cut the list with a distributed " +
         "top-N retriever first")
+    val picked = mmrGreedy(rows.iterator.map(r =>
+      (r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2))), k,
+      lambda)
+    val out = picked.zipWithIndex.map { case ((id, s), i) =>
+      org.apache.spark.sql.Row((i + 1).toLong, id, s)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(out.asJava),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        idField.copy(name = idCol),
+        StructField("mmr_score", DoubleType, nullable = false))))
+  }
+
+  /** MMR id types whose toString order matches their natural order —
+    * loudly rejected otherwise (Short/Double/Decimal would sort "10"
+    * before "2" in the oracle's tie-break). */
+  private def mmrIdTypeOk(dt: DataType): Boolean =
+    Seq(LongType, IntegerType, StringType).contains(dt)
+
+  private val mmrIdLt: (Any, Any) => Boolean = {
+    case (x: Long, y: Long)     => x < y
+    case (x: Int, y: Int)       => x < y
+    case (x: String, y: String) => x < y
+    case (x, _) => throw new IllegalArgumentException(
+      s"mmr rerank: unsupported id type ${x.getClass.getName} — " +
+        "use a long, int, or string id column")
+  }
+
+  /** The ONE greedy MMR fold over a bounded candidate list — shared
+    * by the driver-side single-query [[mmrRerank]] and the
+    * distributed per-group [[mmrRerankPerQuery]], so the two can
+    * never drift. Order-independent in the input order: every pick is
+    * the max by (rounded score desc, id asc) over the remaining SET.
+    * Returns (id, score) in pick order. */
+  private def mmrGreedy(rows: Iterator[(Any, Array[Double], Double)],
+      k: Int, lambda: Double): Seq[(Any, Double)] = {
     def round6(x: Double): Double =
       BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
@@ -1123,23 +1159,12 @@ object Similarity {
       if (daa == 0.0 || dbb == 0.0) 0.0
       else round6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
     }
-    // tie-break order must be the oracle's: loudly reject id types
-    // whose toString order diverges from their natural order (Short,
-    // Double, Decimal would sort "10" before "2")
-    val idLt: (Any, Any) => Boolean = {
-      case (x: Long, y: Long)     => x < y
-      case (x: Int, y: Int)       => x < y
-      case (x: String, y: String) => x < y
-      case (x, _) => throw new IllegalArgumentException(
-        s"mmrRerank: unsupported id type ${x.getClass.getName} — " +
-          "use a long, int, or string id column")
-    }
     final case class Cand(id: Any, vec: Array[Double], rel: Double,
         var maxSim: Double)
-    val remaining = scala.collection.mutable.ArrayBuffer(rows.map { r =>
-      Cand(r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2),
-        Double.NegativeInfinity)
-    }: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    rows.foreach { case (id, vec, rel) =>
+      remaining += Cand(id, vec, rel, Double.NegativeInfinity)
+    }
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
     while (picked.length < k && remaining.nonEmpty) {
       // first pick sees an empty selected set: redundancy term is 0
@@ -1147,7 +1172,7 @@ object Similarity {
         (1.0 - lambda) * (if (picked.isEmpty) 0.0 else c.maxSim))
       val best = remaining.reduceLeft { (a, b) =>
         val (sa, sb) = (score(a), score(b))
-        if (sa > sb || (sa == sb && idLt(a.id, b.id))) a else b
+        if (sa > sb || (sa == sb && mmrIdLt(a.id, b.id))) a else b
       }
       picked += ((best.id, score(best)))
       remaining -= best
@@ -1155,13 +1180,77 @@ object Similarity {
         c.maxSim = math.max(c.maxSim, cos6(c.vec, best.vec))
       }
     }
-    val out = picked.zipWithIndex.map { case ((id, s), i) =>
-      org.apache.spark.sql.Row((i + 1).toLong, id, s)
-    }
-    spark.createDataFrame(
-      new java.util.ArrayList(out.asJava),
-      StructType(Seq(StructField("rank", LongType, nullable = false),
+    picked.toSeq
+  }
+
+  /** PER-QUERY MMR — the [[mmrRerank]] greedy run independently for
+    * every query key, DISTRIBUTED: the multi-probe audit shape
+    * ([[graft.operators.Retrieval.rrfFuse]]'s `queryCols` pattern),
+    * where a thousand probes' candidate lists each need diversifying
+    * and a driver-side loop per probe would serialize the fleet.
+    *
+    * One shuffle keyed by `queryCols`; within each task, candidates
+    * sort by (queryCols, id) and each query's run folds through the
+    * SAME bounded greedy as the single-query path (group size loudly
+    * capped at `maxCandidates` — the list must come from an upstream
+    * per-query top-N retriever). Nothing global: memory per task is
+    * one query's list, so the operator scales in queries, not
+    * candidates × queries. Determinism is the single-query contract
+    * per group (rounded scores, id tie-breaks, pick-order output).
+    *
+    * Output: queryCols ++ (rank, idCol, mmr_score), `k` rows (or the
+    * group size, if smaller) per query key.
+    */
+  def mmrRerankPerQuery(candidates: DataFrame, queryCols: Seq[String],
+      idCol: String, vecCol: String, relCol: String, k: Int,
+      lambda: Double = 0.7, maxCandidates: Int = 4096): DataFrame = {
+    require(queryCols.nonEmpty,
+      "mmrRerankPerQuery needs at least one query column — use " +
+        "mmrRerank for a single list")
+    val spark = candidates.sparkSession
+    val idField = candidates.schema(idCol)
+    require(mmrIdTypeOk(idField.dataType),
+      s"mmrRerankPerQuery: unsupported id type " +
+        s"${idField.dataType.sql} for '$idCol' — tie-breaks need a " +
+        "long, int, or string id")
+    val nq = queryCols.length
+    val prepared = candidates.select(
+        queryCols.map(col) ++ Seq(col(idCol),
+          col(vecCol).cast(ArrayType(DoubleType)),
+          col(relCol).cast(DoubleType)): _*)
+      .repartition(queryCols.map(col): _*)
+      .sortWithinPartitions(queryCols.map(col) :+ col(idCol): _*)
+    val outSchema = StructType(
+      queryCols.map(c => prepared.schema(c)) ++ Seq(
+        StructField("rank", LongType, nullable = false),
         idField.copy(name = idCol),
-        StructField("mmr_score", DoubleType, nullable = false))))
+        StructField("mmr_score", DoubleType, nullable = false)))
+    val (kk, lam, cap) = (k, lambda, maxCandidates)
+    val rdd = prepared.rdd.mapPartitions { it =>
+      val bit = it.buffered
+      new Iterator[Seq[org.apache.spark.sql.Row]] {
+        override def hasNext: Boolean = bit.hasNext
+        override def next(): Seq[org.apache.spark.sql.Row] = {
+          val key = bit.head.toSeq.take(nq)
+          val group = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.Row]
+          while (bit.hasNext && bit.head.toSeq.take(nq) == key) {
+            group += bit.next()
+            require(group.length <= cap,
+              s"mmrRerankPerQuery: query group $key exceeds " +
+                s"$cap candidates — cut each list with a per-query " +
+                "top-N retriever first")
+          }
+          val picks = mmrGreedy(group.iterator.map(r =>
+            (r.get(nq), r.getSeq[Double](nq + 1).toArray,
+              r.getDouble(nq + 2))), kk, lam)
+          picks.zipWithIndex.map { case ((id, s), i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              key ++ Seq((i + 1).toLong, id, s))
+          }
+        }
+      }.flatten
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 }

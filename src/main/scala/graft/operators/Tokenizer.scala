@@ -12,16 +12,30 @@ import org.apache.spark.sql.functions._
 object Tokenizer {
 
   /** The symbol-boundary sentinel. Input words are restricted to
-    * `[a-z]+` so a sentinel can never occur inside a symbol. */
+    * `[a-z]+` (ascii mode) or `[\p{L}\p{N}]+` (unicode mode); the
+    * sentinel U+00B7 is punctuation (category Po), outside BOTH
+    * classes, so it can never occur inside a symbol. */
   private val S = "·"
+
+  /** The vocabulary word class per mode. Unicode mode is full Unicode
+    * letters+numbers — accented/Cyrillic/CJK/digit words enter the
+    * learned vocabulary instead of passing through as OOV tokens; the
+    * regex class is identical in Java and RE2, so the oracle filter is
+    * the same literal pattern. */
+  private def wordPattern(unicode: Boolean): String =
+    if (unicode) "^[\\p{L}\\p{N}]+$" else "^[a-z]+$"
 
   /** Word vocabulary of the corpus, each word as its initial
     * sentinel-delimited symbol sequence, weighted by corpus frequency
-    * — ONE map-side-combined hash aggregate; shared by both learners. */
-  private def initialVocab(df: DataFrame, textCol: String): DataFrame =
+    * — ONE map-side-combined hash aggregate; shared by both learners.
+    * The per-character split regex `(.)` matches one CODE POINT in
+    * both Java and RE2, so unicode-mode symbols are code points on
+    * both sides. */
+  private def initialVocab(df: DataFrame, textCol: String,
+      unicode: Boolean): DataFrame =
     Dedup.tracked(df
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-      .where(col("w").rlike("^[a-z]+$"))
+      .where(col("w").rlike(wordPattern(unicode)))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("seq"),
         col("cnt")))
@@ -103,13 +117,13 @@ object Tokenizer {
     * (step, lhs, rhs, merged, pair_count).
     */
   def bpeMerges(df: DataFrame, textCol: String, merges: Int,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L, unicode: Boolean = false): DataFrame = {
     require(merges >= 1 && merges <= 512,
       s"merges must be in [1, 512] (got $merges): each merge is a " +
         "driver-coordinated round — for larger vocabularies use " +
         "bpeMergesBatched (top-M disjoint pairs per round)")
     val spark = df.sparkSession
-    val vocab0 = initialVocab(df, textCol)
+    val vocab0 = initialVocab(df, textCol, unicode)
 
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -163,7 +177,8 @@ object Tokenizer {
     * order; `step` is the global rank the encoder consumes.
     */
   def bpeMergesBatched(df: DataFrame, textCol: String, rounds: Int,
-      batch: Int, minCount: Long = 1L): DataFrame = {
+      batch: Int, minCount: Long = 1L,
+      unicode: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 512,
       s"rounds must be in [1, 512] (got $rounds)")
     require(batch >= 1 && batch <= 128,
@@ -171,7 +186,7 @@ object Tokenizer {
     val spark = df.sparkSession
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, String, String, Long)]
-    val chain = new VocabChain(initialVocab(df, textCol))
+    val chain = new VocabChain(initialVocab(df, textCol, unicode))
     var step = 1
     var round = 1
     var done = false
@@ -249,7 +264,8 @@ object Tokenizer {
     * Returns (doc_id, n_words, n_tokens).
     */
   def bpeTokenCounts(df: DataFrame, textCol: String, idCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      unicode: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
     val words = split(trim(lower(col(textCol))), "\\s+")
@@ -257,7 +273,7 @@ object Tokenizer {
     df.select(col(idCol).as("doc_id"),
       size(words).cast("long").as("n_words"),
       shim.column(graft.functions.BpeTokenCount(
-        shim.expression(col(textCol)), merges)).as("n_tokens"))
+        shim.expression(col(textCol)), merges, unicode)).as("n_tokens"))
   }
 
   /** Tokenize — the token SEQUENCE under a learned merge list, one
@@ -269,13 +285,14 @@ object Tokenizer {
     * through `posexplode` — no join, no window, so at 100 TB this is
     * still a single scan whose output is the token stream itself. */
   def bpeTokenize(df: DataFrame, textCol: String, idCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      unicode: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
     val shim = org.apache.spark.sql.graftshim.ColumnShim
     df.select(col(idCol).as("doc_id"),
         posexplode(shim.column(graft.functions.BpeTokenize(
-          shim.expression(col(textCol)), merges)))
+          shim.expression(col(textCol)), merges, unicode)))
           .as(Seq("pos", "token")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("token"))

@@ -137,9 +137,12 @@ object StreamLakeIngest {
     *  - manifest present, every recorded dir still live, but NEW dirs
     *    exist beside them (the ingest committed more micro-batches
     *    between the crash and the rerun) → the staging is STALE;
-    *    discard it and rewrite over the current live set — promoting
-    *    it would silently drop the newer increments' rows from the
-    *    lake (permanent under-dedup);
+    *    discard it and rewrite over the current live set. (Safe either
+    *    way — the promote deletes exactly the manifest-recorded dirs,
+    *    so the newer increments would survive a promote as live
+    *    increments beside the new base; the discard-and-rewrite is a
+    *    FRESHNESS choice, folding them into this compaction instead of
+    *    leaving them for the next one.)
     *  - manifest present and some recorded dir already deleted → a
     *    promote was interrupted; the staging is now the ONLY copy of
     *    the deleted dirs' rows, so the promote MUST complete (delete
@@ -376,9 +379,10 @@ object StreamLakeIngest {
     * returned one, plus the init snapshot once any version exists (a
     * replay is only ever of THIS batch or later, and those read the
     * returned snapshot or newer, so everything older is unreachable).
-    * The one snapshot-selection rule for all three versioned families
-    * — keepers, DSIR models, budget ledgers. */
-  private def versionBefore(spark: SparkSession, dir: String,
+    * The one snapshot-selection rule for all FOUR versioned families
+    * — keepers, DSIR models, budget ledgers, and the shard layout's
+    * weight cursor ([[StreamShardLayout]]). */
+  private[streaming] def versionBefore(spark: SparkSession, dir: String,
       prefix: String, batchId: Long, initName: String = null): String = {
     val init = Option(initName).getOrElse(s"${prefix}_init")
     val path = new Path(dir)

@@ -248,6 +248,62 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpe unicode mode: accented/CJK/digit words enter the learned " +
+      "vocabulary (ascii mode passes the same corpus through as OOV)") {
+    val docs = Seq((1L, "café café 数据 数据 数据"),
+      (2L, "übung 123 café")).toDF("doc_id", "text")
+    // vocab {café:3, 数据:3, übung:1, 123:1}; round 1 ties at 3 —
+    // (a,f) < (c,a) < (f,é) < (数,据) lexicographically; round 2 then
+    // sees (af,é)=3 and (c,af)=3 and (数,据)=3 — (af,é) wins.
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 2, unicode = true)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(m == Seq(("a", "f", 3L), ("af", "é", 3L)))
+    val pairs = m.map { case (l, r, _) => (l, r) }
+    val uni = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", pairs, unicode = true)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // doc 1: café -> c|afé (2) x2, 数据 -> 数|据 (2) x3 = 10 tokens;
+    // doc 2: übung (5 code points) + 123 (3) + café (2) = 10
+    assert(uni == Seq((1L, 5L, 10L), (2L, 3L, 10L)))
+    // the ascii tokenizer sees the SAME corpus as pure OOV passthrough
+    // — one token per word, the quiet narrowing the unicode mode lifts
+    val ascii = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", pairs)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSeq
+    assert(ascii == Seq((1L, 5L), (2L, 3L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("bpe unicode mode: symbols are CODE POINTS — supplementary-" +
+      "plane characters stay whole, and size(tokenize) == count") {
+    // U+1D41A/U+1D41B (mathematical bold a/b): letters outside the
+    // BMP, two chars each — a per-char split would emit lone
+    // surrogates
+    val w = new String(Character.toChars(0x1D41A)) +
+      new String(Character.toChars(0x1D41B))
+    val docs = Seq((1L, w)).toDF("doc_id", "text")
+    val toks = graft.operators.Tokenizer
+      .bpeTokenize(docs, "text", "doc_id", Nil, unicode = true)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(toks.length == 2)
+    assert(toks.forall(t =>
+      t.length == 2 && t.codePointCount(0, t.length) == 1))
+    val n = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", Nil, unicode = true)
+      .collect().head.getLong(2)
+    assert(n == 2L)
+    // and a merge of the two supplementary symbols applies cleanly
+    val merged = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id",
+        Seq((toks(0), toks(1))), unicode = true)
+      .collect().head.getLong(2)
+    assert(merged == 1L)
+  }
+
   test("bpeMergesBatched: batch=1 equals sequential bpeMerges; " +
       "within-round picks are symbol-disjoint greedy") {
     val docs = Seq((1L, "low low lower Low!"), (2L, "low lowest"))

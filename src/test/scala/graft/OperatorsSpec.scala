@@ -493,6 +493,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("unsupported id type"))
   }
 
+  test("mmr per-query rerank equals the single-query greedy per group " +
+      "and caps group size loudly") {
+    // two queries sharing the single-query test geometry (shifted ids
+    // for query 1) — the distributed per-group fold must reproduce
+    // mmrRerank on each group independently
+    val rows = Seq(
+      (0L, 1L, Array(0.9f, 0.1f), 0.993884),
+      (0L, 2L, Array(0.0f, 1.0f), 0.5),
+      (0L, 3L, Array(1.0f, 0.05f), 0.99875),
+      (1L, 11L, Array(0.9f, 0.1f), 0.993884),
+      (1L, 12L, Array(0.0f, 1.0f), 0.5),
+      (1L, 13L, Array(1.0f, 0.05f), 0.99875))
+    val cand = rows.toDF("query_id", "vec_id", "embedding", "rel")
+    val per = Similarity.mmrRerankPerQuery(cand, Seq("query_id"),
+        "vec_id", "embedding", "rel", k = 2, lambda = 0.5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val single = (0L to 1L).flatMap { q =>
+      Similarity.mmrRerank(cand.where($"query_id" === q), "vec_id",
+          "embedding", "rel", k = 2, lambda = 0.5)
+        .orderBy("rank").collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    assert(per == single)
+    assert(per.map(x => (x._1, x._3)) ==
+      Seq((0L, 3L), (0L, 2L), (1L, 13L), (1L, 12L)))
+    // per-group candidate cap is enforced inside the fold
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.mmrRerankPerQuery(cand, Seq("query_id"), "vec_id",
+        "embedding", "rel", k = 2, lambda = 0.5, maxCandidates = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("top-N retriever") ||
+      Option(e.getCause).exists(_.getMessage.contains("top-N retriever")))
+  }
+
   test("vec_dot is SQL-callable via GraftExtensions and codegen-exact") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
