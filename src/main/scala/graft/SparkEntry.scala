@@ -3007,6 +3007,30 @@ object SparkEntry {
       s.read.parquet(path).select(col("doc_id"), col("n_tokens"),
         col("shard").cast("long").as("shard"), col("offset"))
     }),
+    // ---- STREAMING SHARD APPEND: the landing half of the streamed
+    // corpus→trainer arc — two micro-batches append to the shard
+    // layout through the versioned running-weight cursor (new shards
+    // only; closed shards' files are never rewritten), and the
+    // cumulative READ-BACK must round-trip to the (batch, md5, id)-
+    // ordered global assignment the oracle replays in SQL.
+    // SIDE-EFFECTING like the lakes.
+    "q239_stream_shard_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_shardstream"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), root,
+        "doc_id", "n_tokens", shardWeight = 5000L, batchId = 0L)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), root,
+        "doc_id", "n_tokens", shardWeight = 5000L, batchId = 1L)
+      graft.streaming.StreamShardLayout.readLayout(s, root)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"), col("offset"))
+    }),
     // ---- per-source token-budget admission under the LEARNED
     // tokenizer: BPE learn -> zero-shuffle token counting -> the
     // budget gate's batch twin (one source-keyed window; the streaming
@@ -5794,6 +5818,25 @@ object SparkEntry {
            |SELECT doc_id, source, n_tokens
            |FROM c WHERE cum - n_tokens < 800""".stripMargin
       },
+      // the streamed append's global order is (batch, md5, id): batch
+      // 0 is the even docs, batch 1 the odd — one exclusive running
+      // sum over that order replays both appends and the read-back
+      "q239_stream_shard_append" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens,
+          |    doc_id % 2 AS b,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t)
+          |SELECT doc_id, n_tokens,
+          |  CAST(before // 5000 AS BIGINT) AS shard,
+          |  CAST(before % 5000 AS BIGINT) AS "offset"
+          |FROM c""".stripMargin,
       "q224_shard_assign" ->
         """WITH t AS (SELECT doc_id,
           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

@@ -101,6 +101,74 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("StreamShardLayout: MemoryStream appends equal the direct " +
+      "twin, closed shards are never rewritten, replays are idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = (0L until 200L).map(i => (i, (i * 37 + 11) % 50 + 1))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardstream").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    // drive two micro-batches through the real foreachBatch loop
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamShardLayout.ingest(
+      mem.toDF().toDF("doc_id", "n_tokens"), root,
+      java.nio.file.Files.createTempDirectory("graft_sscp").toString,
+      "doc_id", "n_tokens", shardWeight = 300L)
+    try {
+      mem.addData(docs.filter(_._1 % 2 == 0): _*)
+      q.processAllAvailable()
+      // snapshot batch-0 file (name, mtime, size) per closed shard
+      val b0dir = new java.io.File(s"$root/layout/inc_b0")
+      def fileState(d: java.io.File): Set[(String, Long, Long)] =
+        d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+      val b0state = fileState(b0dir)
+      mem.addData(docs.filter(_._1 % 2 == 1): _*)
+      q.processAllAvailable()
+      // batch 0's files are untouched by the append
+      assert(fileState(b0dir) == b0state)
+      // batch 1 starts at the cursor: its lowest shard is the one
+      // batch 0 left open (or the next), never an earlier one
+      val cursor0 = spark.read
+        .parquet(s"$root/cursor/cursor_b0").collect().head.getLong(0)
+      val b1shards = new java.io.File(s"$root/layout/inc_b1")
+        .listFiles().filter(_.isDirectory).map(_.getName)
+        .map(_.stripPrefix("shard=").toLong)
+      assert(b1shards.min == cursor0 / 300L)
+    } finally q.stop()
+    // the cumulative read-back equals the direct two-append twin run
+    // against a fresh root (stream == batch)
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_shardtwin").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, twin)
+    val ddf = docs.toDF("doc_id", "n_tokens")
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" % 2 === 0), twin, "doc_id", "n_tokens",
+      300L, 0L)
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" % 2 === 1), twin, "doc_id", "n_tokens",
+      300L, 1L)
+    def layout(r: String): Set[(Long, Long, Long, Long)] =
+      graft.streaming.StreamShardLayout.readLayout(spark, r)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"),
+          $"offset")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).toSet
+    val streamed = layout(root)
+    assert(streamed == layout(twin))
+    // REPLAY of batch 1 (same id, same rows): the cursor read excludes
+    // its own version, so the re-append reproduces the layout exactly
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" % 2 === 1), twin, "doc_id", "n_tokens",
+      300L, 1L)
+    assert(layout(twin) == streamed)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val fact = spark.range(1000).select($"id",
