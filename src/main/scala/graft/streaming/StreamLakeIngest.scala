@@ -100,20 +100,67 @@ object StreamLakeIngest {
   }
 
   /** Union of every subdirectory of `dir` except the current batch's
-    * own `inc_b<batchId>` — the visible lake state for this batch. */
+    * own `inc_b<batchId>` — the visible lake state for this batch.
+    * On a lake maintained by [[compactIsolated]] the visible set is
+    * POINTER-RESOLVED instead of listed: the newest `_live_v<k>`
+    * names the base generation and the max folded inc id, and the
+    * reader takes that base plus every newer increment — so a
+    * mid-promote listing race cannot exist (the pointer swap is one
+    * file creation, and retired dirs survive a full compaction
+    * interval for readers still holding the old pointer). */
   private def visibleIncrements(spark: SparkSession, dir: String,
       batchId: Long): DataFrame = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val subs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n != s"inc_b$batchId" && !n.startsWith("_") &&
-          !n.startsWith(".")
-      }
-      .map(_.toString).sorted
+    val subs = readLivePointer(fs, path) match {
+      case Some(lp) =>
+        (s"$dir/${lp.base}" +: listIncIds(fs, path)
+          .filter(k => k > lp.maxFolded && k != batchId)
+          .map(k => s"$dir/inc_b$k")).sorted
+      case None =>
+        fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n != s"inc_b$batchId" && !n.startsWith("_") &&
+              !n.startsWith(".")
+          }
+          .map(_.toString).sorted.toSeq
+    }
     require(subs.nonEmpty, s"$dir holds no lake state — run initLake")
     spark.read.parquet(subs.toIndexedSeq: _*)
+  }
+
+  /** The reader-isolation pointer: `_live_v<version>` (newest version
+    * wins) naming the live base generation and the largest inc batch
+    * id folded into it. */
+  private[streaming] case class LivePointer(version: Long, base: String,
+      maxFolded: Long)
+
+  private def listIncIds(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Seq[Long] =
+    fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("inc_b") =>
+        s.stripPrefix("inc_b").toLong }.toSeq
+
+  private[streaming] def readLivePointer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Option[LivePointer] = {
+    if (!fs.exists(path)) return None
+    val versions = fs.listStatus(path).map(_.getPath.getName)
+      .collect { case s if s.startsWith("_live_v") =>
+        s.stripPrefix("_live_v").toLong }
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val in = fs.open(new Path(path, s"_live_v$v"))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        finally in.close()
+      require(lines.length >= 2,
+        s"$path/_live_v$v is not a (base, maxFolded) pointer")
+      Some(LivePointer(v, lines.head.trim, lines(1).trim.toLong))
+    }
   }
 
   /** Maintenance compaction for the directory-of-increments columns:
@@ -158,9 +205,125 @@ object StreamLakeIngest {
     Seq(s"$lakeRoot/hashes", s"$lakeRoot/sigs")
       .foreach(compactDir(spark, _))
 
+  /** Reader-isolated compaction — the `_live` POINTER protocol, for
+    * lakes with CONCURRENT readers outside the single-maintainer loop
+    * (the default [[compact]]'s promote deletes-then-renames, so a
+    * listing reader racing it can see a partial directory set for a
+    * moment; with the pointer that window does not exist):
+    *
+    *  - the staged rewrite promotes by RENAME into a fresh base
+    *    GENERATION (`base_v<k+1>`) beside the old dirs, then one file
+    *    creation (`_live_v<k+1>`, naming the generation and the max
+    *    folded inc id) swaps readers over atomically;
+    *  - RETIRED dirs (the old generation + folded increments) are not
+    *    deleted at promote — they are reaped at the START of the NEXT
+    *    compaction, so a reader that resolved the old pointer keeps a
+    *    fully consistent lake for one whole compaction interval (the
+    *    snapshot-retention contract of every log-structured table
+    *    format);
+    *  - visibility is BY BATCH ID, not by listing: readers take the
+    *    pointer's base plus every `inc_b<k>` with k > maxFolded, so
+    *    increments landing during (or after) a staged rewrite are
+    *    never hidden and a recovered staging is never stale — the
+    *    crash-resume rules collapse to "finish the promote".
+    *
+    * Once a lake has a pointer, ALL its engine readers resolve it
+    * ([[visibleIncrements]]) and the plain [[compact]] refuses to run
+    * (mixing modes would fold retired generations back in). */
+  def compactIsolated(spark: SparkSession, lakeRoot: String): Unit =
+    Seq(s"$lakeRoot/hashes", s"$lakeRoot/sigs")
+      .foreach(compactDirIsolated(spark, _))
+
+  private def compactDirIsolated(spark: SparkSession,
+      dir: String): Unit = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path, "_compact")
+    val manifest = new Path(staging, "_compacted_dirs")
+    val prior = readLivePointer(fs, path)
+    // 1. REAP what the previous promote retired: every visible dir
+    // that is neither the live base nor a newer-than-folded increment,
+    // plus superseded pointer files. Idempotent; a crash mid-reap just
+    // leaves some retired dirs for the next run.
+    prior.foreach { lp =>
+      fs.listStatus(path).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val retiredDir = !n.startsWith("_") && !n.startsWith(".") &&
+          n != lp.base &&
+          !(n.startsWith("inc_b") &&
+            n.stripPrefix("inc_b").toLong > lp.maxFolded)
+        val oldPointer = n.startsWith("_live_v") &&
+          n.stripPrefix("_live_v").toLong < lp.version
+        if (retiredDir || oldPointer)
+          try fs.delete(p, true)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    // 2. STAGE (unless a completed rewrite is already waiting): fold
+    // the live set except the newest increment (it may belong to a
+    // replayable batch — the same exclusion as the default protocol)
+    def readManifest(): Option[Seq[String]] =
+      if (!fs.exists(manifest)) None
+      else {
+        val in = fs.open(manifest)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList)
+        finally in.close()
+      }
+    if (readManifest().isEmpty) {
+      fs.delete(staging, true)
+      val incIds = listIncIds(fs, path)
+      val foldIncs = prior match {
+        case Some(lp) => incIds.filter(_ > lp.maxFolded)
+        case None     => incIds
+      }
+      val keepOut = if (foldIncs.isEmpty) None else Some(foldIncs.max)
+      val folded = (prior.map(_.base).toSeq ++
+        (prior match {
+          case None => fs.listStatus(path).filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+              !n.startsWith("inc_b")).toSeq
+          case Some(_) => Nil
+        }) ++
+        foldIncs.filterNot(keepOut.contains).map(k => s"inc_b$k")
+          .sorted).distinct
+      require(folded.nonEmpty, s"$dir holds no lake state")
+      spark.read.parquet(folded.map(n => s"$dir/$n").toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(staging.toString)
+      val out = fs.create(manifest, true)
+      try out.write((folded.sorted.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+    // 3. PROMOTE: rename the staging to the next generation, then one
+    // pointer-file creation swaps readers. Both steps are idempotent
+    // on a crash-rerun (exists-checks), and nothing is deleted here.
+    val recorded = readManifest().get
+    val nextV = prior.map(_.version + 1).getOrElse(1L)
+    val target = new Path(path, s"base_v$nextV")
+    if (!fs.exists(target))
+      require(fs.rename(staging, target),
+        s"isolated compaction swap failed for $dir — staging left at " +
+          staging)
+    val maxFolded = (recorded.collect {
+      case n if n.startsWith("inc_b") => n.stripPrefix("inc_b").toLong
+    } ++ prior.map(_.maxFolded) :+ -1L).max
+    val pointer = new Path(path, s"_live_v$nextV")
+    if (!fs.exists(pointer)) {
+      val out = fs.create(pointer, true)
+      try out.write(s"base_v$nextV\n$maxFolded\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   private def compactDir(spark: SparkSession, dir: String): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(readLivePointer(fs, path).isEmpty,
+      s"$dir is maintained by compactIsolated (a _live pointer " +
+        "exists) — the default compact would fold retired " +
+        "generations back in; keep using compactIsolated")
     val staging = new Path(path, "_compact")
     val manifest = new Path(staging, "_compacted_dirs")
     // live = compactable dirs: every visible subdir EXCEPT the newest

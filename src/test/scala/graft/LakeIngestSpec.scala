@@ -211,6 +211,82 @@ class LakeIngestSpec extends SparkTestBase {
         Array(0.6f, -0.6f, -0.6f))), 2L) == Set(306L))
   }
 
+  test("isolated compaction: a reader holding the OLD pointer set " +
+      "sees a consistent pre-promote lake through the promote; reap " +
+      "is deferred one compaction; plain compact refuses the lake") {
+    val root = Files.createTempDirectory("lake_isocompact").toString
+    val lake = s"$root/lake"
+    val admitted = s"$root/admitted"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    StreamLakeIngest.initLake(hist, bench, "text", "doc_id", "vec",
+      lake, p)
+    def runBatch(rows: Seq[IngestDoc], bid: Long): Set[Long] = {
+      val out = StreamLakeIngest.curateIncrement(rows.toDF(), lake,
+        admitted, "text", "doc_id", "vec", bid, p)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.operators.Lineage.free(out)
+      Dedup.releaseIntermediates()
+      ids
+    }
+    runBatch(batch1, 0L); runBatch(batch2, 1L)
+    // the reader's view BEFORE the promote: exact per-dir row sets
+    // (an old-pointer reader resolves exactly these directory paths)
+    def hashRows(sub: String): Set[String] =
+      spark.read.parquet(s"$lake/hashes/$sub").select("h").collect()
+        .map(_.getString(0)).toSet
+    val oldView = Seq("base", "inc_b0", "inc_b1")
+      .map(d => d -> hashRows(d)).toMap
+    StreamLakeIngest.compactIsolated(spark, lake)
+    // PROMOTED: a new generation + pointer exist...
+    def subdirs(d: String): Set[String] =
+      new java.io.File(d).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+    assert(subdirs(s"$lake/hashes")
+      .intersect(Set("base_v1", "_compact")) == Set("base_v1"))
+    assert(new java.io.File(s"$lake/hashes/_live_v1").exists())
+    // ...and the old reader's whole directory set is UNTOUCHED — it
+    // keeps reading the exact pre-promote lake (the Done criterion)
+    oldView.foreach { case (d, rows) => assert(hashRows(d) == rows) }
+    // new readers resolve the pointer: cross-batch dedup still works
+    // (exact copy of an admitted doc, near-dup of an admitted doc)
+    assert(runBatch(Seq(
+      IngestDoc(302L, t210, Array(0.5f, 0.5f, 0.5f)),
+      IngestDoc(304L, t5.replace("ever see", "never see"),
+        Array(0.5f, -0.5f, 0.5f)),
+      IngestDoc(306L, "entirely novel content and the words are of a " +
+        "new kind that is the hallmark of an original document here",
+        Array(0.6f, -0.6f, -0.6f))), 2L) == Set(306L))
+    // the default compact refuses a pointer-maintained lake
+    val e = intercept[IllegalArgumentException] {
+      StreamLakeIngest.compact(spark, lake)
+    }
+    assert(e.getMessage.contains("compactIsolated"))
+    // the SECOND isolated compaction reaps what the first retired
+    // (base, inc_b0) and folds {base_v1, inc_b1} — inc_b2 (newest) is
+    // excluded from folding, visible via k > maxFolded
+    StreamLakeIngest.compactIsolated(spark, lake)
+    val after = subdirs(s"$lake/hashes")
+    assert(!after.contains("base") && !after.contains("inc_b0"))
+    assert(after.contains("base_v1") && after.contains("base_v2") &&
+      after.contains("inc_b1") && after.contains("inc_b2"))
+    // total content is preserved: distinct hashes across the live set
+    // equal the pre-compaction distinct hashes plus batch 2's fold-ins
+    val live2 = hashRows("base_v2") ++ hashRows("inc_b2")
+    val expected = oldView.values.flatten.toSet ++ hashRows("inc_b2")
+    assert(live2 == expected)
+    // and the THIRD compaction reaps generation 1 + its pointer
+    runBatch(Seq(IngestDoc(402L, "novel words flow through the " +
+      "evening air and the meaning is of a calm kind tonight for " +
+      "all the readers", Array(-0.6f, 0.6f, -0.6f))), 3L)
+    StreamLakeIngest.compactIsolated(spark, lake)
+    val after3 = subdirs(s"$lake/hashes")
+    assert(!after3.contains("base_v1") && !after3.contains("inc_b1"))
+    assert(!new java.io.File(s"$lake/hashes/_live_v1").exists())
+    assert(new java.io.File(s"$lake/hashes/_live_v3").exists())
+  }
+
   test("seven-stage ingest: the DSIR gate reads the versioned frozen " +
       "model (fold-ins apply from the NEXT batch), the budget ledger " +
       "meters per source across micro-batches, and replay is " +
