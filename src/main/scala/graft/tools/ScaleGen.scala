@@ -104,6 +104,31 @@ object ScaleGen {
               / 1000.0 - 0.5) * 0.2)).cast("float")))
       shift("vec_id")(emb, r)
     }, 4)
+    // Zipf-vocabulary corpus for the BPE learning-wall probe
+    // (ProfBpeLearn): 50k docs x 100 tokens, each token a rank drawn
+    // log-uniformly in [1, 50k] (P(rank j) ~ 1/j — Zipf s=1), the rank
+    // spelled as digit->syllable words ("ta ne ri ..."), so words
+    // share rich subword structure (common syllable pairs merge
+    // first), frequent words are short, and the ~50k-word vocabulary
+    // does NOT saturate batched learning at the 31-word synthetic
+    // corpus's ~90-merge wall. Pure column expressions, no RNG.
+    write("zipfdocs", {
+      val V = 50000.0
+      val T = 100
+      def word(t: org.apache.spark.sql.Column) = {
+        val u = pmod(xxhash64(col("doc_id"), t), lit(1000000))
+          .cast("double") / 1000000.0
+        val j = floor(exp(u * math.log(V))).cast("long").cast("string")
+        Seq("ta", "ne", "ri", "so", "lu", "me", "ka", "do", "vi", "pu")
+          .zipWithIndex.foldLeft(j) { case (e, (s, d)) =>
+            regexp_replace(e, d.toString, s)
+          }
+      }
+      spark.range(0, 50000L).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(1), lit(T)), t => word(t)),
+            " ").as("text"))
+    }, 16)
     // adversarial id-layout variant: SAME vectors, ids renumbered so id
     // order tracks a dominant embedding direction (dim 0) — the
     // id-clustered corpus (crawl-time/shard-correlated ids) on which a
