@@ -56,7 +56,8 @@ object SparkEntry {
     "q205_lake_seeded_gate", "q206_semlake_seeded_gate",
     "q207_incremental_pipeline", "q208_stream_lake_ingest",
     "q221_disposition_audit", "q228_selection_shard_write",
-    "q229_stream_full_ingest", "q239_stream_shard_append")
+    "q229_stream_full_ingest", "q239_stream_shard_append",
+    "q240_selection_shard_stream")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3031,6 +3032,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           col("shard").cast("long").as("shard"), col("offset"))
     }),
+    // ---- STREAMED corpus→trainer CAPSTONE: the q215 selection
+    // chain's admitted set landed INCREMENTALLY — two micro-batches of
+    // the real selection output append through the weight cursor, and
+    // the cumulative layout round-trips to the exact SQL replay
+    // (selection chain + one (batch, md5, id) running sum). The
+    // platform arc streamed end to end with an exact oracle.
+    // SIDE-EFFECTING like the lakes.
+    "q240_selection_shard_stream" -> ((s, dir) => {
+      val sel = Dedup.tracked(selectionPipeline(s, dir)
+        .select(col("doc_id"), col("n_tokens")))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_selshards"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        sel.where(pmod(col("doc_id"), lit(2)) === 0), root,
+        "doc_id", "n_tokens", shardWeight = 800L, batchId = 0L)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        sel.where(pmod(col("doc_id"), lit(2)) === 1), root,
+        "doc_id", "n_tokens", shardWeight = 800L, batchId = 1L)
+      graft.streaming.StreamShardLayout.readLayout(s, root)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"), col("offset"))
+    }),
     // ---- per-source token-budget admission under the LEARNED
     // tokenizer: BPE learn -> zero-shuffle token counting -> the
     // budget gate's batch twin (one source-keyed window; the streaming
@@ -5818,6 +5842,24 @@ object SparkEntry {
            |SELECT doc_id, source, n_tokens
            |FROM c WHERE cum - n_tokens < 800""".stripMargin
       },
+      // the streamed selection capstone: the q215 chain's admitted set
+      // split by doc parity into two appends — the (batch, md5, id)
+      // running sum over the selection output replays the cumulative
+      // layout exactly
+      "q240_selection_shard_stream" ->
+        s"""WITH sel_out AS (SELECT * FROM ($selectionPipelineSql)),
+           |st AS (SELECT doc_id, n_tokens, doc_id % 2 AS b,
+           |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+           |  FROM sel_out),
+           |sc AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS before
+           |  FROM st)
+           |SELECT doc_id, n_tokens,
+           |  CAST(before // 800 AS BIGINT) AS shard,
+           |  CAST(before % 800 AS BIGINT) AS "offset"
+           |FROM sc""".stripMargin,
       // the streamed append's global order is (batch, md5, id): batch
       // 0 is the even docs, batch 1 the odd — one exclusive running
       // sum over that order replays both appends and the read-back
