@@ -1213,6 +1213,16 @@ object Similarity {
       s"mmrRerankPerQuery: unsupported id type " +
         s"${idField.dataType.sql} for '$idCol' — tie-breaks need a " +
         "long, int, or string id")
+    // group-run detection compares key values with Seq equality —
+    // loudly reject key types where that equality is identity-based
+    // (arrays/maps/structs/binary), which would split every group
+    queryCols.foreach { c =>
+      val dt = candidates.schema(c).dataType
+      require(!dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[MapType] &&
+          !dt.isInstanceOf[StructType] && dt != BinaryType,
+        s"mmrRerankPerQuery: query column '$c' has non-atomic type " +
+          s"${dt.sql} — use scalar query keys")
+    }
     val nq = queryCols.length
     val prepared = candidates.select(
         queryCols.map(col) ++ Seq(col(idCol),

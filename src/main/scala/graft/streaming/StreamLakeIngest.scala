@@ -503,14 +503,17 @@ object StreamLakeIngest {
     * (e.g. `col("lang") === "en"`). `merges` non-empty switches the
     * budget's token accounting from whitespace counts to the LEARNED
     * tokenizer (the native `bpe_token_count` expression — budgets are
-    * usually stated in model tokens, not words); like every lake
-    * threshold it must then be held constant for the lake's lifetime. */
+    * usually stated in model tokens, not words); `unicodeBpe` must
+    * match the mode the merge list was LEARNED under
+    * ([[graft.operators.Tokenizer]]'s `unicode` flag) — like every
+    * lake threshold, both are held constant for the lake's lifetime. */
   case class SelectParams(
       dsirBuckets: Int = 1024,
       dsirSalt: String = "graft",
       minMicro: Long = 1L,
       tokenBudget: Long = 1000L,
-      merges: Seq[(String, String)] = Nil)
+      merges: Seq[(String, String)] = Nil,
+      unicodeBpe: Boolean = false)
 
   /** [[initLake]] plus the stage-6/7 artifacts: the initial DSIR model
     * (`dsir/model_init`, fit on the history with `isTarget`) and the
@@ -631,7 +634,7 @@ object StreamLakeIngest {
       else org.apache.spark.sql.graftshim.ColumnShim.column(
         graft.functions.BpeTokenCount(
           org.apache.spark.sql.graftshim.ColumnShim
-            .expression(col(textCol)), sp.merges))
+            .expression(col(textCol)), sp.merges, sp.unicodeBpe))
     val metered = s6
       .withColumn("n_tokens", tokCount)
       .join(broadcast(prior

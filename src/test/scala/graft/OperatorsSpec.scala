@@ -528,6 +528,15 @@ class OperatorsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("top-N retriever") ||
       Option(e.getCause).exists(_.getMessage.contains("top-N retriever")))
+    // non-atomic query-key types are rejected at entry (Seq-equality
+    // group detection would silently split every array-keyed group)
+    val badKey = rows.map { case (q, id, v, r) => (Array(q), id, v, r) }
+      .toDF("query_id", "vec_id", "embedding", "rel")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.mmrRerankPerQuery(badKey, Seq("query_id"), "vec_id",
+        "embedding", "rel", k = 2)
+    }
+    assert(e2.getMessage.contains("non-atomic"))
   }
 
   test("vec_dot is SQL-callable via GraftExtensions and codegen-exact") {
