@@ -2922,6 +2922,12 @@ object SparkEntry {
           round(sum(col("n_tokens")).cast("double") /
             sum(col("n_words")).cast("double"), 6).as("fertility"))
     }),
+    // ---- unicode x BATCHED learning (the remaining cell of the
+    // mode x learner matrix): 2 rounds x top-4 symbol-disjoint picks
+    // over the non-ASCII corpus, unicode word class
+    "q241_bpe_unicode_batched" -> ((s, dir) =>
+      graft.operators.Tokenizer.bpeMergesBatched(uniCorpus(s, dir),
+        "text", rounds = 2, batch = 4, unicode = true)),
     // ---- DSIR score-gate contract: job 1 writes the dense
     // fixed-point bucket model as a lake artifact; the gate collects
     // it once (bounded: `buckets` longs, the codebook pattern) and
@@ -3268,7 +3274,8 @@ object SparkEntry {
     // bpeMergesBatched's full-list greedy) applied as one nested
     // replace pass. Exclusion subqueries skip the c >= 1 filter:
     // sentinel symbol '0' never matches a real pair.
-    def bpeBatchedRounds(rounds: Int, batch: Int): String =
+    def bpeBatchedRounds(rounds: Int, batch: Int,
+        sentinel: String = "0"): String =
       (1 to rounds).map { r =>
         val pcte =
           s"""r${r}p AS MATERIALIZED (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
@@ -3291,7 +3298,7 @@ object SparkEntry {
             }
           s"""r${r}m$k AS MATERIALIZED (SELECT lhs, rhs, c FROM (
              |    SELECT lhs, rhs, c FROM r${r}p WHERE c >= 1$excl
-             |    UNION ALL SELECT '0', '0', 0)
+             |    UNION ALL SELECT '$sentinel', '$sentinel', 0)
              |  ORDER BY c DESC, lhs, rhs LIMIT 1)""".stripMargin
         }
         val repl = (1 to batch).foldLeft("seq") { (e, k) =>
@@ -5613,6 +5620,23 @@ object SparkEntry {
            |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
            |FROM tc
            |GROUP BY 1""".stripMargin
+      },
+      "q241_bpe_unicode_batched" -> {
+        // the q226 batched chain with the unicode word class over the
+        // non-ASCII corpus; '-' sentinel throughout
+        val unions = (for { r <- 1 to 2; k <- 1 to 4 } yield
+          s"SELECT $r AS rnd, $k AS k, lhs, rhs, c FROM r${r}m$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH $uniCorpusSql,
+           |${bpeVocab0UniFrom("ud")},
+           |bv0 AS MATERIALIZED (SELECT seq, cnt FROM v0),
+           |${bpeBatchedRounds(2, 4, "-")}
+           |SELECT CAST(row_number() OVER (ORDER BY rnd, k) AS BIGINT)
+           |    AS step,
+           |  CAST(rnd AS BIGINT) AS round, lhs, rhs,
+           |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
+           |FROM ($unions)
+           |WHERE c >= 1""".stripMargin
       },
       "q232_bpe_tokenize" -> {
         // per-word token lists (the q213 encode chain split back into
