@@ -317,7 +317,21 @@ object StreamLakeIngest {
     }
   }
 
-  private def compactDir(spark: SparkSession, dir: String): Unit = {
+  private def compactDir(spark: SparkSession, dir: String): Unit =
+    compactDirWith(spark, dir,
+      dirs => spark.read.parquet(dirs: _*),
+      (df, path) => df.write.mode("overwrite").parquet(path))
+
+  /** The generic listing-protocol compaction (staging manifest,
+    * stale-discard, resumable promote) with pluggable read/union and
+    * write — so the PARTITIONED shard layout ([[StreamShardLayout
+    * .compactLayout]]: per-dir reads unioned, `partitionBy` write)
+    * reuses the exact crash-resume rules the hash/sig lakes spec'd
+    * instead of growing a drifting copy. */
+  private[streaming] def compactDirWith(spark: SparkSession,
+      dir: String,
+      readDirs: Seq[String] => DataFrame,
+      writeTo: (DataFrame, String) => Unit): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(readLivePointer(fs, path).isEmpty,
@@ -351,6 +365,11 @@ object StreamLakeIngest {
       }
     val liveNames = live.map(_.getName).toSet
     val recorded = readManifest()
+    // nothing staged and fewer than two foldable dirs: a no-op, not a
+    // rewrite (base->base churn for the lakes; for the shard layout,
+    // one-increment roots are the normal state right after batch 0
+    // and must not fail loudly). A pending manifest still promotes.
+    if (recorded.isEmpty && live.length < 2) return
     val missing = recorded.map(_.toSet -- liveNames).getOrElse(Set.empty)
     val extra = recorded.map(liveNames -- _.toSet).getOrElse(Set.empty)
     if (recorded.isEmpty || (missing.isEmpty && extra.nonEmpty)) {
@@ -360,8 +379,8 @@ object StreamLakeIngest {
       fs.delete(staging, true)
       val dirs = live
       require(dirs.nonEmpty, s"$dir holds no lake state")
-      spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
-        .write.mode("overwrite").parquet(staging.toString)
+      writeTo(readDirs(dirs.map(_.toString).toIndexedSeq),
+        staging.toString)
       val out = fs.create(manifest, true)
       try out.write(
         (dirs.map(_.getName).sorted.mkString("\n") + "\n")

@@ -88,6 +88,25 @@ object StreamShardLayout {
     assigned
   }
 
+  /** Periodic maintenance: fold every CLOSED increment into one
+    * `base` directory — the listing-cost remedy for a long-lived
+    * stream (readLayout otherwise unions one scan per batch), exactly
+    * like the hash/sig lakes' [[StreamLakeIngest.compact]] and
+    * through the SAME crash-resume manifest protocol (shared code).
+    * The newest increment always stays out (it may belong to a
+    * replayable batch); the open shard's rows may split between
+    * `base` and that increment — `offset` carries the order, so
+    * readers never notice. Run BETWEEN batches under the
+    * single-maintainer contract (no concurrent reader during the
+    * promote window; the `_live` pointer option is a lake-column
+    * protocol and does not apply to the partitioned layout). */
+  def compactLayout(spark: SparkSession, layoutRoot: String): Unit =
+    StreamLakeIngest.compactDirWith(spark, s"$layoutRoot/layout",
+      dirs => dirs.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_)),
+      (df, path) => df.write.mode("overwrite").partitionBy("shard")
+        .parquet(path))
+
   /** The cumulative layout: every batch's landed assignment, with the
     * partition-discovered `shard` column. A shard spanning batches
     * reads back from several inc roots; (shard, offset) is the total
@@ -98,7 +117,7 @@ object StreamShardLayout {
     val incs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n.startsWith("inc_b") && !n.startsWith("_")
+        (n.startsWith("inc_b") || n == "base") && !n.startsWith("_")
       }
       .map(_.toString).sorted
     require(incs.nonEmpty,

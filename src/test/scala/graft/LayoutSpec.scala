@@ -169,6 +169,55 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("compactLayout folds closed increments into base, keeps the " +
+      "newest increment live, and the layout round-trips unchanged") {
+    val docs = (0L until 300L).map(i => (i, (i * 37 + 11) % 50 + 1))
+    val ddf = docs.toDF("doc_id", "n_tokens")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardcompact").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    (0 to 2).foreach { b =>
+      graft.streaming.StreamShardLayout.appendIncrement(
+        ddf.where($"doc_id" % 3 === b), root, "doc_id", "n_tokens",
+        300L, b.toLong)
+    }
+    def layout(): Set[(Long, Long, Long, Long)] =
+      graft.streaming.StreamShardLayout.readLayout(spark, root)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"),
+          $"offset")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).toSet
+    val before = layout()
+    graft.streaming.StreamShardLayout.compactLayout(spark, root)
+    def subdirs(): Set[String] =
+      new java.io.File(s"$root/layout").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
+    // inc_b0/inc_b1 folded; inc_b2 (newest, replayable) stays live
+    assert(subdirs() == Set("base", "inc_b2"))
+    assert(layout() == before)
+    // the folded layout keeps appending and compacting: batch 3 lands
+    // through the cursor, the next compact folds {base, inc_b2}
+    graft.streaming.StreamShardLayout.appendIncrement(
+      (300L until 350L).map(i => (i, i % 40 + 1))
+        .toDF("doc_id", "n_tokens"),
+      root, "doc_id", "n_tokens", 300L, 3L)
+    val withB3 = layout()
+    graft.streaming.StreamShardLayout.compactLayout(spark, root)
+    assert(subdirs() == Set("base", "inc_b3"))
+    assert(layout() == withB3)
+    // a single-increment root is a no-op, never a loud failure
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_shardcompact1").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, fresh)
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" < 10), fresh, "doc_id", "n_tokens", 300L, 0L)
+    graft.streaming.StreamShardLayout.compactLayout(spark, fresh)
+    assert(new java.io.File(s"$fresh/layout").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet == Set("inc_b0"))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val fact = spark.range(1000).select($"id",
