@@ -693,4 +693,33 @@ object StreamLakeIngest {
         Dedup.releaseIntermediates()
       }
       .start()
+
+  /** The COMPLETE streamed corpus→trainer loop: each micro-batch runs
+    * the seven-stage selection AND lands its admissions in the
+    * training-shard layout ([[StreamShardLayout.appendIncrement]],
+    * weights = the stage-7 `n_tokens`) — raw stream in, loader-ready
+    * `shard=N/` directories out, one `foreachBatch`. Every piece of
+    * state on both sides is a batch-id-versioned lake artifact and
+    * every write is batch-id-derived Overwrite, so the two loops'
+    * replay guarantees COMPOSE: a re-executed batch re-reads exactly
+    * the snapshots+cursor its first attempt saw and rewrites exactly
+    * the same admitted dir, ledger, layout increment, and cursor. */
+  def ingestFullToShards(stream: DataFrame, lakeRoot: String,
+      admittedDir: String, checkpointDir: String, layoutRoot: String,
+      textCol: String, idCol: String, vecCol: String,
+      sourceCol: String, shardWeight: Long, p: Params = Params(),
+      sp: SelectParams = SelectParams()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = curateIncrementFull(batch, lakeRoot, admittedDir,
+          textCol, idCol, vecCol, sourceCol, batchId, p, sp)
+        val landed = StreamShardLayout.appendIncrement(
+          admitted.select(col(idCol), col("n_tokens")), layoutRoot,
+          idCol, "n_tokens", shardWeight, batchId)
+        Lineage.free(landed)
+        Lineage.free(admitted)
+        Dedup.releaseIntermediates()
+      }
+      .start()
 }

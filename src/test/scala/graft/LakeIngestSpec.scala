@@ -486,6 +486,60 @@ class LakeIngestSpec extends SparkTestBase {
     assert(led == Map("s1" -> (tok(t5) + tok(t210))))
   }
 
+  test("ingestFullToShards: one foreachBatch runs the seven-stage " +
+      "selection AND lands the admissions in the shard layout — the " +
+      "layout round-trips to the direct two-append twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("lake_toshards").toString
+    val lake = s"$root/lake"
+    val admitted = s"$root/admitted"
+    val layout = s"$root/layout"
+    val zzzT = "zzz qux jolt vex brim clod dunes parn welk trid moss"
+    val hist = Seq(IngestDoc(10L, histT10, Array(1f, 0f, 0f)),
+      IngestDoc(12L, histT12, Array(0f, 1f, 0f)),
+      IngestDoc(14L, zzzT, Array(0.5f, 0.5f, 0f))).toDF()
+    val bench = Seq((1L, benchT)).toDF("doc_id", "text")
+    val sp = graft.streaming.StreamLakeIngest.SelectParams(
+      minMicro = Long.MinValue, tokenBudget = Long.MaxValue / 4)
+    graft.streaming.StreamLakeIngest.initLakeFull(hist, bench, "text",
+      "doc_id", "vec", !col("text").contains("zzz"), lake, p, sp)
+    graft.streaming.StreamShardLayout.initLayout(spark, layout)
+    val stream = MemoryStream[(Long, String, String, Array[Float])]
+    val q = graft.streaming.StreamLakeIngest.ingestFullToShards(
+      stream.toDF().toDF("doc_id", "source", "text", "vec"), lake,
+      admitted, s"$root/ckpt", layout, "text", "doc_id", "vec",
+      "source", shardWeight = 20L, p, sp)
+    stream.addData((105L, "s1", t5, Array(0f, 0f, 1f)),
+      (113L, "s1", t13, Array(-1f, 0f, 0f)))
+    q.processAllAvailable()
+    stream.addData((203L, "s1", t210, Array(0f, -1f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    // selection admitted everything (generous gates) per batch dir
+    assert(admittedIds(s"$admitted/inc_b0") == Set(105L, 113L))
+    assert(admittedIds(s"$admitted/inc_b1") == Set(203L))
+    // the landed layout equals the direct twin: appendIncrement over
+    // the SAME admitted frames, batch order preserved by the cursor
+    def rows(r: String): Set[(Long, Long, Long, Long)] =
+      graft.streaming.StreamShardLayout.readLayout(spark, r)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"),
+          $"offset")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).toSet
+    val twin = Files.createTempDirectory("lake_toshards_twin").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, twin)
+    Seq(0L, 1L).foreach { b =>
+      graft.streaming.StreamShardLayout.appendIncrement(
+        spark.read.parquet(s"$admitted/inc_b$b")
+          .select($"doc_id", $"n_tokens"),
+        twin, "doc_id", "n_tokens", 20L, b)
+    }
+    val streamed = rows(layout)
+    assert(streamed == rows(twin))
+    assert(streamed.map(_._1) == Set(105L, 113L, 203L))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   /** Shared prologue for the compaction crash-resume specs: init the
     * lake, run batches 0 and 1, return (lake, admitted). */
   private def crashFixture(): (String, String) = {
