@@ -116,6 +116,32 @@ object SparkEntry {
     base.unionByName(extra)
   }
 
+  /** The PUNCTUATION-HEAVY corpus for the byte-fallback tokenizer
+    * queries (q242/q243): the documents text with two vowels
+    * translated to ASCII punctuation (per-code-point `translate`,
+    * identical in Spark and DuckDB) UNION literal rows covering every
+    * UTF-8 width out of class — apostrophes/hyphens/decimals (1-byte),
+    * `«»` (2-byte), the en dash (3-byte), emoji (4-byte) — plus
+    * in-class CJK/Cyrillic neighbors. Under the unicode tokenizer the
+    * punctuated words would all bypass the vocabulary as single OOV
+    * tokens; byte fallback is what makes them encodable. */
+  private def punctCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      translate(col("text"), "eo", "'.").as("text"), col("lang"))
+    val extra = Seq(
+      (2000000L, "don't don't co-op co-op 3.14 3.14 don't co-op",
+        "punct"),
+      (2000001L, "https://ex.com/a?b=1 https://ex.com/a?b=1 " +
+        "http://x.y http://x.y e-mail e-mail", "url"),
+      (2000002L, "«mot» «mot» a–b a–b 😀😀 " +
+        "😀😀 naïve naïve", "mixed"),
+      (2000003L, "数据,模型 数据,模型 x=1;y=2 x=1;y=2 " +
+        "тест-кейс тест-кейс", "cjkmix"))
+      .toDF("doc_id", "text", "lang")
+    base.unionByName(extra)
+  }
+
   /** The q207 chain: decon -> exact-vs-lake -> near-dup cross ->
     * semantic cross -> quality filters (history outranks increment,
     * earlier id wins). SIDE-EFFECTING: writes the hash-lake artifact
@@ -2928,6 +2954,37 @@ object SparkEntry {
     "q241_bpe_unicode_batched" -> ((s, dir) =>
       graft.operators.Tokenizer.bpeMergesBatched(uniCorpus(s, dir),
         "text", rounds = 2, batch = 4, unicode = true)),
+    // ---- BYTE-FALLBACK BPE learning (the OOV endpoint): EVERY
+    // whitespace token enters the vocabulary — in-class code points
+    // as themselves, out-of-class code points as their UTF-8 bytes'
+    // placeholder symbols (U+2500+b, the GPT-2 bytes-to-unicode
+    // discipline adapted to the mixed word/byte alphabet) — so
+    // `don't` / `co-op` / `3.14` / URLs / emoji stop bypassing the
+    // tokenizer. Corpus: documents with vowels translated to ASCII
+    // punctuation + literal rows covering all four UTF-8 widths.
+    "q242_bpe_bytefallback_merges" -> ((s, dir) =>
+      graft.operators.Tokenizer.bpeMerges(punctCorpus(s, dir), "text",
+        merges = 8, byteFallback = true)),
+    // ---- byte-fallback learn -> NATIVE fallback encode -> per-lang
+    // FERTILITY on the punctuated corpus: fertility > 1 for the
+    // punct/url/mixed/cjkmix groups is the proof the punctuated
+    // tokens actually decompose and encode under the learned
+    // vocabulary (unicode-mode OOV passthrough would pin them at
+    // exactly one token per word).
+    "q243_bpe_bytefallback_fertility" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer
+        .bpeTokenCounts(pc, "text", "doc_id", m, byteFallback = true)
+        .join(pc.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_tokens")).cast("double") /
+            sum(col("n_words")).cast("double"), 6).as("fertility"))
+    }),
     // ---- DSIR score-gate contract: job 1 writes the dense
     // fixed-point bucket model as a lake artifact; the gate collects
     // it once (bounded: `buckets` longs, the codebook pattern) and
@@ -3335,6 +3392,61 @@ object SparkEntry {
          |      FROM $src)
          |    WHERE regexp_matches(w, '^[\\p{L}\\p{N}]+$$')
          |    GROUP BY 1))""".stripMargin
+    // BYTE-FALLBACK initial symbol sequence of one word (q242/q243):
+    // in-class code points (the same [\p{L}\p{N}] literal class) stay
+    // themselves; every other code point expands to its UTF-8 bytes,
+    // byte b as the placeholder chr(9472 + b) — the exact integer
+    // formulas BpeByteAlphabet.symbols computes (1/2/3/4 bytes by
+    // code point range; regexp_extract_all('.') splits per CODE
+    // POINT in RE2 exactly as codePointAt does in Java)
+    def fbSeqExpr(w: String): String = {
+      def sym(b: String) = s"'·' || chr(9472 + ($b)) || '·'"
+      s"""array_to_string(list_transform(
+         |  regexp_extract_all($w, '.'), ch ->
+         |  CASE WHEN regexp_matches(ch, '^[\\p{L}\\p{N}]$$')
+         |      THEN '·' || ch || '·'
+         |    WHEN unicode(ch) < 128 THEN ${sym("unicode(ch)")}
+         |    WHEN unicode(ch) < 2048 THEN
+         |      ${sym("192 + unicode(ch) // 64")} ||
+         |      ${sym("128 + unicode(ch) % 64")}
+         |    WHEN unicode(ch) < 65536 THEN
+         |      ${sym("224 + unicode(ch) // 4096")} ||
+         |      ${sym("128 + (unicode(ch) // 64) % 64")} ||
+         |      ${sym("128 + unicode(ch) % 64")}
+         |    ELSE
+         |      ${sym("240 + unicode(ch) // 262144")} ||
+         |      ${sym("128 + (unicode(ch) // 4096) % 64")} ||
+         |      ${sym("128 + (unicode(ch) // 64) % 64")} ||
+         |      ${sym("128 + unicode(ch) % 64")}
+         |  END), '')""".stripMargin
+    }
+    // byte-fallback vocab: EVERY nonempty whitespace token enters,
+    // its seq built by the fallback expansion above
+    def bpeVocab0FallbackFrom(src: String): String =
+      s"""v0 AS (
+         |  SELECT ${fbSeqExpr("w")} AS seq, cnt
+         |  FROM (
+         |    SELECT w, count(*) AS cnt FROM (
+         |      SELECT unnest(string_split_regex(trim(lower(text)),
+         |          '\\s+')) AS w
+         |      FROM $src)
+         |    WHERE w <> '' GROUP BY 1))""".stripMargin
+    // the q242/q243 punctuated corpus: punctCorpus's SQL twin
+    val punctCorpusSql =
+      """pd AS (
+        |  SELECT doc_id, translate(text, 'eo', '''.') AS text, lang
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.did AS BIGINT), v.txt, v.lng FROM (VALUES
+        |    (2000000, 'don''t don''t co-op co-op 3.14 3.14 ' ||
+        |      'don''t co-op', 'punct'),
+        |    (2000001, 'https://ex.com/a?b=1 https://ex.com/a?b=1 ' ||
+        |      'http://x.y http://x.y e-mail e-mail', 'url'),
+        |    (2000002, '«mot» «mot» a–b a–b 😀😀 ' ||
+        |      '😀😀 naïve naïve', 'mixed'),
+        |    (2000003, '数据,模型 数据,模型 x=1;y=2 x=1;y=2 ' ||
+        |      'тест-кейс тест-кейс', 'cjkmix'))
+        |    v(did, txt, lng))""".stripMargin
     // the q236/q237 non-ASCII corpus: uniCorpus's SQL twin
     val uniCorpusSql =
       """ud AS (
@@ -5588,6 +5700,52 @@ object SparkEntry {
            |${bpeVocab0UniFrom("ud")},
            |$bpeRoundsUni
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q242_bpe_bytefallback_merges" -> {
+        // the q212 unrolled learning loop over the BYTE-FALLBACK
+        // vocabulary (every token enters; out-of-class code points as
+        // UTF-8 byte placeholders) on the punctuated corpus; '-'
+        // sentinel (outside both the word classes and the U+25xx
+        // placeholder run)
+        val unions = (1 to 8).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS step, lhs, rhs,
+             |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
+             |FROM m$i WHERE c >= 1""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni
+           |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q243_bpe_bytefallback_fertility" -> {
+        // the q237 learn+encode chain under byte fallback: every word
+        // encodes (no OOV CASE — the fallback seq IS the initial
+        // encoding), grouped per lang over the punctuated corpus
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |w AS (SELECT doc_id, lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
+           |      AS wd
+           |  FROM pd),
+           |tc AS (SELECT doc_id, lang,
+           |    CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(len(string_split(trim($encChain, '·'),
+           |      '··'))) AS BIGINT) AS n_tokens
+           |  FROM w $crossMs
+           |  GROUP BY 1, 2)
+           |SELECT lang,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(n_tokens) AS DOUBLE)
+           |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+           |FROM tc
+           |GROUP BY 1""".stripMargin
       },
       "q237_bpe_unicode_fertility" -> {
         // the q234 learn+encode chain, unicode word class, grouped

@@ -42,9 +42,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `·` (U+00B7, category Po) is in neither class, so it still can
   * never occur inside a symbol. The mode must match the learner's
   * ([[graft.operators.Tokenizer]] passes it through both jobs).
+  *
+  * `byteFallback = true` (implies the unicode word class) removes the
+  * OOV passthrough entirely: EVERY whitespace token encodes — in-class
+  * code points as themselves, out-of-class code points as their UTF-8
+  * bytes' placeholder symbols ([[BpeByteAlphabet]], the one shared
+  * mapping) — so `don't` / `co-op` / `3.14` / URLs / emoji enter the
+  * learned vocabulary instead of surviving as single opaque tokens.
   */
 final class BpeMergeTable(val merges: Seq[(String, String)],
-    val unicode: Boolean = false)
+    val unicode: Boolean = false, val byteFallback: Boolean = false)
     extends Serializable {
 
   /** Well-formedness for the rank-priority path (see class doc). A
@@ -165,7 +172,13 @@ final class BpeMergeTable(val merges: Seq[(String, String)],
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      if (isWord(w)) {
+      if (byteFallback && w.nonEmpty) {
+        val ps = fallbackPieces(w)
+        var j = 0
+        while (j < ps.length) {
+          out += UTF8String.fromString(ps(j)); j += 1
+        }
+      } else if (!byteFallback && isWord(w)) {
         val ps = encodePieces(w)
         var j = 0
         while (j < ps.length) {
@@ -175,6 +188,14 @@ final class BpeMergeTable(val merges: Seq[(String, String)],
       i += 1
     }
     out.toArray
+  }
+
+  /** Byte-fallback encode of one whitespace token: the shared
+    * [[BpeByteAlphabet.symbols]] initial sequence (in-class code
+    * points + byte placeholders) through the same merge core. */
+  private def fallbackPieces(word: String): Array[String] = {
+    val syms = BpeByteAlphabet.symbols(word)
+    java.util.Arrays.copyOf(syms, mergeInPlace(syms, syms.length))
   }
 
   @transient private lazy val wsSplit = java.util.regex.Pattern
@@ -227,7 +248,11 @@ final class BpeMergeTable(val merges: Seq[(String, String)],
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      sum += (if (isWord(w)) encodeCount(w).toLong else 1L)
+      sum += (if (byteFallback && w.nonEmpty) {
+        val syms = BpeByteAlphabet.symbols(w)
+        mergeInPlace(syms, syms.length).toLong
+      } else if (!byteFallback && isWord(w)) encodeCount(w).toLong
+      else 1L)
       i += 1
     }
     sum
@@ -250,14 +275,15 @@ final class BpeMergeTable(val merges: Seq[(String, String)],
   * shuffle — `size(bpe_tokenize(text)) == bpe_token_count(text)` by
   * construction (spec'd). */
 case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
-    unicode: Boolean = false)
+    unicode: Boolean = false, byteFallback: Boolean = false)
     extends UnaryExpression {
 
   override def prettyName: String = "bpe_tokenize"
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val table = new BpeMergeTable(merges, unicode)
+  @transient private lazy val table =
+    new BpeMergeTable(merges, unicode, byteFallback)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -287,13 +313,15 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
 }
 
 case class BpeTokenCount(child: Expression,
-    merges: Seq[(String, String)], unicode: Boolean = false)
+    merges: Seq[(String, String)], unicode: Boolean = false,
+    byteFallback: Boolean = false)
     extends UnaryExpression {
 
   override def prettyName: String = "bpe_token_count"
   override def dataType: DataType = LongType
 
-  @transient private lazy val table = new BpeMergeTable(merges, unicode)
+  @transient private lazy val table =
+    new BpeMergeTable(merges, unicode, byteFallback)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -30,15 +30,31 @@ object Tokenizer {
     * — ONE map-side-combined hash aggregate; shared by both learners.
     * The per-character split regex `(.)` matches one CODE POINT in
     * both Java and RE2, so unicode-mode symbols are code points on
-    * both sides. */
+    * both sides.
+    *
+    * With `byteFallback` the class filter disappears: EVERY nonempty
+    * whitespace token enters the vocabulary, its initial sequence
+    * built by the native [[graft.functions.BpeFallbackSeq]] expression
+    * (in-class code points as themselves, out-of-class code points as
+    * UTF-8 byte placeholder symbols — the mapping the encoder shares,
+    * [[graft.functions.BpeByteAlphabet]]). */
   private def initialVocab(df: DataFrame, textCol: String,
-      unicode: Boolean): DataFrame =
-    Dedup.tracked(df
+      unicode: Boolean, byteFallback: Boolean = false): DataFrame = {
+    val words = df
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-      .where(col("w").rlike(wordPattern(unicode)))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("seq"),
-        col("cnt")))
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    Dedup.tracked(
+      if (byteFallback)
+        words.where(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .select(shim.column(graft.functions.BpeFallbackSeq(
+            shim.expression(col("w")))).as("seq"), col("cnt"))
+      else
+        words.where(col("w").rlike(wordPattern(unicode)))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .select(regexp_replace(col("w"), "(.)", S + "$1" + S)
+            .as("seq"), col("cnt")))
+  }
 
   /** Adjacent-symbol pair counts over a vocab frame — projection-local
     * array ops feeding one map-side-combined aggregate. */
@@ -117,13 +133,14 @@ object Tokenizer {
     * (step, lhs, rhs, merged, pair_count).
     */
   def bpeMerges(df: DataFrame, textCol: String, merges: Int,
-      minCount: Long = 1L, unicode: Boolean = false): DataFrame = {
+      minCount: Long = 1L, unicode: Boolean = false,
+      byteFallback: Boolean = false): DataFrame = {
     require(merges >= 1 && merges <= 512,
       s"merges must be in [1, 512] (got $merges): each merge is a " +
         "driver-coordinated round — for larger vocabularies use " +
         "bpeMergesBatched (top-M disjoint pairs per round)")
     val spark = df.sparkSession
-    val vocab0 = initialVocab(df, textCol, unicode)
+    val vocab0 = initialVocab(df, textCol, unicode, byteFallback)
 
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -178,7 +195,8 @@ object Tokenizer {
     */
   def bpeMergesBatched(df: DataFrame, textCol: String, rounds: Int,
       batch: Int, minCount: Long = 1L,
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false,
+      byteFallback: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 512,
       s"rounds must be in [1, 512] (got $rounds)")
     require(batch >= 1 && batch <= 128,
@@ -186,7 +204,8 @@ object Tokenizer {
     val spark = df.sparkSession
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, String, String, Long)]
-    val chain = new VocabChain(initialVocab(df, textCol, unicode))
+    val chain =
+      new VocabChain(initialVocab(df, textCol, unicode, byteFallback))
     var step = 1
     var round = 1
     var done = false
@@ -265,7 +284,8 @@ object Tokenizer {
     */
   def bpeTokenCounts(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)],
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false,
+      byteFallback: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
     val words = split(trim(lower(col(textCol))), "\\s+")
@@ -273,7 +293,8 @@ object Tokenizer {
     df.select(col(idCol).as("doc_id"),
       size(words).cast("long").as("n_words"),
       shim.column(graft.functions.BpeTokenCount(
-        shim.expression(col(textCol)), merges, unicode)).as("n_tokens"))
+        shim.expression(col(textCol)), merges, unicode, byteFallback))
+        .as("n_tokens"))
   }
 
   /** Tokenize — the token SEQUENCE under a learned merge list, one
@@ -286,13 +307,14 @@ object Tokenizer {
     * still a single scan whose output is the token stream itself. */
   def bpeTokenize(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)],
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false,
+      byteFallback: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
     val shim = org.apache.spark.sql.graftshim.ColumnShim
     df.select(col(idCol).as("doc_id"),
         posexplode(shim.column(graft.functions.BpeTokenize(
-          shim.expression(col(textCol)), merges, unicode)))
+          shim.expression(col(textCol)), merges, unicode, byteFallback)))
           .as(Seq("pos", "token")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("token"))

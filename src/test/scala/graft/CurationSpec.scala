@@ -304,6 +304,79 @@ class CurationSpec extends SparkTestBase {
     assert(merged == 1L)
   }
 
+  test("bpe byte fallback: the shared alphabet maps out-of-class " +
+      "code points to UTF-8 byte placeholders, in-class stay whole") {
+    import graft.functions.BpeByteAlphabet
+    def sym(b: Int) = String.valueOf((0x2500 + b).toChar)
+    // ASCII punctuation: 1 byte (don't -> d o n <27> t)
+    assert(BpeByteAlphabet.symbols("don't").toSeq ==
+      Seq("d", "o", "n", sym(0x27), "t"))
+    // in-class letters (accented included) stay code points
+    assert(BpeByteAlphabet.symbols("café").toSeq ==
+      Seq("c", "a", "f", "é"))
+    // en dash U+2013: 3 bytes E2 80 93
+    assert(BpeByteAlphabet.symbols("–").toSeq ==
+      Seq(sym(0xE2), sym(0x80), sym(0x93)))
+    // « U+00AB: 2 bytes C2 AB
+    assert(BpeByteAlphabet.symbols("«").toSeq ==
+      Seq(sym(0xC2), sym(0xAB)))
+    // emoji U+1F600: 4 bytes F0 9F 98 80 (supplementary plane)
+    assert(BpeByteAlphabet.symbols("😀").toSeq ==
+      Seq(sym(0xF0), sym(0x9F), sym(0x98), sym(0x80)))
+    // every placeholder is outside [\p{L}\p{N}] and is not the
+    // sentinel — it can never collide with an in-class symbol
+    (0 to 255).foreach { b =>
+      val cp = 0x2500 + b
+      assert(!BpeByteAlphabet.inClass(cp) && cp != 0xB7)
+    }
+  }
+
+  test("bpe byte fallback: punctuated words learn merges and encode " +
+      "under them (unicode mode would pass them through as OOV)") {
+
+    def sym(b: Int) = String.valueOf((0x2500 + b).toChar)
+    val docs = Seq((1L, "a'b a'b a'b")).toDF("doc_id", "text")
+    // vocab {a'b:3} as a | <27> | b; round 1 ties (a,<27>)=(27,b)=3,
+    // 'a' (U+0061) < placeholder (U+2527) so (a,<27>) wins; round 2
+    // merges (a<27>, b)
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 2, byteFallback = true)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(m == Seq(("a", sym(0x27), 3L),
+      ("a" + sym(0x27), "b", 3L)))
+    val pairs = m.map { case (l, r, _) => (l, r) }
+    val enc = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", pairs,
+        byteFallback = true)
+      .collect().head
+    assert((enc.getLong(1), enc.getLong(2)) == (3L, 3L))
+    // under unicode mode the same corpus is pure OOV passthrough
+    val uni = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", pairs, unicode = true)
+      .collect().head.getLong(2)
+    assert(uni == 3L)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("bpe byte fallback: size(tokenize) == count, pieces are the " +
+      "mixed code-point/byte-placeholder symbols") {
+
+    def sym(b: Int) = String.valueOf((0x2500 + b).toChar)
+    val docs = Seq((1L, "3.14 x=1 😀")).toDF("doc_id", "text")
+    val toks = graft.operators.Tokenizer
+      .bpeTokenize(docs, "text", "doc_id", Nil, byteFallback = true)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(toks == Seq("3", sym(0x2E), "1", "4",
+      "x", sym(0x3D), "1",
+      sym(0xF0), sym(0x9F), sym(0x98), sym(0x80)))
+    val n = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", Nil, byteFallback = true)
+      .collect().head.getLong(2)
+    assert(n == toks.length.toLong)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("bpeMergesBatched: batch=1 equals sequential bpeMerges; " +
       "within-round picks are symbol-disjoint greedy") {
     val docs = Seq((1L, "low low lower Low!"), (2L, "low lowest"))
