@@ -57,7 +57,7 @@ object SparkEntry {
     "q207_incremental_pipeline", "q208_stream_lake_ingest",
     "q221_disposition_audit", "q228_selection_shard_write",
     "q229_stream_full_ingest", "q239_stream_shard_append",
-    "q240_selection_shard_stream")
+    "q240_selection_shard_stream", "q244_stream_shard_manifest")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3118,6 +3118,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           col("shard").cast("long").as("shard"), col("offset"))
     }),
+    // ---- STREAMED TRAINER MANIFEST: the q235 per-shard attestation
+    // (doc count, token sum, order-sensitive digest) assembled from
+    // the per-batch manifest rows appendIncrement lands beside each
+    // increment — a trainer consumes THIS, never a directory listing,
+    // so the q235 digest contract extends to the streamed arc as pure
+    // metadata (no data file is opened). Layout: the q240 streamed
+    // selection, two appends through the weight cursor.
+    // SIDE-EFFECTING like the lakes.
+    "q244_stream_shard_manifest" -> ((s, dir) => {
+      val sel = Dedup.tracked(selectionPipeline(s, dir)
+        .select(col("doc_id"), col("n_tokens")))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_manshards"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        sel.where(pmod(col("doc_id"), lit(2)) === 0), root,
+        "doc_id", "n_tokens", shardWeight = 800L, batchId = 0L)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        sel.where(pmod(col("doc_id"), lit(2)) === 1), root,
+        "doc_id", "n_tokens", shardWeight = 800L, batchId = 1L)
+      graft.streaming.StreamShardLayout.readShardManifest(s, root,
+        "n_tokens")
+    }),
     // ---- per-source token-budget admission under the LEARNED
     // tokenizer: BPE learn -> zero-shuffle token counting -> the
     // budget gate's batch twin (one source-keyed window; the streaming
@@ -6042,6 +6065,28 @@ object SparkEntry {
            |  CAST(before // 800 AS BIGINT) AS shard,
            |  CAST(before % 800 AS BIGINT) AS "offset"
            |FROM sc""".stripMargin,
+      // the streamed trainer manifest: the q240 (batch, md5, id)
+      // running-sum assignment wrapped in the q235 per-shard digest
+      // aggregation — ids comma-joined in offset order, md5'd
+      "q244_stream_shard_manifest" ->
+        s"""WITH sel_out AS (SELECT * FROM ($selectionPipelineSql)),
+           |st AS (SELECT doc_id, n_tokens, doc_id % 2 AS b,
+           |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+           |  FROM sel_out),
+           |sc AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS before
+           |  FROM st),
+           |a AS (SELECT doc_id, n_tokens,
+           |    CAST(before // 800 AS BIGINT) AS shard,
+           |    CAST(before % 800 AS BIGINT) AS off
+           |  FROM sc)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+           |    ORDER BY off, CAST(doc_id AS VARCHAR))) AS digest
+           |FROM a GROUP BY 1""".stripMargin,
       // the streamed append's global order is (batch, md5, id): batch
       // 0 is the even docs, batch 1 the odd — one exclusive running
       // sum over that order replays both appends and the read-back

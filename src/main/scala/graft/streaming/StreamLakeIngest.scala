@@ -118,11 +118,16 @@ object StreamLakeIngest {
           .filter(k => k > lp.maxFolded && k != batchId)
           .map(k => s"$dir/inc_b$k")).sorted
       case None =>
+        // base_v* excluded: a pointer generation is visible through
+        // its pointer ONLY, so a listing reader racing the FIRST
+        // isolated compaction (base_v1 renamed in, _live_v1 not yet
+        // created, nothing deleted) never double-counts it — see the
+        // compactDirIsolatedWith migration note
         fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
           .filter { p =>
             val n = p.getName
             n != s"inc_b$batchId" && !n.startsWith("_") &&
-              !n.startsWith(".")
+              !n.startsWith(".") && !n.startsWith("base_v")
           }
           .map(_.toString).sorted.toSeq
     }
@@ -235,7 +240,34 @@ object StreamLakeIngest {
       .foreach(compactDirIsolated(spark, _))
 
   private def compactDirIsolated(spark: SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit =
+    compactDirIsolatedWith(spark, dir,
+      dirs => spark.read.parquet(dirs: _*),
+      (df, path) => df.write.mode("overwrite").parquet(path))
+
+  /** [[compactDirIsolated]] with pluggable read/union and write — the
+    * PARTITIONED shard layout's reader-isolated compaction
+    * ([[StreamShardLayout.compactLayoutIsolated]]: per-dir reads
+    * unioned so partition discovery sees each root's `shard=N` dirs,
+    * `partitionBy` write) reuses the exact pointer-generation
+    * protocol (staging manifest, deferred reap, resumable promote)
+    * the hash/sig lakes spec'd, the same sharing discipline as
+    * [[compactDirWith]].
+    *
+    * MIGRATION NOTE (the one residual race): the FIRST isolated
+    * compaction of a legacy listing-mode directory renames staging to
+    * `base_v1` before `_live_v1` exists. A concurrent reader (no
+    * pointer yet, so listing mode) must not double-count `base_v1`
+    * beside the still-live folded dirs — every engine listing-mode
+    * reader ([[visibleIncrements]], [[StreamShardLayout.readLayout]])
+    * therefore EXCLUDES `base_v*` names: those are visible through
+    * the pointer only. With that exclusion the migration run is safe
+    * under concurrent readers too (nothing is deleted at promote;
+    * retired dirs survive until the next run's reap). */
+  private[streaming] def compactDirIsolatedWith(spark: SparkSession,
+      dir: String,
+      readDirs: Seq[String] => DataFrame,
+      writeTo: (DataFrame, String) => Unit): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path, "_compact")
@@ -259,17 +291,28 @@ object StreamLakeIngest {
           catch { case scala.util.control.NonFatal(_) => () }
       }
     }
-    // 2. STAGE (unless a completed rewrite is already waiting): fold
-    // the live set except the newest increment (it may belong to a
-    // replayable batch — the same exclusion as the default protocol)
-    def readManifest(): Option[Seq[String]] =
-      if (!fs.exists(manifest)) None
+    // 2. STAGE (unless a completed rewrite is already waiting, in
+    // _compact OR already renamed to the next generation — a crash
+    // between the rename and the pointer creation leaves an ORPHANED
+    // base_v<k> whose manifest rode along in the rename; re-staging
+    // over it would abandon that generation while the new pointer's
+    // maxFolded claimed its incs, losing them from visibility. The
+    // orphan IS the completed rewrite: resume by pointer creation
+    // alone): fold the live set except the newest increment (it may
+    // belong to a replayable batch — the default protocol's rule)
+    val nextV = prior.map(_.version + 1).getOrElse(1L)
+    val target = new Path(path, s"base_v$nextV")
+    def readLines(p: Path): Option[Seq[String]] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(manifest)
+        val in = fs.open(p)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toList)
         finally in.close()
       }
+    def readManifest(): Option[Seq[String]] =
+      readLines(new Path(target, "_compacted_dirs"))
+        .orElse(readLines(manifest))
     if (readManifest().isEmpty) {
       fs.delete(staging, true)
       val incIds = listIncIds(fs, path)
@@ -283,25 +326,27 @@ object StreamLakeIngest {
           case None => fs.listStatus(path).filter(_.isDirectory)
             .map(_.getPath.getName)
             .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
-              !n.startsWith("inc_b")).toSeq
+              !n.startsWith("inc_b") && !n.startsWith("base_v")).toSeq
           case Some(_) => Nil
         }) ++
         foldIncs.filterNot(keepOut.contains).map(k => s"inc_b$k")
           .sorted).distinct
       require(folded.nonEmpty, s"$dir holds no lake state")
-      spark.read.parquet(folded.map(n => s"$dir/$n").toIndexedSeq: _*)
-        .write.mode("overwrite").parquet(staging.toString)
+      // nothing new to fold (only the live base would be rewritten):
+      // a no-op, not base->base churn
+      if (prior.nonEmpty && folded == prior.map(_.base).toSeq) return
+      writeTo(readDirs(folded.map(n => s"$dir/$n").toIndexedSeq),
+        staging.toString)
       val out = fs.create(manifest, true)
       try out.write((folded.sorted.mkString("\n") + "\n")
         .getBytes("UTF-8"))
       finally out.close()
     }
-    // 3. PROMOTE: rename the staging to the next generation, then one
-    // pointer-file creation swaps readers. Both steps are idempotent
-    // on a crash-rerun (exists-checks), and nothing is deleted here.
+    // 3. PROMOTE: rename the staging to the next generation (skipped
+    // when resuming an orphaned one), then one pointer-file creation
+    // swaps readers. Both steps are idempotent on a crash-rerun
+    // (exists-checks), and nothing is deleted here.
     val recorded = readManifest().get
-    val nextV = prior.map(_.version + 1).getOrElse(1L)
-    val target = new Path(path, s"base_v$nextV")
     if (!fs.exists(target))
       require(fs.rename(staging, target),
         s"isolated compaction swap failed for $dir — staging left at " +

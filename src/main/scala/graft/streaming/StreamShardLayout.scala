@@ -65,9 +65,24 @@ object StreamShardLayout {
 
   /** One micro-batch appended to the layout. Pure function of (batch
     * rows, the cursor visible to `batchId`); writes
-    * `layout/inc_b<batchId>/shard=N/` and `cursor/cursor_b<batchId>`,
-    * both Overwrite — replay-idempotent. Returns the batch's
-    * assignment (idCol, weightCol, shard, offset), already landed. */
+    * `layout/inc_b<batchId>/shard=N/`, a per-batch TRAINER MANIFEST
+    * row set under `manifest/inc_b<batchId>`, and
+    * `cursor/cursor_b<batchId>`, all Overwrite — replay-idempotent.
+    * An EMPTY batch (or one whose upstream selection admitted zero
+    * docs — routine when everything dedups) writes the cursor only:
+    * a rows-free `layout/inc_b<k>` would hold no parquet data files
+    * and brick every later schema inference over the directory set.
+    * Returns the batch's assignment (idCol, weightCol, shard,
+    * offset), already landed.
+    *
+    * The manifest is what a live trainer CONSUMES instead of listing
+    * directories: one row per (shard, batch) with the doc count, the
+    * weight sum, the increment directory name (shard `s`'s files for
+    * this batch live under `layout/<inc>/shard=s/`), and the batch's
+    * id segment in offset order — [[readShardManifest]] folds the
+    * segments into exactly [[Sampling.shardManifest]]'s per-shard
+    * order-sensitive digest, so the q235 attestation contract extends
+    * to the streamed arc without touching a data file. */
   def appendIncrement(batch: DataFrame, layoutRoot: String,
       idCol: String, weightCol: String, shardWeight: Long,
       batchId: Long, salt: String = "graft"): DataFrame = {
@@ -77,15 +92,85 @@ object StreamShardLayout {
     val start = readCursor(spark, cursorPath)
     val assigned = Lineage.cut(Sampling.shardAssign(batch, idCol,
       weightCol, shardWeight, salt, startWeight = start))
-    // the assignment is range-ordered by the layout key, so this write
-    // fans out task-locally with ZERO shuffle (the writeShards shape)
-    assigned.write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$layoutRoot/layout/inc_b$batchId")
-    val batchWeight = assigned.agg(
-      coalesce(sum(col(weightCol)), lit(0L))).collect().head.getLong(0)
+    val stats = assigned.agg(count(lit(1)).as("n"),
+      coalesce(sum(col(weightCol)), lit(0L)).as("w")).collect().head
+    val (nRows, batchWeight) = (stats.getLong(0), stats.getLong(1))
+    if (nRows > 0L) {
+      // the assignment is range-ordered by the layout key, so this
+      // write fans out task-locally with ZERO shuffle (the
+      // writeShards shape)
+      assigned.write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$layoutRoot/layout/inc_b$batchId")
+      assigned.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col(weightCol)).as(weightCol),
+          array_join(transform(
+            array_sort(collect_list(struct(col("offset"),
+              col(idCol).cast("string").as("__id")))),
+            s => s.getField("__id")), ",").as("ids"))
+        .withColumn("batch", lit(batchId))
+        .withColumn("inc", lit(s"inc_b$batchId"))
+        .write.mode("overwrite")
+        .parquet(s"$layoutRoot/manifest/inc_b$batchId")
+    }
     writeCursor(spark, s"$layoutRoot/cursor/cursor_b$batchId",
       start + batchWeight)
     assigned
+  }
+
+  /** The trainer's view of the streamed layout — the cumulative
+    * per-shard manifest assembled from the per-batch manifest rows
+    * alone (metadata, no data-file listing or scan): shard k's id
+    * segments concatenate in batch order (within a shard the global
+    * order IS (batch, md5, id) — each batch's segment is already in
+    * offset order, and offsets only grow across batches), giving the
+    * SAME (shard, n_docs, weight, order-sensitive digest) rows
+    * [[Sampling.shardManifest]] computes from the assignment itself
+    * (spec'd equal). A trainer polls this to learn which shards are
+    * complete and which files hold them, immune to in-flight promote
+    * windows and partial directory listings. */
+  def readShardManifest(spark: SparkSession, layoutRoot: String,
+      weightCol: String): DataFrame = {
+    val root = new Path(s"$layoutRoot/manifest")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("inc_b"))
+      .map(_.toString).sorted
+    require(incs.nonEmpty,
+      s"$layoutRoot/manifest holds no increments — run appendIncrement")
+    spark.read.parquet(incs.toIndexedSeq: _*)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col(weightCol)).as(weightCol),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("batch"), col("ids")))),
+          s => s.getField("ids")), ",")).as("digest"))
+      .select(col("shard"), col("n_docs"), col(weightCol),
+        col("digest"))
+  }
+
+  /** Per-dir read + union (partition discovery needs each root's
+    * shard=N layout on its own — a multi-root read can't see through
+    * the non-partition inc_b<k> segment), skipping any directory with
+    * no parquet data files: a rows-free legacy increment (written by
+    * appendIncrement before the empty-batch skip) holds only _SUCCESS
+    * and would fail schema inference for every later read. */
+  private def readLayoutDirs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[String]): DataFrame = {
+    def hasData(d: String): Boolean = {
+      val it = fs.listFiles(new Path(d), true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    val live = dirs.filter(hasData)
+    require(live.nonEmpty,
+      s"no parquet data under any of: ${dirs.mkString(", ")}")
+    live.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
   /** Periodic maintenance: fold every CLOSED increment into one
@@ -98,38 +183,80 @@ object StreamShardLayout {
     * `base` and that increment — `offset` carries the order, so
     * readers never notice. Run BETWEEN batches under the
     * single-maintainer contract (no concurrent reader during the
-    * promote window; the `_live` pointer option is a lake-column
-    * protocol and does not apply to the partitioned layout). */
-  def compactLayout(spark: SparkSession, layoutRoot: String): Unit =
+    * promote window); a layout with a LIVE TRAINER reading while
+    * ingest runs — the component's designed consumer — must use
+    * [[compactLayoutIsolated]] instead (this plain variant refuses a
+    * pointer-maintained layout, exactly like the lakes). */
+  def compactLayout(spark: SparkSession, layoutRoot: String): Unit = {
+    val root = new Path(s"$layoutRoot/layout")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     StreamLakeIngest.compactDirWith(spark, s"$layoutRoot/layout",
-      dirs => dirs.map(spark.read.parquet(_))
-        .reduce(_.unionByName(_)),
+      dirs => readLayoutDirs(spark, fs, dirs),
       (df, path) => df.write.mode("overwrite").partitionBy("shard")
         .parquet(path))
+  }
+
+  /** READER-ISOLATED compaction — the `_live_v<k>` pointer-generation
+    * protocol ([[StreamLakeIngest.compactIsolated]]'s, shared code)
+    * extended to the partitioned layout, because the layout's natural
+    * consumer is a live trainer streaming shards WHILE ingest runs:
+    * the staged fold renames into a fresh `base_v<k+1>` generation
+    * beside the live dirs, one pointer-file creation swaps readers
+    * atomically, and retired dirs survive until the NEXT compaction's
+    * reap — so a trainer that resolved the old pointer keeps a fully
+    * consistent layout for a whole compaction interval, and one that
+    * resolves the new pointer sees every closed shard exactly once.
+    * Once a pointer exists, [[readLayout]] resolves it and the plain
+    * [[compactLayout]] refuses to run (mode mixing would fold retired
+    * generations back in). */
+  def compactLayoutIsolated(spark: SparkSession,
+      layoutRoot: String): Unit = {
+    val root = new Path(s"$layoutRoot/layout")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamLakeIngest.compactDirIsolatedWith(spark,
+      s"$layoutRoot/layout",
+      dirs => readLayoutDirs(spark, fs, dirs),
+      (df, path) => df.write.mode("overwrite").partitionBy("shard")
+        .parquet(path))
+  }
 
   /** The cumulative layout: every batch's landed assignment, with the
     * partition-discovered `shard` column. A shard spanning batches
     * reads back from several inc roots; (shard, offset) is the total
-    * order. */
+    * order. POINTER-RESOLVED when a `_live_v<k>` generation exists
+    * (the [[compactLayoutIsolated]] protocol: the pointer's base plus
+    * every newer increment — a mid-promote race cannot exist);
+    * listing-mode otherwise, where `base_v*` names are EXCLUDED (a
+    * generation is visible through its pointer only, so the first
+    * isolated compaction's rename-then-point window never
+    * double-counts). */
   def readLayout(spark: SparkSession, layoutRoot: String): DataFrame = {
     val root = new Path(s"$layoutRoot/layout")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val incs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n.startsWith("inc_b") || n == "base") && !n.startsWith("_")
-      }
-      .map(_.toString).sorted
+    val incs = StreamLakeIngest.readLivePointer(fs, root) match {
+      case Some(lp) =>
+        (s"$layoutRoot/layout/${lp.base}" +:
+          fs.listStatus(root).filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .collect { case n if n.startsWith("inc_b") &&
+                n.stripPrefix("inc_b").toLong > lp.maxFolded =>
+              s"$layoutRoot/layout/$n" }.toSeq).sorted
+      case None =>
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            (n.startsWith("inc_b") || n == "base") && !n.startsWith("_")
+          }
+          .map(_.toString).sorted.toSeq
+    }
     require(incs.nonEmpty,
       s"$layoutRoot/layout holds no increments — run appendIncrement")
-    // one read per increment root, unioned: partition discovery needs
-    // each root's shard=N layout on its own (a multi-root read can't
-    // see through the non-partition inc_b<k> segment). The plan grows
-    // by one scan per batch — the same listing cost curve as the
-    // hash/sig lakes, and the same remedy: periodic compaction of
-    // CLOSED shards into a base increment, offline, never moving the
-    // open one.
-    incs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // one read per increment root, unioned. The plan grows by one
+    // scan per batch — the same listing cost curve as the hash/sig
+    // lakes, and the same remedy: periodic compaction of CLOSED
+    // shards into a base generation, offline, never moving the open
+    // one.
+    readLayoutDirs(spark, fs, incs)
   }
 
   /** Drive a stream of (idCol, weightCol) rows through the append

@@ -218,6 +218,201 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("compactLayoutIsolated: a reader holding the old view stays " +
+      "consistent through the promote; reap is deferred; plain " +
+      "compactLayout refuses a pointer-maintained layout") {
+    val docs = (0L until 300L).map(i => (i, (i * 37 + 11) % 50 + 1))
+    val ddf = docs.toDF("doc_id", "n_tokens")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardiso").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    (0 to 2).foreach { b =>
+      graft.streaming.StreamShardLayout.appendIncrement(
+        ddf.where($"doc_id" % 3 === b), root, "doc_id", "n_tokens",
+        300L, b.toLong)
+    }
+    def layout(): Set[(Long, Long, Long, Long)] =
+      graft.streaming.StreamShardLayout.readLayout(spark, root)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"),
+          $"offset")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).toSet
+    def dirsOf(r: String): Set[String] =
+      new java.io.File(s"$r/layout").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
+    val before = layout()
+    // a LISTING-mode reader's view, captured before the compaction —
+    // the trainer that resolved its shard set before the promote
+    val oldView = Seq("inc_b0", "inc_b1", "inc_b2")
+    def readVia(names: Seq[String]): Set[(Long, Long, Long, Long)] =
+      names.map(n => spark.read.parquet(s"$root/layout/$n"))
+        .reduce(_.unionByName(_))
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"),
+          $"offset")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).toSet
+    graft.streaming.StreamShardLayout.compactLayoutIsolated(spark, root)
+    // the promote created a generation + pointer WITHOUT deleting the
+    // old dirs: the old-view reader still streams a consistent layout
+    // for the whole compaction interval
+    assert(dirsOf(root) ==
+      Set("base_v1", "inc_b0", "inc_b1", "inc_b2"))
+    assert(readVia(oldView) == before)
+    // the new pointer view is the same cumulative layout
+    assert(layout() == before)
+    // plain compactLayout refuses the pointer-maintained layout
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamShardLayout.compactLayout(spark, root)
+    }
+    // append one more batch; the NEXT isolated compaction reaps the
+    // FIRST round's retired dirs (inc_b0/inc_b1), folds
+    // {base_v1, inc_b2} into base_v2 — and v1's generation survives
+    // THIS promote too (deferred reap: a trainer holding _live_v1
+    // keeps base_v1 + inc_b2 + inc_b3, a complete consistent layout,
+    // for one more compaction interval)
+    graft.streaming.StreamShardLayout.appendIncrement(
+      (300L until 350L).map(i => (i, i % 40 + 1))
+        .toDF("doc_id", "n_tokens"),
+      root, "doc_id", "n_tokens", 300L, 3L)
+    val withB3 = layout()
+    graft.streaming.StreamShardLayout.compactLayoutIsolated(spark, root)
+    assert(dirsOf(root) ==
+      Set("base_v1", "inc_b2", "inc_b3", "base_v2"))
+    assert(readVia(Seq("base_v1", "inc_b2", "inc_b3")) == withB3)
+    assert(layout() == withB3)
+    // a third run reaps v1's retired dirs and is otherwise a no-op
+    // (nothing new to fold: only inc_b3, the kept-out newest)
+    graft.streaming.StreamShardLayout.compactLayoutIsolated(spark, root)
+    assert(dirsOf(root) == Set("base_v2", "inc_b3"))
+    assert(layout() == withB3)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("compactLayoutIsolated: a crash between the rename and the " +
+      "pointer creation resumes by pointer creation alone — the " +
+      "orphaned generation is never abandoned") {
+    val docs = (0L until 300L).map(i => (i, (i * 37 + 11) % 50 + 1))
+    val ddf = docs.toDF("doc_id", "n_tokens")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardorphan").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    (0 to 2).foreach { b =>
+      graft.streaming.StreamShardLayout.appendIncrement(
+        ddf.where($"doc_id" % 3 === b), root, "doc_id", "n_tokens",
+        300L, b.toLong)
+    }
+    def layout(): Set[(Long, Long, Long, Long)] =
+      graft.streaming.StreamShardLayout.readLayout(spark, root)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"),
+          $"offset")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).toSet
+    val before = layout()
+    graft.streaming.StreamShardLayout.compactLayoutIsolated(spark, root)
+    // simulate the crash window: base_v1 renamed in (manifest rode
+    // along), _live_v1 never created
+    assert(new java.io.File(s"$root/layout/_live_v1").delete())
+    // a listing-mode reader in the window never double-counts: the
+    // orphaned base_v1 is visible through its pointer only
+    assert(layout() == before)
+    // the rerun resumes the promote (no re-stage, no data loss): the
+    // pointer reappears naming base_v1 with the folded incs' max id
+    graft.streaming.StreamShardLayout.compactLayoutIsolated(spark, root)
+    assert(new java.io.File(s"$root/layout/_live_v1").exists())
+    assert(layout() == before)
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/layout/_live_v1")), "UTF-8")
+      .trim.split("\n")
+    assert(ptr(0) == "base_v1" && ptr(1).toLong == 1L)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("appendIncrement: an empty batch writes the cursor only (no " +
+      "rows-free increment to brick later reads); the stream resumes " +
+      "exactly") {
+    val docs = (0L until 100L).map(i => (i, i % 20 + 1))
+    val ddf = docs.toDF("doc_id", "n_tokens")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardempty").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" < 50), root, "doc_id", "n_tokens", 200L, 0L)
+    // batch 1 admits nothing (everything deduped upstream)
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" < 0), root, "doc_id", "n_tokens", 200L, 1L)
+    // no layout or manifest increment for batch 1; its cursor carries
+    // batch 0's running weight forward unchanged
+    assert(!new java.io.File(s"$root/layout/inc_b1").exists())
+    assert(!new java.io.File(s"$root/manifest/inc_b1").exists())
+    val c0 = spark.read.parquet(s"$root/cursor/cursor_b0")
+      .collect().head.getLong(0)
+    val c1 = spark.read.parquet(s"$root/cursor/cursor_b1")
+      .collect().head.getLong(0)
+    assert(c0 == c1)
+    // the read path never sees the empty batch; batch 2 lands through
+    // the carried cursor exactly where batch 1 would have
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" >= 50), root, "doc_id", "n_tokens", 200L, 2L)
+    val streamed = graft.streaming.StreamShardLayout
+      .readLayout(spark, root)
+      .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"offset")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSet
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_shardemptytwin").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, twin)
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" < 50), twin, "doc_id", "n_tokens", 200L, 0L)
+    graft.streaming.StreamShardLayout.appendIncrement(
+      ddf.where($"doc_id" >= 50), twin, "doc_id", "n_tokens", 200L, 1L)
+    val twinSet = graft.streaming.StreamShardLayout
+      .readLayout(spark, twin)
+      .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"offset")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSet
+    assert(streamed == twinSet)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("readShardManifest: the per-batch manifest rows fold to " +
+      "exactly shardManifest over the read-back layout — a trainer " +
+      "needs no directory listing") {
+    val docs = (0L until 300L).map(i => (i, (i * 37 + 11) % 50 + 1))
+    val ddf = docs.toDF("doc_id", "n_tokens")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardman").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    (0 to 2).foreach { b =>
+      graft.streaming.StreamShardLayout.appendIncrement(
+        ddf.where($"doc_id" % 3 === b), root, "doc_id", "n_tokens",
+        300L, b.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"shard".cast("long"), $"n_docs", $"n_tokens", $"digest")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3))).toSet
+    val fromManifest = rows(graft.streaming.StreamShardLayout
+      .readShardManifest(spark, root, "n_tokens"))
+    val fromLayout = rows(graft.operators.Sampling.shardManifest(
+      graft.streaming.StreamShardLayout.readLayout(spark, root),
+      "doc_id", "n_tokens"))
+    assert(fromManifest == fromLayout && fromManifest.nonEmpty)
+    // and the manifest rows name the increment directories a trainer
+    // opens — (shard, inc) covers every landed shard directory
+    val named = spark.read
+      .parquet((0 to 2).map(b => s"$root/manifest/inc_b$b"): _*)
+      .select($"inc", $"shard".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val landed = (0 to 2).flatMap { b =>
+      new java.io.File(s"$root/layout/inc_b$b").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .map(n => (s"inc_b$b", n.stripPrefix("shard=").toLong))
+    }.toSet
+    assert(named == landed)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val fact = spark.range(1000).select($"id",
