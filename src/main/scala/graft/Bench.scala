@@ -74,8 +74,27 @@ object Bench {
             f"$f%.3fs — check BENCH_ADJUDICATED.json for a typo")
       }
     }
+    // PROVISIONAL tier (BENCH_PROVISIONAL.json, machine-written): the
+    // at-birth value for queries with no floor history, kept SEPARATE
+    // from the evidence-backed adjudications so a hot first run can
+    // never masquerade as a curated steady-state. Entries min-merge on
+    // every later full run (so one noisy birth run self-corrects), and
+    // a hand adjudication supersedes the provisional entirely.
+    val provisionalPath = java.nio.file.Paths.get("BENCH_PROVISIONAL.json")
+    val provisional: Map[String, Double] = flatJson(provisionalPath)
     def effectiveFloor(name: String, floor: Double): Double =
-      math.max(floor, adjudicated.getOrElse(name, 0.0))
+      math.max(floor, math.max(adjudicated.getOrElse(name, 0.0),
+        if (adjudicated.contains(name)) 0.0
+        else provisional.getOrElse(name, 0.0)))
+    // which tier set the effective floor — reported beside each
+    // exceedance so a reader knows whether the reference value is an
+    // honest min-merge floor (f), a curated adjudication (a), or a
+    // machine-written birth value (p)
+    def tierOf(name: String, floor: Double): String =
+      if (adjudicated.get(name).exists(_ >= floor)) "a"
+      else if (!adjudicated.contains(name) &&
+        provisional.get(name).exists(_ >= floor)) "p"
+      else "f"
     val results = selected.map { case (name, fn) =>
       def run(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -149,10 +168,11 @@ object Bench {
           v > 2.0 * effectiveFloor(k, f) && v > 0.3) =>
         (k, v, effectiveFloor(k, floorOf(k)))
     }.sortBy { case (_, v, f) => -(v / f) }
-    // worst 8 by ratio inline; the rest are countable + in DETAIL
+    // worst 8 by ratio inline (value, effective floor, floor TIER);
+    // the rest are countable + in DETAIL
     val overJson = overFloor.take(8).map { case (k, v, f) =>
       "\"" + (if (unique) shortKey(k) else k) + "\":[" +
-        f"$v%.2f,$f%.2f]"
+        f"$v%.2f,$f%.2f," + "\"" + tierOf(k, f) + "\"]"
     }.mkString("{", ",", "}")
     val floorsDetail = floorOf.toSeq.sortBy(_._1)
       .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
@@ -193,9 +213,12 @@ object Bench {
     val adjDetail = adjudicated.toSeq.sortBy(_._1)
       .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
       .mkString("{", ",", "}")
+    val provDetail = provisional.toSeq.sortBy(_._1)
+      .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
+      .mkString("{", ",", "}")
     if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"adjudicated":$adjDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"adjudicated":$adjDetail,"provisional":$provDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // min-merge this run's times into the persistent floor file so the
     // next run's retry thresholds are relative to the best-known floor.
@@ -209,24 +232,34 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(floorsPath, body.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // adjudicate new queries AT BIRTH: a query with no floor history
-    // re-flags every run until someone hand-adjudicates it (q228/q229
-    // burned a round of floor churn this way). Record the first full
-    // run's min as a PROVISIONAL adjudicated steady-state — never
-    // overwriting a curated entry; a later isolated-run adjudication
-    // with evidence supersedes it by editing the file.
+    // adjudicate new queries AT BIRTH, into the PROVISIONAL file: a
+    // query with no floor history re-flags every run until someone
+    // hand-adjudicates it (q228/q229 burned a round of floor churn
+    // this way), but a first-run value is a measurement, not a curated
+    // steady-state — it lands in BENCH_PROVISIONAL.json, distinct on
+    // disk from BENCH_ADJUDICATED.json, and MIN-MERGES on every later
+    // full run (so a hot birth run self-corrects instead of
+    // permanently halving that query's regression sensitivity). A
+    // hand adjudication with evidence supersedes the provisional
+    // (effectiveFloor ignores the provisional once an adjudicated
+    // entry exists).
     if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
-      val fresh = results.collect {
+      val births = results.collect {
         case (k, v) if v >= 0 && !priorFloors.contains(k) &&
-            !adjudicated.contains(k) => k -> v
+            !adjudicated.contains(k) && !provisional.contains(k) =>
+          k -> v
       }
-      if (fresh.nonEmpty) {
-        val mergedAdj = (adjudicated ++ fresh).toSeq.sortBy(_._1)
+      val refreshed = results.collect {
+        case (k, v) if v >= 0 && provisional.contains(k) =>
+          k -> math.min(v, provisional(k))
+      }
+      if (births.nonEmpty || refreshed.nonEmpty) {
+        val mergedProv = (provisional ++ refreshed ++ births).toSeq
+          .sortBy(_._1)
           .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
           .mkString("{", ",", "}")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("BENCH_ADJUDICATED.json"),
-          mergedAdj.getBytes("UTF-8"))
+        java.nio.file.Files.write(provisionalPath,
+          mergedProv.getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }
     if (line.length > 1800)
