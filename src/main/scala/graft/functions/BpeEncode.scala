@@ -312,6 +312,85 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Sequential per-merge passes over a sentinel-delimited symbol
+  * sequence — the LEARNER's merge-application step for a whole round
+  * in one call. Semantics are EXACTLY the chained
+  * `regexp_replace(seq, '·l··r·', '·lr·')` projections it replaces
+  * (and the oracle's `replace` chain): for each merge in order, one
+  * left-to-right non-overlapping sweep. The doubled sentinel makes
+  * the string replace and this symbol-array sweep the same operation
+  * (delimiters are never shared between adjacent matches; a pattern
+  * can never match across a symbol boundary), so swapping the regex
+  * chain for this is a PLAN-SHAPE change only: one projection per
+  * round instead of one per merge, which is what keeps driver
+  * re-analysis cost flat when a round carries 64-128 picks. */
+final class BpeSeqApplier(val merges: Seq[(String, String)])
+    extends Serializable {
+  def apply(seq: UTF8String): UTF8String = {
+    val s = seq.toString
+    // trim sentinel runs at both ends (the engine/oracle trim), then
+    // split on the doubled sentinel; symbols never contain '·'
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == '·') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == '·') hi -= 1
+    if (lo >= hi) return seq
+    val syms = s.substring(lo, hi).split("··", -1)
+    var n = syms.length
+    merges.foreach { case (l, r) =>
+      var read = 0
+      var write = 0
+      while (read < n) {
+        if (read + 1 < n && syms(read) == l && syms(read + 1) == r) {
+          syms(write) = l + r; read += 2
+        } else { syms(write) = syms(read); read += 1 }
+        write += 1
+      }
+      n = write
+    }
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < n) {
+      sb.append('·').append(syms(i)).append('·')
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `bpe_seq_apply(seq)` — one round's merges applied to the learner's
+  * vocabulary seq column as ONE native codegen'd expression (see
+  * [[BpeSeqApplier]]). */
+case class BpeSeqApply(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+
+  override def prettyName: String = "bpe_seq_apply"
+  override def dataType: DataType = StringType
+
+  @transient private lazy val applier = new BpeSeqApplier(merges)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    applier(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApplier", applier,
+      classOf[BpeSeqApplier].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.apply($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class BpeTokenCount(child: Expression,
     merges: Seq[(String, String)], unicode: Boolean = false,
     byteFallback: Boolean = false)

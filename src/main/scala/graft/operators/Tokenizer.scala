@@ -84,20 +84,36 @@ object Tokenizer {
     * lineage cut (the PageRank-round discipline), so plan depth is
     * bounded and total driver work stays linear in merges. */
   private val CutEvery = 32
+  private val CutRounds = 8
   private final class VocabChain(var vocab: DataFrame) {
     private var lastCut: Option[DataFrame] = None
+    private def cutNow(): Unit = {
+      val c = Dedup.tracked(Lineage.cut(vocab))
+      lastCut.foreach(Lineage.free)
+      lastCut = Some(c)
+      vocab = c
+    }
     /** Apply one merge; every `CutEvery` applied merges, cut the
       * lineage (eager materialization) and free the SUPERSEDED cut —
       * the LPA-round block-reclamation discipline, so a long learning
       * run holds at most one vocab snapshot. */
     def apply(l: String, r: String, applied: Int): Unit = {
       vocab = applyMerge(vocab, l, r)
-      if (applied % CutEvery == 0) {
-        val c = Dedup.tracked(Lineage.cut(vocab))
-        lastCut.foreach(Lineage.free)
-        lastCut = Some(c)
-        vocab = c
-      }
+      if (applied % CutEvery == 0) cutNow()
+    }
+    /** Apply one ROUND's merges as ONE projection (the native
+      * [[graft.functions.BpeSeqApply]] sequential-pass expression —
+      * semantics identical to the chained per-merge replaces), so the
+      * batched learner's plan grows one node per round instead of one
+      * per merge: at batch=64-128 the per-merge chain's driver
+      * re-analysis cost was the super-linear term in the learn wall
+      * (SCALE.md round-15/16). Cut every `CutRounds` rounds. */
+    def applyRound(ms: Seq[(String, String)], round: Int): Unit = {
+      val shim = org.apache.spark.sql.graftshim.ColumnShim
+      vocab = vocab.withColumn("seq",
+        shim.column(graft.functions.BpeSeqApply(
+          shim.expression(col("seq")), ms)))
+      if (round % CutRounds == 0) cutNow()
     }
   }
 
