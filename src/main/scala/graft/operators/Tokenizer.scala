@@ -263,9 +263,12 @@ object Tokenizer {
       else {
         picks.foreach { case (l, r, c) =>
           learned += ((step, round, l, r, l + r, c))
-          chain.apply(l, r, step)
           step += 1
         }
+        // the whole round's merges in ONE projection (sequential
+        // passes in pick order — identical to the chained per-merge
+        // replaces, but plan depth grows per ROUND, not per merge)
+        chain.applyRound(picks.map(p => (p._1, p._2)).toSeq, round)
         round += 1
       }
     }

@@ -64,6 +64,18 @@ object ProfBpeLearn {
     encode(m1024.take(64), "cap64")
     encode(m1024.take(256), "m256")
     encode(m1024, "m1024")
+    // the >=8k octave (round-16 directive #6): batch=128, enough
+    // rounds that the DISJOINTNESS-capped early rounds still leave
+    // >=8k real merges; per-round wall is the trend under test now
+    // that merge application is ONE BpeSeqApply projection per round
+    // (plan depth per round is constant, so driver re-analysis cost
+    // no longer grows with the batch-size x round-count product)
+    if (args.lift(1).contains("deep")) {
+      learn(16, 128)
+      learn(48, 128)
+      val m8k = learn(96, 128)
+      encode(m8k, s"m${m8k.size}")
+    }
     spark.stop()
   }
 }

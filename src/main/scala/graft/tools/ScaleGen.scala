@@ -129,6 +129,40 @@ object ScaleGen {
           array_join(transform(sequence(lit(1), lit(T)), t => word(t)),
             " ").as("text"))
     }, 16)
+    // MULTILINGUAL Zipf corpus (round-16 directive #7): the zipfdocs
+    // construction with the rank vocabulary PARTITIONED across four
+    // scripts by rank hash (a word is always one script) — Latin
+    // syllables, Cyrillic syllables, CJK (1-2 code points per word:
+    // the short-word regime whose merge dynamics differ), and digit
+    // strings. All four classes are unicode-mode words ([\p{L}\p{N}]),
+    // so the probe measures learn wall + fertility per script on one
+    // mixed corpus.
+    write("multidocs", {
+      val V = 50000.0
+      val T = 100
+      def word(t: org.apache.spark.sql.Column) = {
+        val u = pmod(xxhash64(col("doc_id"), t), lit(1000000))
+          .cast("double") / 1000000.0
+        val js = floor(exp(u * math.log(V))).cast("long").cast("string")
+        val scr = pmod(xxhash64(js), lit(4))
+        val latin = Seq("ta", "ne", "ri", "so", "lu", "me", "ka", "do",
+          "vi", "pu").zipWithIndex.foldLeft(js) { case (e, (s, d)) =>
+            regexp_replace(e, d.toString, s)
+          }
+        val cyr = Seq("та", "не", "ри", "со", "лу", "ме", "ка", "до",
+          "ви", "пу").zipWithIndex.foldLeft(js) { case (e, (s, d)) =>
+            regexp_replace(e, d.toString, s)
+          }
+        val cjk = translate(substring(js, -2, 2), "0123456789",
+          "数据模型训练语言文本")
+        when(scr === 0, latin).when(scr === 1, cyr)
+          .when(scr === 2, cjk).otherwise(js)
+      }
+      spark.range(0, 50000L).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(1), lit(T)), t => word(t)),
+            " ").as("text"))
+    }, 16)
     // adversarial id-layout variant: SAME vectors, ids renumbered so id
     // order tracks a dominant embedding direction (dim 0) — the
     // id-clustered corpus (crawl-time/shard-correlated ids) on which a

@@ -377,6 +377,37 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("BpeSeqApplier: one-call round application equals the chained " +
+      "per-merge replaces (left-to-right non-overlapping, in order)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def chained(seq: String, ms: Seq[(String, String)]): String =
+      ms.foldLeft(seq) { case (s, (l, r)) =>
+        s.replace("·" + l + "··" + r + "·", "·" + l + r + "·")
+      }
+    def applied(seq: String, ms: Seq[(String, String)]): String =
+      new graft.functions.BpeSeqApplier(ms)
+        .apply(UTF8String.fromString(seq)).toString
+    // overlapping run: ·a··a··a··a· -> ·aa··aa· (BPE's left-to-right)
+    val run = "·a··a··a··a·"
+    assert(applied(run, Seq(("a", "a"))) == "·aa··aa·")
+    assert(applied(run, Seq(("a", "a"))) ==
+      chained(run, Seq(("a", "a"))))
+    // two merges in order, the second consuming the first's output
+    val seq = "·l··o··w··e··r·"
+    val ms = Seq(("l", "o"), ("lo", "w"))
+    assert(applied(seq, ms) == chained(seq, ms))
+    assert(applied(seq, ms) == "·low··e··r·")
+    // order matters: the reverse list must reproduce the reverse chain
+    val rev = ms.reverse
+    assert(applied(seq, rev) == chained(seq, rev))
+    // boundary safety: a pattern never matches across symbols
+    assert(applied("·a··bc·", Seq(("a", "b"))) == "·a··bc·")
+    // multi-code-point symbols (unicode/byte-fallback alphabets)
+    val uni = "·数··据··数··据·"
+    assert(applied(uni, Seq(("数", "据"))) ==
+      chained(uni, Seq(("数", "据"))))
+  }
+
   test("bpeMergesBatched: batch=1 equals sequential bpeMerges; " +
       "within-round picks are symbol-disjoint greedy") {
     val docs = Seq((1L, "low low lower Low!"), (2L, "low lowest"))
