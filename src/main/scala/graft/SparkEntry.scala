@@ -2965,6 +2965,13 @@ object SparkEntry {
     "q242_bpe_bytefallback_merges" -> ((s, dir) =>
       graft.operators.Tokenizer.bpeMerges(punctCorpus(s, dir), "text",
         merges = 8, byteFallback = true)),
+    // ---- byte-fallback x BATCHED learning (the matrix's last cell,
+    // after ascii/unicode x sequential/batched): 2 rounds x top-4
+    // symbol-disjoint picks over the punctuated corpus, every round
+    // applied as ONE BpeSeqApply projection
+    "q245_bpe_bytefallback_batched" -> ((s, dir) =>
+      graft.operators.Tokenizer.bpeMergesBatched(punctCorpus(s, dir),
+        "text", rounds = 2, batch = 4, byteFallback = true)),
     // ---- byte-fallback learn -> NATIVE fallback encode -> per-lang
     // FERTILITY on the punctuated corpus: fertility > 1 for the
     // punct/url/mixed/cjkmix groups is the proof the punctuated
@@ -5739,6 +5746,23 @@ object SparkEntry {
            |${bpeVocab0FallbackFrom("pd")},
            |$bpeRoundsUni
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      },
+      "q245_bpe_bytefallback_batched" -> {
+        // the q226 batched chain over the byte-fallback vocabulary on
+        // the punctuated corpus; '-' sentinel throughout
+        val unions = (for { r <- 1 to 2; k <- 1 to 4 } yield
+          s"SELECT $r AS rnd, $k AS k, lhs, rhs, c FROM r${r}m$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |bv0 AS MATERIALIZED (SELECT seq, cnt FROM v0),
+           |${bpeBatchedRounds(2, 4, "-")}
+           |SELECT CAST(row_number() OVER (ORDER BY rnd, k) AS BIGINT)
+           |    AS step,
+           |  CAST(rnd AS BIGINT) AS round, lhs, rhs,
+           |  lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count
+           |FROM ($unions)
+           |WHERE c >= 1""".stripMargin
       },
       "q243_bpe_bytefallback_fertility" -> {
         // the q237 learn+encode chain under byte fallback: every word
