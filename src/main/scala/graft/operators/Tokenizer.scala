@@ -85,6 +85,13 @@ object Tokenizer {
     * bounded and total driver work stays linear in merges. */
   private val CutEvery = 32
   private val CutRounds = 8
+
+  /** Probe-visible counter: rounds where the collected prefix
+    * exhausted before `batch` disjoint picks and the exact per-pick
+    * argmax fallback ran (each fallback pick costs one extra full
+    * pair-count aggregate — the data-shape term in the learn wall). */
+  private[graft] val exhaustFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0)
   private final class VocabChain(var vocab: DataFrame) {
     private var lastCut: Option[DataFrame] = None
     private def cutNow(): Unit = {
@@ -243,8 +250,12 @@ object Tokenizer {
         }
       // exact fallback: the prefix was full AND exhausted before
       // `batch` disjoint picks — continue the greedy with the
-      // exclusion in the plan (one bounded argmax per remaining pick)
+      // exclusion in the plan (one bounded argmax per remaining pick;
+      // each such pick is a FULL extra pair-count aggregate, so the
+      // probe-visible counter below is how a rising s/round trend is
+      // attributed to data shape vs plan cost)
       if (picks.length < batch && prefix.length == prefixN) {
+        exhaustFallbacks.incrementAndGet()
         var more = true
         while (picks.length < batch && more) {
           val ex = used.toSeq.sorted

@@ -33,12 +33,14 @@ object ProfBpeLearn {
     println(s"PROF corpus docs=$nDocs distinct_words=$nWords")
 
     def learn(rounds: Int, batch: Int): Seq[(String, String)] = {
+      val fb0 = graft.operators.Tokenizer.exhaustFallbacks.get()
       val t0 = System.nanoTime()
       val m = graft.operators.Tokenizer.bpeMergesBatched(docs, "text",
           rounds = rounds, batch = batch).orderBy("step").collect()
         .map(r => (r.getString(2), r.getString(3))).toSeq
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"PROF learn rounds=$rounds%3d batch=$batch merges=${m.size}%5d wall=${s}%7.1fs  (${s / rounds}%5.2fs/round)")
+      val fb = graft.operators.Tokenizer.exhaustFallbacks.get() - fb0
+      println(f"PROF learn rounds=$rounds%3d batch=$batch merges=${m.size}%5d wall=${s}%7.1fs  (${s / rounds}%5.2fs/round) exhaust_fallback_rounds=$fb")
       graft.operators.Dedup.releaseIntermediates()
       m
     }
@@ -75,6 +77,12 @@ object ProfBpeLearn {
       learn(48, 128)
       val m8k = learn(96, 128)
       encode(m8k, s"m${m8k.size}")
+    }
+    // one deep point alone: ProfBpeLearn <dir> rounds=<N> — the >=8k
+    // octave without re-running the shallow ladder
+    args.lift(1).filter(_.startsWith("rounds=")).foreach { a =>
+      val m = learn(a.stripPrefix("rounds=").toInt, 128)
+      encode(m, s"m${m.size}")
     }
     spark.stop()
   }
