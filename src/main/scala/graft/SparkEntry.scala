@@ -2972,6 +2972,75 @@ object SparkEntry {
     "q245_bpe_bytefallback_batched" -> ((s, dir) =>
       graft.operators.Tokenizer.bpeMergesBatched(punctCorpus(s, dir),
         "text", rounds = 2, batch = 4, byteFallback = true)),
+    // ---- fixed-length SEQUENCE packing (concat-and-split): the
+    // trainer-facing step after tokenize — every whitespace token of
+    // every document laid out in doc-id order, a sequence cut every
+    // 256 tokens, documents straddling boundaries (every sequence but
+    // the last is exactly full: zero padding waste). Reported as a
+    // per-sequence summary with an ORDER-SENSITIVE digest (md5 of the
+    // tokens in seq_off order) — two packings agree iff every
+    // sequence holds the same tokens in the same order.
+    "q246_pack_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+      Sampling.packTokens(toks, seqLen = 256L)
+        .groupBy(col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
+    // ---- GROUPED packing over a shard layout (the full trainer
+    // arc: shardAssign -> per-shard concat-and-split in (offset,
+    // doc) order). The per-group form's doc-summary running sum is
+    // one window with shard-BOUNDED partitions — fully parallel, no
+    // global barrier at any corpus size.
+    "q247_pack_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val asg = Sampling.shardAssign(counts, "doc_id", "n_tokens",
+        shardWeight = 5000L)
+      val toks = docs.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+        .join(asg.select(col("doc_id"), col("shard"), col("offset")),
+          Seq("doc_id"))
+      Sampling.packTokens(toks, seqLen = 512L,
+          groupCol = Some("shard"), orderCol = Some("offset"))
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
+    // ---- DETOKENIZE round trip (the tokenizer's INVERSE): learn 8
+    // byte-fallback merges, tokenize with word markers, decode back
+    // through bpe_detok. The oracle is simply the canonicalized
+    // corpus text — the engine must land on it EXACTLY through the
+    // full learn -> mark -> encode -> byte-invert -> rejoin cycle
+    // (every UTF-8 width crosses the placeholder alphabet and
+    // returns: apostrophes 1-byte, «» 2-byte, the en dash 3-byte,
+    // emoji 4-byte).
+    "q248_bpe_detok" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val toks = graft.operators.Tokenizer.bpeTokenize(pc, "text",
+        "doc_id", m, byteFallback = true, wordMarker = true)
+      graft.operators.Tokenizer.bpeDetokenize(toks)
+    }),
     // ---- byte-fallback learn -> NATIVE fallback encode -> per-lang
     // FERTILITY on the punctuated corpus: fertility > 1 for the
     // punct/url/mixed/cjkmix groups is the proof the punctuated
@@ -5764,6 +5833,65 @@ object SparkEntry {
            |FROM ($unions)
            |WHERE c >= 1""".stripMargin
       },
+      "q246_pack_tokens" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws
+          |  FROM documents),
+          |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |s AS (SELECT doc_id,
+          |    coalesce(sum(n) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM c),
+          |tok AS (SELECT doc_id, ws[i] AS token, CAST(i AS BIGINT)
+          |      AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT tok.doc_id, token, strt + pos - 1 AS gi
+          |  FROM tok JOIN s ON tok.doc_id = s.doc_id),
+          |p AS (SELECT CAST(gi // 256 AS BIGINT) AS seq,
+          |    gi % 256 AS soff, token, doc_id FROM g)
+          |SELECT seq, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+          |FROM p GROUP BY 1""".stripMargin,
+      "q247_pack_shards" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents),
+          |c AS (SELECT doc_id, k, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |a AS (SELECT doc_id, n,
+          |    coalesce(sum(n) OVER (ORDER BY k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM c),
+          |ds AS (SELECT doc_id, n,
+          |    CAST(before // 5000 AS BIGINT) AS shard,
+          |    before % 5000 AS off FROM a),
+          |st AS (SELECT doc_id, shard,
+          |    coalesce(sum(n) OVER (PARTITION BY shard
+          |      ORDER BY off, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM ds),
+          |tok AS (SELECT doc_id, ws[i] AS token, CAST(i AS BIGINT)
+          |      AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT st.shard, token, strt + pos - 1 AS gi
+          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+          |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
+          |    gi % 512 AS soff, token FROM g)
+          |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+          |FROM p GROUP BY 1, 2""".stripMargin,
+      "q248_bpe_detok" ->
+        s"""WITH $punctCorpusSql
+           |SELECT doc_id,
+           |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+           |    AS text
+           |FROM pd""".stripMargin,
       "q243_bpe_bytefallback_fertility" -> {
         // the q237 learn+encode chain under byte fallback: every word
         // encodes (no OOV CASE — the fallback seq IS the initial

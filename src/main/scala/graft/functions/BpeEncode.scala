@@ -165,7 +165,19 @@ final class BpeMergeTable(val merges: Seq[(String, String)],
     * pieces in order, every other word passed through whole as its
     * own OOV token — `tokenize(text).length == countTokens(text)` by
     * construction. */
-  def tokenize(text: UTF8String): Array[UTF8String] = {
+  def tokenize(text: UTF8String): Array[UTF8String] =
+    tokenize(text, marker = false)
+
+  /** `marker = true` prefixes the FIRST piece of every whitespace
+    * token with the sentinel `·` (U+00B7 — outside the word classes,
+    * the byte-placeholder run, and therefore outside every non-first
+    * piece): the GPT-2 `Ġ` word-boundary discipline, which is what
+    * makes the sequence INVERTIBLE ([[BpeDetok]]). A raw OOV
+    * passthrough may itself begin with `·`; that is still unambiguous
+    * — the marker is prepended exactly once, so the decoder strips
+    * one leading `·` per word start and keeps the rest. Marker off is
+    * bit-identical to the historical output (count parity spec'd). */
+  def tokenize(text: UTF8String, marker: Boolean): Array[UTF8String] = {
     val s = text.toLowerCase.trim().toString
     val words = wsSplit.split(s, -1)
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
@@ -176,15 +188,19 @@ final class BpeMergeTable(val merges: Seq[(String, String)],
         val ps = fallbackPieces(w)
         var j = 0
         while (j < ps.length) {
-          out += UTF8String.fromString(ps(j)); j += 1
+          out += UTF8String.fromString(
+            if (marker && j == 0) "·" + ps(j) else ps(j))
+          j += 1
         }
       } else if (!byteFallback && isWord(w)) {
         val ps = encodePieces(w)
         var j = 0
         while (j < ps.length) {
-          out += UTF8String.fromString(ps(j)); j += 1
+          out += UTF8String.fromString(
+            if (marker && j == 0) "·" + ps(j) else ps(j))
+          j += 1
         }
-      } else out += UTF8String.fromString(w)
+      } else out += UTF8String.fromString(if (marker) "·" + w else w)
       i += 1
     }
     out.toArray
@@ -275,7 +291,8 @@ final class BpeMergeTable(val merges: Seq[(String, String)],
   * shuffle — `size(bpe_tokenize(text)) == bpe_token_count(text)` by
   * construction (spec'd). */
 case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
-    unicode: Boolean = false, byteFallback: Boolean = false)
+    unicode: Boolean = false, byteFallback: Boolean = false,
+    wordMarker: Boolean = false)
     extends UnaryExpression {
 
   override def prettyName: String = "bpe_tokenize"
@@ -295,7 +312,7 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
 
   override def nullSafeEval(s: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      table.tokenize(s.asInstanceOf[UTF8String])
+      table.tokenize(s.asInstanceOf[UTF8String], wordMarker)
         .asInstanceOf[Array[Any]])
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -305,11 +322,94 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
     nullSafeCodeGen(ctx, ev, s =>
       s"""${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |    (Object[]) $ref.tokenize($s));""".stripMargin)
+         |    (Object[]) $ref.tokenize($s, $wordMarker));""".stripMargin)
   }
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `bpe_detok(pieces)` — the tokenizer's INVERSE over a word-marked
+  * piece sequence ([[BpeTokenize]] with `wordMarker = true`): strip
+  * one leading `·` at each word start, concatenate the pieces of each
+  * word, turn byte-placeholder runs (U+2500..U+25FF,
+  * [[BpeByteAlphabet]]) back into their UTF-8 characters, and join
+  * words with single spaces. `detok(tokenize(text)) ==
+  * single-spaced(trim(lower(text)))` EXACTLY in byte-fallback mode
+  * (no out-of-class character survives encoding, so no placeholder
+  * collision is possible); in the in-class modes the round trip is
+  * exact whenever the raw text contains no U+2500..U+25FF characters
+  * (an OOV passthrough carrying a literal box-drawing character would
+  * be byte-inverted — the fallback mode exists precisely to remove
+  * that class of token). A malformed placeholder run (impossible from
+  * the encoder) decodes through Java's UTF-8 replacement character
+  * rather than throwing: the decoder is total. */
+case class BpeDetok(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "bpe_detok"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    BpeDetok.detok(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BpeDetok.detok($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object BpeDetok {
+  /** Word-marked pieces → text (see [[BpeDetok]]). Static call site
+    * keeps the row inside whole-stage codegen. */
+  def detok(
+      pieces: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = pieces.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flushBytes(): Unit = if (bytes.size() > 0) {
+      sb.append(new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    var i = 0
+    var started = false
+    while (i < n) {
+      var p = pieces.getUTF8String(i).toString
+      if (p.nonEmpty && p.charAt(0) == '·') {
+        // word start: space-separate (the first word gets none) and
+        // strip exactly the one prepended marker
+        flushBytes()
+        if (started) sb.append(' ')
+        started = true
+        p = p.substring(1)
+      }
+      var j = 0
+      while (j < p.length) {
+        val c = p.charAt(j)
+        if (c >= 0x2500 && c <= 0x25FF)
+          bytes.write(c - BpeByteAlphabet.Base)
+        else { flushBytes(); sb.append(c) }
+        j += 1
+      }
+      i += 1
+    }
+    flushBytes()
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** Sequential per-merge passes over a sentinel-delimited symbol

@@ -237,4 +237,97 @@ object Sampling {
           array_sort(collect_list(struct(col("offset"),
             col(idCol).cast("string").as("__id")))),
           s => s.getField("__id")), ",")).as("digest"))
+
+  /** Fixed-length training-SEQUENCE packing — the concat-and-split
+    * discipline an autoregressive trainer consumes: lay every token of
+    * every document out in one deterministic stream (document order,
+    * then 1-based position order within the document) and cut a
+    * training sequence every `seqLen` tokens. Unlike [[packByBudget]]
+    * (whole-document bins that overflow rather than split), a document
+    * STRADDLES sequence boundaries — its tail tokens continue in the
+    * next sequence — so every sequence except the stream's last is
+    * exactly `seqLen` long: zero padding waste, the property that
+    * makes this the packing GPT-style training runs use.
+    *
+    * Input: one row per token, `posCol` 1-based and consecutive within
+    * its document (what [[graft.operators.Tokenizer.bpeTokenize]]
+    * emits; a whitespace `posexplode` + 1 works the same). Output: the
+    * token rows with `seq` (sequence id) and `seq_off` (0-based offset
+    * within the sequence) appended.
+    *
+    * Scale shape: the cumulative document offsets come from per-doc
+    * token COUNTS, never from a window over the token stream itself.
+    * Grouped form (`groupCol` set — e.g. a [[shardAssign]] shard,
+    * ordered within the group by `orderCol`): sequences number per
+    * group and the doc-summary running sum is one window whose
+    * partitions are group-sized (bounded by construction when the
+    * group is a weight-capped shard) — fully parallel, no global
+    * barrier. Global form (`groupCol` None, stream ordered by
+    * `docIdCol`): the doc-summary running sum uses the same two-pass
+    * scan as [[shardAssign]] (range sort on the summaries, one long
+    * per partition to the driver, prefix offsets broadcast back — no
+    * one-partition window). Either way the per-TOKEN work is one
+    * doc-keyed aggregate plus one doc-keyed join (same key → the join
+    * reuses the aggregate's partitioning) and a map-only div/mod. */
+  def packTokens(tokens: DataFrame, seqLen: Long,
+      docIdCol: String = "doc_id", posCol: String = "pos",
+      tokenCol: String = "token",
+      groupCol: Option[String] = None,
+      orderCol: Option[String] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0 (got $seqLen)")
+    require(orderCol.isEmpty || groupCol.nonEmpty,
+      "orderCol orders documents WITHIN a group; pass groupCol with it")
+    val docKeys = (groupCol.toSeq ++ orderCol.toSeq :+ docIdCol).distinct
+    val counts = tokens.groupBy(docKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val starts = groupCol match {
+      case Some(g) =>
+        val w = Window.partitionBy(col(g))
+          .orderBy((orderCol.toSeq :+ docIdCol).map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        counts.withColumn("__start",
+          coalesce(sum(col("__n")).over(w), lit(0L)))
+      case None =>
+        runningStarts(counts, orderCol.toSeq :+ docIdCol)
+    }
+    val joinKeys = (groupCol.toSeq :+ docIdCol).distinct
+    val gi = col("__start") + col(posCol) - 1
+    tokens.join(starts.select((joinKeys.map(col) :+ col("__start")): _*),
+        joinKeys)
+      .withColumn("seq", (gi / seqLen).cast("long"))
+      .withColumn("seq_off", (gi % seqLen).cast("long"))
+      .drop("__start")
+  }
+
+  /** The [[shardAssign]] two-pass running sum over an arbitrary
+    * summary frame: sort by `sortCols`, collect ONE long per partition
+    * (the bounded job), broadcast the prefix offsets back, emit the
+    * cumulative sum-before as `__start`. The frame is persisted
+    * between the passes via the operator pool (released with
+    * [[Dedup.releaseIntermediates]]) so the sort runs once. */
+  private def runningStarts(counts: DataFrame,
+      sortCols: Seq[String]): DataFrame = {
+    val spark = counts.sparkSession
+    val cols0 = counts.columns.toSeq
+    val nIdx = cols0.indexOf("__n")
+    val sorted = Dedup.tracked(counts.orderBy(sortCols.map(col): _*))
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(nIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefixes = partTotals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(prefixes)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("__start",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        var cum = bc.value(i)
+        it.map { r =>
+          val before = cum; cum += r.getLong(nIdx)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before)
+        }
+      }, schema)
+  }
 }

@@ -338,16 +338,41 @@ object Tokenizer {
   def bpeTokenize(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)],
       unicode: Boolean = false,
-      byteFallback: Boolean = false): DataFrame = {
+      byteFallback: Boolean = false,
+      wordMarker: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
     val shim = org.apache.spark.sql.graftshim.ColumnShim
     df.select(col(idCol).as("doc_id"),
         posexplode(shim.column(graft.functions.BpeTokenize(
-          shim.expression(col(textCol)), merges, unicode, byteFallback)))
+          shim.expression(col(textCol)), merges, unicode, byteFallback,
+          wordMarker)))
           .as(Seq("pos", "token")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("token"))
+  }
+
+  /** Detokenize — [[bpeTokenize]]'s inverse over a WORD-MARKED piece
+    * stream (`wordMarker = true`): one doc-keyed aggregate reassembles
+    * each document's pieces in `pos` order and the native `bpe_detok`
+    * expression ([[graft.functions.BpeDetok]]) inverts markers and
+    * byte placeholders back to text. `bpeDetokenize(bpeTokenize(df,
+    * wordMarker = true)) == select(id, single-spaced(trim(lower
+    * (text))))` exactly in byte-fallback mode (round trip spec'd +
+    * oracle-certified; see the expression's scaladoc for the in-class
+    * modes' placeholder caveat). State is document-bounded — the
+    * collect_list holds ONE document's pieces, the same bound every
+    * per-doc aggregate in this engine carries. */
+  def bpeDetokenize(tokens: DataFrame, idCol: String = "doc_id",
+      posCol: String = "pos", tokenCol: String = "token"): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    tokens.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(posCol), col(tokenCol)))),
+        s => s.getField(tokenCol)).as("__pieces"))
+      .select(col(idCol),
+        shim.column(graft.functions.BpeDetok(
+          shim.expression(col("__pieces")))).as("text"))
   }
 
   /** The chained-regex encoder the native expression replaced — kept

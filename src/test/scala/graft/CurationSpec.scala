@@ -377,6 +377,57 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpe word markers: first piece of every word gets one leading " +
+      "sentinel; stripped stream is bit-identical to marker-off") {
+    val docs = Seq((1L, "don't co-op 3.14 ab ab"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 4, byteFallback = true).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val plain = graft.operators.Tokenizer
+      .bpeTokenize(docs, "text", "doc_id", m, byteFallback = true)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    val marked = graft.operators.Tokenizer
+      .bpeTokenize(docs, "text", "doc_id", m, byteFallback = true,
+        wordMarker = true)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(marked.length == plain.length)
+    assert(marked.count(_.startsWith("·")) == 5) // one per word
+    val stripped = marked.map(t =>
+      if (t.startsWith("·")) t.substring(1) else t)
+    assert(stripped == plain)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("bpe detok: byte-fallback round trip is EXACT across every " +
+      "UTF-8 width; input row order is irrelevant (pos sort)") {
+    val text = "Don't   CO-OP 3.14 😀😀 数据,模型 «mot» a–b"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 6, byteFallback = true).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = graft.operators.Tokenizer.bpeTokenize(docs, "text",
+      "doc_id", m, byteFallback = true, wordMarker = true)
+    val back = graft.operators.Tokenizer
+      .bpeDetokenize(toks.orderBy(col("pos").desc)) // scrambled order
+      .collect().head.getString(1)
+    assert(back == text.toLowerCase.trim.replaceAll("\\s+", " "))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("bpe detok: in-class modes round-trip too — an OOV passthrough " +
+      "beginning with the marker char stays unambiguous") {
+    val docs = Seq((1L, "·x ab ·x")).toDF("doc_id", "text")
+    val toks = graft.operators.Tokenizer.bpeTokenize(docs, "text",
+      "doc_id", Nil, wordMarker = true)
+    val pieces = toks.orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(pieces == Seq("··x", "·a", "b", "··x")) // marker + raw word
+    val back = graft.operators.Tokenizer.bpeDetokenize(toks)
+      .collect().head.getString(1)
+    assert(back == "·x ab ·x")
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("BpeSeqApplier: one-call round application equals the chained " +
       "per-merge replaces (left-to-right non-overlapping, in order)") {
     import org.apache.spark.unsafe.types.UTF8String

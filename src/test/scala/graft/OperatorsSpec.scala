@@ -1054,6 +1054,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 9L -> 0L))
   }
 
+  test("packTokens: concat-and-split — documents straddle, every " +
+      "sequence but the last is exactly full") {
+    val toks = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "d"), (2L, 2L, "e"), (2L, 3L, "f"), (2L, 4L, "g"),
+      (3L, 1L, "h"), (3L, 2L, "i")).toDF("doc_id", "pos", "token")
+    val p = Sampling.packTokens(toks, seqLen = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // global stream d1(0..2) d2(3..6) d3(7..8): d2 STRADDLES seq 0/1
+    assert(p == Map(
+      (1L, 1L) -> (0L, 0L), (1L, 2L) -> (0L, 1L), (1L, 3L) -> (0L, 2L),
+      (2L, 1L) -> (0L, 3L), (2L, 2L) -> (1L, 0L), (2L, 3L) -> (1L, 1L),
+      (2L, 4L) -> (1L, 2L),
+      (3L, 1L) -> (1L, 3L), (3L, 2L) -> (2L, 0L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("packTokens grouped: per-group numbering in (orderCol, doc) " +
+      "order; orderCol without groupCol is rejected") {
+    val toks = Seq(
+      // group g: doc 20 ordered FIRST (ord 1) despite the larger id
+      ("g", 20L, 1L, 1L, "a"), ("g", 20L, 1L, 2L, "b"),
+      ("g", 10L, 2L, 1L, "c"),
+      ("h", 30L, 1L, 1L, "d"), ("h", 30L, 1L, 2L, "e"),
+      ("h", 30L, 1L, 3L, "f"))
+      .toDF("grp", "doc_id", "ord", "pos", "token")
+    val p = Sampling.packTokens(toks, seqLen = 2L,
+        groupCol = Some("grp"), orderCol = Some("ord"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)) ->
+        (r.getLong(5), r.getLong(6))).toMap
+    assert(p == Map(
+      ("g", 20L, 1L) -> (0L, 0L), ("g", 20L, 2L) -> (0L, 1L),
+      ("g", 10L, 1L) -> (1L, 0L),
+      ("h", 30L, 1L) -> (0L, 0L), ("h", 30L, 2L) -> (0L, 1L),
+      ("h", 30L, 3L) -> (1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Sampling.packTokens(toks, 2L, orderCol = Some("ord"))
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("ewmMean matches the closed-form truncated weights") {
     val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
       .toDF("g", "i", "v")
