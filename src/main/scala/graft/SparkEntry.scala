@@ -57,7 +57,8 @@ object SparkEntry {
     "q207_incremental_pipeline", "q208_stream_lake_ingest",
     "q221_disposition_audit", "q228_selection_shard_write",
     "q229_stream_full_ingest", "q239_stream_shard_append",
-    "q240_selection_shard_stream", "q244_stream_shard_manifest")
+    "q240_selection_shard_stream", "q244_stream_shard_manifest",
+    "q249_bpe_model_roundtrip")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3061,6 +3062,32 @@ object SparkEntry {
           round(sum(col("n_tokens")).cast("double") /
             sum(col("n_words")).cast("double"), 6).as("fertility"))
     }),
+    // ---- tokenizer MODEL artifact round trip: learn -> persist
+    // (merges + flags + digest) -> read back (digest re-verified) ->
+    // native encode under the READ-BACK list and ITS stored flags.
+    // Output and oracle are exactly q243's fertility — equality
+    // holds only if persistence preserved the list bit for bit and
+    // the mode flags traveled with the artifact.
+    "q249_bpe_model_roundtrip" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_bpemodel"
+      graft.operators.Tokenizer.writeBpeModel(s, path, m,
+        byteFallback = true)
+      val model = graft.operators.Tokenizer.readBpeModel(s, path)
+      graft.operators.Tokenizer
+        .bpeTokenCounts(pc, "text", "doc_id", model.merges,
+          unicode = model.unicode, byteFallback = model.byteFallback)
+        .join(pc.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_tokens")).cast("double") /
+            sum(col("n_words")).cast("double"), 6).as("fertility"))
+    }),
     // ---- DSIR score-gate contract: job 1 writes the dense
     // fixed-point bucket model as a lake artifact; the gate collects
     // it once (bounded: `buckets` longs, the codebook pattern) and
@@ -3971,6 +3998,37 @@ object SparkEntry {
        |FROM cw WHERE cum - n_tokens < 500""".stripMargin
       }
 
+    // the q237 learn+encode chain under byte fallback (fertility per
+    // lang on the punctuated corpus) — shared VERBATIM by q243 and by
+    // q249 (model-artifact round trip): the persisted-model encode
+    // must land on the exact same result as the in-memory list's
+    val byteFallbackFertilitySql: String = {
+      val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+        s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+          s"'·' || m$i.lhs || m$i.rhs || '·')"
+      }
+      val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+      s"""WITH $punctCorpusSql,
+         |${bpeVocab0FallbackFrom("pd")},
+         |$bpeRoundsUni,
+         |w AS (SELECT doc_id, lang,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS wd
+         |  FROM pd),
+         |tc AS (SELECT doc_id, lang,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(len(string_split(trim($encChain, '·'),
+         |      '··'))) AS BIGINT) AS n_tokens
+         |  FROM w $crossMs
+         |  GROUP BY 1, 2)
+         |SELECT lang,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE)
+         |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+         |FROM tc
+         |GROUP BY 1""".stripMargin
+    }
 
     Map(
       "q01_reportdata_series" ->
@@ -5892,36 +5950,8 @@ object SparkEntry {
            |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
            |    AS text
            |FROM pd""".stripMargin,
-      "q243_bpe_bytefallback_fertility" -> {
-        // the q237 learn+encode chain under byte fallback: every word
-        // encodes (no OOV CASE — the fallback seq IS the initial
-        // encoding), grouped per lang over the punctuated corpus
-        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
-          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
-            s"'·' || m$i.lhs || m$i.rhs || '·')"
-        }
-        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
-        s"""WITH $punctCorpusSql,
-           |${bpeVocab0FallbackFrom("pd")},
-           |$bpeRoundsUni,
-           |w AS (SELECT doc_id, lang,
-           |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
-           |      AS wd
-           |  FROM pd),
-           |tc AS (SELECT doc_id, lang,
-           |    CAST(count(*) AS BIGINT) AS n_words,
-           |    CAST(sum(len(string_split(trim($encChain, '·'),
-           |      '··'))) AS BIGINT) AS n_tokens
-           |  FROM w $crossMs
-           |  GROUP BY 1, 2)
-           |SELECT lang,
-           |  CAST(sum(n_words) AS BIGINT) AS n_words,
-           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           |  round(CAST(sum(n_tokens) AS DOUBLE)
-           |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
-           |FROM tc
-           |GROUP BY 1""".stripMargin
-      },
+      "q243_bpe_bytefallback_fertility" -> byteFallbackFertilitySql,
+      "q249_bpe_model_roundtrip" -> byteFallbackFertilitySql,
       "q237_bpe_unicode_fertility" -> {
         // the q234 learn+encode chain, unicode word class, grouped
         // per lang over the non-ASCII corpus

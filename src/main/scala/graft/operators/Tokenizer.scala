@@ -375,6 +375,72 @@ object Tokenizer {
           shim.expression(col("__pieces")))).as("text"))
   }
 
+  /** A persisted tokenizer model: the learned merge list in learning
+    * order plus the mode flags it was learned under — what
+    * [[readBpeModel]] returns and every encode entry point accepts.
+    * The digest is the write-time content attestation (md5 over
+    * `step:lhs:rhs` lines in step order), re-verified on read. */
+  final case class BpeModel(merges: Seq[(String, String)],
+      unicode: Boolean, byteFallback: Boolean, digest: String)
+
+  private def bpeModelDigest(merges: Seq[(String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      md.update(s"${i + 1}:$l:$r\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Persist a learned merge list as the tokenizer ARTIFACT a
+    * training run ships beside its shards: `path/merges` (one row per
+    * merge, learning order) + `path/meta` (ONE row: the mode flags
+    * the list was learned under, the merge count, and a content
+    * digest). The flags travel WITH the list because an encode under
+    * the wrong word class silently degrades to OOV passthrough — the
+    * model, not the call site, owns that decision; [[readBpeModel]]
+    * refuses a corrupt or truncated artifact (digest + count
+    * re-verified). Overwrite semantics, so streamed replays converge
+    * on the same artifact (the lake versioning discipline). */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, merges: Seq[(String, String)],
+      unicode: Boolean = false, byteFallback: Boolean = false): Unit = {
+    require(merges.nonEmpty && merges.size <= 65536,
+      s"merges must be 1..65536 pairs (got ${merges.size})")
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => ((i + 1).toLong, l, r) }
+      .toDF("step", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    Seq((unicode, byteFallback, merges.size.toLong,
+        bpeModelDigest(merges)))
+      .toDF("unicode", "byte_fallback", "n_merges", "digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeBpeModel]] artifact. The merge list is
+    * driver-bounded by construction (≤65536 rows — the same bound
+    * every encode entry point enforces); the stored digest and count
+    * must match the re-computation over the read-back rows, so a
+    * partially-written or hand-edited artifact fails loudly instead
+    * of encoding under a silently different vocabulary. */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModel = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1,
+      s"bpe model meta must hold exactly one row (got ${meta.length})")
+    val m = meta.head
+    val stored = m.getString(3)
+    val computed = bpeModelDigest(merges)
+    require(m.getLong(2) == merges.size && stored == computed,
+      s"bpe model artifact corrupt: stored n=${m.getLong(2)}/" +
+        s"digest=$stored, read n=${merges.size}/digest=$computed")
+    BpeModel(merges, m.getBoolean(0), m.getBoolean(1), stored)
+  }
+
   /** The chained-regex encoder the native expression replaced — kept
     * as the independently-derived reference twin for the differential
     * spec and the scale probe's A/B (it IS the oracle's `replace`

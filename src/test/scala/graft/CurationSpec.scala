@@ -428,6 +428,39 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpe model artifact: write -> read round-trips the list and " +
+      "flags; a truncated artifact is refused by the digest") {
+    val docs = Seq((1L, "don't don't ab ab don't")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 3, byteFallback = true).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpemodel").toString
+    graft.operators.Tokenizer.writeBpeModel(spark, dir, m,
+      byteFallback = true)
+    val model = graft.operators.Tokenizer.readBpeModel(spark, dir)
+    assert(model.merges == m)
+    assert(!model.unicode && model.byteFallback)
+    // encode under the read-back list == encode under the in-memory one
+    val a = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", m, byteFallback = true)
+      .collect().head.getLong(2)
+    val b = graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", model.merges,
+        byteFallback = model.byteFallback)
+      .collect().head.getLong(2)
+    assert(a == b)
+    // truncate merges on disk, keep meta -> count/digest mismatch
+    m.take(2).zipWithIndex
+      .map { case ((l, r), i) => ((i + 1).toLong, l, r) }
+      .toDF("step", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    intercept[IllegalArgumentException] {
+      graft.operators.Tokenizer.readBpeModel(spark, dir)
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("BpeSeqApplier: one-call round application equals the chained " +
       "per-merge replaces (left-to-right non-overlapping, in order)") {
     import org.apache.spark.unsafe.types.UTF8String

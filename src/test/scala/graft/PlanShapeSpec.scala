@@ -76,6 +76,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"no global single-partition stage:\n$p")
   }
 
+  test("grouped packTokens never creates a single-partition stage; " +
+      "its window partitions by the group") {
+    val toks = spark.range(40).select(
+      (col("id") / 4).cast("long").as("doc_id"),
+      pmod(col("id"), lit(4)).cast("long").as("ord"),
+      (pmod(col("id"), lit(4)) + 1).cast("long").as("pos"),
+      col("id").cast("string").as("token"),
+      pmod(col("id"), lit(3)).cast("string").as("grp"))
+    val p = plan(graft.operators.Sampling.packTokens(toks, 8L,
+      groupCol = Some("grp"), orderCol = Some("ord")))
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition stage in the grouped path:\n$p")
+    assert(p.contains("hashpartitioning(grp"),
+      s"the doc-summary window must partition by the group:\n$p")
+  }
+
   test("multi-query BM25 broadcasts the probe side everywhere and " +
       "never duplicates the corpus scan per query") {
     import graft.operators.Retrieval
