@@ -58,7 +58,7 @@ object SparkEntry {
     "q221_disposition_audit", "q228_selection_shard_write",
     "q229_stream_full_ingest", "q239_stream_shard_append",
     "q240_selection_shard_stream", "q244_stream_shard_manifest",
-    "q249_bpe_model_roundtrip")
+    "q249_bpe_model_roundtrip", "q250_trainer_pack_capstone")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3088,6 +3088,42 @@ object SparkEntry {
           round(sum(col("n_tokens")).cast("double") /
             sum(col("n_words")).cast("double"), 6).as("fertility"))
     }),
+    // ---- TRAINER-INPUT capstone: the complete corpus-to-batches
+    // arc this round closed — learn the tokenizer, PERSIST it as the
+    // digest-verified model artifact, read it back, shard the corpus
+    // by its OWN token counts under that model, stream the BPE
+    // pieces, and pack fixed-length training sequences per shard.
+    // One oracle certifies the whole composition: shard assignment,
+    // piece order, straddling, and the order-sensitive digests.
+    "q250_trainer_pack_capstone" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+          merges = 8).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_bpecap"
+      graft.operators.Tokenizer.writeBpeModel(s, path, m)
+      val model = graft.operators.Tokenizer.readBpeModel(s, path)
+      val counts = graft.operators.Tokenizer
+        .bpeTokenCounts(docs, "text", "doc_id", model.merges,
+          unicode = model.unicode, byteFallback = model.byteFallback)
+        .select(col("doc_id"), col("n_tokens"))
+      val asg = Sampling.shardAssign(counts, "doc_id", "n_tokens",
+        shardWeight = 5000L)
+      val toks = graft.operators.Tokenizer
+        .bpeTokenize(docs, "text", "doc_id", model.merges,
+          unicode = model.unicode, byteFallback = model.byteFallback)
+        .join(asg.select(col("doc_id"), col("shard"), col("offset")),
+          Seq("doc_id"))
+      Sampling.packTokens(toks, seqLen = 512L,
+          groupCol = Some("shard"), orderCol = Some("offset"))
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
     // ---- DSIR score-gate contract: job 1 writes the dense
     // fixed-point bucket model as a lake artifact; the gate collects
     // it once (bounded: `buckets` longs, the codebook pattern) and
@@ -5950,6 +5986,55 @@ object SparkEntry {
            |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
            |    AS text
            |FROM pd""".stripMargin,
+      "q250_trainer_pack_capstone" -> {
+        // the q232 piece stream (learn + per-word encode chain,
+        // flattened with positions) -> token-count shard assignment
+        // (q224 idiom over the BPE counts) -> per-shard cumsum ->
+        // the q247 pack digests; tl MATERIALIZED (referenced twice)
+        val encChain = (1 to 8).foldLeft(
+          "regexp_replace(wd, '(.)', '·\\1·', 'g')") { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $bpeVocab0,
+           |$bpeRounds,
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM documents),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      CASE WHEN regexp_matches(wd, '^[a-z]+$$')
+           |        THEN string_split(trim($encChain, '·'), '··')
+           |        ELSE [wd] END)) AS toks
+           |  FROM w $crossMs),
+           |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+           |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k FROM tl),
+           |a AS (SELECT doc_id, n,
+           |    coalesce(sum(n) OVER (ORDER BY k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS before
+           |  FROM c),
+           |ds AS (SELECT doc_id, n,
+           |    CAST(before // 5000 AS BIGINT) AS shard,
+           |    before % 5000 AS off FROM a),
+           |st AS (SELECT doc_id, shard,
+           |    coalesce(sum(n) OVER (PARTITION BY shard
+           |      ORDER BY off, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS strt
+           |  FROM ds),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |g AS (SELECT st.shard, token, strt + pos - 1 AS gi
+           |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+           |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
+           |    gi % 512 AS soff, token FROM g)
+           |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+           |FROM p GROUP BY 1, 2""".stripMargin
+      },
       "q243_bpe_bytefallback_fertility" -> byteFallbackFertilitySql,
       "q249_bpe_model_roundtrip" -> byteFallbackFertilitySql,
       "q237_bpe_unicode_fertility" -> {
