@@ -2997,6 +2997,29 @@ object SparkEntry {
               col("token").as("__t")))),
             x => x.getField("__t")), ",")).as("tok_digest"))
     }),
+    // ---- packing with DOCUMENT SEPARATORS: one `<eos>` boundary
+    // token appended per document before the concat-and-split — the
+    // discipline that stops an autoregressive model from reading doc
+    // B's first token as doc A's continuation. Same summary/digest
+    // contract as q246; the separator shifts every downstream offset,
+    // so the digests certify the injection exactly.
+    "q251_pack_eos" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+      val withSep = Sampling.appendDocSeparator(toks, "<eos>")
+      Sampling.packTokens(withSep, seqLen = 256L)
+        .groupBy(col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
     // ---- GROUPED packing over a shard layout (the full trainer
     // arc: shardAssign -> per-shard concat-and-split in (offset,
     // doc) order). The per-group form's doc-summary running sum is
@@ -5930,6 +5953,29 @@ object SparkEntry {
       "q246_pack_tokens" ->
         """WITH t AS (SELECT doc_id,
           |    string_split_regex(trim(lower(text)), '\s+') AS ws
+          |  FROM documents),
+          |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |s AS (SELECT doc_id,
+          |    coalesce(sum(n) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM c),
+          |tok AS (SELECT doc_id, ws[i] AS token, CAST(i AS BIGINT)
+          |      AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT tok.doc_id, token, strt + pos - 1 AS gi
+          |  FROM tok JOIN s ON tok.doc_id = s.doc_id),
+          |p AS (SELECT CAST(gi // 256 AS BIGINT) AS seq,
+          |    gi % 256 AS soff, token, doc_id FROM g)
+          |SELECT seq, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+          |FROM p GROUP BY 1""".stripMargin,
+      "q251_pack_eos" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_append(string_split_regex(trim(lower(text)),
+          |      '\s+'), '<eos>') AS ws
           |  FROM documents),
           |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
           |s AS (SELECT doc_id,

@@ -299,6 +299,26 @@ object Sampling {
       .drop("__start")
   }
 
+  /** Append one SEPARATOR token (an EOS/document-boundary marker) to
+    * every document's stream — the boundary discipline autoregressive
+    * trainers rely on when [[packTokens]] concatenates documents into
+    * one stream (without it, the model sees doc B's first token as a
+    * continuation of doc A). One doc-keyed aggregate emits the
+    * separator rows at `max(pos) + 1`; every other column (shard,
+    * offset, …) must be doc-constant and rides along via the group
+    * keys, so the result feeds either packing form unchanged. */
+  def appendDocSeparator(tokens: DataFrame, sep: String,
+      posCol: String = "pos", tokenCol: String = "token"): DataFrame = {
+    val keys = tokens.columns.filterNot(c => c == posCol || c == tokenCol)
+    require(keys.nonEmpty,
+      "tokens must carry at least a document id beside pos/token")
+    val seps = tokens.groupBy(keys.map(col): _*)
+      .agg((max(col(posCol)) + 1).as(posCol))
+      .withColumn(tokenCol, lit(sep))
+      .select(tokens.columns.map(col).toSeq: _*)
+    tokens.unionByName(seps)
+  }
+
   /** The [[shardAssign]] two-pass running sum over an arbitrary
     * summary frame: sort by `sortCols`, collect ONE long per partition
     * (the bounded job), broadcast the prefix offsets back, emit the

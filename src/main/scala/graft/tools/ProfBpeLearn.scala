@@ -44,17 +44,6 @@ object ProfBpeLearn {
       graft.operators.Dedup.releaseIntermediates()
       m
     }
-    // the learn wall at 3+ points >= 256 merges. batch=64 is the
-    // REQUESTED per-round pick count; early rounds learn fewer (the
-    // within-round symbol-disjointness constraint caps picks at half
-    // the live symbol inventory, which starts at this corpus's 15
-    // letters and grows with every merge) — so the merge count is
-    // measured, not assumed.
-    learn(16, 64)
-    learn(32, 64)
-    val m1024 = learn(48, 64)
-    // encode flatness: the native expression's wall must be ~constant
-    // in merge-list length (rank-priority fast path)
     def encode(m: Seq[(String, String)], label: String): Unit = {
       val t0 = System.nanoTime()
       val total = graft.operators.Tokenizer
@@ -63,26 +52,40 @@ object ProfBpeLearn {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"PROF encode $label%-12s merges=${m.size}%5d wall=${s}%6.2fs tokens=$total")
     }
-    encode(m1024.take(64), "cap64")
-    encode(m1024.take(256), "m256")
-    encode(m1024, "m1024")
-    // the >=8k octave (round-16 directive #6): batch=128, enough
-    // rounds that the DISJOINTNESS-capped early rounds still leave
-    // >=8k real merges; per-round wall is the trend under test now
-    // that merge application is ONE BpeSeqApply projection per round
-    // (plan depth per round is constant, so driver re-analysis cost
-    // no longer grows with the batch-size x round-count product)
-    if (args.lift(1).contains("deep")) {
-      learn(16, 128)
-      learn(48, 128)
-      val m8k = learn(96, 128)
-      encode(m8k, s"m${m8k.size}")
-    }
-    // one deep point alone: ProfBpeLearn <dir> rounds=<N> — the >=8k
-    // octave without re-running the shallow ladder
-    args.lift(1).filter(_.startsWith("rounds=")).foreach { a =>
-      val m = learn(a.stripPrefix("rounds=").toInt, 128)
-      encode(m, s"m${m.size}")
+    args.lift(1) match {
+      // one deep point alone: ProfBpeLearn <dir> rounds=<N> — the
+      // >=8k octave without re-running the shallow ladder
+      case Some(a) if a.startsWith("rounds=") =>
+        val m = learn(a.stripPrefix("rounds=").toInt, 128)
+        encode(m, s"m${m.size}")
+      case mode =>
+        // the learn wall at 3+ points >= 256 merges. batch=64 is the
+        // REQUESTED per-round pick count; early rounds learn fewer
+        // (the within-round symbol-disjointness constraint caps picks
+        // at half the live symbol inventory, which starts at this
+        // corpus's 15 letters and grows with every merge) — so the
+        // merge count is measured, not assumed.
+        learn(16, 64)
+        learn(32, 64)
+        val m1024 = learn(48, 64)
+        // encode flatness: the native expression's wall must be
+        // ~constant in merge-list length (rank-priority fast path)
+        encode(m1024.take(64), "cap64")
+        encode(m1024.take(256), "m256")
+        encode(m1024, "m1024")
+        // the >=8k octave (round-16 directive #6): batch=128, enough
+        // rounds that the DISJOINTNESS-capped early rounds still
+        // leave thousands of real merges; per-round wall is the trend
+        // under test now that merge application is ONE BpeSeqApply
+        // projection per round (plan depth per round is constant, so
+        // driver re-analysis cost no longer grows with the
+        // batch-size x round-count product)
+        if (mode.contains("deep")) {
+          learn(16, 128)
+          learn(48, 128)
+          val m8k = learn(96, 128)
+          encode(m8k, s"m${m8k.size}")
+        }
     }
     spark.stop()
   }

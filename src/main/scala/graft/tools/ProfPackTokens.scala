@@ -100,6 +100,37 @@ object ProfPackTokens {
       f"shuffle_mb=$sGrouped%.1f sequences=${aggG.getLong(0)} " +
       f"partial=${aggG.getLong(1)} (expect <= 1 per shard)")
     graft.operators.Dedup.releaseIntermediates()
+
+    // 3. the PRODUCTION composition: pack over a LANDED layout. The
+    // docs land once as shard=N/ dirs (outside the timing — that cost
+    // is the layout's, measured in ProfShardWrite); the pack then
+    // reads the partitioned layout where `shard` is a partition
+    // column — no token-stream join attaches it, and the only
+    // token-sized exchange left is the doc-keyed offsets join.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pack_prof").toString
+    graft.operators.Sampling.writeShards(
+      docs.join(asg, Seq("doc_id")), root)
+    val s2 = drain(); val t2 = System.nanoTime()
+    val landed = spark.read.parquet(root)
+    val toksL = landed.select(col("doc_id"), col("shard"),
+        col("offset"),
+        posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("p0", "token")))
+      .select(col("doc_id"), col("shard"), col("offset"),
+        (col("p0") + 1).cast("long").as("pos"), col("token"))
+    val sizesL = graft.operators.Sampling.packTokens(toksL, seqLen,
+        groupCol = Some("shard"), orderCol = Some("offset"))
+      .groupBy("shard", "seq").count()
+    val aggL = sizesL.agg(count(lit(1)).as("n_seq"),
+      sum(when(col("count") === seqLen, 0).otherwise(1)).as("n_partial"))
+      .collect().head
+    val tLanded = (System.nanoTime() - t2) / 1e9
+    val sLanded = (drain() - s2) / 1e6
+    println(f"PACK landed  shards=$nShards wall=$tLanded%.2f " +
+      f"shuffle_mb=$sLanded%.1f sequences=${aggL.getLong(0)} " +
+      f"partial=${aggL.getLong(1)} (expect <= 1 per shard)")
+    graft.operators.Dedup.releaseIntermediates()
     spark.stop()
   }
 }

@@ -1096,6 +1096,19 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("appendDocSeparator: one boundary token per document at " +
+      "max(pos)+1; doc-constant columns ride along") {
+    val toks = Seq((1L, "g", 1L, "a"), (1L, "g", 2L, "b"),
+      (2L, "h", 1L, "c")).toDF("doc_id", "grp", "pos", "token")
+    val r = Sampling.appendDocSeparator(toks, "<eos>")
+      .orderBy("doc_id", "pos").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getString(3))).toSeq
+    assert(r == Seq(
+      (1L, "g", 1L, "a"), (1L, "g", 2L, "b"), (1L, "g", 3L, "<eos>"),
+      (2L, "h", 1L, "c"), (2L, "h", 2L, "<eos>")))
+  }
+
   test("ewmMean matches the closed-form truncated weights") {
     val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
       .toDF("g", "i", "v")
