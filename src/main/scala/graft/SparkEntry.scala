@@ -2997,6 +2997,26 @@ object SparkEntry {
               col("token").as("__t")))),
             x => x.getField("__t")), ",")).as("tok_digest"))
     }),
+    // ---- per-sequence DOCUMENT SPANS: for every packed sequence,
+    // where each document's tokens sit (start offset + length) — the
+    // boundary metadata an attention-masking trainer consumes to
+    // reset attention at document boundaries inside a packed
+    // sequence (spans are contiguous by construction: a document's
+    // tokens are consecutive in the stream). ONE aggregate over the
+    // packed rows; with the digests of q246 this completes the
+    // sequence-level provenance pair (content + structure).
+    "q252_pack_spans" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+      Sampling.packTokens(toks, seqLen = 256L)
+        .groupBy(col("seq"), col("doc_id"))
+        .agg(min(col("seq_off")).as("start_off"),
+          count(lit(1)).as("n_tokens"))
+    }),
     // ---- packing with DOCUMENT SEPARATORS: one `<eos>` boundary
     // token appended per document before the concat-and-split — the
     // discipline that stops an autoregressive model from reading doc
@@ -5972,6 +5992,26 @@ object SparkEntry {
           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
           |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
           |FROM p GROUP BY 1""".stripMargin,
+      "q252_pack_spans" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws
+          |  FROM documents),
+          |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |s AS (SELECT doc_id,
+          |    coalesce(sum(n) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM c),
+          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT tok.doc_id, strt + pos - 1 AS gi
+          |  FROM tok JOIN s ON tok.doc_id = s.doc_id),
+          |p AS (SELECT CAST(gi // 256 AS BIGINT) AS seq,
+          |    gi % 256 AS soff, doc_id FROM g)
+          |SELECT seq, doc_id, CAST(min(soff) AS BIGINT) AS start_off,
+          |  CAST(count(*) AS BIGINT) AS n_tokens
+          |FROM p GROUP BY 1, 2""".stripMargin,
       "q251_pack_eos" ->
         """WITH t AS (SELECT doc_id,
           |    list_append(string_split_regex(trim(lower(text)),
