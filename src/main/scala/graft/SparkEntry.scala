@@ -3105,6 +3105,44 @@ object SparkEntry {
           round(sum(col("n_tokens")).cast("double") /
             sum(col("n_words")).cast("double"), 6).as("fertility"))
     }),
+    // ---- tokenizer VOCABULARY with integer ids (what a trainer
+    // embeds): base symbols first in UTF-8 byte order, then merged
+    // symbols in learning order. Byte-fallback mode closes the
+    // vocabulary over the byte alphabet + the corpus's in-class code
+    // points (out-of-class characters of ANY text resolve; a NEW
+    // in-class letter is absent exactly as in any corpus-trained BPE
+    // vocabulary, surfaced as a null id by the encode's left join).
+    "q253_bpe_vocab" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer.bpeVocabulary(pc, "text", m,
+        byteFallback = true)
+    }),
+    // ---- encode to token IDS: the piece stream joined to the
+    // vocabulary (one broadcast join — the vocabulary is
+    // alphabet-bounded), reported as per-doc id-sequence digests.
+    // The digests certify the COMPLETE trainer-side encode: merges,
+    // piece order, and the id assignment all have to agree.
+    "q254_bpe_encode_ids" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
+        m, byteFallback = true)
+      graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"),
+              col("token_id").cast("string").as("__i")))),
+            x => x.getField("__i")), ",")).as("ids_digest"))
+    }),
     // ---- tokenizer MODEL artifact round trip: learn -> persist
     // (merges + flags + digest) -> read back (digest re-verified) ->
     // native encode under the READ-BACK list and ITS stored flags.
@@ -4107,6 +4145,30 @@ object SparkEntry {
          |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
          |FROM tc
          |GROUP BY 1""".stripMargin
+    }
+
+    // shared vocab-with-ids CTE tail (q253/q254): base symbols of the
+    // byte-fallback initial encoding in BINARY order (DuckDB's default
+    // collation — the same UTF-8 byte order the engine's driver-side
+    // sort uses), then merged symbols in learning order after them
+    val bpeVocabIdCtes: String = {
+      val m0 = (1 to 8).map(i =>
+        s"SELECT $i AS i, lhs, rhs, c FROM m$i").mkString("\n  UNION ALL ")
+      s"""sym AS (SELECT DISTINCT
+         |    unnest(string_split(trim(seq, '·'), '··')) AS token
+         |  FROM v0),
+         |vbase AS (SELECT token,
+         |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+         |      AS token_id
+         |  FROM sym WHERE token <> ''),
+         |nb AS (SELECT count(*) AS n FROM vbase),
+         |m0 AS MATERIALIZED ($m0),
+         |mr AS (SELECT lhs || rhs AS token, min(i) AS i FROM m0
+         |  WHERE c >= 1 GROUP BY 1),
+         |vmerge AS (SELECT token,
+         |    CAST(n + row_number() OVER (ORDER BY i) - 1 AS BIGINT)
+         |      AS token_id
+         |  FROM mr CROSS JOIN nb)""".stripMargin
     }
 
     Map(
@@ -6123,6 +6185,43 @@ object SparkEntry {
       },
       "q243_bpe_bytefallback_fertility" -> byteFallbackFertilitySql,
       "q249_bpe_model_roundtrip" -> byteFallbackFertilitySql,
+      "q253_bpe_vocab" ->
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes
+           |SELECT token_id, token, TRUE AS is_base FROM vbase
+           |UNION ALL
+           |SELECT token_id, token, FALSE AS is_base FROM vmerge""".stripMargin,
+      "q254_bpe_encode_ids" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM pd),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |j AS (SELECT doc_id, pos, vv.token_id
+           |  FROM tok JOIN vv USING (token))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+           |    ORDER BY pos)) AS ids_digest
+           |FROM j GROUP BY 1""".stripMargin
+      },
       "q237_bpe_unicode_fertility" -> {
         // the q234 learn+encode chain, unicode word class, grouped
         // per lang over the non-ASCII corpus

@@ -375,6 +375,80 @@ object Tokenizer {
           shim.expression(col("__pieces")))).as("text"))
   }
 
+  /** The closed VOCABULARY of a learned tokenizer over a corpus, with
+    * deterministic integer ids — what an actual training run consumes
+    * (trainers embed token IDS, not strings). Ids are assigned base
+    * symbols first, in UTF-8 byte order (the one ordering Spark's
+    * binary string sort, DuckDB's binary collation, and this
+    * driver-side sort all agree on — Java's UTF-16 `compareTo` would
+    * diverge on supplementary-plane symbols), then merged symbols in
+    * learning order (first occurrence wins if two merge paths produce
+    * the same string). In byte-fallback mode the vocabulary is closed
+    * over the BYTE alphabet and the corpus's in-class code points —
+    * out-of-class characters of ANY future text resolve (they are
+    * bytes), but an in-class code point the vocabulary corpus never
+    * contained (a new letter) is still absent, exactly as in any
+    * real BPE vocabulary trained on a corpus; [[bpeEncodeIds]]'s left
+    * join surfaces those as null ids to audit. In the in-class modes
+    * whole OOV passthrough tokens are open-ended too. The symbol
+    * inventory is alphabet-bounded (distinct code points + 256 byte
+    * placeholders + merges), so the driver-side assembly is bounded
+    * the same way every codebook/model collect in this engine is. */
+  def bpeVocabulary(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)],
+      unicode: Boolean = false,
+      byteFallback: Boolean = false): DataFrame = {
+    require(merges.size <= 65536,
+      s"merges must be at most 65536 literal pairs (got ${merges.size})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    val base = df.select(explode(shim.column(graft.functions.BpeTokenize(
+        shim.expression(col(textCol)), Nil, unicode, byteFallback)))
+        .as("t"))
+      .where(length(col("t")) > 0)
+      .distinct().collect().map(_.getString(0))
+    def u8cmp(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val baseSorted = base.sortWith(u8cmp)
+    val seen = scala.collection.mutable.HashSet[String](baseSorted: _*)
+    var id = baseSorted.length.toLong
+    val mergedRows = merges.flatMap { case (l, r) =>
+      val t = l + r
+      if (seen.contains(t)) None
+      else { seen += t; val row = (id, t, false); id += 1; Some(row) }
+    }
+    (baseSorted.zipWithIndex.toSeq
+      .map { case (t, i) => (i.toLong, t, true) } ++ mergedRows)
+      .toDF("token_id", "token", "is_base")
+  }
+
+  /** Encode to token IDS: the [[bpeTokenize]] piece stream joined to
+    * a [[bpeVocabulary]] table — one broadcast join (the vocabulary
+    * is alphabet-bounded), zero additional shuffle over the tokenize
+    * pass. LEFT join: a piece absent from the vocabulary (only
+    * possible when encoding a DIFFERENT corpus than the vocabulary
+    * was built on, in a non-closed mode) surfaces as a null
+    * `token_id` for the caller to audit rather than silently
+    * vanishing. */
+  def bpeEncodeIds(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], vocab: DataFrame,
+      unicode: Boolean = false,
+      byteFallback: Boolean = false): DataFrame =
+    bpeTokenize(df, textCol, idCol, merges, unicode, byteFallback)
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), col("token"), col("token_id"))
+
   /** A persisted tokenizer model: the learned merge list in learning
     * order plus the mode flags it was learned under — what
     * [[readBpeModel]] returns and every encode entry point accepts.

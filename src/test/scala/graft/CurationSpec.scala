@@ -461,6 +461,41 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpe vocabulary: deterministic ids (base in UTF-8 order, merges " +
+      "after); unseen in-class code points surface as null ids") {
+    def sym(b: Int) = String.valueOf((0x2500 + b).toChar)
+    val docs = Seq((1L, "ab ab a'b")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 2, byteFallback = true).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // round 1: (a,b) weight 2 beats the apostrophe pairs at 1;
+    // round 2: (a,<27>) vs (<27>,b) tie at 1, 'a' < U+2527 wins
+    assert(m == Seq(("a", "b"), ("a", sym(0x27))))
+    val vocab = graft.operators.Tokenizer.bpeVocabulary(docs, "text",
+      m, byteFallback = true)
+    val ids = vocab.collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getBoolean(2))).toMap
+    // base in UTF-8 byte order: 'a' 0x61 < 'b' 0x62 < U+2527 (0xE2..)
+    assert(ids == Map(
+      "a" -> (0L, true), "b" -> (1L, true), sym(0x27) -> (2L, true),
+      "ab" -> (3L, false), ("a" + sym(0x27)) -> (4L, false)))
+    // same-corpus encode: every id resolves, in piece order
+    val enc = graft.operators.Tokenizer.bpeEncodeIds(docs, "text",
+        "doc_id", m, vocab, byteFallback = true)
+      .orderBy("pos").collect()
+    assert(enc.forall(!_.isNullAt(3)))
+    assert(enc.map(_.getLong(3)).toSeq == Seq(3L, 3L, 4L, 1L))
+    // an in-class code point the vocab corpus never saw -> null id
+    // (the audit path), while known symbols still resolve
+    val other = Seq((9L, "az")).toDF("doc_id", "text")
+    val enc2 = graft.operators.Tokenizer.bpeEncodeIds(other, "text",
+        "doc_id", m, vocab, byteFallback = true)
+      .orderBy("pos").collect()
+    assert(enc2.length == 2 && !enc2(0).isNullAt(3) &&
+      enc2(1).isNullAt(3) && enc2(1).getString(2) == "z")
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("BpeSeqApplier: one-call round application equals the chained " +
       "per-merge replaces (left-to-right non-overlapping, in order)") {
     import org.apache.spark.unsafe.types.UTF8String
