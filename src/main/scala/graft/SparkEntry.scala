@@ -3143,6 +3143,32 @@ object SparkEntry {
               col("token_id").cast("string").as("__i")))),
             x => x.getField("__i")), ",")).as("ids_digest"))
     }),
+    // ---- ID-SEQUENCE packing: the literal training batch content —
+    // the token-ID stream packed into fixed-length sequences (ids
+    // from the closed byte-fallback vocabulary, 64-token contexts),
+    // reported as per-sequence id digests. Composes q254's encode
+    // with q246's packer; the digests certify both plus the order.
+    "q255_pack_ids" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
+        m, byteFallback = true)
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
+      Sampling.packTokens(ids, seqLen = 64L)
+        .groupBy(col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("ids_digest"))
+    }),
     // ---- tokenizer MODEL artifact round trip: learn -> persist
     // (merges + flags + digest) -> read back (digest re-verified) ->
     // native encode under the READ-BACK list and ITS stored flags.
@@ -6221,6 +6247,46 @@ object SparkEntry {
            |  md5(string_agg(CAST(token_id AS VARCHAR), ','
            |    ORDER BY pos)) AS ids_digest
            |FROM j GROUP BY 1""".stripMargin
+      },
+      "q255_pack_ids" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM pd),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |j AS (SELECT doc_id, pos, vv.token_id
+           |  FROM tok JOIN vv USING (token)),
+           |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM j
+           |  GROUP BY 1),
+           |s AS (SELECT doc_id,
+           |    coalesce(sum(n) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS strt
+           |  FROM c),
+           |g AS (SELECT j.doc_id, token_id, strt + pos - 1 AS gi
+           |  FROM j JOIN s ON j.doc_id = s.doc_id),
+           |p AS (SELECT CAST(gi // 64 AS BIGINT) AS seq,
+           |    gi % 64 AS soff, token_id FROM g)
+           |SELECT seq, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+           |    ORDER BY soff)) AS ids_digest
+           |FROM p GROUP BY 1""".stripMargin
       },
       "q237_bpe_unicode_fertility" -> {
         // the q234 learn+encode chain, unicode word class, grouped

@@ -92,6 +92,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"the doc-summary window must partition by the group:\n$p")
   }
 
+  test("bpeEncodeIds broadcasts the vocabulary; no single-partition " +
+      "stage") {
+    val m = Seq(("a", "b"))
+    val vocab = graft.operators.Tokenizer.bpeVocabulary(docs, "text",
+      m, byteFallback = true)
+    val p = plan(graft.operators.Tokenizer.bpeEncodeIds(docs, "text",
+      "doc_id", m, vocab, byteFallback = true))
+    assert(p.contains("BroadcastExchange"),
+      s"the alphabet-bounded vocabulary must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition stage:\n$p")
+  }
+
   test("multi-query BM25 broadcasts the probe side everywhere and " +
       "never duplicates the corpus scan per query") {
     import graft.operators.Retrieval
