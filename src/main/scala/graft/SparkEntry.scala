@@ -58,7 +58,8 @@ object SparkEntry {
     "q221_disposition_audit", "q228_selection_shard_write",
     "q229_stream_full_ingest", "q239_stream_shard_append",
     "q240_selection_shard_stream", "q244_stream_shard_manifest",
-    "q249_bpe_model_roundtrip", "q250_trainer_pack_capstone")
+    "q249_bpe_model_roundtrip", "q250_trainer_pack_capstone",
+    "q256_stream_pack_closed")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3341,6 +3342,41 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           col("shard").cast("long").as("shard"), col("offset"))
     }),
+    // ---- STREAMED pack of CLOSED shards: the live trainer's
+    // consumption step over the q239 streamed layout — shards below
+    // the layout's maximum are immutable, so they pack exactly once,
+    // independently, while ingest would keep landing newer ones; the
+    // open (max) shard is excluded. Per-(shard, seq) digests certify
+    // the closed-only filter, the (offset, doc) order, and the
+    // straddling. SIDE-EFFECTING like q239 (same layout root).
+    "q256_stream_pack_closed" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_packstream"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), root,
+        "doc_id", "n_tokens", shardWeight = 5000L, batchId = 0L)
+      graft.streaming.StreamShardLayout.appendIncrement(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), root,
+        "doc_id", "n_tokens", shardWeight = 5000L, batchId = 1L)
+      val toks = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+      graft.streaming.StreamShardLayout
+        .packClosedShards(s, root, toks, seqLen = 512L)
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
     // ---- STREAMED corpus→trainer CAPSTONE: the q215 selection
     // chain's admitted set landed INCREMENTALLY — two micro-batches of
     // the real selection output append through the weight cursor, and
@@ -6608,6 +6644,42 @@ object SparkEntry {
       // the streamed append's global order is (batch, md5, id): batch
       // 0 is the even docs, batch 1 the odd — one exclusive running
       // sum over that order replays both appends and the read-back
+      "q256_stream_pack_closed" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    CAST(len(string_split_regex(trim(text), '\s+'))
+          |      AS BIGINT) AS n_tokens,
+          |    doc_id % 2 AS b,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t),
+          |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
+          |      AS shard,
+          |    before % 5000 AS off FROM c),
+          |cl AS (SELECT * FROM sh
+          |  WHERE shard < (SELECT max(shard) FROM sh)),
+          |cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |st AS (SELECT cl.doc_id, shard,
+          |    coalesce(sum(n) OVER (PARTITION BY shard
+          |      ORDER BY off, cl.doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
+          |tok AS (SELECT doc_id, ws[i] AS token, CAST(i AS BIGINT)
+          |      AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT st.shard, token, strt + pos - 1 AS gi
+          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+          |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
+          |    gi % 512 AS soff, token FROM g)
+          |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+          |FROM p GROUP BY 1, 2""".stripMargin,
       "q239_stream_shard_append" ->
         """WITH t AS (SELECT doc_id,
           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

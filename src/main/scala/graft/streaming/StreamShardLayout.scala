@@ -259,6 +259,37 @@ object StreamShardLayout {
     readLayoutDirs(spark, fs, incs)
   }
 
+  /** Pack the CLOSED shards of a streamed layout into fixed-length
+    * training sequences — the live trainer's consumption step. A
+    * shard is immutable once the running weight has moved past it
+    * (closed = every shard below the layout's current maximum; the
+    * max shard is still receiving weight and is excluded), so packing
+    * is EMBARRASSINGLY INCREMENTAL: each closed shard packs exactly
+    * once, independently, while ingest keeps landing newer shards —
+    * re-running after more batches only adds newly closed shards'
+    * sequences, never changes earlier ones (spec'd). `tokens` is the
+    * corpus piece stream ([[graft.operators.Tokenizer.bpeTokenize]]
+    * or a whitespace posexplode); the layout contributes order only.
+    * One layout read + one doc-keyed join + the grouped
+    * [[graft.operators.Sampling.packTokens]] (shard-bounded window,
+    * no global barrier). */
+  def packClosedShards(spark: SparkSession, layoutRoot: String,
+      tokens: DataFrame, seqLen: Long,
+      idCol: String = "doc_id", posCol: String = "pos",
+      tokenCol: String = "token"): DataFrame = {
+    val layout = readLayout(spark, layoutRoot)
+    val open = layout.agg(max(col("shard").cast("long")))
+      .collect().head.getLong(0)
+    val closed = layout
+      .select(col(idCol), col("shard").cast("long").as("shard"),
+        col("offset"))
+      .where(col("shard") < open)
+    graft.operators.Sampling.packTokens(
+      tokens.join(closed, Seq(idCol)), seqLen,
+      docIdCol = idCol, posCol = posCol, tokenCol = tokenCol,
+      groupCol = Some("shard"), orderCol = Some("offset"))
+  }
+
   /** Drive a stream of (idCol, weightCol) rows through the append
     * loop — the landing half of the streamed corpus→trainer arc
     * (compose after [[StreamLakeIngest.ingestFull]], whose admitted

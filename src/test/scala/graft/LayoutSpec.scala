@@ -169,6 +169,48 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("packClosedShards: packs only CLOSED shards, and more batches " +
+      "only ADD newly closed shards' sequences — earlier ones never " +
+      "change") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_packclosed").toString
+    // 60 docs x 4 tokens each, shardWeight 16 -> a shard closes every
+    // 4 docs; batches of 20 docs land 3 at a time
+    val docs = (0L until 60L).map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val toks = (0L until 60L).flatMap(i => (1L to 4L).map(p =>
+      (i, p, s"t${i}_$p"))).toDF("doc_id", "pos", "token")
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def land(b: Long): Unit =
+      graft.streaming.StreamShardLayout.appendIncrement(
+        docs.where(col("doc_id") >= b * 20 && col("doc_id") < (b + 1) * 20),
+        root, "doc_id", "n_tokens", shardWeight = 16L, batchId = b)
+    def packed(): Map[(Long, Long), String] =
+      graft.streaming.StreamShardLayout
+        .packClosedShards(spark, root, toks, seqLen = 8L)
+        .groupBy("shard", "seq")
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("seq_off"),
+            col("token").as("__t")))),
+          x => x.getField("__t")), ",")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+        .toMap
+    land(0L); land(1L)
+    val p1 = packed()
+    val openThen = graft.streaming.StreamShardLayout
+      .readLayout(spark, root)
+      .agg(max(col("shard").cast("long"))).collect().head.getLong(0)
+    assert(p1.nonEmpty && p1.keys.forall(_._1 < openThen),
+      "only shards below the open one may pack")
+    land(2L)
+    val p2 = packed()
+    // incremental: every previously packed (shard, seq) digest is
+    // unchanged; the new pack only ADDS newly closed shards
+    p1.foreach { case (k, d) => assert(p2(k) == d,
+      s"closed shard $k changed across batches") }
+    assert(p2.size > p1.size)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("compactLayout folds closed increments into base, keeps the " +
       "newest increment live, and the layout round-trips unchanged") {
     val docs = (0L until 300L).map(i => (i, (i * 37 + 11) % 50 + 1))
