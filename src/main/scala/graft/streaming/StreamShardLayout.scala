@@ -272,18 +272,26 @@ object StreamShardLayout {
     * or a whitespace posexplode); the layout contributes order only.
     * One layout read + one doc-keyed join + the grouped
     * [[graft.operators.Sampling.packTokens]] (shard-bounded window,
-    * no global barrier). */
+    * no global barrier).
+    *
+    * `fromShard` is the trainer's WATERMARK: pass the open-shard id
+    * the previous call reported (or track packed shards yourself) and
+    * only shards in [fromShard, open) are read and packed — the shard
+    * filter prunes the layout's `shard=N/` partitions at scan time,
+    * so an incremental call's cost is O(newly closed shards), not
+    * O(layout) (spec'd: the watermarked run equals the full run's new
+    * rows exactly). */
   def packClosedShards(spark: SparkSession, layoutRoot: String,
       tokens: DataFrame, seqLen: Long,
       idCol: String = "doc_id", posCol: String = "pos",
-      tokenCol: String = "token"): DataFrame = {
+      tokenCol: String = "token", fromShard: Long = 0L): DataFrame = {
     val layout = readLayout(spark, layoutRoot)
     val open = layout.agg(max(col("shard").cast("long")))
       .collect().head.getLong(0)
     val closed = layout
       .select(col(idCol), col("shard").cast("long").as("shard"),
         col("offset"))
-      .where(col("shard") < open)
+      .where(col("shard") >= fromShard && col("shard") < open)
     graft.operators.Sampling.packTokens(
       tokens.join(closed, Seq(idCol)), seqLen,
       docIdCol = idCol, posCol = posCol, tokenCol = tokenCol,

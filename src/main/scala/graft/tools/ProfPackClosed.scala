@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the INCREMENTAL trainer pack
+  * (`StreamShardLayout.packClosedShards`): land N micro-batches of
+  * the 100x corpus as a streamed layout, then measure —
+  *
+  *  1. the full closed-shard pack (what a trainer pays on first
+  *     attach);
+  *  2. one more batch landed, then the WATERMARKED pack (fromShard =
+  *     the previous open shard) — the steady-state per-increment
+  *     cost, expected O(newly closed shards) because the shard filter
+  *     prunes `shard=N/` partitions at scan time.
+  *
+  * Usage: runMain graft.tools.ProfPackClosed [dir] [batches] [shardWeight] [seqLen]
+  */
+object ProfPackClosed {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sfx100")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(12)
+    val shardWeight = args.lift(2).map(_.toLong).getOrElse(1000000L)
+    val seqLen = args.lift(3).map(_.toLong).getOrElse(2048L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.codegen.maxFields", "512")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.Tables.load(spark, dir, "documents")
+    val docs = base.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long")
+        .as("n_tokens"))
+    val toks = base.select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("p0", "token")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("token"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_packclosed_prof").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def land(b: Long): Unit = {
+      val a = graft.streaming.StreamShardLayout.appendIncrement(
+        docs.where(pmod(col("doc_id"), lit(nBatches + 1)) === b), root,
+        "doc_id", "n_tokens", shardWeight, b)
+      graft.operators.Lineage.free(a)
+      graft.operators.Dedup.releaseIntermediates()
+    }
+    (0 until nBatches).foreach(b => land(b.toLong))
+    def pack(from: Long, label: String): Long = {
+      val t0 = System.nanoTime()
+      val r = graft.streaming.StreamShardLayout
+        .packClosedShards(spark, root, toks, seqLen, fromShard = from)
+        .groupBy("shard").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("shards"), sum(col("n")).as("tokens"))
+        .collect().head
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PACKCLOSED $label%-12s wall=$s%6.2fs " +
+        f"shards=${r.getLong(0)} tokens=${r.getLong(1)}")
+      graft.operators.Dedup.releaseIntermediates()
+      r.getLong(0)
+    }
+    val closed1 = pack(0L, "first_attach")
+    // the trainer's steady state: one more increment, watermarked pack
+    land(nBatches.toLong)
+    pack(closed1, "incremental")
+    pack(0L, "full_again")
+    spark.stop()
+  }
+}

@@ -208,6 +208,19 @@ class LayoutSpec extends SparkTestBase {
     p1.foreach { case (k, d) => assert(p2(k) == d,
       s"closed shard $k changed across batches") }
     assert(p2.size > p1.size)
+    // the trainer's WATERMARK: packing from the previous open shard
+    // yields exactly the new rows — incremental cost is O(new shards)
+    val pNew = graft.streaming.StreamShardLayout
+      .packClosedShards(spark, root, toks, seqLen = 8L,
+        fromShard = openThen)
+      .groupBy("shard", "seq")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("seq_off"),
+          col("token").as("__t")))),
+        x => x.getField("__t")), ",")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(pNew == p2.filterNot { case (k, _) => p1.contains(k) })
     graft.operators.Dedup.releaseIntermediates()
   }
 
