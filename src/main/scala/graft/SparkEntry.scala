@@ -59,7 +59,7 @@ object SparkEntry {
     "q229_stream_full_ingest", "q239_stream_shard_append",
     "q240_selection_shard_stream", "q244_stream_shard_manifest",
     "q249_bpe_model_roundtrip", "q250_trainer_pack_capstone",
-    "q256_stream_pack_closed")
+    "q256_stream_pack_closed", "q257_bpe_artifact_ids")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3170,6 +3170,38 @@ object SparkEntry {
               col("token").as("__t")))),
             x => x.getField("__t")), ",")).as("ids_digest"))
     }),
+    // ---- FULL tokenizer artifact round trip: model (merges+flags)
+    // AND vocabulary (ids) persisted to one artifact directory, read
+    // back digest-verified, then id-encode under the READ-BACK
+    // everything. Output and oracle are exactly q254's digests —
+    // equality holds only if both halves of the trainer contract
+    // survived persistence bit for bit. SIDE-EFFECTING (artifact
+    // writes under the lake root).
+    "q257_bpe_artifact_ids" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_bpefull"
+      graft.operators.Tokenizer.writeBpeModel(s, path, m,
+        byteFallback = true)
+      graft.operators.Tokenizer.writeBpeVocab(s, path,
+        graft.operators.Tokenizer.bpeVocabulary(pc, "text", m,
+          byteFallback = true))
+      val model = graft.operators.Tokenizer.readBpeModel(s, path)
+      val vocab = graft.operators.Tokenizer.readBpeVocab(s, path)
+      graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", model.merges, vocab,
+          unicode = model.unicode, byteFallback = model.byteFallback)
+        .where(col("token_id").isNotNull)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"),
+              col("token_id").cast("string").as("__i")))),
+            x => x.getField("__i")), ",")).as("ids_digest"))
+    }),
     // ---- tokenizer MODEL artifact round trip: learn -> persist
     // (merges + flags + digest) -> read back (digest re-verified) ->
     // native encode under the READ-BACK list and ITS stored flags.
@@ -4231,6 +4263,39 @@ object SparkEntry {
          |    CAST(n + row_number() OVER (ORDER BY i) - 1 AS BIGINT)
          |      AS token_id
          |  FROM mr CROSS JOIN nb)""".stripMargin
+    }
+
+    // the q254 id-encode digest SQL — shared verbatim by q257 (full
+    // artifact round trip): the persisted model+vocab encode must
+    // land on the exact same per-doc id digests as the in-memory path
+    val bpeEncodeIdsSql: String = {
+      val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+        s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+          s"'·' || m$i.lhs || m$i.rhs || '·')"
+      }
+      val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+      s"""WITH $punctCorpusSql,
+         |${bpeVocab0FallbackFrom("pd")},
+         |$bpeRoundsUni,
+         |$bpeVocabIdCtes,
+         |vv AS (SELECT token, token_id FROM vbase
+         |  UNION ALL SELECT token, token_id FROM vmerge),
+         |w AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM pd),
+         |tl AS MATERIALIZED (SELECT doc_id,
+         |    flatten(list_transform(ws, wd ->
+         |      string_split(trim($encChain, '·'), '··'))) AS toks
+         |  FROM w $crossMs),
+         |tok AS (SELECT doc_id, toks[i] AS token,
+         |    CAST(i AS BIGINT) AS pos
+         |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+         |j AS (SELECT doc_id, pos, vv.token_id
+         |  FROM tok JOIN vv USING (token))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+         |    ORDER BY pos)) AS ids_digest
+         |FROM j GROUP BY 1""".stripMargin
     }
 
     Map(
@@ -6255,35 +6320,8 @@ object SparkEntry {
            |SELECT token_id, token, TRUE AS is_base FROM vbase
            |UNION ALL
            |SELECT token_id, token, FALSE AS is_base FROM vmerge""".stripMargin,
-      "q254_bpe_encode_ids" -> {
-        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
-          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
-            s"'·' || m$i.lhs || m$i.rhs || '·')"
-        }
-        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
-        s"""WITH $punctCorpusSql,
-           |${bpeVocab0FallbackFrom("pd")},
-           |$bpeRoundsUni,
-           |$bpeVocabIdCtes,
-           |vv AS (SELECT token, token_id FROM vbase
-           |  UNION ALL SELECT token, token_id FROM vmerge),
-           |w AS (SELECT doc_id,
-           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
-           |  FROM pd),
-           |tl AS MATERIALIZED (SELECT doc_id,
-           |    flatten(list_transform(ws, wd ->
-           |      string_split(trim($encChain, '·'), '··'))) AS toks
-           |  FROM w $crossMs),
-           |tok AS (SELECT doc_id, toks[i] AS token,
-           |    CAST(i AS BIGINT) AS pos
-           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
-           |j AS (SELECT doc_id, pos, vv.token_id
-           |  FROM tok JOIN vv USING (token))
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |  md5(string_agg(CAST(token_id AS VARCHAR), ','
-           |    ORDER BY pos)) AS ids_digest
-           |FROM j GROUP BY 1""".stripMargin
-      },
+      "q254_bpe_encode_ids" -> bpeEncodeIdsSql,
+      "q257_bpe_artifact_ids" -> bpeEncodeIdsSql,
       "q255_pack_ids" -> {
         val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
           s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +

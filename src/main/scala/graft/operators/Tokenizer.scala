@@ -432,6 +432,57 @@ object Tokenizer {
       .toDF("token_id", "token", "is_base")
   }
 
+  /** Persist a [[bpeVocabulary]] beside its model artifact — the id
+    * mapping is part of the trainer contract (embeddings are indexed
+    * by these ids; re-deriving them on another corpus would renumber
+    * everything), so it ships with the merges it was derived from:
+    * `path/vocab` (token_id, token, is_base) + `path/vocab_meta`
+    * (count + content digest, re-verified on read exactly as
+    * [[readBpeModel]] does). */
+  def writeBpeVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String, vocab: DataFrame): Unit = {
+    import spark.implicits._
+    val rows = vocab.select(col("token_id"), col("token"),
+        col("is_base")).orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    require(rows.nonEmpty && rows.length <= (1 << 21),
+      s"vocab must be 1..2^21 rows (got ${rows.length})")
+    rows.toSeq.toDF("token_id", "token", "is_base")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    Seq((rows.length.toLong, vocabDigest(rows)))
+      .toDF("n_tokens", "digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab_meta")
+  }
+
+  private def vocabDigest(
+      rows: Array[(Long, String, Boolean)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, t, b) =>
+      md.update(s"$id:$t:$b\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Load a [[writeBpeVocab]] artifact, digest- and count-verified. */
+  def readBpeVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val rows = spark.read.parquet(s"$path/vocab")
+      .select(col("token_id"), col("token"), col("is_base"))
+      .orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val meta = spark.read.parquet(s"$path/vocab_meta").collect()
+    require(meta.length == 1,
+      s"vocab meta must hold exactly one row (got ${meta.length})")
+    val stored = meta.head.getString(1)
+    val computed = vocabDigest(rows)
+    require(meta.head.getLong(0) == rows.length && stored == computed,
+      s"bpe vocab artifact corrupt: stored n=${meta.head.getLong(0)}/" +
+        s"digest=$stored, read n=${rows.length}/digest=$computed")
+    import spark.implicits._
+    rows.toSeq.toDF("token_id", "token", "is_base")
+  }
+
   /** Encode to token IDS: the [[bpeTokenize]] piece stream joined to
     * a [[bpeVocabulary]] table — one broadcast join (the vocabulary
     * is alphabet-bounded), zero additional shuffle over the tokenize

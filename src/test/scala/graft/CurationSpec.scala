@@ -496,6 +496,31 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpe vocab artifact: digest-verified round trip; a renumbered " +
+      "artifact is refused") {
+    val docs = Seq((1L, "ab ab a'b")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 2, byteFallback = true).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.operators.Tokenizer.bpeVocabulary(docs, "text",
+      m, byteFallback = true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpevocab").toString
+    graft.operators.Tokenizer.writeBpeVocab(spark, dir, vocab)
+    val back = graft.operators.Tokenizer.readBpeVocab(spark, dir)
+    assert(back.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet ==
+      vocab.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet)
+    // renumber one id on disk, keep the meta -> digest mismatch
+    back.withColumn("token_id", col("token_id") + 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    intercept[IllegalArgumentException] {
+      graft.operators.Tokenizer.readBpeVocab(spark, dir)
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("BpeSeqApplier: one-call round application equals the chained " +
       "per-merge replaces (left-to-right non-overlapping, in order)") {
     import org.apache.spark.unsafe.types.UTF8String
