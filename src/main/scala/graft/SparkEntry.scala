@@ -1683,6 +1683,19 @@ object SparkEntry {
       Sampling.shardAssign(docs, "doc_id", "n_tokens",
         shardWeight = 5000L)
     }),
+    // ---- CURRICULUM shard layout: documents stream into shards in
+    // (n_chars, id) order — shortest-first, the classic
+    // easy-to-hard schedule — so a trainer consuming shards in order
+    // gets the curriculum for free. Same greedy crossing rule and
+    // running-sum machinery as q224's hash layout.
+    "q258_curriculum_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"),
+        col("n_chars"))
+      Sampling.shardAssignOrdered(docs, "doc_id", "n_tokens",
+        orderCol = "n_chars", shardWeight = 5000L)
+    }),
     // ---- weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES) — hash-derived uniforms, so the draw is reproducible AND
     // oracle-checkable; chars-weighted 5 docs per source
@@ -6727,6 +6740,21 @@ object SparkEntry {
           |  FROM documents),
           |c AS (SELECT doc_id, n_tokens,
           |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t)
+          |SELECT doc_id, n_tokens,
+          |  CAST(before // 5000 AS BIGINT) AS shard,
+          |  CAST(before % 5000 AS BIGINT) AS "offset"
+          |FROM c""".stripMargin,
+      "q258_curriculum_shards" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens,
+          |    n_chars
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY n_chars, doc_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           |      AS before
           |  FROM t)

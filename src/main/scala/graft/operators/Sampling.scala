@@ -163,20 +163,49 @@ object Sampling {
     require(shardWeight > 0, s"shardWeight must be > 0 (got $shardWeight)")
     require(startWeight >= 0,
       s"startWeight must be >= 0 (got $startWeight)")
-    val spark = df.sparkSession
-    val sorted = Dedup.tracked(df
+    assignSorted(Dedup.tracked(df
       .select(col(idCol), col(weightCol).cast("long").as(weightCol))
       .withColumn("__k",
         md5(concat(col(idCol).cast("string"), lit(salt))))
       .orderBy(col("__k"), col(idCol))
-      .select(col(idCol), col(weightCol)))
+      .select(col(idCol), col(weightCol))), shardWeight, startWeight)
+  }
+
+  /** [[shardAssign]] with an EXPLICIT curriculum order instead of the
+    * md5 decorrelation: documents stream into shards in
+    * (`orderCol`, id) order — e.g. a quality or difficulty score —
+    * so shard k is strictly "earlier curriculum" than shard k+1 and
+    * a trainer consuming shards in order gets the schedule
+    * (easy-first, quality-ascending, …) for free. Same greedy
+    * crossing rule, same two-pass running sum, same
+    * (id, weight, shard, offset) contract as [[shardAssign]]; use
+    * the hash form when training wants decorrelated shards (the
+    * default for a reason — curriculum layouts trade shuffle-
+    * robustness for schedule). */
+  def shardAssignOrdered(df: DataFrame, idCol: String,
+      weightCol: String, orderCol: String,
+      shardWeight: Long): DataFrame = {
+    require(shardWeight > 0, s"shardWeight must be > 0 (got $shardWeight)")
+    assignSorted(Dedup.tracked(df
+      .select(col(idCol), col(weightCol).cast("long").as(weightCol),
+        col(orderCol))
+      .orderBy(col(orderCol), col(idCol))
+      .select(col(idCol), col(weightCol))), shardWeight, 0L)
+  }
+
+  /** The shared tail of the shard assigners: the two-pass running sum
+    * over an already-range-sorted (id, weight) frame — one bounded
+    * job collects a single long per partition, prefix offsets
+    * broadcast back, second pass emits (shard, offset)
+    * partition-locally. `startWeight` continues an existing layout's
+    * running weight (the streaming append's cursor). */
+  private def assignSorted(sorted: DataFrame, shardWeight: Long,
+      startWeight: Long): DataFrame = {
+    val spark = sorted.sparkSession
     val rdd = sorted.rdd
     val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    // startWeight > 0 continues an existing layout's running weight —
-    // the streaming append's cursor ([[graft.streaming
-    // .StreamShardLayout]]); the batch shape is the 0 default
     val prefixes = partTotals.scanLeft(startWeight)(_ + _)
     val bc = spark.sparkContext.broadcast(prefixes)
     val schema = org.apache.spark.sql.types.StructType(

@@ -1096,6 +1096,20 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("shardAssignOrdered: documents stream in (score, id) order — " +
+      "curriculum-monotone shards, running-weight offsets") {
+    val rows = Seq((1L, 5L, 30L), (2L, 5L, 10L), (3L, 5L, 20L),
+      (4L, 5L, 10L)).toDF("doc_id", "w", "score")
+    // order (10,2),(10,4),(20,3),(30,1); cum-before 0,5,10,15; /10
+    val a = Sampling.shardAssignOrdered(rows, "doc_id", "w",
+        orderCol = "score", shardWeight = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(a == Map(2L -> (0L, 0L), 4L -> (0L, 5L),
+      3L -> (1L, 0L), 1L -> (1L, 5L)))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("appendDocSeparator: one boundary token per document at " +
       "max(pos)+1; doc-constant columns ride along") {
     val toks = Seq((1L, "g", 1L, "a"), (1L, "g", 2L, "b"),
