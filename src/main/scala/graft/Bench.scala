@@ -168,12 +168,67 @@ object Bench {
           v > 2.0 * effectiveFloor(k, f) && v > 0.3) =>
         (k, v, effectiveFloor(k, floorOf(k)))
     }.sortBy { case (_, v, f) => -(v / f) }
+    // SELF-SERVE drift attribution: every flagged exceedance re-runs
+    // ISOLATED — a fresh child JVM at the end of the run, same
+    // classpath/JVM flags/SF — and both numbers ship in the artifact.
+    // An in-run flag whose isolated twin lands back at the floor is
+    // machine context (GC/page-cache/JIT state of a 258-query run or
+    // an external burst), attributed without a hand-run; one that
+    // stays high in isolation is a real regression. The child writes
+    // a flat {"name":sec} file (SPARK_GRAFT_ISOLATED_OUT) and its
+    // stdout goes to a scratch file so the parent's one-line contract
+    // with the harness capture window is untouched. Child runs with
+    // SPARK_GRAFT_ONLY set, so it can never recurse or rewrite the
+    // round artifacts.
+    val isolatedOut = sys.env.get("SPARK_GRAFT_ISOLATED_OUT")
+    val isolated: Map[String, Double] =
+      if (overFloor.isEmpty || only.nonEmpty || isolatedOut.nonEmpty)
+        Map.empty
+      else try {
+        val outPath = java.nio.file.Files
+          .createTempFile("graft_bench_isolated", ".json")
+        val logPath = java.nio.file.Files
+          .createTempFile("graft_bench_isolated", ".log")
+        val javaBin = sys.props("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        jvmArgs.forEach(a => cmd.add(a))
+        cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_ONLY",
+          overFloor.map(_._1).mkString(","))
+        pb.environment().put("SPARK_GRAFT_ISOLATED_OUT",
+          outPath.toString)
+        pb.redirectOutput(logPath.toFile)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); Map.empty[String, Double] }
+        else flatJson(outPath)
+      } catch { case _: Throwable => Map.empty }
+    // isolated values are genuine same-SF measurements: min-merge
+    // them into this run's results for the floor/provisional files
+    val mergedResults = results.map { case (k, v) =>
+      k -> (isolated.get(k) match {
+        case Some(i) if v >= 0 => math.min(v, i)
+        case Some(i) => i
+        case None => v
+      })
+    }
     // worst 8 by ratio inline (value, effective floor, floor TIER);
     // the rest are countable + in DETAIL
     val overJson = overFloor.take(8).map { case (k, v, f) =>
       "\"" + (if (unique) shortKey(k) else k) + "\":[" +
         f"$v%.2f,$f%.2f," + "\"" + tierOf(k, f) + "\"]"
     }.mkString("{", ",", "}")
+    val isolatedJson =
+      if (isolated.isEmpty) ""
+      else isolated.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + (if (unique) shortKey(k) else k) + "\":" + f"$v%.2f"
+      }.mkString(""","isolated":{""", ",", "}")
     val floorsDetail = floorOf.toSeq.sortBy(_._1)
       .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
       .mkString("{", ",", "}")
@@ -185,7 +240,7 @@ object Bench {
       val omitted =
         if (keep >= results.size) ""
         else s""","omitted":${results.size - keep}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$omitted,"floors_exceeded":${overFloor.size},"over_floor":$overJson,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$omitted,"floors_exceeded":${overFloor.size},"over_floor":$overJson$isolatedJson,"errors":$errors,"sf":"$sfDir"}"""
     }
     // the capture window caps the line: first degrade precision, then
     // drop the FASTEST queries (slowest-first map + an "omitted" count —
@@ -216,16 +271,19 @@ object Bench {
     val provDetail = provisional.toSeq.sortBy(_._1)
       .map { case (k, f) => "\"" + k + "\":" + f"$f%.3f" }
       .mkString("{", ",", "}")
+    val isoDetail = isolated.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"adjudicated":$adjDetail,"provisional":$provDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"floors":$floorsDetail,"adjudicated":$adjDetail,"provisional":$provDetail,"isolated":$isoDetail,"stages":$stages,"errors":$errors,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // min-merge this run's times into the persistent floor file so the
     // next run's retry thresholds are relative to the best-known floor.
     // Only full default-SF runs update floors (a filtered run or a
     // different SF would poison the baseline).
     if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
-      val merged = results.collect { case (k, v) if v >= 0 =>
+      val merged = mergedResults.collect { case (k, v) if v >= 0 =>
         k -> math.min(v, priorFloors.getOrElse(k, Double.MaxValue))
       }
       val body = merged.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -244,12 +302,12 @@ object Bench {
     // (effectiveFloor ignores the provisional once an adjudicated
     // entry exists).
     if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
-      val births = results.collect {
+      val births = mergedResults.collect {
         case (k, v) if v >= 0 && !priorFloors.contains(k) &&
             !adjudicated.contains(k) && !provisional.contains(k) =>
           k -> v
       }
-      val refreshed = results.collect {
+      val refreshed = mergedResults.collect {
         case (k, v) if v >= 0 && provisional.contains(k) =>
           k -> math.min(v, provisional(k))
       }
@@ -262,6 +320,16 @@ object Bench {
           mergedProv.getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }
+    // CHILD mode (the isolated rerun): land the flat {"name":sec}
+    // result file for the parent, beside the normal line on the
+    // (redirected) stdout
+    isolatedOut.foreach { p =>
+      val body = results.collect { case (k, v) if v >= 0 =>
+        "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        body.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     if (line.length > 1800)
       System.err.println(s"BENCH WARNING: JSON line ${line.length} chars nears the 2000-char capture window")
     println(line)

@@ -59,7 +59,9 @@ object SparkEntry {
     "q229_stream_full_ingest", "q239_stream_shard_append",
     "q240_selection_shard_stream", "q244_stream_shard_manifest",
     "q249_bpe_model_roundtrip", "q250_trainer_pack_capstone",
-    "q256_stream_pack_closed", "q257_bpe_artifact_ids")
+    "q256_stream_pack_closed", "q257_bpe_artifact_ids",
+    "q259_pack_landed", "q260_stream_pack_spans",
+    "q261_sequences_artifact", "q262_curriculum_stream")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3422,6 +3424,182 @@ object SparkEntry {
               col("token").as("__t")))),
             x => x.getField("__t")), ",")).as("tok_digest"))
     }),
+    // ---- LANDED-TOKEN incremental pack — the O(new shards)-on-BOTH-
+    // sides steady-state path: each batch lands its token stream
+    // BESIDE its layout increment (appendTokens: tokens ride
+    // `tokens/inc_b<k>/shard=N/` with the doc's (shard, offset)), and
+    // packLandedShards reads both sides out of shard-pruned
+    // partitions with NO corpus-stream join at all — the round-16
+    // residue (packClosedShards re-scanning the full token stream per
+    // poll) eliminated. Digests must equal q256's exactly: same
+    // layout, same pack, different (incremental) physical path.
+    // SIDE-EFFECTING like the lakes.
+    "q259_pack_landed" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val toks = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_landtok"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      def land(b: Long): Unit = {
+        val part = docs.where(pmod(col("doc_id"), lit(2)) === b)
+        val a = graft.streaming.StreamShardLayout.appendIncrement(
+          part, root, "doc_id", "n_tokens", shardWeight = 5000L,
+          batchId = b)
+        graft.streaming.StreamShardLayout.appendTokens(
+          toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+          a, root, batchId = b)
+      }
+      land(0L); land(1L)
+      graft.streaming.StreamShardLayout
+        .packLandedShards(s, root, seqLen = 512L)
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
+    // ---- STREAMED pack with SEPARATORS + SPANS: the q256 arc
+    // emitting the full trainer metadata the batch arc (q251/q252)
+    // certifies — one `<eos>` boundary token per document injected
+    // inside the landed pack (riding the layout's (shard, offset)
+    // keys), and per-(shard, seq, doc) spans over the eos-shifted
+    // offsets. A document's span INCLUDES its eos row (the boundary
+    // belongs to the doc that ends). SIDE-EFFECTING like the lakes.
+    "q260_stream_pack_spans" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val toks = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_spanstream"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      def land(b: Long): Unit = {
+        val part = docs.where(pmod(col("doc_id"), lit(2)) === b)
+        val a = graft.streaming.StreamShardLayout.appendIncrement(
+          part, root, "doc_id", "n_tokens", shardWeight = 5000L,
+          batchId = b)
+        graft.streaming.StreamShardLayout.appendTokens(
+          toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+          a, root, batchId = b)
+      }
+      land(0L); land(1L)
+      Sampling.sequenceSpans(
+        graft.streaming.StreamShardLayout.packLandedShards(s, root,
+          seqLen = 512L, sep = Some("<eos>")),
+        docIdCol = "doc_id", groupCol = Some("shard"))
+    }),
+    // ---- PHYSICAL trainer-batch artifact: the q255 id stream + the
+    // q251 eos separators + the q252 spans composed into ONE landed
+    // `sequences/` table — fixed-length array<bigint> token-id rows
+    // with per-document span structs and per-row order-sensitive
+    // digests, meta-attested (count + xor-folded digest re-verified
+    // on read, the writeBpeModel discipline). This is the file a
+    // loader mmaps; the q-entry reads the ARTIFACT back and reports
+    // the per-sequence digests, so the oracle certifies the landing,
+    // not just the plan. SIDE-EFFECTING (artifact writes).
+    "q261_sequences_artifact" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
+        m, byteFallback = true)
+      // the eos special token takes the next free id after the
+      // vocabulary (the standard special-token convention); the
+      // vocab is alphabet-bounded, so the max is a bounded collect
+      val eosId = vocab.agg(max(col("token_id"))).collect()
+        .head.getLong(0) + 1
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
+      val withSep = Sampling.appendDocSeparator(ids, eosId.toString,
+        keys = Seq("doc_id"))
+      val packed = Sampling.packTokens(withSep, seqLen = 64L)
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_seqart"
+      Sampling.writeSequences(Sampling.packSequences(packed), path)
+      Sampling.readSequences(s, path)
+        .select(col("seq"), col("n_ids").as("n_tokens"),
+          col("ids_digest"))
+    }),
+    // ---- STREAMED CURRICULUM layout: two micro-batches append in
+    // explicit (n_chars, id) order through the same versioned weight
+    // cursor as q239 — the honest streamed-curriculum contract: each
+    // increment is curriculum-ordered WITHIN itself, the global order
+    // is (batch, n_chars, id) (an increment cannot know scores that
+    // haven't arrived). SIDE-EFFECTING like the lakes.
+    "q262_curriculum_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"),
+        col("n_chars"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_currstream"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      graft.streaming.StreamShardLayout.appendIncrementOrdered(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), root,
+        "doc_id", "n_tokens", orderCol = "n_chars",
+        shardWeight = 5000L, batchId = 0L)
+      graft.streaming.StreamShardLayout.appendIncrementOrdered(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), root,
+        "doc_id", "n_tokens", orderCol = "n_chars",
+        shardWeight = 5000L, batchId = 1L)
+      graft.streaming.StreamShardLayout.readLayout(s, root)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"), col("offset"))
+    }),
+    // ---- HELD-OUT fertility/coverage audit under the CLOSED
+    // vocabulary: learn model + vocab on the even half of the
+    // punctuated corpus, encode the DISJOINT odd half under them, and
+    // report per-lang fertility plus the NULL-ID count from the
+    // encode's left join — the coverage audit a trainer runs before
+    // shipping a tokenizer (train-corpus fertility says nothing about
+    // held-out behavior; an in-class code point or byte the training
+    // half never contained surfaces here as a null id, e.g. the
+    // held-out CJK/URL rows against the Latin-heavy training half).
+    "q263_heldout_fertility" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val train = pc.where(pmod(col("doc_id"), lit(2)) === 0)
+      val ho = pc.where(pmod(col("doc_id"), lit(2)) === 1)
+      val m = graft.operators.Tokenizer.bpeMerges(train, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(train,
+        "text", m, byteFallback = true)
+      val perDoc = graft.operators.Tokenizer
+        .bpeEncodeIds(ho, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__nt"),
+          sum(when(col("token_id").isNull, 1L).otherwise(0L))
+            .as("__nn"))
+      perDoc
+        .join(ho.select(col("doc_id"), col("lang"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+            .as("__nw")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("__nw")).as("n_words"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(col("__nn")).as("n_null_ids"),
+          round(sum(col("__nt")).cast("double") /
+            sum(col("__nw")).cast("double"), 6).as("fertility"))
+    }),
     // ---- STREAMED corpus→trainer CAPSTONE: the q215 selection
     // chain's admitted set landed INCREMENTALLY — two micro-batches of
     // the real selection output append through the weight cursor, and
@@ -4277,6 +4455,46 @@ object SparkEntry {
          |      AS token_id
          |  FROM mr CROSS JOIN nb)""".stripMargin
     }
+
+    // the q256 streamed-pack replica — shared verbatim by q259
+    // (landed-token path): same layout, same pack, different physical
+    // route to the identical digests
+    val streamPackClosedSql: String =
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+        |    CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT) AS n_tokens,
+        |    doc_id % 2 AS b,
+        |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM t),
+        |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
+        |      AS shard,
+        |    before % 5000 AS off FROM c),
+        |cl AS (SELECT * FROM sh
+        |  WHERE shard < (SELECT max(shard) FROM sh)),
+        |cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |st AS (SELECT cl.doc_id, shard,
+        |    coalesce(sum(n) OVER (PARTITION BY shard
+        |      ORDER BY off, cl.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS strt
+        |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
+        |tok AS (SELECT doc_id, ws[i] AS token, CAST(i AS BIGINT)
+        |      AS pos
+        |  FROM (SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+        |g AS (SELECT st.shard, token, strt + pos - 1 AS gi
+        |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+        |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
+        |    gi % 512 AS soff, token FROM g)
+        |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+        |FROM p GROUP BY 1, 2""".stripMargin
 
     // the q254 id-encode digest SQL — shared verbatim by q257 (full
     // artifact round trip): the persisted model+vocab encode must
@@ -6375,6 +6593,114 @@ object SparkEntry {
            |    ORDER BY soff)) AS ids_digest
            |FROM p GROUP BY 1""".stripMargin
       },
+      // the q255 id chain with the eos special id (max vocab id + 1)
+      // appended per doc BEFORE the pack — the landed sequences/
+      // artifact must read back to exactly these digests
+      "q261_sequences_artifact" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM pd),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |j0 AS (SELECT doc_id, pos, vv.token_id
+           |  FROM tok JOIN vv USING (token)),
+           |j AS (SELECT doc_id, pos, token_id FROM j0
+           |  UNION ALL
+           |  SELECT doc_id, max(pos) + 1,
+           |    (SELECT max(token_id) + 1 FROM vv)
+           |  FROM j0 GROUP BY doc_id),
+           |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM j
+           |  GROUP BY 1),
+           |s AS (SELECT doc_id,
+           |    coalesce(sum(n) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS strt
+           |  FROM c),
+           |g AS (SELECT j.doc_id, token_id, strt + pos - 1 AS gi
+           |  FROM j JOIN s ON j.doc_id = s.doc_id),
+           |p AS (SELECT CAST(gi // 64 AS BIGINT) AS seq,
+           |    gi % 64 AS soff, token_id FROM g)
+           |SELECT seq, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+           |    ORDER BY soff)) AS ids_digest
+           |FROM p GROUP BY 1""".stripMargin
+      },
+      // the streamed curriculum's global order is (batch,
+      // n_chars, id): batch 0 the even docs, batch 1 the odd — each
+      // increment curriculum-ordered within itself
+      "q262_curriculum_stream" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens,
+          |    n_chars, doc_id % 2 AS b
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY b, n_chars, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t)
+          |SELECT doc_id, n_tokens,
+          |  CAST(before // 5000 AS BIGINT) AS shard,
+          |  CAST(before % 5000 AS BIGINT) AS "offset"
+          |FROM c""".stripMargin,
+      // held-out coverage: learn + vocab on the EVEN half, encode the
+      // ODD half, LEFT join to the vocab so unseen symbols count as
+      // null ids — per-lang fertility + null-id audit
+      "q263_heldout_fertility" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |tr AS (SELECT * FROM pd WHERE doc_id % 2 = 0),
+           |ho AS (SELECT * FROM pd WHERE doc_id % 2 = 1),
+           |${bpeVocab0FallbackFrom("tr")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id, lang,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM ho),
+           |tl AS MATERIALIZED (SELECT doc_id, lang,
+           |    CAST(len(ws) AS BIGINT) AS n_words,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |tok AS (SELECT doc_id, lang, toks[i] AS token
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |dn AS (SELECT doc_id, lang,
+           |    CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(sum(CASE WHEN vv.token_id IS NULL THEN 1 ELSE 0
+           |      END) AS BIGINT) AS n_null
+           |  FROM tok LEFT JOIN vv USING (token)
+           |  GROUP BY 1, 2)
+           |SELECT dn.lang,
+           |  CAST(sum(tl.n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(dn.n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(sum(dn.n_null) AS BIGINT) AS n_null_ids,
+           |  round(CAST(sum(dn.n_tokens) AS DOUBLE)
+           |    / CAST(sum(tl.n_words) AS DOUBLE), 6) AS fertility
+           |FROM dn JOIN tl USING (doc_id)
+           |GROUP BY 1""".stripMargin
+      },
       "q237_bpe_unicode_fertility" -> {
         // the q234 learn+encode chain, unicode word class, grouped
         // per lang over the non-ASCII corpus
@@ -6695,9 +7021,18 @@ object SparkEntry {
       // the streamed append's global order is (batch, md5, id): batch
       // 0 is the even docs, batch 1 the odd — one exclusive running
       // sum over that order replays both appends and the read-back
-      "q256_stream_pack_closed" ->
+      "q256_stream_pack_closed" -> streamPackClosedSql,
+      // q259 is the SAME layout and the SAME pack through the
+      // landed-token physical path — one replica certifies both
+      "q259_pack_landed" -> streamPackClosedSql,
+      // the q256 chain with one '<eos>' appended per doc BEFORE the
+      // concat-and-split (the shard assignment keeps the ORIGINAL
+      // token weights — separators are injected at pack time), spans
+      // per (shard, seq, doc) over the eos-shifted offsets
+      "q260_stream_pack_spans" ->
         """WITH t AS (SELECT doc_id,
-          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    list_append(string_split_regex(trim(lower(text)),
+          |      '\s+'), '<eos>') AS ws,
           |    CAST(len(string_split_regex(trim(text), '\s+'))
           |      AS BIGINT) AS n_tokens,
           |    doc_id % 2 AS b,
@@ -6720,17 +7055,18 @@ object SparkEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           |      AS strt
           |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
-          |tok AS (SELECT doc_id, ws[i] AS token, CAST(i AS BIGINT)
-          |      AS pos
+          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
           |  FROM (SELECT doc_id, ws,
           |      unnest(generate_series(1, len(ws))) AS i FROM t)),
-          |g AS (SELECT st.shard, token, strt + pos - 1 AS gi
+          |g AS (SELECT st.shard, tok.doc_id, strt + pos - 1 AS gi
           |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
-          |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
-          |    gi % 512 AS soff, token FROM g)
-          |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
-          |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
-          |FROM p GROUP BY 1, 2""".stripMargin,
+          |p AS (SELECT shard, doc_id, CAST(gi // 512 AS BIGINT)
+          |      AS seq,
+          |    gi % 512 AS soff FROM g)
+          |SELECT shard, seq, doc_id,
+          |  CAST(min(soff) AS BIGINT) AS start_off,
+          |  CAST(count(*) AS BIGINT) AS n_tokens
+          |FROM p GROUP BY 1, 2, 3""".stripMargin,
       "q239_stream_shard_append" ->
         """WITH t AS (SELECT doc_id,
           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

@@ -181,16 +181,24 @@ object Sampling {
     * (id, weight, shard, offset) contract as [[shardAssign]]; use
     * the hash form when training wants decorrelated shards (the
     * default for a reason — curriculum layouts trade shuffle-
-    * robustness for schedule). */
+    * robustness for schedule). `startWeight` continues an existing
+    * layout's running weight (the streaming append's cursor) — NOTE
+    * the streamed-curriculum contract that implies: each increment is
+    * curriculum-ordered WITHIN itself, so the global layout order is
+    * (batch, orderCol, id), never a retroactive global re-sort (an
+    * increment cannot know scores that haven't arrived; a trainer
+    * that needs a strict global curriculum must lay out in batch). */
   def shardAssignOrdered(df: DataFrame, idCol: String,
       weightCol: String, orderCol: String,
-      shardWeight: Long): DataFrame = {
+      shardWeight: Long, startWeight: Long = 0L): DataFrame = {
     require(shardWeight > 0, s"shardWeight must be > 0 (got $shardWeight)")
+    require(startWeight >= 0,
+      s"startWeight must be >= 0 (got $startWeight)")
     assignSorted(Dedup.tracked(df
       .select(col(idCol), col(weightCol).cast("long").as(weightCol),
         col(orderCol))
       .orderBy(col(orderCol), col(idCol))
-      .select(col(idCol), col(weightCol))), shardWeight, 0L)
+      .select(col(idCol), col(weightCol))), shardWeight, startWeight)
   }
 
   /** The shared tail of the shard assigners: the two-pass running sum
@@ -303,6 +311,13 @@ object Sampling {
       tokenCol: String = "token",
       groupCol: Option[String] = None,
       orderCol: Option[String] = None): DataFrame = {
+    // CONTRACT: groupCol and orderCol must be DOC-CONSTANT (one value
+    // per document — e.g. a shardAssign's (shard, offset)). They enter
+    // the per-doc count's GROUP KEYS, so a per-token-varying orderCol
+    // would silently fragment each document into several count groups
+    // and corrupt seq/seq_off. Validating would cost an extra
+    // aggregate per call; the shard layouts satisfy it by
+    // construction, and OperatorsSpec pins the fragmenting shape.
     require(seqLen > 0, s"seqLen must be > 0 (got $seqLen)")
     require(orderCol.isEmpty || groupCol.nonEmpty,
       "orderCol orders documents WITHIN a group; pass groupCol with it")
@@ -333,19 +348,141 @@ object Sampling {
     * trainers rely on when [[packTokens]] concatenates documents into
     * one stream (without it, the model sees doc B's first token as a
     * continuation of doc A). One doc-keyed aggregate emits the
-    * separator rows at `max(pos) + 1`; every other column (shard,
-    * offset, …) must be doc-constant and rides along via the group
-    * keys, so the result feeds either packing form unchanged. */
+    * separator rows at `max(pos) + 1`.
+    *
+    * `keys` names the document identity (plus any ride-along columns
+    * like shard/offset) EXPLICITLY; when empty, every column other
+    * than pos/token is inferred as a key — in that form every
+    * remaining column MUST be doc-constant (a per-token score in the
+    * inferred key set would silently emit one separator per distinct
+    * combination instead of one per document; pass explicit keys to
+    * drop such columns instead). Explicit keys also fix the output
+    * schema to (keys, pos, token), so per-token extras never leak
+    * into the group. */
   def appendDocSeparator(tokens: DataFrame, sep: String,
-      posCol: String = "pos", tokenCol: String = "token"): DataFrame = {
-    val keys = tokens.columns.filterNot(c => c == posCol || c == tokenCol)
-    require(keys.nonEmpty,
+      posCol: String = "pos", tokenCol: String = "token",
+      keys: Seq[String] = Seq.empty): DataFrame = {
+    require(!keys.contains(posCol) && !keys.contains(tokenCol),
+      s"keys must not include $posCol/$tokenCol")
+    val ks =
+      if (keys.nonEmpty) keys
+      else tokens.columns.filterNot(c => c == posCol || c == tokenCol)
+        .toSeq
+    require(ks.nonEmpty,
       "tokens must carry at least a document id beside pos/token")
-    val seps = tokens.groupBy(keys.map(col): _*)
+    val base =
+      if (keys.nonEmpty)
+        tokens.select((ks :+ posCol :+ tokenCol).map(col): _*)
+      else tokens
+    val seps = base.groupBy(ks.map(col): _*)
       .agg((max(col(posCol)) + 1).as(posCol))
       .withColumn(tokenCol, lit(sep))
-      .select(tokens.columns.map(col).toSeq: _*)
-    tokens.unionByName(seps)
+      .select(base.columns.map(col).toSeq: _*)
+    base.unionByName(seps)
+  }
+
+  /** Per-sequence DOCUMENT SPANS over a [[packTokens]] result — where
+    * each document's tokens sit inside its packed sequence (start
+    * offset + length), the boundary metadata an attention-masking
+    * trainer consumes to reset attention at document boundaries.
+    * Spans are contiguous by construction (a document's tokens are
+    * consecutive in the stream), so ONE aggregate keyed by
+    * (group?, seq, doc) suffices — no window, no join. */
+  def sequenceSpans(packed: DataFrame, docIdCol: String = "doc_id",
+      groupCol: Option[String] = None): DataFrame =
+    packed.groupBy((groupCol.toSeq :+ "seq" :+ docIdCol).map(col): _*)
+      .agg(min(col("seq_off")).as("start_off"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Collapse a [[packTokens]] id stream into ONE ROW PER SEQUENCE —
+    * the physical trainer-batch shape: `ids` the fixed-length token-id
+    * array in seq_off order, `spans` the per-document (doc_id,
+    * start_off, n_tokens) structs in start order, and an
+    * order-sensitive `ids_digest` (md5 of the comma-joined ids) as the
+    * row's content attestation. Two sequence-keyed aggregates (doc
+    * fragments, then the sequence fold — the second reuses the first's
+    * partitioning); state per group is one sequence's ids, bounded by
+    * seqLen. Every sequence except each stream's last is exactly
+    * seqLen long (the packTokens contract) — `n_ids` lands in the row
+    * so a loader can drop or pad the tail without rescanning. */
+  def packSequences(packed: DataFrame, docIdCol: String = "doc_id",
+      tokenCol: String = "token",
+      groupCol: Option[String] = None): DataFrame = {
+    val gks = groupCol.toSeq.map(col)
+    val frags = packed
+      .groupBy((gks :+ col("seq") :+ col(docIdCol)): _*)
+      .agg(min(col("seq_off")).as("start_off"),
+        count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct(col("seq_off"),
+            col(tokenCol).cast("long").as("__id")))),
+          s => s.getField("__id")).as("__ids"))
+    frags.groupBy((gks :+ col("seq")): _*)
+      .agg(flatten(transform(array_sort(collect_list(struct(
+            col("start_off"), col("__ids").as("__f")))),
+          s => s.getField("__f"))).as("ids"),
+        array_sort(collect_list(struct(col("start_off"),
+          col(docIdCol).cast("long").as("doc_id"),
+          col("n_tokens")))).as("spans"),
+        sum(col("n_tokens")).as("n_ids"))
+      .withColumn("ids_digest",
+        md5(array_join(transform(col("ids"),
+          i => i.cast("string")), ",")))
+  }
+
+  /** Land a [[packSequences]] result as the on-disk TRAINER-BATCH
+    * artifact — `path/sequences` (one row per sequence: ids, spans,
+    * n_ids, ids_digest, plus the group column when present, carried
+    * as a partition directory) and `path/sequences_meta` (ONE row:
+    * sequence count, total ids, and an order-insensitive fold of the
+    * per-row digests — the artifact-level attestation [[readSequences]]
+    * re-verifies, the writeBpeModel/writeBpeVocab discipline).
+    * Overwrite semantics, so replays converge on the same artifact. */
+  def writeSequences(seqs: DataFrame, path: String,
+      groupCol: Option[String] = None): Unit = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    val w0 = seqs.write.mode("overwrite")
+    groupCol.fold(w0)(g => w0.partitionBy(g))
+      .parquet(s"$path/sequences")
+    val m = spark.read.parquet(s"$path/sequences")
+      .agg(count(lit(1)).as("n"), sum(col("n_ids")).as("t"),
+        sequencesFold().as("d"))
+      .collect().head
+    Seq((m.getLong(0), m.getLong(1), m.getString(2)))
+      .toDF("n_sequences", "n_ids", "digest")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/sequences_meta")
+  }
+
+  /** Order-insensitive artifact digest: xor of the per-row digests'
+    * first 15 hex digits (60 bits, sign-safe in a long) — commutative,
+    * so it needs no global sort and two artifacts agree iff their
+    * row-digest MULTISETs do (xor over md5 prefixes; a collision
+    * needs an adversarial row set). */
+  private def sequencesFold(): org.apache.spark.sql.Column =
+    expr("lpad(hex(bit_xor(cast(conv(substring(ids_digest, 1, 15), " +
+      "16, 10) AS BIGINT))), 16, '0')")
+
+  /** Read back a [[writeSequences]] artifact, count- and
+    * digest-verified against its meta row (a torn or hand-edited
+    * landing refuses loudly instead of feeding a trainer a silently
+    * different batch set). */
+  def readSequences(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val seqs = spark.read.parquet(s"$path/sequences")
+    val meta = spark.read.parquet(s"$path/sequences_meta").collect()
+    require(meta.length == 1,
+      s"sequences meta must hold exactly one row (got ${meta.length})")
+    val m = seqs.agg(count(lit(1)).as("n"), sum(col("n_ids")).as("t"),
+      sequencesFold().as("d")).collect().head
+    require(m.getLong(0) == meta.head.getLong(0) &&
+      m.getLong(1) == meta.head.getLong(1) &&
+      m.getString(2) == meta.head.getString(2),
+      s"sequences artifact corrupt: stored (n=${meta.head.getLong(0)}," +
+        s" ids=${meta.head.getLong(1)}, digest=${meta.head.getString(2)})" +
+        s" vs read (n=${m.getLong(0)}, ids=${m.getLong(1)}," +
+        s" digest=${m.getString(2)})")
+    seqs
   }
 
   /** The [[shardAssign]] two-pass running sum over an arbitrary

@@ -232,7 +232,16 @@ object Tokenizer {
     var step = 1
     var round = 1
     var done = false
-    val prefixN = math.min(batch * 32, 4096)
+    // ADAPTIVE prefix: start at batch*32 (cap 4096); whenever a round
+    // exhausts the prefix before `batch` disjoint picks (late rounds'
+    // merged symbols conflict more), DOUBLE it for every later round
+    // (cap 65536). Growing the prefix never changes the result — the
+    // greedy over an ordered prefix + exact fallback equals the
+    // full-list greedy at any prefix length — it only converts the
+    // fallback's EXTRA full pair-count aggregates (one per remaining
+    // pick: the measured cost driver at >=8k merges, 85 of 96 late
+    // rounds paying double) into a slightly larger bounded collect.
+    var prefixN = math.min(batch * 32, 4096)
     while (round <= rounds && !done) {
       val counts = pairCounts(chain.vocab).where(col("c") >= minCount)
       val prefix = counts
@@ -256,6 +265,7 @@ object Tokenizer {
       // attributed to data shape vs plan cost)
       if (picks.length < batch && prefix.length == prefixN) {
         exhaustFallbacks.incrementAndGet()
+        prefixN = math.min(prefixN * 2, 65536)
         var more = true
         while (picks.length < batch && more) {
           val ex = used.toSeq.sorted
@@ -390,10 +400,17 @@ object Tokenizer {
     * contained (a new letter) is still absent, exactly as in any
     * real BPE vocabulary trained on a corpus; [[bpeEncodeIds]]'s left
     * join surfaces those as null ids to audit. In the in-class modes
-    * whole OOV passthrough tokens are open-ended too. The symbol
-    * inventory is alphabet-bounded (distinct code points + 256 byte
-    * placeholders + merges), so the driver-side assembly is bounded
-    * the same way every codebook/model collect in this engine is. */
+    * whole OOV passthrough tokens are open-ended too.
+    *
+    * BOUNDEDNESS: in byte-fallback mode the symbol inventory is
+    * alphabet-bounded (distinct code points + 256 byte placeholders +
+    * merges) — the codebook-collect class. In the IN-CLASS modes every
+    * distinct OOV word passes through whole and becomes a base
+    * symbol, so the collect is corpus-OOV-vocabulary-sized: still one
+    * row per distinct token (never per occurrence), but open-ended on
+    * a dirty corpus — the 2^21-row require below refuses loudly
+    * instead of assembling an unbounded driver array, and byte
+    * fallback is the mode a production vocabulary should use. */
   def bpeVocabulary(df: DataFrame, textCol: String,
       merges: Seq[(String, String)],
       unicode: Boolean = false,
@@ -408,6 +425,11 @@ object Tokenizer {
         .as("t"))
       .where(length(col("t")) > 0)
       .distinct().collect().map(_.getString(0))
+    require(base.length <= (1 << 21),
+      s"base symbol inventory is ${base.length} rows (> 2^21): an " +
+        "in-class-mode vocabulary over a dirty corpus collects one " +
+        "row per distinct OOV word — use byteFallback = true for a " +
+        "closed, alphabet-bounded vocabulary")
     def u8cmp(a: String, b: String): Boolean = {
       val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)

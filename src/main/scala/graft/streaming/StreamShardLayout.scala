@@ -85,13 +85,41 @@ object StreamShardLayout {
     * to the streamed arc without touching a data file. */
   def appendIncrement(batch: DataFrame, layoutRoot: String,
       idCol: String, weightCol: String, shardWeight: Long,
-      batchId: Long, salt: String = "graft"): DataFrame = {
+      batchId: Long, salt: String = "graft"): DataFrame =
+    landIncrement(batch, layoutRoot, idCol, weightCol, batchId,
+      start => Sampling.shardAssign(batch, idCol, weightCol,
+        shardWeight, salt, startWeight = start))
+
+  /** The CURRICULUM twin of [[appendIncrement]]: the batch lays out
+    * in explicit ([[orderCol]], id) order
+    * ([[Sampling.shardAssignOrdered]]'s contract) instead of the md5
+    * decorrelation, continuing the running weight from the same
+    * versioned cursor. The global layout order is therefore
+    * (batch, orderCol, id) — each increment is curriculum-ordered
+    * WITHIN itself; a retroactive global re-sort is impossible by
+    * construction (an increment cannot know scores that haven't
+    * arrived), which is the honest streamed-curriculum contract: a
+    * trainer that needs a strict global schedule lays out in batch.
+    * Everything else (cursor protocol, manifest rows, replay
+    * idempotency, compaction) is shared code with the hash form. */
+  def appendIncrementOrdered(batch: DataFrame, layoutRoot: String,
+      idCol: String, weightCol: String, orderCol: String,
+      shardWeight: Long, batchId: Long): DataFrame =
+    landIncrement(batch, layoutRoot, idCol, weightCol, batchId,
+      start => Sampling.shardAssignOrdered(batch, idCol, weightCol,
+        orderCol, shardWeight, startWeight = start))
+
+  /** The shared landing tail of both append forms: cursor read,
+    * assignment, layout + manifest increment writes, cursor write —
+    * all batch-id-derived Overwrite (replay-idempotent). */
+  private def landIncrement(batch: DataFrame, layoutRoot: String,
+      idCol: String, weightCol: String, batchId: Long,
+      assign: Long => DataFrame): DataFrame = {
     val spark = batch.sparkSession
     val cursorPath = StreamLakeIngest.versionBefore(spark,
       s"$layoutRoot/cursor", "cursor", batchId)
     val start = readCursor(spark, cursorPath)
-    val assigned = Lineage.cut(Sampling.shardAssign(batch, idCol,
-      weightCol, shardWeight, salt, startWeight = start))
+    val assigned = Lineage.cut(assign(start))
     val stats = assigned.agg(count(lit(1)).as("n"),
       coalesce(sum(col(weightCol)), lit(0L)).as("w")).collect().head
     val (nRows, batchWeight) = (stats.getLong(0), stats.getLong(1))
@@ -118,6 +146,37 @@ object StreamShardLayout {
     assigned
   }
 
+  /** Land the batch's TOKEN (or token-id) stream BESIDE its layout
+    * increment — `tokens/inc_b<batchId>/shard=N/`, one row per
+    * (idCol, posCol, tokenCol) carrying the document's (shard,
+    * offset) — so the incremental trainer pack
+    * ([[packLandedShards]]) reads BOTH join sides out of
+    * shard-pruned partitions and its steady-state cost is O(newly
+    * closed shards), never O(corpus) (the round-16 residue: the
+    * corpus-stream form's token side re-scanned everything per poll).
+    *
+    * `tokens` must hold exactly the batch's documents' streams
+    * (what the upstream tokenize emitted for this increment);
+    * `assigned` is the SAME batch's [[appendIncrement]] /
+    * [[appendIncrementOrdered]] return. One doc-keyed join scoped to
+    * the increment, one partitioned Overwrite write — replayed
+    * batches rewrite exactly what they wrote. An empty batch writes
+    * nothing (the empty-increment rule). At 100 TB the extra landing
+    * cost per batch is one increment-sized shuffle — and it buys the
+    * trainer loop's token side back from O(corpus) per poll. */
+  def appendTokens(tokens: DataFrame, assigned: DataFrame,
+      layoutRoot: String, batchId: Long, idCol: String = "doc_id",
+      posCol: String = "pos", tokenCol: String = "token"): Unit = {
+    val keyed = tokens
+      .select(col(idCol), col(posCol), col(tokenCol))
+      .join(assigned.select(col(idCol),
+        col("shard").cast("long").as("shard"), col("offset")),
+        Seq(idCol))
+    if (!keyed.isEmpty)
+      keyed.write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$layoutRoot/tokens/inc_b$batchId")
+  }
+
   /** The trainer's view of the streamed layout — the cumulative
     * per-shard manifest assembled from the per-batch manifest rows
     * alone (metadata, no data-file listing or scan): shard k's id
@@ -133,12 +192,16 @@ object StreamShardLayout {
       weightCol: String): DataFrame = {
     val root = new Path(s"$layoutRoot/manifest")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val incs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith("inc_b"))
-      .map(_.toString).sorted
+    // pointer-resolved when compactLayoutIsolated has folded closed
+    // batches' manifest rows into a base generation (same _live_v<k>
+    // protocol as layout/): base + newer incs, so the metadata read
+    // stays O(1 + new batches) instead of one parquet read per batch
+    // forever — the listing curve the layout compaction kills, one
+    // directory over
+    val incs = liveDirs(fs, root)
     require(incs.nonEmpty,
       s"$layoutRoot/manifest holds no increments — run appendIncrement")
-    spark.read.parquet(incs.toIndexedSeq: _*)
+    incs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
       .groupBy(col("shard"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col(weightCol)).as(weightCol),
@@ -171,6 +234,55 @@ object StreamShardLayout {
     require(live.nonEmpty,
       s"no parquet data under any of: ${dirs.mkString(", ")}")
     live.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** The live directory set of one layout-family subroot (`layout/`,
+    * `manifest/`, `tokens/` — all three share the increment naming
+    * and the [[compactLayoutIsolated]] pointer protocol):
+    * POINTER-RESOLVED when a `_live_v<k>` generation exists (the
+    * pointer's base plus every newer increment — a mid-promote race
+    * cannot exist); listing-mode otherwise, where `base_v*` names are
+    * EXCLUDED (a generation is visible through its pointer only, so
+    * the first isolated compaction's rename-then-point window never
+    * double-counts). */
+  private def liveDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    if (!fs.exists(root)) return Seq.empty
+    StreamLakeIngest.readLivePointer(fs, root) match {
+      case Some(lp) =>
+        (s"$root/${lp.base}" +:
+          fs.listStatus(root).filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .collect { case n if n.startsWith("inc_b") &&
+                n.stripPrefix("inc_b").toLong > lp.maxFolded =>
+              s"$root/$n" }.toSeq).sorted
+      case None =>
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            (n.startsWith("inc_b") || n == "base") && !n.startsWith("_")
+          }
+          .map(_.toString).sorted.toSeq
+    }
+  }
+
+  /** The OPEN (still-receiving-weight) shard id of a layout — the
+    * maximum shard across the live increment directories, read from
+    * the `shard=N` partition-directory NAMES alone: pure filesystem
+    * metadata, no data file opened, no scan job. Loud on an empty or
+    * never-appended layout (the silent NPE the agg-based max threw). */
+  private def openShard(fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[String]): Long = {
+    val shards = dirs.flatMap { d =>
+      fs.listStatus(new Path(d)).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("shard=") =>
+          n.stripPrefix("shard=").toLong }
+    }
+    require(shards.nonEmpty,
+      s"no shard=N directories under any of: ${dirs.mkString(", ")}" +
+        " — the layout holds no appended rows yet")
+    shards.max
   }
 
   /** Periodic maintenance: fold every CLOSED increment into one
@@ -218,6 +330,30 @@ object StreamShardLayout {
       dirs => readLayoutDirs(spark, fs, dirs),
       (df, path) => df.write.mode("overwrite").partitionBy("shard")
         .parquet(path))
+    // the MANIFEST increments fold through the same pointer protocol
+    // (readShardManifest otherwise unions one parquet read per batch
+    // forever — the exact listing curve this compaction exists to
+    // kill). Folding is a plain union: the rows keep their `batch`
+    // column, so the per-shard order-sensitive digest (which sorts by
+    // batch) is unchanged — spec'd equal before/after.
+    val manifest = new Path(s"$layoutRoot/manifest")
+    if (fs.exists(manifest) &&
+        fs.listStatus(manifest).exists(_.isDirectory))
+      StreamLakeIngest.compactDirIsolatedWith(spark,
+        s"$layoutRoot/manifest",
+        dirs => readLayoutDirs(spark, fs, dirs),
+        (df, path) => df.write.mode("overwrite").parquet(path))
+    // LANDED TOKENS ([[appendTokens]]) ride the same protocol: the
+    // pack reads them per closed shard, so their listing cost curve
+    // is the layout's
+    val tokens = new Path(s"$layoutRoot/tokens")
+    if (fs.exists(tokens) &&
+        fs.listStatus(tokens).exists(_.isDirectory))
+      StreamLakeIngest.compactDirIsolatedWith(spark,
+        s"$layoutRoot/tokens",
+        dirs => readLayoutDirs(spark, fs, dirs),
+        (df, path) => df.write.mode("overwrite").partitionBy("shard")
+          .parquet(path))
   }
 
   /** The cumulative layout: every batch's landed assignment, with the
@@ -233,22 +369,7 @@ object StreamShardLayout {
   def readLayout(spark: SparkSession, layoutRoot: String): DataFrame = {
     val root = new Path(s"$layoutRoot/layout")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val incs = StreamLakeIngest.readLivePointer(fs, root) match {
-      case Some(lp) =>
-        (s"$layoutRoot/layout/${lp.base}" +:
-          fs.listStatus(root).filter(_.isDirectory)
-            .map(_.getPath.getName)
-            .collect { case n if n.startsWith("inc_b") &&
-                n.stripPrefix("inc_b").toLong > lp.maxFolded =>
-              s"$layoutRoot/layout/$n" }.toSeq).sorted
-      case None =>
-        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            (n.startsWith("inc_b") || n == "base") && !n.startsWith("_")
-          }
-          .map(_.toString).sorted.toSeq
-    }
+    val incs = liveDirs(fs, root)
     require(incs.nonEmpty,
       s"$layoutRoot/layout holds no increments — run appendIncrement")
     // one read per increment root, unioned. The plan grows by one
@@ -278,22 +399,103 @@ object StreamShardLayout {
     * the previous call reported (or track packed shards yourself) and
     * only shards in [fromShard, open) are read and packed — the shard
     * filter prunes the layout's `shard=N/` partitions at scan time,
-    * so an incremental call's cost is O(newly closed shards), not
-    * O(layout) (spec'd: the watermarked run equals the full run's new
-    * rows exactly). */
+    * so an incremental call's LAYOUT cost is O(newly closed shards)
+    * (spec'd: the watermarked run equals the full run's new rows
+    * exactly).
+    *
+    * COST SHAPE CAVEAT: `tokens` is the caller's full corpus piece
+    * stream, and the doc-keyed join scans ALL of it every call — this
+    * form is the FIRST-ATTACH path (or the one-off pack of a layout
+    * whose tokens were never landed). A live trainer polling for
+    * newly closed shards must use [[appendTokens]] at ingest time +
+    * [[packLandedShards]], whose token side reads the same pruned
+    * `shard=N/` partitions as the layout side — O(new) on BOTH join
+    * sides (measured: ProfPackClosed / SCALE.md round 17).
+    * `sep`, when set, appends one separator token per document
+    * (ridden through (id, shard, offset) keys) before packing. */
   def packClosedShards(spark: SparkSession, layoutRoot: String,
       tokens: DataFrame, seqLen: Long,
       idCol: String = "doc_id", posCol: String = "pos",
-      tokenCol: String = "token", fromShard: Long = 0L): DataFrame = {
-    val layout = readLayout(spark, layoutRoot)
-    val open = layout.agg(max(col("shard").cast("long")))
-      .collect().head.getLong(0)
-    val closed = layout
+      tokenCol: String = "token", fromShard: Long = 0L,
+      sep: Option[String] = None): DataFrame = {
+    val root = new Path(s"$layoutRoot/layout")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = liveDirs(fs, root)
+    require(dirs.nonEmpty,
+      s"$layoutRoot/layout holds no increments — run appendIncrement")
+    val open = openShard(fs, dirs)
+    val closed = readLayoutDirs(spark, fs, dirs)
       .select(col(idCol), col("shard").cast("long").as("shard"),
         col("offset"))
       .where(col("shard") >= fromShard && col("shard") < open)
-    graft.operators.Sampling.packTokens(
-      tokens.join(closed, Seq(idCol)), seqLen,
+    packShardTokens(tokens.join(closed, Seq(idCol)), seqLen,
+      idCol, posCol, tokenCol, sep)
+  }
+
+  /** The O(new)-on-BOTH-sides incremental trainer pack: the steady-
+    * state twin of [[packClosedShards]] over tokens LANDED beside the
+    * layout by [[appendTokens]]. The landed rows already carry
+    * (shard, offset), so there is NO corpus-stream join at all — the
+    * shard watermark filter prunes `tokens/…/shard=N/` partitions at
+    * scan time and the whole call reads, separates, and packs only
+    * [fromShard, open): a trainer polling for newly closed shards
+    * pays O(newly closed shards) per poll at any corpus size. The
+    * open shard comes from partition-directory NAMES (metadata-only).
+    *
+    * Loud contract: every layout increment must have had its tokens
+    * landed — a shard directory present under `layout/` but absent
+    * under `tokens/` means an ingest batch skipped [[appendTokens]],
+    * and packing would silently drop its documents; checked from
+    * directory names alone and refused. */
+  def packLandedShards(spark: SparkSession, layoutRoot: String,
+      seqLen: Long, idCol: String = "doc_id", posCol: String = "pos",
+      tokenCol: String = "token", fromShard: Long = 0L,
+      sep: Option[String] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val layoutRootP = new Path(s"$layoutRoot/layout")
+    val tokensRootP = new Path(s"$layoutRoot/tokens")
+    val fs = layoutRootP.getFileSystem(conf)
+    val layoutDirs = liveDirs(fs, layoutRootP)
+    val tokenDirs = liveDirs(fs, tokensRootP)
+    require(layoutDirs.nonEmpty,
+      s"$layoutRoot/layout holds no increments — run appendIncrement")
+    require(tokenDirs.nonEmpty,
+      s"$layoutRoot/tokens holds no landed token increments — land " +
+        "them with appendTokens at ingest time (or use the " +
+        "first-attach packClosedShards with a corpus token stream)")
+    val open = openShard(fs, layoutDirs)
+    def shardSet(dirs: Seq[String]): Set[Long] = dirs.flatMap { d =>
+      fs.listStatus(new Path(d)).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("shard=") =>
+          n.stripPrefix("shard=").toLong }
+    }.toSet
+    val wanted = shardSet(layoutDirs)
+      .filter(s => s >= fromShard && s < open)
+    val landed = shardSet(tokenDirs)
+    val missing = wanted -- landed
+    require(missing.isEmpty,
+      s"layout shards ${missing.toSeq.sorted.mkString(",")} have no " +
+        "landed tokens — an ingest batch skipped appendTokens; " +
+        "packing would silently drop their documents")
+    val toks = readLayoutDirs(spark, fs, tokenDirs)
+      .select(col(idCol), col(posCol), col(tokenCol),
+        col("shard").cast("long").as("shard"), col("offset"))
+      .where(col("shard") >= fromShard && col("shard") < open)
+    packShardTokens(toks, seqLen, idCol, posCol, tokenCol, sep)
+  }
+
+  /** Shared pack tail: optional per-document separator injection
+    * (the [[graft.operators.Sampling.appendDocSeparator]] EOS
+    * discipline, keys = (id, shard, offset) so the boundary rows ride
+    * the layout columns), then the grouped concat-and-split. */
+  private def packShardTokens(toks: DataFrame, seqLen: Long,
+      idCol: String, posCol: String, tokenCol: String,
+      sep: Option[String]): DataFrame = {
+    val withSep = sep.fold(toks)(s =>
+      graft.operators.Sampling.appendDocSeparator(toks, s, posCol,
+        tokenCol, keys = Seq(idCol, "shard", "offset")))
+    graft.operators.Sampling.packTokens(withSep, seqLen,
       docIdCol = idCol, posCol = posCol, tokenCol = tokenCol,
       groupCol = Some("shard"), orderCol = Some("offset"))
   }
