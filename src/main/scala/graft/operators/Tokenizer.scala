@@ -393,14 +393,14 @@ object Tokenizer {
     * driver-side sort all agree on — Java's UTF-16 `compareTo` would
     * diverge on supplementary-plane symbols), then merged symbols in
     * learning order (first occurrence wins if two merge paths produce
-    * the same string). In byte-fallback mode the vocabulary is closed
-    * over the BYTE alphabet and the corpus's in-class code points —
-    * out-of-class characters of ANY future text resolve (they are
-    * bytes), but an in-class code point the vocabulary corpus never
-    * contained (a new letter) is still absent, exactly as in any
-    * real BPE vocabulary trained on a corpus; [[bpeEncodeIds]]'s left
-    * join surfaces those as null ids to audit. In the in-class modes
-    * whole OOV passthrough tokens are open-ended too.
+    * the same string). In byte-fallback mode the base inventory is
+    * the byte placeholders and in-class code points that OCCUR in the
+    * vocabulary corpus — a symbol the corpus never contained (a new
+    * letter, or a byte no out-of-class character used) is absent,
+    * exactly as in any corpus-trained BPE vocabulary, and
+    * [[bpeEncodeIds]]'s left join surfaces it as a null id to audit
+    * (the q263 held-out coverage report is that audit). In the
+    * in-class modes whole OOV passthrough tokens are open-ended too.
     *
     * BOUNDEDNESS: in byte-fallback mode the symbol inventory is
     * alphabet-bounded (distinct code points + 256 byte placeholders +

@@ -45,9 +45,18 @@ object ProfPackClosed {
       .createTempDirectory("graft_packclosed_prof").toString
     graft.streaming.StreamShardLayout.initLayout(spark, root)
     def land(b: Long): Unit = {
+      val part = docs.where(pmod(col("doc_id"), lit(nBatches + 1)) === b)
       val a = graft.streaming.StreamShardLayout.appendIncrement(
-        docs.where(pmod(col("doc_id"), lit(nBatches + 1)) === b), root,
-        "doc_id", "n_tokens", shardWeight, b)
+        part, root, "doc_id", "n_tokens", shardWeight, b)
+      // the steady-state contract: the batch's token stream lands
+      // beside its layout increment (shard-partitioned), so the pack
+      // reads pruned partitions on BOTH sides
+      val t0 = System.nanoTime()
+      graft.streaming.StreamShardLayout.appendTokens(
+        toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+        a, root, b)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PACKCLOSED land_tokens b=$b%2d wall=$s%6.2fs")
       graft.operators.Lineage.free(a)
       graft.operators.Dedup.releaseIntermediates()
     }
@@ -60,15 +69,32 @@ object ProfPackClosed {
         .agg(count(lit(1)).as("shards"), sum(col("n")).as("tokens"))
         .collect().head
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"PACKCLOSED $label%-12s wall=$s%6.2fs " +
+      println(f"PACKCLOSED $label%-16s wall=$s%6.2fs " +
+        f"shards=${r.getLong(0)} tokens=${r.getLong(1)}")
+      graft.operators.Dedup.releaseIntermediates()
+      r.getLong(0)
+    }
+    def packLanded(from: Long, label: String): Long = {
+      val t0 = System.nanoTime()
+      val r = graft.streaming.StreamShardLayout
+        .packLandedShards(spark, root, seqLen, fromShard = from)
+        .groupBy("shard").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("shards"), sum(col("n")).as("tokens"))
+        .collect().head
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PACKCLOSED $label%-16s wall=$s%6.2fs " +
         f"shards=${r.getLong(0)} tokens=${r.getLong(1)}")
       graft.operators.Dedup.releaseIntermediates()
       r.getLong(0)
     }
     val closed1 = pack(0L, "first_attach")
+    packLanded(0L, "landed_full")
     // the trainer's steady state: one more increment, watermarked pack
+    // — corpus-stream form (token side O(corpus)) vs landed form
+    // (token side pruned to the newly closed shards)
     land(nBatches.toLong)
     pack(closed1, "incremental")
+    packLanded(closed1, "landed_incr")
     pack(0L, "full_again")
     spark.stop()
   }

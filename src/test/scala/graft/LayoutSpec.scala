@@ -224,6 +224,253 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("appendTokens + packLandedShards: the landed-token pack equals " +
+      "the corpus-stream pack, the watermark yields exactly the new " +
+      "rows, and a layout shard without landed tokens refuses loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_packlanded").toString
+    // 80 docs x 4 tokens, shardWeight 16 -> a shard closes every 4
+    // docs; batches of 20 docs
+    val docs = (0L until 80L).map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val toks = (0L until 80L).flatMap(i => (1L to 4L).map(p =>
+      (i, p, s"t${i}_$p"))).toDF("doc_id", "pos", "token")
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def land(b: Long, withTokens: Boolean = true): Unit = {
+      val part = docs.where(
+        col("doc_id") >= b * 20 && col("doc_id") < (b + 1) * 20)
+      val a = graft.streaming.StreamShardLayout.appendIncrement(
+        part, root, "doc_id", "n_tokens", shardWeight = 16L,
+        batchId = b)
+      if (withTokens)
+        graft.streaming.StreamShardLayout.appendTokens(
+          toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+          a, root, batchId = b)
+    }
+    def dig(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), String] =
+      df.groupBy("shard", "seq")
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("seq_off"),
+            col("token").as("__t")))),
+          x => x.getField("__t")), ",")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+        .toMap
+    land(0L); land(1L)
+    // the two physical paths land on identical digests
+    val viaCorpus = dig(graft.streaming.StreamShardLayout
+      .packClosedShards(spark, root, toks, seqLen = 8L))
+    val viaLanded = dig(graft.streaming.StreamShardLayout
+      .packLandedShards(spark, root, seqLen = 8L))
+    assert(viaLanded.nonEmpty && viaLanded == viaCorpus)
+    // ... including with the separator threaded through both
+    val sepCorpus = dig(graft.streaming.StreamShardLayout
+      .packClosedShards(spark, root, toks, seqLen = 8L,
+        sep = Some("<eos>")))
+    val sepLanded = dig(graft.streaming.StreamShardLayout
+      .packLandedShards(spark, root, seqLen = 8L, sep = Some("<eos>")))
+    assert(sepLanded == sepCorpus && sepLanded != viaLanded)
+    // the watermarked landed pack yields exactly the newly closed
+    // shards' rows — O(new) on BOTH sides
+    val openThen = graft.streaming.StreamShardLayout
+      .readLayout(spark, root)
+      .agg(max(col("shard").cast("long"))).collect().head.getLong(0)
+    land(2L)
+    val full = dig(graft.streaming.StreamShardLayout
+      .packLandedShards(spark, root, seqLen = 8L))
+    val incr = dig(graft.streaming.StreamShardLayout
+      .packLandedShards(spark, root, seqLen = 8L,
+        fromShard = openThen))
+    assert(incr == full.filterNot { case (k, _) => viaLanded.contains(k) })
+    // a layout increment whose tokens were never landed: the pack
+    // names the missing shards and refuses (silent doc loss otherwise)
+    land(3L, withTokens = false)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamShardLayout
+        .packLandedShards(spark, root, seqLen = 8L)
+    }
+    assert(e.getMessage.contains("appendTokens"))
+    // an empty (never-appended) layout refuses loudly, not an NPE
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_packlandedempty").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, fresh)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamShardLayout
+        .packClosedShards(spark, fresh, toks, seqLen = 8L)
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("compactLayoutIsolated folds manifest AND token increments " +
+      "through the pointer protocol; readShardManifest and " +
+      "packLandedShards read back unchanged") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mancompact").toString
+    val docs = (0L until 80L).map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val toks = (0L until 80L).flatMap(i => (1L to 4L).map(p =>
+      (i, p, s"t${i}_$p"))).toDF("doc_id", "pos", "token")
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def land(b: Long): Unit = {
+      val part = docs.where(
+        col("doc_id") >= b * 20 && col("doc_id") < (b + 1) * 20)
+      val a = graft.streaming.StreamShardLayout.appendIncrement(
+        part, root, "doc_id", "n_tokens", shardWeight = 16L,
+        batchId = b)
+      graft.streaming.StreamShardLayout.appendTokens(
+        toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+        a, root, batchId = b)
+    }
+    (0L to 2L).foreach(land)
+    def man(): Set[(Long, Long, Long, String)] =
+      graft.streaming.StreamShardLayout
+        .readShardManifest(spark, root, "n_tokens")
+        .select($"shard".cast("long"), $"n_docs", $"n_tokens", $"digest")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getString(3))).toSet
+    def packed(): Map[(Long, Long), String] =
+      graft.streaming.StreamShardLayout
+        .packLandedShards(spark, root, seqLen = 8L)
+        .groupBy("shard", "seq")
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("seq_off"),
+            col("token").as("__t")))),
+          x => x.getField("__t")), ",")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+        .toMap
+    val manBefore = man()
+    val packBefore = packed()
+    graft.streaming.StreamShardLayout.compactLayoutIsolated(spark, root)
+    def dirsOf(sub: String): Set[String] =
+      new java.io.File(s"$root/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
+    // manifest and tokens both folded into pointer generations (the
+    // newest increment stays out, the protocol's replayable-batch rule)
+    assert(dirsOf("manifest") ==
+      Set("base_v1", "inc_b0", "inc_b1", "inc_b2"))
+    assert(dirsOf("tokens") ==
+      Set("base_v1", "inc_b0", "inc_b1", "inc_b2"))
+    assert(new java.io.File(s"$root/manifest/_live_v1").exists())
+    assert(man() == manBefore)
+    assert(packed() == packBefore)
+    // keep appending through the folded state: the next reads resolve
+    // base + newer incs
+    land(3L)
+    assert(packed().size > packBefore.size)
+    assert(man().map(_._1).max >= manBefore.map(_._1).max)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("writeSequences/readSequences: the landed trainer-batch " +
+      "artifact round-trips digest-verified; replays converge; a " +
+      "tampered artifact refuses") {
+    import graft.operators.Sampling
+    // 3 docs x 5 ids, seqLen 4 -> 4 sequences, doc 2 straddles
+    val ids = (1L to 3L).flatMap(d => (1L to 5L).map(p =>
+      (d, p, (d * 100 + p).toString))).toDF("doc_id", "pos", "token")
+    val packed = Sampling.packTokens(ids, seqLen = 4L)
+    val seqs = Sampling.packSequences(packed)
+    val rows = seqs.orderBy("seq").collect()
+    // sequence 0 holds doc 1's first four ids in order
+    assert(rows.head.getAs[scala.collection.Seq[Long]]("ids") == Seq(101L, 102L, 103L, 104L))
+    // spans: (start_off, doc_id, n_tokens), contiguous, summing to n_ids
+    rows.foreach { r =>
+      val spans = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("spans")
+      assert(spans.map(_.getLong(2)).sum == r.getAs[Long]("n_ids"))
+      val sorted = spans.map(s => (s.getLong(0), s.getLong(2)))
+      sorted.sliding(2).foreach {
+        case Seq((o1, n1), (o2, _)) => assert(o1 + n1 == o2)
+        case _ => ()
+      }
+    }
+    // every sequence but the last is exactly full
+    assert(rows.init.forall(_.getAs[Long]("n_ids") == 4L) &&
+      rows.last.getAs[Long]("n_ids") == 3L)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_seqart").toString
+    Sampling.writeSequences(seqs, path)
+    def back(): Set[(Long, Seq[Long], String)] =
+      Sampling.readSequences(spark, path)
+        .select($"seq", $"ids", $"ids_digest").collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Long]](1).toSeq, r.getString(2)))
+        .toSet
+    val first = back()
+    assert(first.size == 4)
+    // replay: the overwrite landing converges on the same artifact
+    Sampling.writeSequences(Sampling.packSequences(packed), path)
+    assert(back() == first)
+    // tamper: drop a row from sequences/ without refreshing the meta
+    // -> the count+digest re-verification refuses (rows collected
+    // first: Spark refuses an overwrite of a path it is reading)
+    val df = spark.read.parquet(s"$path/sequences")
+    val kept = df.where($"seq" =!= 0).collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(kept, 1), df.schema)
+      .write.mode("overwrite").parquet(s"$path/sequences")
+    intercept[IllegalArgumentException] {
+      Sampling.readSequences(spark, path)
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("shardAssignOrdered startWeight continues the running weight; " +
+      "appendIncrementOrdered streams the curriculum in (batch, " +
+      "order, id) order with the cursor threading automatically") {
+    import graft.operators.Sampling
+    val rows = (0L until 40L).map(i => (i, i % 7 + 1, (i * 13) % 23))
+    val ddf = rows.toDF("doc_id", "w", "score")
+    // local replay: batch order, then (score, id) within each batch
+    def expected(parts: Seq[Seq[(Long, Long, Long)]],
+        shardWeight: Long): Map[Long, (Long, Long)] = {
+      var cum = 0L
+      val out = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      parts.foreach { p =>
+        p.sortBy(r => (r._3, r._1)).foreach { case (id, w, _) =>
+          out(id) = (cum / shardWeight, cum % shardWeight); cum += w
+        }
+      }
+      out.toMap
+    }
+    val even = rows.filter(_._1 % 2 == 0)
+    val odd = rows.filter(_._1 % 2 == 1)
+    // batch form with explicit startWeight threading
+    val a0 = Sampling.shardAssignOrdered(
+      ddf.where($"doc_id" % 2 === 0), "doc_id", "w", "score", 20L)
+    val w0 = even.map(_._2).sum
+    val a1 = Sampling.shardAssignOrdered(
+      ddf.where($"doc_id" % 2 === 1), "doc_id", "w", "score", 20L,
+      startWeight = w0)
+    val got = (a0.collect() ++ a1.collect())
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected(Seq(even, odd), 20L))
+    // streamed form: the cursor threads startWeight for you
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_currstream").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    graft.streaming.StreamShardLayout.appendIncrementOrdered(
+      ddf.where($"doc_id" % 2 === 0), root, "doc_id", "w",
+      orderCol = "score", shardWeight = 20L, batchId = 0L)
+    graft.streaming.StreamShardLayout.appendIncrementOrdered(
+      ddf.where($"doc_id" % 2 === 1), root, "doc_id", "w",
+      orderCol = "score", shardWeight = 20L, batchId = 1L)
+    val streamed = graft.streaming.StreamShardLayout
+      .readLayout(spark, root)
+      .select($"doc_id", $"shard".cast("long"), $"offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == got)
+    // and the streamed manifest digest contract extends unchanged
+    val fromManifest = graft.streaming.StreamShardLayout
+      .readShardManifest(spark, root, "w")
+      .select($"shard".cast("long"), $"digest").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromLayout = Sampling.shardManifest(
+      graft.streaming.StreamShardLayout.readLayout(spark, root),
+      "doc_id", "w")
+      .select($"shard".cast("long"), $"digest").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromManifest == fromLayout && fromManifest.nonEmpty)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("compactLayout folds closed increments into base, keeps the " +
       "newest increment live, and the layout round-trips unchanged") {
     val docs = (0L until 300L).map(i => (i, (i * 37 + 11) % 50 + 1))

@@ -1123,6 +1123,27 @@ class OperatorsSpec extends SparkTestBase {
       (2L, "h", 1L, "c"), (2L, "h", 2L, "<eos>")))
   }
 
+  test("appendDocSeparator explicit keys: per-token extras are " +
+      "DROPPED from the group (one separator per document, fixed " +
+      "output schema); keys naming pos/token are rejected") {
+    // `score` varies per token — the inferred-keys form would emit
+    // one separator per (doc, score) combination; explicit keys pin
+    // the document identity and drop the extra column
+    val toks = Seq((1L, 1L, "a", 0.1), (1L, 2L, "b", 0.9),
+      (2L, 1L, "c", 0.5)).toDF("doc_id", "pos", "token", "score")
+    val r = Sampling.appendDocSeparator(toks, "<eos>",
+        keys = Seq("doc_id"))
+      .orderBy("doc_id", "pos").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(r == Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "<eos>"),
+      (2L, 1L, "c"), (2L, 2L, "<eos>")))
+    intercept[IllegalArgumentException] {
+      Sampling.appendDocSeparator(toks, "<eos>",
+        keys = Seq("doc_id", "pos"))
+    }
+  }
+
   test("ewmMean matches the closed-form truncated weights") {
     val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
       .toDF("g", "i", "v")

@@ -78,12 +78,16 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("grouped packTokens never creates a single-partition stage; " +
       "its window partitions by the group") {
+    // ord and grp are DOC-constant (derived from doc_id, never from
+    // the token index) — the packTokens contract; a per-token-varying
+    // ord would fragment the per-doc counts (see the scaladoc)
     val toks = spark.range(40).select(
       (col("id") / 4).cast("long").as("doc_id"),
-      pmod(col("id"), lit(4)).cast("long").as("ord"),
+      pmod((col("id") / 4).cast("long"), lit(4)).as("ord"),
       (pmod(col("id"), lit(4)) + 1).cast("long").as("pos"),
       col("id").cast("string").as("token"),
-      pmod(col("id"), lit(3)).cast("string").as("grp"))
+      pmod((col("id") / 4).cast("long"), lit(3)).cast("string")
+        .as("grp"))
     val p = plan(graft.operators.Sampling.packTokens(toks, 8L,
       groupCol = Some("grp"), orderCol = Some("ord")))
     assert(!p.contains("SinglePartition"),
