@@ -61,7 +61,8 @@ object SparkEntry {
     "q249_bpe_model_roundtrip", "q250_trainer_pack_capstone",
     "q256_stream_pack_closed", "q257_bpe_artifact_ids",
     "q259_pack_landed", "q260_stream_pack_spans",
-    "q261_sequences_artifact", "q262_curriculum_stream")
+    "q261_sequences_artifact", "q262_curriculum_stream",
+    "q264_stream_sequences_capstone")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3564,6 +3565,70 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           col("shard").cast("long").as("shard"), col("offset"))
     }),
+    // ---- STREAMED TRAINER-LOOP CAPSTONE: the complete round-16/17
+    // arc in one oracle — learn + persist the byte-fallback model AND
+    // vocabulary, stream the corpus in two micro-batches whose
+    // foreachBatch lands layout increments (weights = the model's own
+    // token counts) AND the id-encoded piece streams beside them
+    // (appendTokens), pack the closed shards from the LANDED ids with
+    // `<eos>` (= max vocab id + 1) injected, collapse to one row per
+    // sequence, LAND the per-shard `sequences/` artifact, and read it
+    // back digest-attested. The oracle replays every stage: learn
+    // CTEs → id vocab → piece counts → (batch, md5, id) shard window
+    // → closed filter → eos-shifted per-shard pack → per-(shard, seq)
+    // id digests. SIDE-EFFECTING (model + layout + artifact writes).
+    "q264_stream_sequences_capstone" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val mpath =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_capmodel"
+      graft.operators.Tokenizer.writeBpeModel(s, mpath,
+        graft.operators.Tokenizer.bpeMerges(pc, "text", merges = 8,
+          byteFallback = true).orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq,
+        byteFallback = true)
+      val model = graft.operators.Tokenizer.readBpeModel(s, mpath)
+      graft.operators.Tokenizer.writeBpeVocab(s, mpath,
+        graft.operators.Tokenizer.bpeVocabulary(pc, "text",
+          model.merges, unicode = model.unicode,
+          byteFallback = model.byteFallback))
+      val vocab = graft.operators.Tokenizer.readBpeVocab(s, mpath)
+      val eosId = vocab.agg(max(col("token_id"))).collect()
+        .head.getLong(0) + 1
+      val counts = graft.operators.Tokenizer
+        .bpeTokenCounts(pc, "text", "doc_id", model.merges,
+          unicode = model.unicode, byteFallback = model.byteFallback)
+        .select(col("doc_id"), col("n_tokens"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_capstream"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      def land(b: Long): Unit = {
+        val part = counts.where(pmod(col("doc_id"), lit(2)) === b)
+        val a = graft.streaming.StreamShardLayout.appendIncrement(
+          part, root, "doc_id", "n_tokens", shardWeight = 5000L,
+          batchId = b)
+        val ids = graft.operators.Tokenizer
+          .bpeEncodeIds(pc.where(pmod(col("doc_id"), lit(2)) === b),
+            "text", "doc_id", model.merges, vocab,
+            unicode = model.unicode, byteFallback = model.byteFallback)
+          .where(col("token_id").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            col("token_id").cast("string").as("token"))
+        graft.streaming.StreamShardLayout.appendTokens(ids, a, root,
+          batchId = b)
+      }
+      land(0L); land(1L)
+      val packed = graft.streaming.StreamShardLayout
+        .packLandedShards(s, root, seqLen = 64L,
+          sep = Some(eosId.toString))
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_capseq"
+      Sampling.writeSequences(
+        Sampling.packSequences(packed, groupCol = Some("shard")),
+        path, groupCol = Some("shard"))
+      Sampling.readSequences(s, path)
+        .select(col("shard").cast("long").as("shard"), col("seq"),
+          col("n_ids").as("n_tokens"), col("ids_digest"))
+    }),
     // ---- HELD-OUT fertility/coverage audit under the CLOSED
     // vocabulary: learn model + vocab on the even half of the
     // punctuated corpus, encode the DISJOINT odd half under them, and
@@ -6640,6 +6705,69 @@ object SparkEntry {
            |  md5(string_agg(CAST(token_id AS VARCHAR), ','
            |    ORDER BY soff)) AS ids_digest
            |FROM p GROUP BY 1""".stripMargin
+      },
+      // the full streamed trainer loop: learn CTEs -> id vocab ->
+      // model piece counts -> (batch, md5, id) shard window -> closed
+      // filter -> eos-shifted per-shard pack -> per-(shard, seq) id
+      // digests; the READ-BACK sequences artifact must reproduce them
+      "q264_stream_sequences_capstone" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM pd),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+           |    doc_id % 2 AS b,
+           |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k FROM tl),
+           |ca AS (SELECT doc_id,
+           |    coalesce(sum(n) OVER (ORDER BY b, k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS before
+           |  FROM sc),
+           |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
+           |      AS shard,
+           |    before % 5000 AS off FROM ca),
+           |cl AS (SELECT * FROM sh
+           |  WHERE shard < (SELECT max(shard) FROM sh)),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |j0 AS (SELECT doc_id, pos, vv.token_id
+           |  FROM tok JOIN vv USING (token)),
+           |j AS (SELECT doc_id, pos, token_id FROM j0
+           |  UNION ALL
+           |  SELECT doc_id, max(pos) + 1,
+           |    (SELECT max(token_id) + 1 FROM vv)
+           |  FROM j0 GROUP BY doc_id),
+           |c2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n2
+           |  FROM j GROUP BY 1),
+           |st AS (SELECT cl.doc_id, shard,
+           |    coalesce(sum(n2) OVER (PARTITION BY shard
+           |      ORDER BY off, cl.doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS strt
+           |  FROM cl JOIN c2 ON cl.doc_id = c2.doc_id),
+           |g AS (SELECT st.shard, j.token_id, strt + pos - 1 AS gi
+           |  FROM j JOIN st ON j.doc_id = st.doc_id),
+           |p AS (SELECT shard, CAST(gi // 64 AS BIGINT) AS seq,
+           |    gi % 64 AS soff, token_id FROM g)
+           |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+           |    ORDER BY soff)) AS ids_digest
+           |FROM p GROUP BY 1, 2""".stripMargin
       },
       // the streamed curriculum's global order is (batch,
       // n_chars, id): batch 0 the even docs, batch 1 the odd — each

@@ -220,8 +220,13 @@ object Tokenizer {
       batch: Int, minCount: Long = 1L,
       unicode: Boolean = false,
       byteFallback: Boolean = false): DataFrame = {
-    require(rounds >= 1 && rounds <= 512,
-      s"rounds must be in [1, 512] (got $rounds)")
+    // 1024-round ceiling (raised from 512 in round 17): with the
+    // adaptive prefix a round is one vocab-bounded aggregate + one
+    // bounded collect (~0.5 s measured at 50k words), so the ceiling
+    // is a runaway guard, not a wall — 64k merges of batch-128
+    // headroom, double the largest vocabulary the encode caps at
+    require(rounds >= 1 && rounds <= 1024,
+      s"rounds must be in [1, 1024] (got $rounds)")
     require(batch >= 1 && batch <= 128,
       s"batch must be in [1, 128] (got $batch)")
     val spark = df.sparkSession

@@ -517,4 +517,30 @@ object StreamShardLayout {
         graft.operators.Dedup.releaseIntermediates()
       }
       .start()
+
+  /** [[ingest]] with the LANDED-TOKEN contract built in: each batch
+    * appends its layout increment AND lands its token stream beside
+    * it (`tokenize` derives the batch's (idCol, posCol, tokenCol)
+    * rows — e.g. a [[graft.operators.Tokenizer.bpeTokenize]] under a
+    * persisted model, or a whitespace posexplode), so a live trainer
+    * polls [[packLandedShards]] at O(newly closed shards) with no
+    * side channel. Both writes are batch-id-derived Overwrite inside
+    * ONE foreachBatch — the replay guarantees compose exactly as the
+    * lake ingests' do. */
+  def ingestWithTokens(stream: DataFrame, layoutRoot: String,
+      checkpointDir: String, idCol: String, weightCol: String,
+      shardWeight: Long, tokenize: DataFrame => DataFrame,
+      salt: String = "graft", posCol: String = "pos",
+      tokenCol: String = "token"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val assigned = appendIncrement(batch, layoutRoot, idCol,
+          weightCol, shardWeight, batchId, salt)
+        appendTokens(tokenize(batch), assigned, layoutRoot, batchId,
+          idCol, posCol, tokenCol)
+        Lineage.free(assigned)
+        graft.operators.Dedup.releaseIntermediates()
+      }
+      .start()
 }

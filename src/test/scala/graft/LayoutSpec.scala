@@ -299,6 +299,86 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("packLandedShards pushes the shard watermark into the token " +
+      "scan as PartitionFilters — the O(new) claim is in the plan") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_packplan").toString
+    val docs = (0L until 40L).map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val toks = (0L until 40L).flatMap(i => (1L to 4L).map(p =>
+      (i, p, s"t${i}_$p"))).toDF("doc_id", "pos", "token")
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    val a = graft.streaming.StreamShardLayout.appendIncrement(
+      docs, root, "doc_id", "n_tokens", shardWeight = 16L, batchId = 0L)
+    graft.streaming.StreamShardLayout.appendTokens(toks, a, root, 0L)
+    val packed = graft.streaming.StreamShardLayout
+      .packLandedShards(spark, root, seqLen = 8L, fromShard = 3L)
+    val p = packed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      (p.contains("shard#") || p.contains("shard =")),
+      s"the token scan must prune shard partitions:\n$p")
+    // and the pruned pack returns only [3, open): 160 total weight /
+    // 16 per shard -> shards 0..9 exist, 9 is the open maximum
+    val shards = packed.select("shard").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(shards == (3L until 9L).toSet)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("ingestWithTokens: one foreachBatch lands layout + tokens; " +
+      "packLandedShards over the streamed result equals the direct " +
+      "batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 60L).map(i =>
+      (i, 4L, (1L to 4L).map(p => s"t${i}_$p").mkString(" ")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingesttok").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def tokenize(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamShardLayout.ingestWithTokens(
+      mem.toDF().toDF("doc_id", "n_tokens", "text"), root,
+      java.nio.file.Files.createTempDirectory("graft_itcp").toString,
+      "doc_id", "n_tokens", shardWeight = 16L, tokenize)
+    def dig(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), String] =
+      df.groupBy("shard", "seq")
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("seq_off"),
+            col("token").as("__t")))),
+          x => x.getField("__t")), ",")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+        .toMap
+    try {
+      mem.addData(rows.filter(_._1 < 30): _*)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= 30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = dig(graft.streaming.StreamShardLayout
+      .packLandedShards(spark, root, seqLen = 8L))
+    // direct twin: two appendIncrement + appendTokens pairs
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_ingesttoktwin").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, twin)
+    val ddf = rows.toDF("doc_id", "n_tokens", "text")
+    Seq(0L, 1L).foreach { b =>
+      val part = ddf.where(if (b == 0L) $"doc_id" < 30 else $"doc_id" >= 30)
+      val a = graft.streaming.StreamShardLayout.appendIncrement(
+        part.select("doc_id", "n_tokens"), twin, "doc_id", "n_tokens",
+        16L, b)
+      graft.streaming.StreamShardLayout.appendTokens(
+        tokenize(part), a, twin, b)
+    }
+    val twinDig = dig(graft.streaming.StreamShardLayout
+      .packLandedShards(spark, twin, seqLen = 8L))
+    assert(streamed.nonEmpty && streamed == twinDig)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("compactLayoutIsolated folds manifest AND token increments " +
       "through the pointer protocol; readShardManifest and " +
       "packLandedShards read back unchanged") {
