@@ -96,6 +96,29 @@ object ProfPackClosed {
     pack(closed1, "incremental")
     packLanded(closed1, "landed_incr")
     pack(0L, "full_again")
+    // the LAST MILE at scale: collapse the watermarked landed pack to
+    // one row per sequence and LAND the per-shard sequences/ artifact
+    // (ids here are the token strings' hash — the artifact shape and
+    // IO cost are what's under measurement, not the id assignment),
+    // then the digest-verified read-back a trainer pays per poll
+    val seqDir = java.nio.file.Files
+      .createTempDirectory("graft_seqart_prof").toString
+    val t0 = System.nanoTime()
+    val packed = graft.streaming.StreamShardLayout
+      .packLandedShards(spark, root, seqLen, fromShard = closed1)
+      .withColumn("token",
+        abs(xxhash64(col("token"))).cast("string"))
+    graft.operators.Sampling.writeSequences(
+      graft.operators.Sampling.packSequences(packed,
+        groupCol = Some("shard")),
+      seqDir, groupCol = Some("shard"))
+    val sWrite = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val n = graft.operators.Sampling.readSequences(spark, seqDir)
+      .agg(count(lit(1)), sum(col("n_ids"))).collect().head
+    val sRead = (System.nanoTime() - t1) / 1e9
+    println(f"PACKCLOSED land_sequences wall=$sWrite%6.2fs " +
+      f"readback=$sRead%6.2fs seqs=${n.getLong(0)} ids=${n.getLong(1)}")
     spark.stop()
   }
 }
