@@ -209,15 +209,14 @@ object Bench {
         if (!done) { p.destroyForcibly(); Map.empty[String, Double] }
         else flatJson(outPath)
       } catch { case _: Throwable => Map.empty }
-    // isolated values are genuine same-SF measurements: min-merge
-    // them into this run's results for the floor/provisional files
-    val mergedResults = results.map { case (k, v) =>
-      k -> (isolated.get(k) match {
-        case Some(i) if v >= 0 => math.min(v, i)
-        case Some(i) => i
-        case None => v
-      })
-    }
+    // isolated values are REPORT-ONLY (the line + BENCH_DETAIL): a
+    // solo fresh-JVM run is systematically faster than any in-run
+    // measurement (no page-cache/GC pressure from 260 neighbors), so
+    // min-merging it into the floors would set baselines no full run
+    // can meet — every later run would flag, spawn another child, and
+    // lower the floor again, a permanent attribution loop. Floors
+    // keep min-merging FULL-RUN numbers only; a human adjudicates
+    // with the isolated evidence when a flag reproduces.
     // worst 8 by ratio inline (value, effective floor, floor TIER);
     // the rest are countable + in DETAIL
     val overJson = overFloor.take(8).map { case (k, v, f) =>
@@ -283,7 +282,7 @@ object Bench {
     // Only full default-SF runs update floors (a filtered run or a
     // different SF would poison the baseline).
     if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
-      val merged = mergedResults.collect { case (k, v) if v >= 0 =>
+      val merged = results.collect { case (k, v) if v >= 0 =>
         k -> math.min(v, priorFloors.getOrElse(k, Double.MaxValue))
       }
       val body = merged.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -302,12 +301,12 @@ object Bench {
     // (effectiveFloor ignores the provisional once an adjudicated
     // entry exists).
     if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
-      val births = mergedResults.collect {
+      val births = results.collect {
         case (k, v) if v >= 0 && !priorFloors.contains(k) &&
             !adjudicated.contains(k) && !provisional.contains(k) =>
           k -> v
       }
-      val refreshed = mergedResults.collect {
+      val refreshed = results.collect {
         case (k, v) if v >= 0 && provisional.contains(k) =>
           k -> math.min(v, provisional(k))
       }

@@ -441,6 +441,13 @@ object Sampling {
       groupCol: Option[String] = None): Unit = {
     val spark = seqs.sparkSession
     import spark.implicits._
+    // loud on empty: a poll where nothing newly closed has nothing to
+    // land (an empty parquet dir would also brick later reads, and
+    // the meta aggregate's sum would be null) — the caller skips the
+    // landing instead
+    require(!seqs.isEmpty,
+      "writeSequences: no sequences to land (nothing newly closed?) " +
+        "— skip the landing instead of writing an empty artifact")
     val w0 = seqs.write.mode("overwrite")
     groupCol.fold(w0)(g => w0.partitionBy(g))
       .parquet(s"$path/sequences")
@@ -454,14 +461,19 @@ object Sampling {
       .parquet(s"$path/sequences_meta")
   }
 
-  /** Order-insensitive artifact digest: xor of the per-row digests'
-    * first 15 hex digits (60 bits, sign-safe in a long) — commutative,
-    * so it needs no global sort and two artifacts agree iff their
-    * row-digest MULTISETs do (xor over md5 prefixes; a collision
-    * needs an adversarial row set). */
+  /** Order-insensitive artifact digest: SUM (exact, DECIMAL(38)) of
+    * the per-row digests' first 15 hex digits (60 bits each; 10^9
+    * rows stay under 10^28 << 10^38, so the sum never overflows) —
+    * commutative, so it needs no global sort, and duplicate-SENSITIVE
+    * unlike an xor fold (xor cancels paired duplicate corruption:
+    * dropping two copies of row R and adding two of row S leaves an
+    * xor unchanged; a sum moves by 2(S−R)). Two artifacts agree on
+    * (count, n_ids, fold) for any non-adversarial corruption — torn
+    * writes, dropped/duplicated rows, bit-flipped ids (the row digest
+    * is md5, so a flipped id moves the prefix); see DEVIATIONS #19. */
   private def sequencesFold(): org.apache.spark.sql.Column =
-    expr("lpad(hex(bit_xor(cast(conv(substring(ids_digest, 1, 15), " +
-      "16, 10) AS BIGINT))), 16, '0')")
+    expr("cast(sum(cast(conv(substring(ids_digest, 1, 15), 16, 10) " +
+      "AS DECIMAL(38,0))) AS STRING)")
 
   /** Read back a [[writeSequences]] artifact, count- and
     * digest-verified against its meta row (a torn or hand-edited

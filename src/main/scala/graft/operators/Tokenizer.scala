@@ -425,16 +425,21 @@ object Tokenizer {
     val spark = df.sparkSession
     import spark.implicits._
     val shim = org.apache.spark.sql.graftshim.ColumnShim
-    val base = df.select(explode(shim.column(graft.functions.BpeTokenize(
+    val baseDf = df.select(explode(shim.column(graft.functions.BpeTokenize(
         shim.expression(col(textCol)), Nil, unicode, byteFallback)))
         .as("t"))
       .where(length(col("t")) > 0)
-      .distinct().collect().map(_.getString(0))
-    require(base.length <= (1 << 21),
-      s"base symbol inventory is ${base.length} rows (> 2^21): an " +
-        "in-class-mode vocabulary over a dirty corpus collects one " +
-        "row per distinct OOV word — use byteFallback = true for a " +
-        "closed, alphabet-bounded vocabulary")
+      .distinct()
+    // bound BEFORE the collect (a post-collect require would OOM the
+    // driver first on a genuinely dirty in-class corpus): limit to
+    // one row past the cap — a bounded job either way
+    val probe = baseDf.limit((1 << 21) + 1).collect()
+    require(probe.length <= (1 << 21),
+      s"base symbol inventory exceeds 2^21 rows: an in-class-mode " +
+        "vocabulary over a dirty corpus collects one row per " +
+        "distinct OOV word — use byteFallback = true for a closed, " +
+        "alphabet-bounded vocabulary")
+    val base = probe.map(_.getString(0))
     def u8cmp(a: String, b: String): Boolean = {
       val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)

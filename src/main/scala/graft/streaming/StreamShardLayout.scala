@@ -167,13 +167,18 @@ object StreamShardLayout {
   def appendTokens(tokens: DataFrame, assigned: DataFrame,
       layoutRoot: String, batchId: Long, idCol: String = "doc_id",
       posCol: String = "pos", tokenCol: String = "token"): Unit = {
-    val keyed = tokens
-      .select(col(idCol), col(posCol), col(tokenCol))
-      .join(assigned.select(col(idCol),
-        col("shard").cast("long").as("shard"), col("offset")),
-        Seq(idCol))
-    if (!keyed.isEmpty)
-      keyed.write.mode("overwrite").partitionBy("shard")
+    // emptiness is probed on the ASSIGNED side (lineage-cut by
+    // landIncrement, so the probe is a cached-scan count, and an
+    // empty batch ⇒ an empty token stream) — probing the joined
+    // result would execute the doc-keyed join twice, doubling the
+    // one increment-sized shuffle this landing budgets for
+    if (!assigned.isEmpty)
+      tokens
+        .select(col(idCol), col(posCol), col(tokenCol))
+        .join(assigned.select(col(idCol),
+          col("shard").cast("long").as("shard"), col("offset")),
+          Seq(idCol))
+        .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$layoutRoot/tokens/inc_b$batchId")
   }
 
@@ -464,6 +469,9 @@ object StreamShardLayout {
         "them with appendTokens at ingest time (or use the " +
         "first-attach packClosedShards with a corpus token stream)")
     val open = openShard(fs, layoutDirs)
+    // loud contract, two layers. (1) metadata fast-fail: a shard
+    // directory present under layout/ but absent under tokens/ means
+    // a whole-shard token gap — caught from directory NAMES alone.
     def shardSet(dirs: Seq[String]): Set[Long] = dirs.flatMap { d =>
       fs.listStatus(new Path(d)).filter(_.isDirectory)
         .map(_.getPath.getName)
@@ -482,6 +490,25 @@ object StreamShardLayout {
       .select(col(idCol), col(posCol), col(tokenCol),
         col("shard").cast("long").as("shard"), col("offset"))
       .where(col("shard") >= fromShard && col("shard") < open)
+    // (2) exact per-document coverage: a batch that only EXTENDED an
+    // already-token-bearing shard could skip appendTokens without
+    // creating a new shard directory, so the name check alone would
+    // pass while its documents silently vanish from the stream. One
+    // doc-count per side over the SAME pruned partitions the pack is
+    // about to read (column-pruned to the id — cheaper than the pack
+    // itself); equality holds because every document has >= 1 token
+    // in every engine tokenizer (OOV passthrough guarantees one piece
+    // per word, and a zero-weight doc never enters the layout).
+    val nLayoutDocs = readLayoutDirs(spark, fs, layoutDirs)
+      .select(col(idCol), col("shard").cast("long").as("shard"))
+      .where(col("shard") >= fromShard && col("shard") < open)
+      .select(col(idCol)).distinct().count()
+    val nTokenDocs = toks.select(col(idCol)).distinct().count()
+    require(nTokenDocs == nLayoutDocs,
+      s"landed tokens cover $nTokenDocs documents but the layout " +
+        s"holds $nLayoutDocs in shards [$fromShard, $open) — an " +
+        "ingest batch skipped appendTokens for documents that " +
+        "extended an existing shard; packing would silently drop them")
     packShardTokens(toks, seqLen, idCol, posCol, tokenCol, sep)
   }
 
