@@ -493,21 +493,35 @@ object StreamShardLayout {
     // (2) exact per-document coverage: a batch that only EXTENDED an
     // already-token-bearing shard could skip appendTokens without
     // creating a new shard directory, so the name check alone would
-    // pass while its documents silently vanish from the stream. One
-    // doc-count per side over the SAME pruned partitions the pack is
-    // about to read (column-pruned to the id — cheaper than the pack
-    // itself); equality holds because every document has >= 1 token
-    // in every engine tokenizer (OOV passthrough guarantees one piece
-    // per word, and a zero-weight doc never enters the layout).
-    val nLayoutDocs = readLayoutDirs(spark, fs, layoutDirs)
-      .select(col(idCol), col("shard").cast("long").as("shard"))
-      .where(col("shard") >= fromShard && col("shard") < open)
-      .select(col(idCol)).distinct().count()
-    val nTokenDocs = toks.select(col(idCol)).distinct().count()
+    // pass while its documents silently vanish from the stream. The
+    // LAYOUT side comes from the trainer MANIFEST (per-shard n_docs —
+    // metadata the appends already landed, no layout-data scan); the
+    // TOKEN side is one distinct (doc, shard) count over the SAME
+    // pruned partitions the pack is about to read (column-pruned —
+    // cheaper than the pack itself). Equality holds because every
+    // document has >= 1 token in every engine tokenizer (OOV
+    // passthrough guarantees one piece per word), document ids are
+    // unique per landing (the platform-wide id contract), and a
+    // zero-weight doc never enters the layout.
+    val manDirs = liveDirs(fs, new Path(s"$layoutRoot/manifest"))
+    val nLayoutDocs =
+      if (manDirs.nonEmpty)
+        manDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+          .where(col("shard").cast("long") >= fromShard &&
+            col("shard").cast("long") < open)
+          .agg(coalesce(sum(col("n_docs")), lit(0L)))
+          .collect().head.getLong(0)
+      else // legacy layout without manifests: count the layout data
+        readLayoutDirs(spark, fs, layoutDirs)
+          .select(col(idCol), col("shard").cast("long").as("shard"))
+          .where(col("shard") >= fromShard && col("shard") < open)
+          .count()
+    val nTokenDocs = toks.select(col(idCol), col("shard"))
+      .distinct().count()
     require(nTokenDocs == nLayoutDocs,
-      s"landed tokens cover $nTokenDocs documents but the layout " +
-        s"holds $nLayoutDocs in shards [$fromShard, $open) — an " +
-        "ingest batch skipped appendTokens for documents that " +
+      s"landed tokens cover $nTokenDocs (doc, shard) landings but " +
+        s"the layout holds $nLayoutDocs in shards [$fromShard, $open)" +
+        " — an ingest batch skipped appendTokens for documents that " +
         "extended an existing shard; packing would silently drop them")
     packShardTokens(toks, seqLen, idCol, posCol, tokenCol, sep)
   }
