@@ -62,7 +62,7 @@ object SparkEntry {
     "q256_stream_pack_closed", "q257_bpe_artifact_ids",
     "q259_pack_landed", "q260_stream_pack_spans",
     "q261_sequences_artifact", "q262_curriculum_stream",
-    "q264_stream_sequences_capstone")
+    "q264_stream_sequences_capstone", "q265_curriculum_pack")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3629,6 +3629,47 @@ object SparkEntry {
         .select(col("shard").cast("long").as("shard"), col("seq"),
           col("n_ids").as("n_tokens"), col("ids_digest"))
     }),
+    // ---- CURRICULUM layout x LANDED PACK: the streamed curriculum
+    // (q262's (batch, n_chars, id) order) composed with the
+    // landed-token pack — shard k's sequences are strictly "earlier
+    // curriculum" than shard k+1's, and the trainer consumes them
+    // through the same O(new)-both-sides poll as the hash layout
+    // (the landed pack is layout-order-agnostic by construction: it
+    // reads (shard, offset) wherever they came from).
+    // SIDE-EFFECTING like the lakes.
+    "q265_curriculum_pack" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"),
+        col("n_chars"))
+      val toks = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_currpack"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      def land(b: Long): Unit = {
+        val part = docs.where(pmod(col("doc_id"), lit(2)) === b)
+        val a = graft.streaming.StreamShardLayout
+          .appendIncrementOrdered(part, root, "doc_id", "n_tokens",
+            orderCol = "n_chars", shardWeight = 5000L, batchId = b)
+        graft.streaming.StreamShardLayout.appendTokens(
+          toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+          a, root, batchId = b)
+      }
+      land(0L); land(1L)
+      graft.streaming.StreamShardLayout
+        .packLandedShards(s, root, seqLen = 512L)
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
     // ---- HELD-OUT fertility/coverage audit under the CLOSED
     // vocabulary: learn model + vocab on the even half of the
     // punctuated corpus, encode the DISJOINT odd half under them, and
@@ -6787,6 +6828,44 @@ object SparkEntry {
           |  CAST(before // 5000 AS BIGINT) AS shard,
           |  CAST(before % 5000 AS BIGINT) AS "offset"
           |FROM c""".stripMargin,
+      // the q256 pack replica with the curriculum order: the shard
+      // window runs over (batch, n_chars, id) instead of
+      // (batch, md5, id)
+      "q265_curriculum_pack" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    CAST(len(string_split_regex(trim(text), '\s+'))
+          |      AS BIGINT) AS n_tokens,
+          |    n_chars, doc_id % 2 AS b
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY b, n_chars, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t),
+          |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
+          |      AS shard,
+          |    before % 5000 AS off FROM c),
+          |cl AS (SELECT * FROM sh
+          |  WHERE shard < (SELECT max(shard) FROM sh)),
+          |cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |st AS (SELECT cl.doc_id, shard,
+          |    coalesce(sum(n) OVER (PARTITION BY shard
+          |      ORDER BY off, cl.doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
+          |tok AS (SELECT doc_id, ws[i] AS token, CAST(i AS BIGINT)
+          |      AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT st.shard, token, strt + pos - 1 AS gi
+          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+          |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
+          |    gi % 512 AS soff, token FROM g)
+          |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+          |FROM p GROUP BY 1, 2""".stripMargin,
       // held-out coverage: learn + vocab on the EVEN half, encode the
       // ODD half, LEFT join to the vocab so unseen symbols count as
       // null ids — per-lang fertility + null-id audit
