@@ -3506,7 +3506,7 @@ object SparkEntry {
     // q251 eos separators + the q252 spans composed into ONE landed
     // `sequences/` table — fixed-length array<bigint> token-id rows
     // with per-document span structs and per-row order-sensitive
-    // digests, meta-attested (count + xor-folded digest re-verified
+    // digests, meta-attested (count + sum-folded digest re-verified
     // on read, the writeBpeModel discipline). This is the file a
     // loader mmaps; the q-entry reads the ARTIFACT back and reports
     // the per-sequence digests, so the oracle certifies the landing,

@@ -441,25 +441,40 @@ object Sampling {
       groupCol: Option[String] = None): Unit = {
     val spark = seqs.sparkSession
     import spark.implicits._
-    // loud on empty: a poll where nothing newly closed has nothing to
-    // land (an empty parquet dir would also brick later reads, and
-    // the meta aggregate's sum would be null) — the caller skips the
-    // landing instead
-    require(!seqs.isEmpty,
-      "writeSequences: no sequences to land (nothing newly closed?) " +
-        "— skip the landing instead of writing an empty artifact")
-    val w0 = seqs.write.mode("overwrite")
-    groupCol.fold(w0)(g => w0.partitionBy(g))
-      .parquet(s"$path/sequences")
-    val m = spark.read.parquet(s"$path/sequences")
-      .agg(count(lit(1)).as("n"), sum(col("n_ids")).as("t"),
-        sequencesFold().as("d"))
-      .collect().head
-    Seq((m.getLong(0), m.getLong(1), m.getString(2)))
-      .toDF("n_sequences", "n_ids", "digest")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/sequences_meta")
+    // ONE execution of the (two-aggregate) packSequences plan: cut
+    // the lineage, probe emptiness on the materialized snapshot, and
+    // write from it — probing the raw plan would run both shuffles
+    // once for the probe and again for the write
+    val cut = Dedup.tracked(Lineage.cut(seqs))
+    try {
+      // loud on empty: a poll where nothing newly closed has nothing
+      // to land (an empty parquet dir would also brick later reads,
+      // and the meta aggregate's sum would be null) — the caller
+      // skips the landing instead
+      require(!cut.isEmpty,
+        "writeSequences: no sequences to land (nothing newly " +
+          "closed?) — skip the landing instead of writing an empty " +
+          "artifact")
+      val w0 = cut.write.mode("overwrite")
+      groupCol.fold(w0)(g => w0.partitionBy(g))
+        .parquet(s"$path/sequences")
+      val m = spark.read.parquet(s"$path/sequences")
+        .agg(count(lit(1)).as("n"), sum(col("n_ids")).as("t"),
+          sequencesFold().as("d"))
+        .collect().head
+      Seq((m.getLong(0), m.getLong(1), m.getString(2), FoldAlgo))
+        .toDF("n_sequences", "n_ids", "digest", "fold_algo")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/sequences_meta")
+    } finally Lineage.free(cut)
   }
+
+  /** The attestation fold's algorithm tag, stored in the meta row so
+    * a future fold change VERSIONS instead of misdiagnosing every
+    * pre-change artifact as corrupt (the round-17 xor→sum switch is
+    * exactly the migration this guards; nothing persisted under the
+    * short-lived xor, so v1 is the first tagged format). */
+  private val FoldAlgo = "sum60v1"
 
   /** Order-insensitive artifact digest: SUM (exact, DECIMAL(38)) of
     * the per-row digests' first 15 hex digits (60 bits each; 10^9
@@ -482,14 +497,26 @@ object Sampling {
   def readSequences(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val seqs = spark.read.parquet(s"$path/sequences")
-    val meta = spark.read.parquet(s"$path/sequences_meta").collect()
+    val metaDf = spark.read.parquet(s"$path/sequences_meta")
+    val meta = metaDf.collect()
     require(meta.length == 1,
       s"sequences meta must hold exactly one row (got ${meta.length})")
+    // algorithm tag first: a fold-format mismatch is a VERSION
+    // problem, not corruption — refuse with the right diagnosis
+    val storedAlgo =
+      if (metaDf.columns.contains("fold_algo"))
+        meta.head.getAs[String]("fold_algo")
+      else "(untagged pre-v1)"
+    require(storedAlgo == FoldAlgo,
+      s"sequences meta was attested with fold '$storedAlgo' but this " +
+        s"reader verifies '$FoldAlgo' — re-land the artifact (or " +
+        "read it with the matching engine version); this is a format " +
+        "version mismatch, not corruption")
     val m = seqs.agg(count(lit(1)).as("n"), sum(col("n_ids")).as("t"),
       sequencesFold().as("d")).collect().head
     require(m.getLong(0) == meta.head.getLong(0) &&
       m.getLong(1) == meta.head.getLong(1) &&
-      m.getString(2) == meta.head.getString(2),
+      m.getString(2) == meta.head.getAs[String]("digest"),
       s"sequences artifact corrupt: stored (n=${meta.head.getLong(0)}," +
         s" ids=${meta.head.getLong(1)}, digest=${meta.head.getString(2)})" +
         s" vs read (n=${m.getLong(0)}, ids=${m.getLong(1)}," +

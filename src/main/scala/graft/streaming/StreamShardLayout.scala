@@ -172,7 +172,28 @@ object StreamShardLayout {
     // empty batch ⇒ an empty token stream) — probing the joined
     // result would execute the doc-keyed join twice, doubling the
     // one increment-sized shuffle this landing budgets for
-    if (!assigned.isEmpty)
+    if (!assigned.isEmpty) {
+      // per-batch coverage, validated AT INGEST where the failure is
+      // still remediable (replay the batch with the right stream) and
+      // both sides are in hand, increment-sized: every assigned
+      // document must contribute >= 1 token row, else its tokens
+      // would silently vanish from every later pack. A caller whose
+      // token stream legitimately drops whole documents (e.g. an
+      // id-encode null-filter under a frozen vocabulary) must drop
+      // them from the LAYOUT batch too — that is the correct fix, and
+      // this is the moment it's cheap to apply. Cost: one distinct
+      // projection + semi-join over the increment (the assigned side
+      // is cached).
+      val nAssigned = assigned.count()
+      val nWithTokens = tokens.select(col(idCol)).distinct()
+        .join(assigned.select(col(idCol)), Seq(idCol), "left_semi")
+        .count()
+      require(nWithTokens == nAssigned,
+        s"appendTokens batch $batchId: only $nWithTokens of " +
+          s"$nAssigned assigned documents have token rows — a " +
+          "document with zero tokens must be dropped from the layout " +
+          "batch too (its weight would shift offsets while its " +
+          "content vanishes from every pack)")
       tokens
         .select(col(idCol), col(posCol), col(tokenCol))
         .join(assigned.select(col(idCol),
@@ -180,6 +201,7 @@ object StreamShardLayout {
           Seq(idCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$layoutRoot/tokens/inc_b$batchId")
+    }
   }
 
   /** The trainer's view of the streamed layout — the cumulative
@@ -455,7 +477,8 @@ object StreamShardLayout {
   def packLandedShards(spark: SparkSession, layoutRoot: String,
       seqLen: Long, idCol: String = "doc_id", posCol: String = "pos",
       tokenCol: String = "token", fromShard: Long = 0L,
-      sep: Option[String] = None): DataFrame = {
+      sep: Option[String] = None,
+      verifyCoverage: Boolean = true): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val layoutRootP = new Path(s"$layoutRoot/layout")
     val tokensRootP = new Path(s"$layoutRoot/tokens")
@@ -490,39 +513,44 @@ object StreamShardLayout {
       .select(col(idCol), col(posCol), col(tokenCol),
         col("shard").cast("long").as("shard"), col("offset"))
       .where(col("shard") >= fromShard && col("shard") < open)
-    // (2) exact per-document coverage: a batch that only EXTENDED an
-    // already-token-bearing shard could skip appendTokens without
-    // creating a new shard directory, so the name check alone would
-    // pass while its documents silently vanish from the stream. The
-    // LAYOUT side comes from the trainer MANIFEST (per-shard n_docs —
-    // metadata the appends already landed, no layout-data scan); the
-    // TOKEN side is one distinct (doc, shard) count over the SAME
-    // pruned partitions the pack is about to read (column-pruned —
-    // cheaper than the pack itself). Equality holds because every
-    // document has >= 1 token in every engine tokenizer (OOV
-    // passthrough guarantees one piece per word), document ids are
+    // (2) exact per-document coverage (opt-out via verifyCoverage —
+    // e.g. a poll loop that trusts the appendTokens-time per-batch
+    // require, which is where the gap is actually created AND still
+    // remediable): a batch that only EXTENDED an already-token-bearing
+    // shard could have skipped appendTokens without creating a new
+    // shard directory, so the name check alone would pass while its
+    // documents silently vanish from the stream. The LAYOUT side
+    // comes from the trainer MANIFEST (per-shard n_docs — metadata
+    // the appends already landed, no layout-data scan); the TOKEN
+    // side is one distinct (doc, shard) count over the SAME pruned
+    // partitions the pack is about to read (column-pruned — cheaper
+    // than the pack itself). Equality holds because appendTokens
+    // refuses a batch with token-less documents, document ids are
     // unique per landing (the platform-wide id contract), and a
     // zero-weight doc never enters the layout.
-    val manDirs = liveDirs(fs, new Path(s"$layoutRoot/manifest"))
-    val nLayoutDocs =
-      if (manDirs.nonEmpty)
-        manDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-          .where(col("shard").cast("long") >= fromShard &&
-            col("shard").cast("long") < open)
-          .agg(coalesce(sum(col("n_docs")), lit(0L)))
-          .collect().head.getLong(0)
-      else // legacy layout without manifests: count the layout data
-        readLayoutDirs(spark, fs, layoutDirs)
-          .select(col(idCol), col("shard").cast("long").as("shard"))
-          .where(col("shard") >= fromShard && col("shard") < open)
-          .count()
-    val nTokenDocs = toks.select(col(idCol), col("shard"))
-      .distinct().count()
-    require(nTokenDocs == nLayoutDocs,
-      s"landed tokens cover $nTokenDocs (doc, shard) landings but " +
-        s"the layout holds $nLayoutDocs in shards [$fromShard, $open)" +
-        " — an ingest batch skipped appendTokens for documents that " +
-        "extended an existing shard; packing would silently drop them")
+    if (verifyCoverage) {
+      val manDirs = liveDirs(fs, new Path(s"$layoutRoot/manifest"))
+      val nLayoutDocs =
+        if (manDirs.nonEmpty)
+          manDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+            .where(col("shard").cast("long") >= fromShard &&
+              col("shard").cast("long") < open)
+            .agg(coalesce(sum(col("n_docs")), lit(0L)))
+            .collect().head.getLong(0)
+        else // legacy layout without manifests: count the layout data
+          readLayoutDirs(spark, fs, layoutDirs)
+            .select(col(idCol), col("shard").cast("long").as("shard"))
+            .where(col("shard") >= fromShard && col("shard") < open)
+            .count()
+      val nTokenDocs = toks.select(col(idCol), col("shard"))
+        .distinct().count()
+      require(nTokenDocs == nLayoutDocs,
+        s"landed tokens cover $nTokenDocs (doc, shard) landings but " +
+          s"the layout holds $nLayoutDocs in shards [$fromShard, " +
+          s"$open) — an ingest batch skipped appendTokens for " +
+          "documents that extended an existing shard; packing would " +
+          "silently drop them")
+    }
     packShardTokens(toks, seqLen, idCol, posCol, tokenCol, sep)
   }
 

@@ -296,6 +296,21 @@ class LayoutSpec extends SparkTestBase {
       graft.streaming.StreamShardLayout
         .packClosedShards(spark, fresh, toks, seqLen = 8L)
     }
+    // ingest-time coverage: a token stream missing a whole assigned
+    // document refuses AT appendTokens (where the batch can still be
+    // replayed), naming the count gap
+    val fresh2 = java.nio.file.Files
+      .createTempDirectory("graft_tokless").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, fresh2)
+    val part = docs.where(col("doc_id") < 10)
+    val a2 = graft.streaming.StreamShardLayout.appendIncrement(
+      part, fresh2, "doc_id", "n_tokens", shardWeight = 16L,
+      batchId = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamShardLayout.appendTokens(
+        toks.where(col("doc_id") < 9), a2, fresh2, batchId = 0L)
+    }
+    assert(e2.getMessage.contains("9 of 10"))
     graft.operators.Dedup.releaseIntermediates()
   }
 
