@@ -441,4 +441,38 @@ class PropertiesSpec extends SparkTestBase {
       got == expect
     }, n = 10)
   }
+
+  test("property: packTokens is the exact concat-and-split — counts " +
+      "preserved, every sequence but the last exactly full, per-doc " +
+      "order intact, global offsets consecutive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(Gen.choose(1, 9))
+      .map(_.take(12).zipWithIndex.map { case (n, i) => (i.toLong, n) })
+    check(Prop.forAll(docsGen, Gen.choose(2L, 7L)) { (docs, seqLen) =>
+      val toks = docs.flatMap { case (d, n) =>
+        (1 to n).map(p => (d, p.toLong, s"t${d}_$p")) }
+        .toDF("doc_id", "pos", "token")
+      val out = graft.operators.Sampling.packTokens(toks, seqLen)
+        .select($"doc_id", $"pos", $"seq", $"seq_off")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      graft.operators.Dedup.releaseIntermediates()
+      val total = docs.map(_._2).sum
+      // the global stream in (doc, pos) order gets gi = rank
+      val expected = docs.sortBy(_._1).flatMap { case (d, n) =>
+        (1 to n).map(p => (d, p.toLong)) }
+        .zipWithIndex.map { case ((d, p), gi) =>
+          (d, p, gi / seqLen, gi % seqLen) }.toSet
+      (out.length == total) :| "row count preserved" &&
+        (out.toSet == expected) :| "exact concat-and-split" &&
+        {
+          val bySeq = out.groupBy(_._3).view.mapValues(_.length).toMap
+          val last = bySeq.keys.max
+          bySeq.forall { case (s, n) =>
+            if (s == last) n >= 1 else n == seqLen }
+        } :| "every sequence but the last exactly full"
+    }, n = 30)
+  }
 }
