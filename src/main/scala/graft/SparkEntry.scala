@@ -3629,6 +3629,35 @@ object SparkEntry {
         .select(col("shard").cast("long").as("shard"), col("seq"),
           col("n_ids").as("n_tokens"), col("ids_digest"))
     }),
+    // ---- deterministic EPOCH SCHEDULE: the reproducible per-epoch
+    // shuffle over packed sequences — shards visited in
+    // md5(shard, epoch) order, sequences within a shard in
+    // md5(shard, seq, epoch) order (the two-level shuffle real
+    // loaders use: epochs decorrelate, shard boundaries never split,
+    // and the whole schedule is a pure function of
+    // (shard, seq, epoch, salt) — a training run's data order is
+    // auditable after the fact). Over the q247 shard pack.
+    "q266_epoch_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val asg = Sampling.shardAssign(counts, "doc_id", "n_tokens",
+        shardWeight = 5000L)
+      val toks = docs.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+        .join(asg.select(col("doc_id"), col("shard"), col("offset")),
+          Seq("doc_id"))
+      val packed = Sampling.packTokens(toks, seqLen = 512L,
+          groupCol = Some("shard"), orderCol = Some("offset"))
+        .select(col("shard"), col("seq")).distinct()
+      Sampling.epochSchedule(packed, epoch = 1L)
+        .select(col("shard"), col("seq"), col("shard_rank"),
+          col("seq_rank"))
+    }),
     // ---- CURRICULUM layout x LANDED PACK: the streamed curriculum
     // (q262's (batch, n_chars, id) order) composed with the
     // landed-token pack — shard k's sequences are strictly "earlier
@@ -6828,6 +6857,46 @@ object SparkEntry {
           |  CAST(before // 5000 AS BIGINT) AS shard,
           |  CAST(before % 5000 AS BIGINT) AS "offset"
           |FROM c""".stripMargin,
+      // the q247 pack CTEs -> distinct (shard, seq) -> the two-level
+      // epoch permutation: shard rank over md5(shard|epoch salt),
+      // seq rank per shard over md5(shard|seq|epoch salt)
+      "q266_epoch_schedule" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents),
+          |c AS (SELECT doc_id, k, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |a AS (SELECT doc_id, n,
+          |    coalesce(sum(n) OVER (ORDER BY k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM c),
+          |ds AS (SELECT doc_id, n,
+          |    CAST(before // 5000 AS BIGINT) AS shard,
+          |    before % 5000 AS off FROM a),
+          |st AS (SELECT doc_id, shard,
+          |    coalesce(sum(n) OVER (PARTITION BY shard
+          |      ORDER BY off, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM ds),
+          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT st.shard, strt + pos - 1 AS gi
+          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+          |pairs AS (SELECT DISTINCT shard,
+          |    CAST(gi // 512 AS BIGINT) AS seq FROM g),
+          |sr AS (SELECT shard, CAST(row_number() OVER (ORDER BY
+          |      md5(CAST(shard AS VARCHAR) || '|' || '1' || 'graft'),
+          |      CAST(shard AS VARCHAR)) AS BIGINT) AS shard_rank
+          |  FROM (SELECT DISTINCT shard FROM pairs))
+          |SELECT pairs.shard, seq, shard_rank,
+          |  CAST(row_number() OVER (PARTITION BY pairs.shard ORDER BY
+          |    md5(CAST(pairs.shard AS VARCHAR) || '|' ||
+          |      CAST(seq AS VARCHAR) || '|' || '1' || 'graft'),
+          |    seq) AS BIGINT) AS seq_rank
+          |FROM pairs JOIN sr USING (shard)""".stripMargin,
       // the q256 pack replica with the curriculum order: the shard
       // window runs over (batch, n_chars, id) instead of
       // (batch, md5, id)

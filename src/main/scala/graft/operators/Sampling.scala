@@ -524,6 +524,40 @@ object Sampling {
     seqs
   }
 
+  /** Deterministic EPOCH SCHEDULE over packed training sequences —
+    * the reproducible per-epoch shuffle a loader applies WITHOUT a
+    * global sort: shards are visited in md5(shard, epoch) order and
+    * sequences within a shard in md5(shard, seq, epoch) order — the
+    * standard two-level shuffle real loaders use (shard-level +
+    * intra-shard), which decorrelates epochs while never permuting
+    * across shard boundaries, so a distributed loader still reads
+    * whole shards sequentially. `shard_rank` ranks the DISTINCT shard
+    * set ([[Analytics.distributedRank]]: one narrow row per shard,
+    * never the data, no single-partition window); `seq_rank` is one
+    * shard-keyed window over shard-BOUNDED partitions. The schedule
+    * is a pure function of (shard, seq, epoch, salt) — same epoch ⇒
+    * same order on any cluster and in any engine that can md5, which
+    * is what makes a training run's data order auditable after the
+    * fact. */
+  def epochSchedule(seqs: DataFrame, epoch: Long,
+      salt: String = "graft", shardCol: String = "shard",
+      seqCol: String = "seq"): DataFrame = {
+    val ek = lit(epoch.toString)
+    val shardRanks = Analytics.distributedRank(
+      seqs.select(col(shardCol)).distinct()
+        .withColumn("__k", md5(concat(col(shardCol).cast("string"),
+          lit("|"), ek, lit(salt)))),
+      Seq(col("__k").asc, col(shardCol).cast("string").asc),
+      rankCol = "shard_rank")
+      .select(col(shardCol), col("shard_rank"))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(md5(concat(col(shardCol).cast("string"), lit("|"),
+        col(seqCol).cast("string"), lit("|"), ek, lit(salt))).asc,
+        col(seqCol).asc)
+    seqs.join(shardRanks, Seq(shardCol))
+      .withColumn("seq_rank", row_number().over(w).cast("long"))
+  }
+
   /** The [[shardAssign]] two-pass running sum over an arbitrary
     * summary frame: sort by `sortCols`, collect ONE long per partition
     * (the bounded job), broadcast the prefix offsets back, emit the

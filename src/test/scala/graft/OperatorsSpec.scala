@@ -1144,6 +1144,30 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("epochSchedule: ranks complete per level, same epoch " +
+      "reproduces exactly, different epochs permute") {
+    val pairs = (for (s <- 0L to 3L; q <- 0L to 4L) yield (s, q))
+      .toDF("shard", "seq")
+    def sched(e: Long) = Sampling.epochSchedule(pairs, epoch = e)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"))
+        -> (r.getAs[Long]("shard_rank"), r.getAs[Long]("seq_rank")))
+      .toMap
+    val e1 = sched(1L)
+    // complete: shard ranks are a permutation of 1..4, seq ranks 1..5
+    // within every shard
+    assert(e1.values.map(_._1).toSet == (1L to 4L).toSet)
+    (0L to 3L).foreach { s =>
+      assert(e1.collect { case ((sh, _), (_, r)) if sh == s => r }
+        .toSet == (1L to 5L).toSet)
+    }
+    // deterministic: the same epoch replays bit for bit
+    assert(sched(1L) == e1)
+    // decorrelated: another epoch is a different permutation
+    val e2 = sched(2L)
+    assert(e2 != e1)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("ewmMean matches the closed-form truncated weights") {
     val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
       .toDF("g", "i", "v")
