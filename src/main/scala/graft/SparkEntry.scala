@@ -3518,11 +3518,18 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
         m, byteFallback = true)
-      // the eos special token takes the next free id after the
-      // vocabulary (the standard special-token convention); the
-      // vocab is alphabet-bounded, so the max is a bounded collect
-      val eosId = vocab.agg(max(col("token_id"))).collect()
-        .head.getLong(0) + 1
+      // the eos id comes from the PERSISTED special-token registry
+      // (round 18): land the vocab artifact WITH its registry, read
+      // the registry back digest-verified, and validate it against
+      // the vocab in hand — never re-derive max(token_id) + 1 at the
+      // call site (a stale derivation silently collides with real
+      // vocabulary ids)
+      val vpath =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_seqvocab"
+      graft.operators.Tokenizer.writeBpeVocab(s, vpath, vocab,
+        specials = Seq("eos"))
+      val eosId = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
+        .validateAgainst(vocab).eos
       val ids = graft.operators.Tokenizer
         .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
           byteFallback = true)
@@ -3590,10 +3597,14 @@ object SparkEntry {
       graft.operators.Tokenizer.writeBpeVocab(s, mpath,
         graft.operators.Tokenizer.bpeVocabulary(pc, "text",
           model.merges, unicode = model.unicode,
-          byteFallback = model.byteFallback))
+          byteFallback = model.byteFallback),
+        specials = Seq("eos"))
       val vocab = graft.operators.Tokenizer.readBpeVocab(s, mpath)
-      val eosId = vocab.agg(max(col("token_id"))).collect()
-        .head.getLong(0) + 1
+      // eos from the persisted REGISTRY (round 18), validated against
+      // the read-back vocab — the trainer contract, not a re-derived
+      // max(token_id) + 1 convention
+      val eosId = graft.operators.Tokenizer.readBpeSpecials(s, mpath)
+        .validateAgainst(vocab).eos
       val counts = graft.operators.Tokenizer
         .bpeTokenCounts(pc, "text", "doc_id", model.merges,
           unicode = model.unicode, byteFallback = model.byteFallback)
@@ -3657,6 +3668,34 @@ object SparkEntry {
       Sampling.epochSchedule(packed, epoch = 1L)
         .select(col("shard"), col("seq"), col("shard_rank"),
           col("seq_rank"))
+    }),
+    // ---- SPECIAL-TOKEN REGISTRY (round 18): the vocabulary artifact
+    // carries NAMED reserved ids directly above the vocabulary plus
+    // the embedding size — the trainer contract that retires the
+    // re-derived max(token_id)+1 eos convention (two independent
+    // derivations against different vocabs silently collide a
+    // boundary token with a real id; the registry makes it an
+    // attested artifact field). The q-entry lands the artifact WITH
+    // its registry and reads it back digest- and
+    // consistency-verified; the oracle re-derives the reserved block
+    // from the vocab CTEs alone. SIDE-EFFECTING (artifact writes).
+    "q267_special_registry" -> ((s, dir) => {
+      import s.implicits._
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
+        m, byteFallback = true)
+      val vpath =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_registry"
+      graft.operators.Tokenizer.writeBpeVocab(s, vpath, vocab,
+        specials = Seq("eos", "pad"))
+      val reg = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
+        .validateAgainst(vocab)
+      reg.ids.toSeq.sortBy(_._2)
+        .map { case (n, id) => (n, id, reg.embeddingSize) }
+        .toDF("name", "token_id", "embedding_size")
     }),
     // ---- CURRICULUM layout x LANDED PACK: the streamed curriculum
     // (q262's (batch, n_chars, id) order) composed with the
@@ -6687,6 +6726,21 @@ object SparkEntry {
            |UNION ALL
            |SELECT token_id, token, FALSE AS is_base FROM vmerge""".stripMargin,
       "q254_bpe_encode_ids" -> bpeEncodeIdsSql,
+      // the registry re-derived from the vocab CTEs alone: reserved
+      // ids are contiguous above max(token_id) in registration order
+      // (eos, pad), embedding size = max reserved + 1
+      "q267_special_registry" ->
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token_id FROM vbase
+           |  UNION ALL SELECT token_id FROM vmerge),
+           |mx AS (SELECT max(token_id) AS m FROM vv)
+           |SELECT 'eos' AS name, m + 1 AS token_id,
+           |  m + 3 AS embedding_size FROM mx
+           |UNION ALL
+           |SELECT 'pad', m + 2, m + 3 FROM mx""".stripMargin,
       "q257_bpe_artifact_ids" -> bpeEncodeIdsSql,
       "q255_pack_ids" -> {
         val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
@@ -6888,13 +6942,14 @@ object SparkEntry {
           |pairs AS (SELECT DISTINCT shard,
           |    CAST(gi // 512 AS BIGINT) AS seq FROM g),
           |sr AS (SELECT shard, CAST(row_number() OVER (ORDER BY
-          |      md5(CAST(shard AS VARCHAR) || '|' || '1' || 'graft'),
+          |      md5(CAST(shard AS VARCHAR) || '|' || '1' || '|'
+          |        || 'graft'),
           |      CAST(shard AS VARCHAR)) AS BIGINT) AS shard_rank
           |  FROM (SELECT DISTINCT shard FROM pairs))
           |SELECT pairs.shard, seq, shard_rank,
           |  CAST(row_number() OVER (PARTITION BY pairs.shard ORDER BY
           |    md5(CAST(pairs.shard AS VARCHAR) || '|' ||
-          |      CAST(seq AS VARCHAR) || '|' || '1' || 'graft'),
+          |      CAST(seq AS VARCHAR) || '|' || '1' || '|' || 'graft'),
           |    seq) AS BIGINT) AS seq_rank
           |FROM pairs JOIN sr USING (shard)""".stripMargin,
       // the q256 pack replica with the curriculum order: the shard

@@ -318,12 +318,16 @@ object Sampling {
     // and corrupt seq/seq_off. Validating would cost an extra
     // aggregate per call; the shard layouts satisfy it by
     // construction, and OperatorsSpec pins the fragmenting shape.
+    // posCol contiguity, by contrast, IS validated (the guard below
+    // rides the existing aggregate for free).
     require(seqLen > 0, s"seqLen must be > 0 (got $seqLen)")
     require(orderCol.isEmpty || groupCol.nonEmpty,
       "orderCol orders documents WITHIN a group; pass groupCol with it")
     val docKeys = (groupCol.toSeq ++ orderCol.toSeq :+ docIdCol).distinct
+    // __maxpos rides the same aggregate for the contiguity guard
+    // below — zero extra passes
     val counts = tokens.groupBy(docKeys.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n"), max(col(posCol)).as("__maxpos"))
     val starts = groupCol match {
       case Some(g) =>
         val w = Window.partitionBy(col(g))
@@ -335,12 +339,34 @@ object Sampling {
         runningStarts(counts, orderCol.toSeq :+ docIdCol)
     }
     val joinKeys = (groupCol.toSeq :+ docIdCol).distinct
-    val gi = col("__start") + col(posCol) - 1
-    tokens.join(starts.select((joinKeys.map(col) :+ col("__start")): _*),
-        joinKeys)
+    // POSITION-CONTIGUITY GUARD: gi = __start + pos - 1 is only the
+    // concat-and-split when posCol is 1-based consecutive per doc —
+    // an upstream filter that drops tokens MID-document (the classic
+    // case: a null-id filter under a frozen vocabulary encoding
+    // unseen text) leaves pos gaps that would silently produce holey
+    // / overlapping (seq, seq_off) slots. max(pos) == count(pos)
+    // catches every gap and every head-drop (both ride the counts
+    // aggregate — no extra pass); the check is embedded in the seq
+    // expression so column pruning can never drop it, and it raises
+    // per-row with the offending doc named. Callers that legitimately
+    // filter must re-derive positions (row_number over the doc in pos
+    // order) before packing.
+    val guard = coalesce(
+      assert_true(col("__maxpos") === col("__n"),
+        concat(lit("packTokens: non-contiguous positions in document "),
+          col(docIdCol).cast("string"),
+          lit(s" — max($posCol)="), col("__maxpos").cast("string"),
+          lit(" vs token count="), col("__n").cast("string"),
+          lit(s"; $posCol must be 1-based consecutive (an upstream " +
+            "filter dropped tokens mid-document? re-derive positions " +
+            "with row_number before packing)"))).cast("long"),
+      lit(0L))
+    val gi = col("__start") + col(posCol) - 1 + guard
+    tokens.join(starts.select((joinKeys.map(col) :+ col("__start") :+
+        col("__n") :+ col("__maxpos")): _*), joinKeys)
       .withColumn("seq", (gi / seqLen).cast("long"))
       .withColumn("seq_off", (gi % seqLen).cast("long"))
-      .drop("__start")
+      .drop("__start", "__n", "__maxpos")
   }
 
   /** Append one SEPARATOR token (an EOS/document-boundary marker) to
@@ -512,8 +538,13 @@ object Sampling {
         s"reader verifies '$FoldAlgo' — re-land the artifact (or " +
         "read it with the matching engine version); this is a format " +
         "version mismatch, not corruption")
-    val m = seqs.agg(count(lit(1)).as("n"), sum(col("n_ids")).as("t"),
-      sequencesFold().as("d")).collect().head
+    // coalesce the sum/fold: a tampered directory holding ZERO rows
+    // yields null aggregates that would NPE at getLong before the
+    // corrupt-artifact require could fire — refuse with the same
+    // descriptive diagnosis instead
+    val m = seqs.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("n_ids")), lit(0L)).as("t"),
+      coalesce(sequencesFold(), lit("(empty)")).as("d")).collect().head
     require(m.getLong(0) == meta.head.getLong(0) &&
       m.getLong(1) == meta.head.getLong(1) &&
       m.getString(2) == meta.head.getAs[String]("digest"),
@@ -543,16 +574,21 @@ object Sampling {
       salt: String = "graft", shardCol: String = "shard",
       seqCol: String = "seq"): DataFrame = {
     val ek = lit(epoch.toString)
+    // '|' between EVERY component (epoch|salt included): without the
+    // last delimiter (epoch=1, salt="2x") and (epoch=12, salt="x")
+    // would collide, breaking the documented purity-injectivity of
+    // (shard, seq, epoch, salt)
     val shardRanks = Analytics.distributedRank(
       seqs.select(col(shardCol)).distinct()
         .withColumn("__k", md5(concat(col(shardCol).cast("string"),
-          lit("|"), ek, lit(salt)))),
+          lit("|"), ek, lit("|"), lit(salt)))),
       Seq(col("__k").asc, col(shardCol).cast("string").asc),
       rankCol = "shard_rank")
       .select(col(shardCol), col("shard_rank"))
     val w = Window.partitionBy(col(shardCol))
       .orderBy(md5(concat(col(shardCol).cast("string"), lit("|"),
-        col(seqCol).cast("string"), lit("|"), ek, lit(salt))).asc,
+        col(seqCol).cast("string"), lit("|"), ek, lit("|"),
+        lit(salt))).asc,
         col(seqCol).asc)
     seqs.join(shardRanks, Seq(shardCol))
       .withColumn("seq_rank", row_number().over(w).cast("long"))

@@ -431,15 +431,25 @@ object Tokenizer {
       .where(length(col("t")) > 0)
       .distinct()
     // bound BEFORE the collect (a post-collect require would OOM the
-    // driver first on a genuinely dirty in-class corpus): limit to
-    // one row past the cap — a bounded job either way
-    val probe = baseDf.limit((1 << 21) + 1).collect()
-    require(probe.length <= (1 << 21),
-      s"base symbol inventory exceeds 2^21 rows: an in-class-mode " +
-        "vocabulary over a dirty corpus collects one row per " +
-        "distinct OOV word — use byteFallback = true for a closed, " +
-        "alphabet-bounded vocabulary")
-    val base = probe.map(_.getString(0))
+    // driver first on a genuinely dirty in-class corpus) WITHOUT a
+    // CollectLimit: `limit(2^21+1).collect()` executes incrementally
+    // (1, then 4, 16, … partitions until the limit is satisfied) and
+    // the limit here always exceeds the data, so it re-read the
+    // distinct's shuffle as several extra jobs per call — the
+    // round-17 cost residue on the q253–q257 family. Persist the
+    // distinct once, COUNT it (a bounded aggregate that materializes
+    // the cache and can never OOM the driver), refuse past the cap,
+    // then collect from the cache — one full job plus one cache scan.
+    val snap = baseDf.persist()
+    val base = try {
+      val n = snap.count()
+      require(n <= (1 << 21),
+        s"base symbol inventory exceeds 2^21 rows ($n): an " +
+          "in-class-mode vocabulary over a dirty corpus collects one " +
+          "row per distinct OOV word — use byteFallback = true for a " +
+          "closed, alphabet-bounded vocabulary")
+      snap.collect().map(_.getString(0))
+    } finally snap.unpersist()
     def u8cmp(a: String, b: String): Boolean = {
       val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -464,26 +474,162 @@ object Tokenizer {
       .toDF("token_id", "token", "is_base")
   }
 
+  /** The SPECIAL-TOKEN REGISTRY of a persisted vocabulary artifact —
+    * the contract that turns "eos = max(token_id) + 1" from a
+    * convention every caller re-derives (and can re-derive against
+    * the WRONG vocab, silently colliding a boundary token with a real
+    * vocabulary id) into an attested part of the artifact: named
+    * reserved ids directly above the vocabulary, plus the
+    * `embeddingSize` (= max reserved id + 1) a trainer sizes its
+    * embedding table with instead of computing. */
+  final case class BpeSpecials(ids: Map[String, Long],
+      embeddingSize: Long) {
+    require(ids.contains("eos"), "special-token registry must name eos")
+    def eos: Long = ids("eos")
+    def pad: Option[Long] = ids.get("pad")
+    def bos: Option[Long] = ids.get("bos")
+    def unk: Option[Long] = ids.get("unk")
+    /** The stale-registry guard: refuse a vocabulary whose ids reach
+      * into (or past) this registry's reserved block — encoding under
+      * a NEWER, larger vocab with a stale registry would silently
+      * collide the boundary token with a real vocabulary id. Bounded:
+      * one max over the alphabet-bounded vocab. */
+    def validateAgainst(vocab: DataFrame): BpeSpecials = {
+      val maxId = vocab.agg(max(col("token_id"))).collect()
+        .head.getLong(0)
+      require(ids.values.min > maxId,
+        s"stale special-token registry: reserved ids start at " +
+          s"${ids.values.min} but the vocabulary's max token_id is " +
+          s"$maxId — the registry was derived from a DIFFERENT " +
+          "(smaller) vocabulary; encoding would collide special " +
+          "tokens with real vocabulary ids. Re-land the vocab " +
+          "artifact with its registry")
+      require(embeddingSize == ids.values.max + 1,
+        s"corrupt special-token registry: embeddingSize " +
+          s"$embeddingSize != max reserved id ${ids.values.max} + 1")
+      this
+    }
+  }
+
   /** Persist a [[bpeVocabulary]] beside its model artifact — the id
     * mapping is part of the trainer contract (embeddings are indexed
     * by these ids; re-deriving them on another corpus would renumber
     * everything), so it ships with the merges it was derived from:
     * `path/vocab` (token_id, token, is_base) + `path/vocab_meta`
     * (count + content digest, re-verified on read exactly as
-    * [[readBpeModel]] does). */
+    * [[readBpeModel]] does). The no-specials form writes a LEGACY
+    * artifact (no registry block); production vocabularies should use
+    * the registry overload so eos/pad ids are a contract, not a
+    * re-derived convention. */
   def writeBpeVocab(spark: org.apache.spark.sql.SparkSession,
       path: String, vocab: DataFrame): Unit = {
+    writeBpeVocab(spark, path, vocab, specials = Seq.empty)
+    ()
+  }
+
+  /** [[writeBpeVocab]] WITH the special-token registry: `specials`
+    * names (must include "eos"; "pad"/"bos"/"unk" and any other
+    * trainer-defined names optional) receive RESERVED ids directly
+    * above the vocabulary in the given order, and the meta row
+    * records the registry digest plus `embedding_size` (= max
+    * reserved id + 1). [[readBpeSpecials]] re-verifies all of it;
+    * the returned registry is what the caller threads into
+    * sequence packing (`sep = specials.eos.toString`) instead of
+    * re-deriving max+1. */
+  def writeBpeVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String, vocab: DataFrame,
+      specials: Seq[String]): Option[BpeSpecials] = {
     import spark.implicits._
     val rows = vocab.select(col("token_id"), col("token"),
         col("is_base")).orderBy("token_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
     require(rows.nonEmpty && rows.length <= (1 << 21),
       s"vocab must be 1..2^21 rows (got ${rows.length})")
+    require(specials.isEmpty ||
+      (specials.contains("eos") && specials.distinct == specials &&
+        specials.forall(n => n.nonEmpty && !n.contains(":") &&
+          !n.contains("\n"))),
+      s"specials must be distinct ':'-free names including 'eos' " +
+        s"(got ${specials.mkString(",")})")
     rows.toSeq.toDF("token_id", "token", "is_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
-    Seq((rows.length.toLong, vocabDigest(rows)))
-      .toDF("n_tokens", "digest")
+    val maxId = rows.last._1
+    val reserved = specials.zipWithIndex
+      .map { case (n, i) => (n, maxId + 1 + i.toLong) }
+    val reg =
+      if (specials.isEmpty) None
+      else {
+        reserved.toDF("name", "token_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/specials")
+        Some(BpeSpecials(reserved.toMap, maxId + 1 + specials.size))
+      }
+    Seq((rows.length.toLong, vocabDigest(rows),
+        specials.size.toLong,
+        reg.map(_.embeddingSize).getOrElse(rows.length.toLong),
+        specialsDigest(reserved)))
+      .toDF("n_tokens", "digest", "n_specials", "embedding_size",
+        "specials_digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab_meta")
+    reg
+  }
+
+  private def specialsDigest(
+      reserved: Seq[(String, Long)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    reserved.foreach { case (n, id) =>
+      md.update(s"$n:$id\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Load the special-token registry of a [[writeBpeVocab]] artifact,
+    * digest- and consistency-verified: the reserved block must sit
+    * CONTIGUOUSLY directly above the vocabulary's max id (a registry
+    * whose reserved ids overlap or float above the vocab was derived
+    * from a different vocab — the silent-collision hazard this
+    * registry exists to kill) and `embedding_size` must equal the max
+    * reserved id + 1. REFUSES a legacy artifact with no registry
+    * block: a caller about to pack with an eos id must not fall back
+    * to re-deriving max(token_id) + 1. */
+  def readBpeSpecials(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeSpecials = {
+    val metaDf = spark.read.parquet(s"$path/vocab_meta")
+    val meta = metaDf.collect()
+    require(meta.length == 1,
+      s"vocab meta must hold exactly one row (got ${meta.length})")
+    require(metaDf.columns.contains("n_specials") &&
+      meta.head.getAs[Long]("n_specials") > 0L,
+      s"vocabulary artifact at $path has NO special-token registry — " +
+        "it was landed with the legacy no-specials writeBpeVocab. " +
+        "Re-land it with writeBpeVocab(..., specials = Seq(\"eos\", " +
+        "...)); do NOT fall back to re-deriving eos as " +
+        "max(token_id) + 1 (a stale derivation collides with real " +
+        "vocabulary ids)")
+    val nSpecials = meta.head.getAs[Long]("n_specials")
+    val reserved = spark.read.parquet(s"$path/specials")
+      .select(col("name"), col("token_id")).orderBy("token_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val stored = meta.head.getAs[String]("specials_digest")
+    val computed = specialsDigest(reserved)
+    require(reserved.size.toLong == nSpecials && stored == computed,
+      s"special-token registry corrupt: stored n=$nSpecials/" +
+        s"digest=$stored, read n=${reserved.size}/digest=$computed")
+    val maxVocabId = spark.read.parquet(s"$path/vocab")
+      .agg(max(col("token_id"))).collect().head.getLong(0)
+    val ids = reserved.map(_._2)
+    require(ids.min == maxVocabId + 1 &&
+      ids.max == maxVocabId + reserved.size,
+      s"special-token registry inconsistent with its vocabulary: " +
+        s"reserved ids [${ids.min}, ${ids.max}] must sit contiguously " +
+        s"above max vocab id $maxVocabId — the vocab table was " +
+        "re-landed without its registry (stale registry, silent " +
+        "eos collision)")
+    val embeddingSize = meta.head.getAs[Long]("embedding_size")
+    require(embeddingSize == ids.max + 1,
+      s"special-token registry corrupt: embedding_size " +
+        s"$embeddingSize != max reserved id ${ids.max} + 1")
+    BpeSpecials(reserved.toMap, embeddingSize)
   }
 
   private def vocabDigest(

@@ -182,18 +182,40 @@ object StreamShardLayout {
       // id-encode null-filter under a frozen vocabulary) must drop
       // them from the LAYOUT batch too — that is the correct fix, and
       // this is the moment it's cheap to apply. Cost: one distinct
-      // projection + semi-join over the increment (the assigned side
+      // projection + one join over the increment (the assigned side
       // is cached).
       val nAssigned = assigned.count()
-      val nWithTokens = tokens.select(col(idCol)).distinct()
-        .join(assigned.select(col(idCol)), Seq(idCol), "left_semi")
-        .count()
+      // BOTH directions in one pass over the distinct token-doc set
+      // (a left join to the cached assignment, then matched vs total
+      // counts): (a) every assigned doc has token rows — else its
+      // tokens silently vanish from every pack; (b) every token doc
+      // IS assigned — else a mis-scoped token stream (tokens from the
+      // wrong micro-batch) would partially land, the extras silently
+      // discarded by the landing join below
+      val tokDocs = tokens.select(col(idCol)).distinct()
+        .join(assigned.select(col(idCol), lit(1).as("__a")),
+          Seq(idCol), "left")
+      val cov = tokDocs.agg(count(lit(1)).as("n_tok"),
+        count(col("__a")).as("n_match")).collect().head
+      val (nTokenDocs, nWithTokens) = (cov.getLong(0), cov.getLong(1))
       require(nWithTokens == nAssigned,
         s"appendTokens batch $batchId: only $nWithTokens of " +
           s"$nAssigned assigned documents have token rows — a " +
           "document with zero tokens must be dropped from the layout " +
           "batch too (its weight would shift offsets while its " +
           "content vanishes from every pack)")
+      if (nTokenDocs != nWithTokens) {
+        // failure path only: name a few of the extras
+        val extras = tokDocs.where(col("__a").isNull)
+          .select(col(idCol).cast("string")).limit(5).collect()
+          .map(_.getString(0)).mkString(", ")
+        throw new IllegalArgumentException(
+          s"requirement failed: appendTokens batch $batchId: the " +
+            s"token stream holds ${nTokenDocs - nWithTokens} " +
+            s"document(s) NOT in the assigned batch (e.g. $extras) " +
+            "— a mis-scoped token stream (wrong micro-batch?); the " +
+            "landing join would silently discard their rows")
+      }
       tokens
         .select(col(idCol), col(posCol), col(tokenCol))
         .join(assigned.select(col(idCol),

@@ -521,6 +521,74 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("special-token registry: reserved ids land contiguously above " +
+      "the vocab and round-trip digest-verified; a stale registry " +
+      "against a larger vocab refuses; a legacy artifact refuses " +
+      "readBpeSpecials") {
+    val docs = Seq((1L, "ab ab a'b cd cd ce")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 2, byteFallback = true).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.operators.Tokenizer.bpeVocabulary(docs, "text",
+      m, byteFallback = true)
+    val maxId = vocab.agg(max(col("token_id"))).collect()
+      .head.getLong(0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpespecials").toString
+    val reg0 = graft.operators.Tokenizer.writeBpeVocab(spark, dir,
+      vocab, specials = Seq("eos", "pad", "bos")).get
+    val reg = graft.operators.Tokenizer.readBpeSpecials(spark, dir)
+    // read-back equals write-time registration: contiguous reserved
+    // block in registration order, embedding size = max reserved + 1
+    assert(reg == reg0)
+    assert(reg.eos == maxId + 1 && reg.pad.contains(maxId + 2) &&
+      reg.bos.contains(maxId + 3) && reg.unk.isEmpty &&
+      reg.embeddingSize == maxId + 4)
+    // validateAgainst the SAME vocab passes (fluent)
+    assert(reg.validateAgainst(vocab).eos == reg.eos)
+    // STALE-REGISTRY COLLISION: a larger vocabulary (more merges ->
+    // higher max id) under the old registry would collide eos with a
+    // real id — refused loudly
+    val m2 = graft.operators.Tokenizer.bpeMerges(docs, "text",
+        merges = 5, byteFallback = true).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab2 = graft.operators.Tokenizer.bpeVocabulary(docs, "text",
+      m2, byteFallback = true)
+    assert(vocab2.agg(max(col("token_id"))).collect()
+      .head.getLong(0) >= reg.eos, "fixture must create the collision")
+    val eStale = intercept[IllegalArgumentException] {
+      reg.validateAgainst(vocab2)
+    }
+    assert(eStale.getMessage.contains("stale"), eStale.getMessage)
+    // the artifact-level twin: re-land the vocab table WITHOUT its
+    // registry (the torn-update scenario) — readBpeSpecials'
+    // contiguity check refuses
+    graft.operators.Tokenizer.bpeVocabulary(docs, "text", m2,
+        byteFallback = true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    // (vocab digest now mismatches too, but specials consistency is
+    // checked against the vocab table directly)
+    intercept[IllegalArgumentException] {
+      graft.operators.Tokenizer.readBpeSpecials(spark, dir)
+    }
+    // LEGACY artifact (no registry block): readBpeSpecials refuses
+    // with remediation, never falls back to max+1
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_bpelegacy").toString
+    graft.operators.Tokenizer.writeBpeVocab(spark, legacy, vocab)
+    val eLegacy = intercept[IllegalArgumentException] {
+      graft.operators.Tokenizer.readBpeSpecials(spark, legacy)
+    }
+    assert(eLegacy.getMessage.contains("NO special-token registry"),
+      eLegacy.getMessage)
+    // eos must be present in the registration
+    intercept[IllegalArgumentException] {
+      graft.operators.Tokenizer.writeBpeVocab(spark, legacy, vocab,
+        specials = Seq("pad"))
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("BpeSeqApplier: one-call round application equals the chained " +
       "per-merge replaces (left-to-right non-overlapping, in order)") {
     import org.apache.spark.unsafe.types.UTF8String

@@ -311,6 +311,15 @@ class LayoutSpec extends SparkTestBase {
         toks.where(col("doc_id") < 9), a2, fresh2, batchId = 0L)
     }
     assert(e2.getMessage.contains("9 of 10"))
+    // the OTHER direction: a mis-scoped token stream carrying docs
+    // NOT in the assigned batch refuses too (the landing join would
+    // silently discard their rows), naming some of the extras
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamShardLayout.appendTokens(
+        toks, a2, fresh2, batchId = 0L)
+    }
+    assert(e3.getMessage.contains("NOT in the assigned batch"),
+      e3.getMessage)
     graft.operators.Dedup.releaseIntermediates()
   }
 
@@ -504,6 +513,16 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.readSequences(spark, path)
     }
+    // zero-row tamper refuses with the same descriptive diagnosis —
+    // not an NPE from the null sum aggregate
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1), df.schema)
+      .write.mode("overwrite").parquet(s"$path/sequences")
+    val ez = intercept[IllegalArgumentException] {
+      Sampling.readSequences(spark, path)
+    }
+    assert(ez.getMessage.contains("corrupt"), ez.getMessage)
     graft.operators.Dedup.releaseIntermediates()
   }
 

@@ -1096,6 +1096,28 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("packTokens refuses non-contiguous positions — a mid-document " +
+      "gap (e.g. an upstream null-id filter) raises naming the doc " +
+      "instead of silently packing holey sequences") {
+    val gapped = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 4L, "d"), // pos 3 missing
+      (2L, 1L, "c"), (2L, 2L, "e")).toDF("doc_id", "pos", "token")
+    val e = intercept[Exception] {
+      Sampling.packTokens(gapped, 2L).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("non-contiguous"), msgs(e))
+    // a head-drop (pos 2..n) is caught by the same max==count guard
+    val headless = Seq((1L, 2L, "b"), (1L, 3L, "c"))
+      .toDF("doc_id", "pos", "token")
+    val e2 = intercept[Exception] {
+      Sampling.packTokens(headless, 2L).collect()
+    }
+    assert(msgs(e2).contains("non-contiguous"), msgs(e2))
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("shardAssignOrdered: documents stream in (score, id) order — " +
       "curriculum-monotone shards, running-weight offsets") {
     val rows = Seq((1L, 5L, 30L), (2L, 5L, 10L), (3L, 5L, 20L),
@@ -1165,6 +1187,17 @@ class OperatorsSpec extends SparkTestBase {
     // decorrelated: another epoch is a different permutation
     val e2 = sched(2L)
     assert(e2 != e1)
+    // delimiter injectivity: (epoch=1, salt="2graft") and
+    // (epoch=12, salt="graft") must NOT collide — the '|' between
+    // the epoch and salt hash components keeps (epoch, salt) → key
+    // injective
+    def schedS(e: Long, s: String) =
+      Sampling.epochSchedule(pairs, epoch = e, salt = s)
+        .collect().map(r => (r.getAs[Long]("shard"),
+          r.getAs[Long]("seq"))
+          -> (r.getAs[Long]("shard_rank"), r.getAs[Long]("seq_rank")))
+        .toMap
+    assert(schedS(1L, "2graft") != schedS(12L, "graft"))
     graft.operators.Dedup.releaseIntermediates()
   }
 
