@@ -62,7 +62,9 @@ object SparkEntry {
     "q256_stream_pack_closed", "q257_bpe_artifact_ids",
     "q259_pack_landed", "q260_stream_pack_spans",
     "q261_sequences_artifact", "q262_curriculum_stream",
-    "q264_stream_sequences_capstone", "q265_curriculum_pack")
+    "q264_stream_sequences_capstone", "q265_curriculum_pack",
+    "q267_special_registry", "q268_padded_sequences",
+    "q269_loader_consume")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3697,6 +3699,88 @@ object SparkEntry {
         .map { case (n, id) => (n, id, reg.embeddingSize) }
         .toDF("name", "token_id", "embedding_size")
     }),
+    // ---- LOADER-FINAL padded sequences (round 18): the q261
+    // artifact with the tail sequence right-padded to seqLen using
+    // the REGISTERED pad id (the special-token registry, q267) — so
+    // every row's ids array is the fixed length a trainer mmaps with
+    // no loader-side branch; n_ids still records the real length and
+    // the digest attests the ids AS LANDED (pad included).
+    // SIDE-EFFECTING (artifact writes).
+    "q268_padded_sequences" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
+        m, byteFallback = true)
+      val vpath =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_padvocab"
+      graft.operators.Tokenizer.writeBpeVocab(s, vpath, vocab,
+        specials = Seq("eos", "pad"))
+      val reg = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
+        .validateAgainst(vocab)
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
+      val withSep = Sampling.appendDocSeparator(ids, reg.eos.toString,
+        keys = Seq("doc_id"))
+      val packed = Sampling.packTokens(withSep, seqLen = 64L)
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_padseq"
+      Sampling.writeSequences(Sampling.packSequences(packed,
+        padTo = Some((64L, reg.pad.get))), path)
+      Sampling.readSequences(s, path)
+        .select(col("seq"), col("n_ids").as("n_tokens"),
+          size(col("ids")).cast("long").as("n_landed"),
+          col("ids_digest"))
+    }),
+    // ---- LOADER CONSUMPTION with a RESUMABLE CURSOR (round 18): the
+    // consumed stream a trainer's loader actually walks — the q266
+    // epoch schedule composed over a LANDED sequences artifact
+    // (attested read-back), resumed strictly after a persisted
+    // (epoch, shard_rank, seq_rank) cursor — the trainer-restart
+    // story: re-read nothing, skip nothing. The oracle is the q266
+    // schedule replica with per-sequence counts and the same cursor
+    // predicate. SIDE-EFFECTING (artifact + cursor writes).
+    "q269_loader_consume" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val asg = Sampling.shardAssign(counts, "doc_id", "n_tokens",
+        shardWeight = 5000L)
+      // token VALUE = the owning doc_id (castable to the artifact's
+      // long ids; the schedule and per-sequence counts are what the
+      // oracle certifies — id content is q261/q268's contract)
+      val toks = docs.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "__w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("doc_id").cast("string").as("token"))
+        .join(asg.select(col("doc_id"), col("shard"), col("offset")),
+          Seq("doc_id"))
+      val packed = Sampling.packTokens(toks, seqLen = 512L,
+        groupCol = Some("shard"), orderCol = Some("offset"))
+      val path =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_loaderseq"
+      Sampling.writeSequences(
+        Sampling.packSequences(packed, groupCol = Some("shard")),
+        path, groupCol = Some("shard"))
+      val seqs = Sampling.readSequences(s, path)
+        .select(col("shard").cast("long").as("shard"), col("seq"),
+          col("n_ids"))
+      // the restart: cursor persisted at (epoch 1, shard_rank 2,
+      // seq_rank 3), read back, consumption resumes strictly after
+      Sampling.writeLoaderCursor(s, s"${path}_cursor",
+        Sampling.LoaderCursor(1L, 2L, 3L))
+      val cur = Sampling.readLoaderCursor(s, s"${path}_cursor")
+      Sampling.consumeEpoch(seqs, epoch = 1L, cursor = cur)
+        .select(col("shard"), col("seq"), col("n_ids").as("n_tokens"),
+          col("shard_rank"), col("seq_rank"))
+    }),
     // ---- CURRICULUM layout x LANDED PACK: the streamed curriculum
     // (q262's (batch, n_chars, id) order) composed with the
     // landed-token pack — shard k's sequences are strictly "earlier
@@ -6830,6 +6914,58 @@ object SparkEntry {
            |    ORDER BY soff)) AS ids_digest
            |FROM p GROUP BY 1""".stripMargin
       },
+      // the q261 replica with the PAD RUN: every landed row is
+      // exactly 64 ids (pad = max vocab id + 2, the second reserved
+      // registry slot), the digest covers the padded list, n_tokens
+      // stays the real length
+      "q268_padded_sequences" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM pd),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |j0 AS (SELECT doc_id, pos, vv.token_id
+           |  FROM tok JOIN vv USING (token)),
+           |j AS (SELECT doc_id, pos, token_id FROM j0
+           |  UNION ALL
+           |  SELECT doc_id, max(pos) + 1,
+           |    (SELECT max(token_id) + 1 FROM vv)
+           |  FROM j0 GROUP BY doc_id),
+           |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM j
+           |  GROUP BY 1),
+           |s AS (SELECT doc_id,
+           |    coalesce(sum(n) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS strt
+           |  FROM c),
+           |g AS (SELECT j.doc_id, token_id, strt + pos - 1 AS gi
+           |  FROM j JOIN s ON j.doc_id = s.doc_id),
+           |p AS (SELECT CAST(gi // 64 AS BIGINT) AS seq,
+           |    gi % 64 AS soff, token_id FROM g)
+           |SELECT seq, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(64 AS BIGINT) AS n_landed,
+           |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+           |      ORDER BY soff) ||
+           |    repeat(',' || CAST((SELECT max(token_id) + 2 FROM vv)
+           |      AS VARCHAR), 64 - count(*))) AS ids_digest
+           |FROM p GROUP BY 1""".stripMargin
+      },
       // the full streamed trainer loop: learn CTEs -> id vocab ->
       // model piece counts -> (batch, md5, id) shard window -> closed
       // filter -> eos-shifted per-shard pack -> per-(shard, seq) id
@@ -6952,6 +7088,52 @@ object SparkEntry {
           |      CAST(seq AS VARCHAR) || '|' || '1' || '|' || 'graft'),
           |    seq) AS BIGINT) AS seq_rank
           |FROM pairs JOIN sr USING (shard)""".stripMargin,
+      // the q266 schedule replica over per-sequence COUNTS (the
+      // artifact rows) with the resume-cursor predicate: strictly
+      // after (shard_rank 2, seq_rank 3) within epoch 1
+      "q269_loader_consume" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents),
+          |c AS (SELECT doc_id, k, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |a AS (SELECT doc_id, n,
+          |    coalesce(sum(n) OVER (ORDER BY k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM c),
+          |ds AS (SELECT doc_id, n,
+          |    CAST(before // 5000 AS BIGINT) AS shard,
+          |    before % 5000 AS off FROM a),
+          |st AS (SELECT doc_id, shard,
+          |    coalesce(sum(n) OVER (PARTITION BY shard
+          |      ORDER BY off, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM ds),
+          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT st.shard, strt + pos - 1 AS gi
+          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+          |pairs AS (SELECT shard,
+          |    CAST(gi // 512 AS BIGINT) AS seq,
+          |    CAST(count(*) AS BIGINT) AS n_tokens
+          |  FROM g GROUP BY 1, 2),
+          |sr AS (SELECT shard, CAST(row_number() OVER (ORDER BY
+          |      md5(CAST(shard AS VARCHAR) || '|' || '1' || '|'
+          |        || 'graft'),
+          |      CAST(shard AS VARCHAR)) AS BIGINT) AS shard_rank
+          |  FROM (SELECT DISTINCT shard FROM pairs)),
+          |sch AS (SELECT pairs.shard, seq, n_tokens, shard_rank,
+          |  CAST(row_number() OVER (PARTITION BY pairs.shard ORDER BY
+          |    md5(CAST(pairs.shard AS VARCHAR) || '|' ||
+          |      CAST(seq AS VARCHAR) || '|' || '1' || '|' || 'graft'),
+          |    seq) AS BIGINT) AS seq_rank
+          |  FROM pairs JOIN sr USING (shard))
+          |SELECT shard, seq, n_tokens, shard_rank, seq_rank FROM sch
+          |WHERE shard_rank > 2
+          |   OR (shard_rank = 2 AND seq_rank > 3)""".stripMargin,
       // the q256 pack replica with the curriculum order: the shard
       // window runs over (batch, n_chars, id) instead of
       // (batch, md5, id)

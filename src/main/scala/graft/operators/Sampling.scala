@@ -430,10 +430,25 @@ object Sampling {
     * partitioning); state per group is one sequence's ids, bounded by
     * seqLen. Every sequence except each stream's last is exactly
     * seqLen long (the packTokens contract) — `n_ids` lands in the row
-    * so a loader can drop or pad the tail without rescanning. */
+    * so a loader can drop or pad the tail without rescanning.
+    *
+    * `padTo = Some((seqLen, padId))` makes the artifact LOADER-FINAL:
+    * each stream's tail sequence is right-padded with `padId` (the
+    * REGISTERED pad id from the vocabulary artifact's special-token
+    * registry, [[graft.operators.Tokenizer.readBpeSpecials]] — never
+    * an ad-hoc constant) to exactly `seqLen` ids, so every row's
+    * `ids` array is the fixed length a trainer mmaps with no
+    * loader-side branch. `n_ids` still records the REAL (pre-pad)
+    * length and `spans` never cover pad positions, so an
+    * attention-masking loader masks the pad run for free;
+    * `ids_digest` attests the ids AS LANDED (pad included). Pure
+    * per-row projection — no extra pass. */
   def packSequences(packed: DataFrame, docIdCol: String = "doc_id",
       tokenCol: String = "token",
-      groupCol: Option[String] = None): DataFrame = {
+      groupCol: Option[String] = None,
+      padTo: Option[(Long, Long)] = None): DataFrame = {
+    padTo.foreach { case (len, _) =>
+      require(len > 0, s"padTo seqLen must be > 0 (got $len)") }
     val gks = groupCol.toSeq.map(col)
     val frags = packed
       .groupBy((gks :+ col("seq") :+ col(docIdCol)): _*)
@@ -442,7 +457,7 @@ object Sampling {
         transform(array_sort(collect_list(struct(col("seq_off"),
             col(tokenCol).cast("long").as("__id")))),
           s => s.getField("__id")).as("__ids"))
-    frags.groupBy((gks :+ col("seq")): _*)
+    val rows = frags.groupBy((gks :+ col("seq")): _*)
       .agg(flatten(transform(array_sort(collect_list(struct(
             col("start_off"), col("__ids").as("__f")))),
           s => s.getField("__f"))).as("ids"),
@@ -450,7 +465,15 @@ object Sampling {
           col(docIdCol).cast("long").as("doc_id"),
           col("n_tokens")))).as("spans"),
         sum(col("n_tokens")).as("n_ids"))
-      .withColumn("ids_digest",
+    val padded = padTo.fold(rows) { case (len, padId) =>
+      // pad run = seqLen - n_ids (0 for every full sequence; the
+      // greatest() guards a caller passing a len below the pack's —
+      // over-long rows keep their real ids rather than truncating)
+      rows.withColumn("ids", concat(col("ids"),
+        array_repeat(lit(padId),
+          greatest(lit(0L), lit(len) - col("n_ids")).cast("int"))))
+    }
+    padded.withColumn("ids_digest",
         md5(array_join(transform(col("ids"),
           i => i.cast("string")), ",")))
   }
@@ -592,6 +615,77 @@ object Sampling {
         col(seqCol).asc)
     seqs.join(shardRanks, Seq(shardCol))
       .withColumn("seq_rank", row_number().over(w).cast("long"))
+  }
+
+  /** A trainer loader's RESUMABLE position in the consumed stream:
+    * the last (epoch, shard_rank, seq_rank) it fully processed.
+    * [[consumeEpoch]] resumes strictly AFTER it, so a trainer
+    * restarting mid-epoch re-reads nothing and skips nothing —
+    * persist it with [[writeLoaderCursor]] at checkpoint time. */
+  final case class LoaderCursor(epoch: Long, shardRank: Long,
+      seqRank: Long)
+
+  /** The CONSUMED STREAM a trainer's loader walks for one epoch —
+    * [[epochSchedule]] composed with the resume cursor: every packed
+    * sequence of `seqs` (a [[readSequences]] read-back, or their
+    * union across poll artifacts) annotated with `epoch`,
+    * `shard_rank`, `seq_rank`, filtered to strictly AFTER `cursor`
+    * in the (epoch, shard_rank, seq_rank) total order. A cursor from
+    * an EARLIER epoch yields the whole requested epoch (that epoch
+    * finished); a cursor from a LATER epoch refuses loudly (the
+    * caller is replaying an epoch its checkpoint already moved
+    * past — re-consuming would double-train those sequences). The
+    * cursor filter is a per-row predicate over the schedule — no
+    * extra shuffle beyond the schedule's own (one narrow row per
+    * shard + shard-bounded windows), so resuming costs the same plan
+    * as starting. The loader reads rows in (shard_rank, seq_rank)
+    * order — whole shards sequentially, the two-level-shuffle
+    * contract. */
+  def consumeEpoch(seqs: DataFrame, epoch: Long,
+      cursor: Option[LoaderCursor] = None, salt: String = "graft",
+      shardCol: String = "shard", seqCol: String = "seq"): DataFrame = {
+    cursor.foreach { c =>
+      require(c.epoch <= epoch,
+        s"loader cursor is at epoch ${c.epoch}, past the requested " +
+          s"epoch $epoch — re-consuming a finished epoch would " +
+          "double-train its sequences; request epoch >= the cursor's")
+    }
+    val sched = epochSchedule(seqs, epoch, salt, shardCol, seqCol)
+      .withColumn("epoch", lit(epoch))
+    cursor match {
+      case Some(c) if c.epoch == epoch =>
+        sched.where(col("shard_rank") > c.shardRank ||
+          (col("shard_rank") === c.shardRank &&
+            col("seq_rank") > c.seqRank))
+      case _ => sched
+    }
+  }
+
+  /** Persist a [[LoaderCursor]] — one row, the
+    * [[graft.streaming.StreamShardLayout]] cursor-snapshot
+    * discipline. Overwrite, so a re-checkpoint converges. */
+  def writeLoaderCursor(spark: org.apache.spark.sql.SparkSession,
+      path: String, cursor: LoaderCursor): Unit = {
+    import spark.implicits._
+    Seq((cursor.epoch, cursor.shardRank, cursor.seqRank))
+      .toDF("epoch", "shard_rank", "seq_rank")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeLoaderCursor]] snapshot; None when no checkpoint
+    * exists yet (a fresh trainer starts at the epoch head). */
+  def readLoaderCursor(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[LoaderCursor] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val rows = spark.read.parquet(path)
+      .select(col("epoch"), col("shard_rank"), col("seq_rank"))
+      .collect()
+    require(rows.length == 1,
+      s"$path is not a one-row loader cursor (${rows.length} rows)")
+    Some(LoaderCursor(rows.head.getLong(0), rows.head.getLong(1),
+      rows.head.getLong(2)))
   }
 
   /** The [[shardAssign]] two-pass running sum over an arbitrary

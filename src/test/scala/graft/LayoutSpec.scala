@@ -526,6 +526,94 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("packSequences padTo: the tail sequence pads to seqLen with " +
+      "the registered pad id — n_ids stays real, spans never cover " +
+      "pads, full sequences unchanged, digest attests ids as landed") {
+    import graft.operators.Sampling
+    val ids = (1L to 3L).flatMap(d => (1L to 5L).map(p =>
+      (d, p, (d * 100 + p).toString))).toDF("doc_id", "pos", "token")
+    val packed = Sampling.packTokens(ids, seqLen = 4L)
+    val plain = Sampling.packSequences(packed)
+      .collect().map(r => r.getAs[Long]("seq") -> r).toMap
+    val padded = Sampling.packSequences(packed,
+        padTo = Some((4L, 99L)))
+      .collect().map(r => r.getAs[Long]("seq") -> r).toMap
+    assert(padded.keySet == plain.keySet)
+    padded.foreach { case (seq, r) =>
+      val idsArr = r.getAs[scala.collection.Seq[Long]]("ids")
+      // every landed row is exactly seqLen ids
+      assert(idsArr.size == 4, s"seq $seq: ${idsArr.size}")
+      val real = r.getAs[Long]("n_ids")
+      val plainIds = plain(seq).getAs[scala.collection.Seq[Long]]("ids")
+      // prefix = the unpadded ids; suffix = the pad run
+      assert(idsArr.take(real.toInt) == plainIds)
+      assert(idsArr.drop(real.toInt).forall(_ == 99L))
+      // n_ids and spans are identical to the unpadded artifact
+      assert(real == plain(seq).getAs[Long]("n_ids"))
+      assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+        "spans") == plain(seq)
+          .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("spans"))
+      // digest covers the ids AS LANDED (pad included)
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(idsArr.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("ids_digest") == exp)
+      // full sequences carry zero pads, so their digests match the
+      // unpadded artifact exactly
+      if (real == 4L)
+        assert(r.getAs[String]("ids_digest") ==
+          plain(seq).getAs[String]("ids_digest"))
+    }
+    // exactly one (the stream's last) sequence is short
+    assert(padded.values.count(_.getAs[Long]("n_ids") < 4L) == 1)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("loader consumption: consumeEpoch resumes mid-epoch " +
+      "exactly-once from a persisted cursor; a finished epoch's " +
+      "cursor yields the whole next epoch; a future cursor refuses") {
+    import graft.operators.Sampling
+    val seqs = (for (s <- 0L to 3L; q <- 0L to 4L) yield (s, q))
+      .toDF("shard", "seq")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shard_rank", "seq_rank").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"),
+          r.getAs[Long]("shard_rank"), r.getAs[Long]("seq_rank")))
+    val all = rows(Sampling.consumeEpoch(seqs, epoch = 1L))
+    assert(all.length == 20)
+    // the consumed order is the epoch schedule's total order: whole
+    // shards sequentially (shard_rank), intra-shard by seq_rank
+    assert(all.map(r => (r._3, r._4)).toSeq ==
+      all.map(r => (r._3, r._4)).sorted.toSeq)
+    // "crash" after 7 consumed rows; checkpoint the cursor at the
+    // last fully-processed (epoch, shard_rank, seq_rank)
+    val (done, pending) = all.splitAt(7)
+    val cpath = java.nio.file.Files
+      .createTempDirectory("graft_loadercursor").toString + "/cur"
+    Sampling.writeLoaderCursor(spark, cpath,
+      Sampling.LoaderCursor(1L, done.last._3, done.last._4))
+    val cur = Sampling.readLoaderCursor(spark, cpath)
+    assert(cur.contains(
+      Sampling.LoaderCursor(1L, done.last._3, done.last._4)))
+    // the restart consumes exactly the pending rows, in order —
+    // nothing re-read, nothing skipped
+    val resumed = rows(Sampling.consumeEpoch(seqs, 1L, cur))
+    assert(resumed.toSeq == pending.toSeq)
+    assert((done ++ resumed).toSeq == all.toSeq)
+    // an end-of-epoch cursor rolls into the NEXT epoch complete
+    val endCur = Some(Sampling.LoaderCursor(1L, all.last._3,
+      all.last._4))
+    assert(rows(Sampling.consumeEpoch(seqs, 2L, endCur)).length == 20)
+    // a cursor PAST the requested epoch refuses (double-training)
+    intercept[IllegalArgumentException] {
+      Sampling.consumeEpoch(seqs, 1L,
+        Some(Sampling.LoaderCursor(2L, 0L, 0L)))
+    }
+    // no checkpoint yet -> None -> whole epoch
+    assert(Sampling.readLoaderCursor(spark, cpath + "_absent").isEmpty)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("shardAssignOrdered startWeight continues the running weight; " +
       "appendIncrementOrdered streams the curriculum in (batch, " +
       "order, id) order with the cursor threading automatically") {
