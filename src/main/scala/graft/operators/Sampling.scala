@@ -523,7 +523,7 @@ object Sampling {
     * pre-change artifact as corrupt (the round-17 xor→sum switch is
     * exactly the migration this guards; nothing persisted under the
     * short-lived xor, so v1 is the first tagged format). */
-  private val FoldAlgo = "sum60v1"
+  private[graft] val FoldAlgo = "sum60v1"
 
   /** Order-insensitive artifact digest: SUM (exact, DECIMAL(38)) of
     * the per-row digests' first 15 hex digits (60 bits each; 10^9

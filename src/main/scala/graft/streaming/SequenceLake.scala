@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Sampling
+
+/** The SEQUENCE LAKE — versioned landings of the trainer-batch
+  * artifact ([[graft.operators.Sampling.writeSequences]]) across a
+  * live trainer's polls, with the same `_live_v<k>` pointer-isolated
+  * compaction the layout/manifest/tokens families ride.
+  *
+  * A trainer polling [[StreamShardLayout.packLandedShards]] lands one
+  * `sequences/` artifact per poll; without compaction those poll
+  * directories accumulate forever — the exact listing-cost curve the
+  * layout compaction was built to kill, one directory over (a year of
+  * hourly polls is ~9k artifact directories, each a separate parquet
+  * read). [[appendSequences]] names each poll's artifact
+  * `inc_b<pollId>` so the shared [[StreamLakeIngest]] pointer
+  * protocol applies verbatim:
+  *
+  *  - [[readSequenceLake]] resolves the live pointer (base + newer
+  *    increments) and verifies EVERY live artifact against its own
+  *    meta row before unioning — torn or tampered landings refuse at
+  *    read, exactly like a single artifact.
+  *  - [[compactSequenceLake]] folds closed polls into a fresh
+  *    `base_v<k+1>` generation beside the live dirs. The folded
+  *    generation's meta is RE-ATTESTED from the written rows AND
+  *    required equal to the commutative FOLD of the source metas
+  *    (counts and id totals sum; the DECIMAL(38) digest fold sums —
+  *    commutative by design, see DEVIATIONS #19) — so a corruption
+  *    introduced BY the fold itself is caught at compaction time, not
+  *    at some later read. The newest increment always stays out (it
+  *    may belong to a replayable poll); retired dirs survive until
+  *    the next run's reap, so a reader holding the old pointer stays
+  *    consistent for a whole compaction interval.
+  *
+  * Key discipline: each poll packs DISJOINT closed shards
+  * ([fromShard, open) advances monotonically), so (shard, seq) keys
+  * never collide across increments and the lake union is exactly the
+  * one artifact a batch pack of the same corpus would land.
+  */
+object SequenceLake {
+
+  /** Land one poll's [[graft.operators.Sampling.packSequences]] rows
+    * as increment `inc_b<pollId>` — poll-id-derived Overwrite, so a
+    * replayed poll rewrites exactly what it wrote (the lake
+    * idempotency rule). The caller must skip empty polls
+    * (writeSequences refuses them — nothing newly closed means
+    * nothing to land). */
+  def appendSequences(seqs: DataFrame, root: String, pollId: Long,
+      groupCol: Option[String] = None): Unit =
+    Sampling.writeSequences(seqs, s"$root/inc_b$pollId", groupCol)
+
+  /** Every live landed sequence — pointer-resolved (base + newer
+    * increments), each artifact verified against its own meta row
+    * ([[graft.operators.Sampling.readSequences]]'s count + digest
+    * re-check) before the union. O(1 + polls-since-compaction)
+    * parquet roots at any lake age. */
+  def readSequenceLake(spark: SparkSession, root: String): DataFrame = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = StreamShardLayout.liveDirs(fs, rootP)
+    require(dirs.nonEmpty,
+      s"$root holds no landed sequence artifacts — land one with " +
+        "appendSequences")
+    dirs.map(d => Sampling.readSequences(spark, d))
+      .reduce(_.unionByName(_))
+  }
+
+  /** READER-ISOLATED compaction of closed poll artifacts — the
+    * [[StreamLakeIngest]] `_live_v<k>` staged-fold protocol (shared
+    * code), with the sequence artifact's TWO-TABLE shape threaded
+    * through the callbacks: the fold unions the source `sequences/`
+    * tables, and the staged generation's `sequences_meta` is written
+    * by re-attesting the folded rows AND required equal to the
+    * commutative fold of the source metas — a mismatch means the fold
+    * itself corrupted data and the compaction refuses before the
+    * pointer ever swaps. Run between polls (the single-maintainer
+    * contract the other lakes carry); readers holding either pointer
+    * generation stay consistent throughout. */
+  def compactSequenceLake(spark: SparkSession, root: String,
+      groupCol: Option[String] = None): Unit = {
+    // the reader callback runs before the writer inside ONE protocol
+    // invocation — capturing its dir list is how the writer learns
+    // which source metas to fold
+    var srcDirs: Seq[String] = Seq.empty
+    StreamLakeIngest.compactDirIsolatedWith(spark, root,
+      dirs => {
+        srcDirs = dirs
+        dirs.map(d => spark.read.parquet(s"$d/sequences"))
+          .reduce(_.unionByName(_))
+      },
+      (df, path) => {
+        val metas = srcDirs.map { d =>
+          val rows = spark.read.parquet(s"$d/sequences_meta")
+            .select("n_sequences", "n_ids", "digest", "fold_algo")
+            .collect()
+          require(rows.length == 1,
+            s"$d/sequences_meta must hold exactly one row " +
+              s"(got ${rows.length})")
+          rows.head
+        }
+        metas.foreach(m => require(
+          m.getString(3) == Sampling.FoldAlgo,
+          s"sequence-lake fold: increment attested with fold " +
+            s"'${m.getString(3)}' but this engine folds " +
+            s"'${Sampling.FoldAlgo}' — format version mismatch"))
+        val expN = metas.map(_.getLong(0)).sum
+        val expIds = metas.map(_.getLong(1)).sum
+        val expD = metas.map(m => BigInt(m.getString(2))).sum.toString
+        // land the folded generation; writeSequences re-attests its
+        // meta from the WRITTEN rows (one aggregate)
+        Sampling.writeSequences(df, path, groupCol)
+        val m = spark.read.parquet(s"$path/sequences_meta").collect()
+          .head
+        require(m.getAs[Long]("n_sequences") == expN &&
+          m.getAs[Long]("n_ids") == expIds &&
+          m.getAs[String]("digest") == expD,
+          s"sequence-lake fold corrupted data: folded source metas " +
+            s"say (n=$expN, ids=$expIds, digest=$expD) but the " +
+            s"staged generation re-attests (n=${m.getAs[Long](
+              "n_sequences")}, ids=${m.getAs[Long]("n_ids")}, " +
+            s"digest=${m.getAs[String]("digest")}) — refusing before " +
+            "the pointer swap")
+      })
+  }
+}

@@ -294,7 +294,7 @@ object StreamShardLayout {
     * EXCLUDED (a generation is visible through its pointer only, so
     * the first isolated compaction's rename-then-point window never
     * double-counts). */
-  private def liveDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def liveDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Seq[String] = {
     if (!fs.exists(root)) return Seq.empty
     StreamLakeIngest.readLivePointer(fs, root) match {
@@ -459,7 +459,11 @@ object StreamShardLayout {
     * newly closed shards must use [[appendTokens]] at ingest time +
     * [[packLandedShards]], whose token side reads the same pruned
     * `shard=N/` partitions as the layout side — O(new) on BOTH join
-    * sides (measured: ProfPackClosed / SCALE.md round 17).
+    * sides (measured: ProfPackClosed / SCALE.md round 17). Calling
+    * THIS form with a watermark (`fromShard > 0` — the poll-loop
+    * shape) on a layout that HAS landed tokens is therefore always a
+    * mistake (the caller pays O(corpus) per poll for nothing) and is
+    * REFUSED with a pointer at the landed pack.
     * `sep`, when set, appends one separator token per document
     * (ridden through (id, shard, offset) keys) before packing. */
   def packClosedShards(spark: SparkSession, layoutRoot: String,
@@ -469,6 +473,17 @@ object StreamShardLayout {
       sep: Option[String] = None): DataFrame = {
     val root = new Path(s"$layoutRoot/layout")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokensRoot = new Path(s"$layoutRoot/tokens")
+    if (fromShard > 0L && fs.exists(tokensRoot) &&
+        fs.listStatus(tokensRoot).exists(_.isDirectory))
+      throw new IllegalArgumentException(
+        "requirement failed: packClosedShards(fromShard = " +
+          s"$fromShard) on a layout WITH landed tokens — the " +
+          "watermark form is the steady-state poll loop, and this " +
+          "corpus-stream pack re-scans the caller's FULL token " +
+          "stream every poll (O(corpus)); use packLandedShards, " +
+          "whose token side reads the same shard-pruned partitions " +
+          "as the layout side (O(newly closed shards))")
     val dirs = liveDirs(fs, root)
     require(dirs.nonEmpty,
       s"$layoutRoot/layout holds no increments — run appendIncrement")
@@ -595,7 +610,12 @@ object StreamShardLayout {
     * loop — the landing half of the streamed corpus→trainer arc
     * (compose after [[StreamLakeIngest.ingestFull]], whose admitted
     * increments carry `n_tokens`). Checkpoint holds only source
-    * offsets; all layout state is the lake cursor. */
+    * offsets; all layout state is the lake cursor. NOTE: a layout
+    * ingested through THIS form has no landed tokens, so its trainer
+    * must pack via the first-attach [[packClosedShards]] at O(corpus)
+    * per poll — a LIVE trainer loop should ingest through
+    * [[ingestWithTokens]] and poll [[packLandedShards]] (O(newly
+    * closed shards), the steady-state reader). */
   def ingest(stream: DataFrame, layoutRoot: String,
       checkpointDir: String, idCol: String, weightCol: String,
       shardWeight: Long, salt: String = "graft"): StreamingQuery =

@@ -280,6 +280,15 @@ class LayoutSpec extends SparkTestBase {
       .packLandedShards(spark, root, seqLen = 8L,
         fromShard = openThen))
     assert(incr == full.filterNot { case (k, _) => viaLanded.contains(k) })
+    // the steady-state guard: the corpus-stream pack REFUSES the
+    // watermark shape on a layout that HAS landed tokens (the caller
+    // would pay O(corpus) per poll for nothing), pointing at the
+    // landed form
+    val eG = intercept[IllegalArgumentException] {
+      graft.streaming.StreamShardLayout.packClosedShards(
+        spark, root, toks, seqLen = 8L, fromShard = openThen)
+    }
+    assert(eG.getMessage.contains("packLandedShards"), eG.getMessage)
     // a layout increment whose tokens were never landed: the pack
     // names the missing shards and refuses (silent doc loss otherwise)
     land(3L, withTokens = false)
@@ -611,6 +620,67 @@ class LayoutSpec extends SparkTestBase {
     }
     // no checkpoint yet -> None -> whole epoch
     assert(Sampling.readLoaderCursor(spark, cpath + "_absent").isEmpty)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("sequence lake: poll artifacts land as increments; isolated " +
+      "compaction folds closed polls with the meta fold re-attested; " +
+      "reads equal before/after; a tampered increment refuses the " +
+      "fold before the pointer swaps") {
+    import graft.operators.Sampling
+    import graft.streaming.SequenceLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seqlake").toString
+    def mk(lo: Long, hi: Long) = {
+      val ids = (lo until hi).flatMap(d => (1L to 5L).map(p =>
+        (d, p, (d * 100 + p).toString))).toDF("doc_id", "pos", "token")
+      Sampling.packSequences(Sampling.packTokens(ids, seqLen = 4L))
+    }
+    def snap(): Seq[(Long, String, Long)] =
+      SequenceLake.readSequenceLake(spark, root)
+        .select($"seq", $"ids_digest", $"n_ids").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    SequenceLake.appendSequences(mk(0, 3), root, 0L)
+    SequenceLake.appendSequences(mk(3, 6), root, 1L)
+    SequenceLake.appendSequences(mk(6, 9), root, 2L)
+    val before = snap()
+    assert(before.size == 12) // 3 polls x 4 sequences
+    SequenceLake.compactSequenceLake(spark, root)
+    // the fold (polls 0+1; the newest stays out) changes nothing a
+    // reader sees, and every live artifact still meta-verifies
+    assert(snap() == before)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/base_v1/sequences_meta")))
+    // another poll, a second compaction: reap + fold of inc_b2
+    SequenceLake.appendSequences(mk(9, 12), root, 3L)
+    val before2 = snap()
+    assert(before2.size == 16)
+    SequenceLake.compactSequenceLake(spark, root)
+    assert(snap() == before2)
+    // a replayed poll rewrites exactly what it wrote (idempotent)
+    SequenceLake.appendSequences(mk(9, 12), root, 3L)
+    assert(snap() == before2)
+    // tamper the open increment (drop one row, keep its meta), then
+    // try to fold it: the fold's meta re-attestation refuses BEFORE
+    // the pointer swap, and the lake read refuses too
+    SequenceLake.appendSequences(mk(12, 15), root, 4L)
+    val incSeqs = s"$root/inc_b3/sequences"
+    val df = spark.read.parquet(incSeqs)
+    val kept = df.where($"seq" =!= 0).collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(kept, 1), df.schema)
+      .write.mode("overwrite").parquet(incSeqs)
+    val eFold = intercept[IllegalArgumentException] {
+      SequenceLake.compactSequenceLake(spark, root)
+    }
+    assert(eFold.getMessage.contains("refusing before the pointer"),
+      eFold.getMessage)
+    intercept[IllegalArgumentException] {
+      SequenceLake.readSequenceLake(spark, root)
+    }
     graft.operators.Dedup.releaseIntermediates()
   }
 
