@@ -64,7 +64,7 @@ object SparkEntry {
     "q261_sequences_artifact", "q262_curriculum_stream",
     "q264_stream_sequences_capstone", "q265_curriculum_pack",
     "q267_special_registry", "q268_padded_sequences",
-    "q269_loader_consume")
+    "q269_loader_consume", "q270_sequence_lake")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3781,6 +3781,60 @@ object SparkEntry {
         .select(col("shard"), col("seq"), col("n_ids").as("n_tokens"),
           col("shard_rank"), col("seq_rank"))
     }),
+    // ---- SEQUENCE LAKE end to end (round 18): two trainer polls
+    // land their packSequences artifacts as lake increments
+    // (inc_b<poll>), the closed poll folds through the _live_v<k>
+    // pointer compaction (meta sum-fold re-attested), and the LAKE
+    // read-back — every live artifact digest-verified — must equal
+    // the batch replica of the whole closed range: the poll
+    // boundaries and the fold must leave no seam. Token ids are the
+    // owning doc_id (castable; content idiom shared with q269).
+    // SIDE-EFFECTING (layout + lake writes).
+    "q270_sequence_lake" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val toks = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "__w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("doc_id").cast("string").as("token"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_sl_layout"
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_sl_lake"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      def land(b: Long): Unit = {
+        val part = docs.where(pmod(col("doc_id"), lit(2)) === b)
+        val a = graft.streaming.StreamShardLayout.appendIncrement(
+          part, root, "doc_id", "n_tokens", shardWeight = 5000L,
+          batchId = b)
+        graft.streaming.StreamShardLayout.appendTokens(
+          toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+          a, root, batchId = b)
+      }
+      land(0L)
+      val open0 = graft.streaming.StreamShardLayout.readLayout(s, root)
+        .agg(max(col("shard").cast("long"))).collect().head.getLong(0)
+      graft.streaming.SequenceLake.appendSequences(
+        Sampling.packSequences(graft.streaming.StreamShardLayout
+          .packLandedShards(s, root, seqLen = 512L),
+          groupCol = Some("shard")),
+        lake, 0L, groupCol = Some("shard"))
+      land(1L)
+      graft.streaming.SequenceLake.appendSequences(
+        Sampling.packSequences(graft.streaming.StreamShardLayout
+          .packLandedShards(s, root, seqLen = 512L,
+            fromShard = open0),
+          groupCol = Some("shard")),
+        lake, 1L, groupCol = Some("shard"))
+      graft.streaming.SequenceLake.compactSequenceLake(s, lake,
+        groupCol = Some("shard"))
+      graft.streaming.SequenceLake.readSequenceLake(s, lake)
+        .select(col("shard").cast("long").as("shard"), col("seq"),
+          col("n_ids").as("n_tokens"), col("ids_digest"))
+    }),
     // ---- CURRICULUM layout x LANDED PACK: the streamed curriculum
     // (q262's (batch, n_chars, id) order) composed with the
     // landed-token pack — shard k's sequences are strictly "earlier
@@ -7134,6 +7188,45 @@ object SparkEntry {
           |SELECT shard, seq, n_tokens, shard_rank, seq_rank FROM sch
           |WHERE shard_rank > 2
           |   OR (shard_rank = 2 AND seq_rank > 3)""".stripMargin,
+      // the q256 pack replica with doc_id tokens: the lake union
+      // across two poll increments + compaction must equal the
+      // single batch pack of every closed shard
+      "q270_sequence_lake" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    CAST(len(string_split_regex(trim(text), '\s+'))
+          |      AS BIGINT) AS n_tokens,
+          |    doc_id % 2 AS b,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t),
+          |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
+          |      AS shard,
+          |    before % 5000 AS off FROM c),
+          |cl AS (SELECT * FROM sh
+          |  WHERE shard < (SELECT max(shard) FROM sh)),
+          |cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |st AS (SELECT cl.doc_id, shard,
+          |    coalesce(sum(n) OVER (PARTITION BY shard
+          |      ORDER BY off, cl.doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
+          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT st.shard, st.doc_id, strt + pos - 1 AS gi
+          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+          |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
+          |    gi % 512 AS soff,
+          |    CAST(doc_id AS VARCHAR) AS tokid FROM g)
+          |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  md5(string_agg(tokid, ',' ORDER BY soff)) AS ids_digest
+          |FROM p GROUP BY 1, 2""".stripMargin,
       // the q256 pack replica with the curriculum order: the shard
       // window runs over (batch, n_chars, id) instead of
       // (batch, md5, id)

@@ -86,18 +86,27 @@ object ProfTrainerLoop {
           val packed = graft.streaming.StreamShardLayout
             .packLandedShards(spark, root, seqLen,
               fromShard = watermark)
-          graft.operators.Sampling.writeSequences(
+          // the poll lands as a SEQUENCE-LAKE increment (round 18) so
+          // closed polls compact through the _live_v<k> pointers —
+          // the last increment family now rides the shared protocol
+          graft.streaming.SequenceLake.appendSequences(
             graft.operators.Sampling.packSequences(packed,
               groupCol = Some("shard")),
-            s"$seqRoot/poll_$poll", groupCol = Some("shard"))
+            seqRoot, poll.toLong, groupCol = Some("shard"))
           val tPack = (System.nanoTime() - t2) / 1e9
           val t3 = System.nanoTime()
           val n = graft.operators.Sampling
-            .readSequences(spark, s"$seqRoot/poll_$poll")
+            .readSequences(spark, s"$seqRoot/inc_b$poll")
             .agg(count(lit(1)), sum(col("n_ids"))).collect().head
           val tRead = (System.nanoTime() - t3) / 1e9
+          val t4 = System.nanoTime()
+          if (poll % 2 == 0)
+            graft.streaming.SequenceLake.compactSequenceLake(spark,
+              seqRoot, groupCol = Some("shard"))
+          val tComp = (System.nanoTime() - t4) / 1e9
           println(f"TRAINERLOOP poll=$poll manifest=$tMan%5.2fs " +
             f"pack_land=$tPack%5.2fs readback=$tRead%5.2fs " +
+            f"compact=$tComp%5.2fs " +
             f"shards=[$watermark,$openNow) seqs=${n.getLong(0)} " +
             f"ids=${n.getLong(1)}")
           watermark = openNow
@@ -105,6 +114,52 @@ object ProfTrainerLoop {
         }
       }
     }
+    // ---- CONSUMPTION SIDE (round 18): the deterministic epoch
+    // schedule over the landed lake — two epochs, each one narrow
+    // distinct + join over the sequence rows (never the ids), plus
+    // an independent driver-side md5 replay of the intra-shard order
+    // for two shards (the q266 purity contract verified on the probe
+    // table, not just the sf0.01 oracle).
+    val lake = graft.streaming.SequenceLake
+      .readSequenceLake(spark, seqRoot)
+      .select(col("shard").cast("long").as("shard"), col("seq"),
+        col("n_ids"))
+    val nSeqs = lake.count()
+    (1L to 2L).foreach { e =>
+      val tE = System.nanoTime()
+      val sched = graft.operators.Sampling.consumeEpoch(lake, e)
+      val agg = sched.agg(count(lit(1)),
+        countDistinct(col("shard")), max(col("shard_rank")),
+        max(col("seq_rank"))).collect().head
+      val tEpoch = (System.nanoTime() - tE) / 1e9
+      println(f"TRAINERLOOP epoch=$e schedule=$tEpoch%5.2fs " +
+        f"seqs=${agg.getLong(0)} shards=${agg.getLong(1)} " +
+        f"maxShardRank=${agg.getLong(2)} maxSeqRank=${agg.getLong(3)}")
+      require(agg.getLong(0) == nSeqs && agg.getLong(1) ==
+        agg.getLong(2), "schedule must cover every sequence once")
+      graft.operators.Dedup.releaseIntermediates()
+    }
+    // order verification: the first two shards by shard_rank, their
+    // (seq, seq_rank) collected and replayed with driver-side md5 —
+    // the schedule is a pure function of (shard, seq, epoch, salt)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sched1 = graft.operators.Sampling.consumeEpoch(lake, 1L)
+    val firstShards = sched1.select(col("shard"), col("shard_rank"))
+      .distinct().orderBy(col("shard_rank")).limit(2)
+      .collect().map(_.getLong(0))
+    firstShards.foreach { sh =>
+      val got = sched1.where(col("shard") === sh)
+        .select(col("seq"), col("seq_rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).map(_._1)
+      val expect = got.sorted.map(q =>
+          (md5hex(s"$sh|$q|1|graft"), q)).sortBy(identity).map(_._2)
+      require(got.toSeq == expect.toSeq,
+        s"shard $sh intra-shard order diverges from the md5 replay")
+    }
+    println("TRAINERLOOP epoch order verified against driver-side " +
+      s"md5 replay on shards ${firstShards.mkString(",")}")
     spark.stop()
   }
 }

@@ -9,6 +9,10 @@ import pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional: also dump the per-query results as JSON (the committed
+# CORRECTNESS_SELF_r<N>.json self-run artifact — makes an empty
+# driver-side correctness file diagnosable in seconds)
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
@@ -75,3 +79,8 @@ ok = sum(1 for v in results.values() if v == "OK" or v.startswith("ROWS_ONLY n="
 for k, v in results.items():
     print(f"{'✓' if v=='OK' or (v.startswith('ROWS_ONLY') and 'EMPTY' not in v) else '✗'} {k}: {v}")
 print(f"\n{ok}/{len(results)} pass")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf": sfdir, "pass": ok, "total": len(results),
+                   "results": results}, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
