@@ -64,7 +64,8 @@ object SparkEntry {
     "q261_sequences_artifact", "q262_curriculum_stream",
     "q264_stream_sequences_capstone", "q265_curriculum_pack",
     "q267_special_registry", "q268_padded_sequences",
-    "q269_loader_consume", "q270_sequence_lake")
+    "q269_loader_consume", "q270_sequence_lake",
+    "q271_bos_eos_pack", "q272_unk_encode")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3835,6 +3836,79 @@ object SparkEntry {
         .select(col("shard").cast("long").as("shard"), col("seq"),
           col("n_ids").as("n_tokens"), col("ids_digest"))
     }),
+    // ---- BOS + EOS packing (round 18): both boundary tokens from
+    // the REGISTERED special block — prependDocStart puts the bos id
+    // at position 1 and shifts the document up one (the packTokens
+    // 1-based-consecutive contract holds by construction),
+    // appendDocSeparator lands the eos after the last real token.
+    // The oracle replays the id chain with the bos/eos rows derived
+    // from the same reserved-id CTEs (eos = max+1, bos = max+2 in
+    // registration order). SIDE-EFFECTING (vocab artifact writes).
+    "q271_bos_eos_pack" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
+        m, byteFallback = true)
+      val vpath =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_bosvocab"
+      graft.operators.Tokenizer.writeBpeVocab(s, vpath, vocab,
+        specials = Seq("eos", "bos"))
+      val reg = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
+        .validateAgainst(vocab)
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
+      val withBos = Sampling.prependDocStart(ids,
+        reg.bos.get.toString, keys = Seq("doc_id"))
+      val withSep = Sampling.appendDocSeparator(withBos,
+        reg.eos.toString, keys = Seq("doc_id"))
+      Sampling.packTokens(withSep, seqLen = 64L)
+        .groupBy(col("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("seq_off"),
+              col("token").as("__i")))),
+            x => x.getField("__i")), ",")).as("ids_digest"))
+    }),
+    // ---- UNK-mapped held-out encode (round 18): the q263 coverage
+    // scenario made TRAINER-READY — nulls from the frozen-vocabulary
+    // left join map to the REGISTERED unk id (reserved above the
+    // vocabulary, so no real piece can carry it and the audit signal
+    // survives exactly as `token_id == unk`), leaving a null-free
+    // stream whose positions stay contiguous through packing.
+    // SIDE-EFFECTING (vocab artifact writes).
+    "q272_unk_encode" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val train = pc.where(pmod(col("doc_id"), lit(2)) === 0)
+      val ho = pc.where(pmod(col("doc_id"), lit(2)) === 1)
+      val m = graft.operators.Tokenizer.bpeMerges(train, "text",
+          merges = 8, byteFallback = true).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocabulary(train,
+        "text", m, byteFallback = true)
+      val vpath =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_unkvocab"
+      graft.operators.Tokenizer.writeBpeVocab(s, vpath, vocab,
+        specials = Seq("eos", "unk"))
+      val reg = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
+        .validateAgainst(vocab)
+      graft.operators.Tokenizer
+        .bpeEncodeIds(ho, "text", "doc_id", m, vocab,
+          byteFallback = true, unk = reg.unk)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("token_id") === reg.unk.get, 1L)
+            .otherwise(0L)).as("n_unk"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"),
+              col("token_id").cast("string").as("__i")))),
+            x => x.getField("__i")), ",")).as("ids_digest"))
+    }),
     // ---- CURRICULUM layout x LANDED PACK: the streamed curriculum
     // (q262's (batch, n_chars, id) order) composed with the
     // landed-token pack — shard k's sequences are strictly "earlier
@@ -7227,6 +7301,99 @@ object SparkEntry {
           |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
           |  md5(string_agg(tokid, ',' ORDER BY soff)) AS ids_digest
           |FROM p GROUP BY 1, 2""".stripMargin,
+      // the q261 id chain with BOTH boundary rows from the reserved
+      // block: bos (max+2, registration order eos-then-bos) at pos 1
+      // with every real token shifted up one, eos (max+1) after the
+      // shifted last token
+      "q271_bos_eos_pack" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM pd),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |j0 AS (SELECT doc_id, pos, vv.token_id
+           |  FROM tok JOIN vv USING (token)),
+           |j AS (SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+           |    (SELECT max(token_id) + 2 FROM vv) AS token_id
+           |  FROM j0 GROUP BY doc_id
+           |  UNION ALL
+           |  SELECT doc_id, pos + 1, token_id FROM j0
+           |  UNION ALL
+           |  SELECT doc_id, max(pos) + 2,
+           |    (SELECT max(token_id) + 1 FROM vv)
+           |  FROM j0 GROUP BY doc_id),
+           |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM j
+           |  GROUP BY 1),
+           |s AS (SELECT doc_id,
+           |    coalesce(sum(n) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS strt
+           |  FROM c),
+           |g AS (SELECT j.doc_id, token_id, strt + pos - 1 AS gi
+           |  FROM j JOIN s ON j.doc_id = s.doc_id),
+           |p AS (SELECT CAST(gi // 64 AS BIGINT) AS seq,
+           |    gi % 64 AS soff, token_id FROM g)
+           |SELECT seq, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+           |    ORDER BY soff)) AS ids_digest
+           |FROM p GROUP BY 1""".stripMargin
+      },
+      // the q263 held-out chain with the LEFT-join nulls coalesced to
+      // the reserved unk id (max+2, registration order eos-then-unk):
+      // a null-free id digest plus the unk count (== the old null
+      // count — no real piece can carry a reserved id)
+      "q272_unk_encode" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |tr AS (SELECT * FROM pd WHERE doc_id % 2 = 0),
+           |ho AS (SELECT * FROM pd WHERE doc_id % 2 = 1),
+           |${bpeVocab0FallbackFrom("tr")},
+           |$bpeRoundsUni,
+           |$bpeVocabIdCtes,
+           |vv AS (SELECT token, token_id FROM vbase
+           |  UNION ALL SELECT token, token_id FROM vmerge),
+           |w AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM ho),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs),
+           |tok AS (SELECT doc_id, toks[i] AS token,
+           |    CAST(i AS BIGINT) AS pos
+           |  FROM tl, unnest(range(1, len(toks) + 1)) u(i)),
+           |j AS (SELECT doc_id, pos,
+           |    coalesce(vv.token_id,
+           |      (SELECT max(token_id) + 2 FROM vv)) AS tid
+           |  FROM tok LEFT JOIN vv USING (token))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN tid =
+           |      (SELECT max(token_id) + 2 FROM vv)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           |  md5(string_agg(CAST(tid AS VARCHAR), ','
+           |    ORDER BY pos)) AS ids_digest
+           |FROM j GROUP BY 1""".stripMargin
+      },
       // the q256 pack replica with the curriculum order: the shard
       // window runs over (batch, n_chars, id) instead of
       // (batch, md5, id)

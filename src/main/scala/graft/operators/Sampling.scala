@@ -407,6 +407,40 @@ object Sampling {
     base.unionByName(seps)
   }
 
+  /** Prepend one START token (a BOS/document-start marker) to every
+    * document's stream — [[appendDocSeparator]]'s twin for
+    * bos-disciplined trainers: the BOS row takes position 1 and every
+    * existing position shifts up by one, so the [[packTokens]]
+    * contract (1-based consecutive) holds by construction. Same key
+    * inference and explicit-keys escape as the separator; cost is one
+    * doc-keyed distinct (the BOS row set) plus a per-row projection
+    * (the shift) — no window, no join. Compose bos-then-eos as
+    * `appendDocSeparator(prependDocStart(tokens, bos), eos)`: the eos
+    * lands at max(pos)+1 of the SHIFTED stream, after every real
+    * token. */
+  def prependDocStart(tokens: DataFrame, bos: String,
+      posCol: String = "pos", tokenCol: String = "token",
+      keys: Seq[String] = Seq.empty): DataFrame = {
+    require(!keys.contains(posCol) && !keys.contains(tokenCol),
+      s"keys must not include $posCol/$tokenCol")
+    val ks =
+      if (keys.nonEmpty) keys
+      else tokens.columns.filterNot(c => c == posCol || c == tokenCol)
+        .toSeq
+    require(ks.nonEmpty,
+      "tokens must carry at least a document id beside pos/token")
+    val base =
+      if (keys.nonEmpty)
+        tokens.select((ks :+ posCol :+ tokenCol).map(col): _*)
+      else tokens
+    val bosRows = base.select(ks.map(col): _*).distinct()
+      .withColumn(posCol, lit(1L))
+      .withColumn(tokenCol, lit(bos))
+      .select(base.columns.map(col).toSeq: _*)
+    base.withColumn(posCol, col(posCol) + 1)
+      .unionByName(bosRows)
+  }
+
   /** Per-sequence DOCUMENT SPANS over a [[packTokens]] result — where
     * each document's tokens sit inside its packed sequence (start
     * offset + length), the boundary metadata an attention-masking

@@ -668,15 +668,26 @@ object Tokenizer {
     * possible when encoding a DIFFERENT corpus than the vocabulary
     * was built on, in a non-closed mode) surfaces as a null
     * `token_id` for the caller to audit rather than silently
-    * vanishing. */
+    * vanishing.
+    *
+    * `unk`, when set, maps those nulls to the REGISTERED unk id
+    * instead (pass `readBpeSpecials(...).unk` — never an ad-hoc
+    * constant): the stream becomes trainer-ready (no nulls to filter,
+    * so positions stay contiguous through [[Sampling.packTokens]])
+    * while the audit signal SURVIVES as `token_id == unk` — the unk
+    * id is reserved ABOVE the vocabulary, so no real piece can carry
+    * it and an unk count is exactly the old null count. */
   def bpeEncodeIds(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)], vocab: DataFrame,
       unicode: Boolean = false,
-      byteFallback: Boolean = false): DataFrame =
+      byteFallback: Boolean = false,
+      unk: Option[Long] = None): DataFrame =
     bpeTokenize(df, textCol, idCol, merges, unicode, byteFallback)
       .join(broadcast(vocab.select(col("token"), col("token_id"))),
         Seq("token"), "left")
-      .select(col("doc_id"), col("pos"), col("token"), col("token_id"))
+      .select(col("doc_id"), col("pos"), col("token"),
+        unk.fold(col("token_id"))(u =>
+          coalesce(col("token_id"), lit(u))).as("token_id"))
 
   /** A persisted tokenizer model: the learned merge list in learning
     * order plus the mode flags it was learned under — what

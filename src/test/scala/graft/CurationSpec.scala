@@ -493,6 +493,14 @@ class CurationSpec extends SparkTestBase {
       .orderBy("pos").collect()
     assert(enc2.length == 2 && !enc2(0).isNullAt(3) &&
       enc2(1).isNullAt(3) && enc2(1).getString(2) == "z")
+    // unk mapping: the null coalesces to the registered unk id,
+    // known ids untouched — the audit signal survives as
+    // token_id == unk (a reserved id no real piece can carry)
+    val enc3 = graft.operators.Tokenizer.bpeEncodeIds(other, "text",
+        "doc_id", m, vocab, byteFallback = true, unk = Some(99L))
+      .orderBy("pos").collect()
+    assert(enc3(0).getLong(3) == enc2(0).getLong(3) &&
+      enc3(1).getLong(3) == 99L)
     graft.operators.Dedup.releaseIntermediates()
   }
 

@@ -1166,6 +1166,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("prependDocStart: one bos row per doc at position 1, real " +
+      "tokens shift up one; composes with appendDocSeparator and " +
+      "packs without tripping the contiguity guard") {
+    val toks = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      .toDF("doc_id", "pos", "token")
+    val bos = Sampling.prependDocStart(toks, "<bos>")
+    assert(bos.orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 1L, "<bos>"), (1L, 2L, "a"), (1L, 3L, "b"),
+        (2L, 1L, "<bos>"), (2L, 2L, "c")))
+    // bos-then-eos: eos lands after the shifted last token
+    val both = Sampling.appendDocSeparator(bos, "<eos>")
+    val d1 = both.where($"doc_id" === 1).orderBy("pos").collect()
+      .map(_.getString(2)).toSeq
+    assert(d1 == Seq("<bos>", "a", "b", "<eos>"))
+    // positions stay 1-based consecutive -> the pack guard passes
+    assert(Sampling.packTokens(both, 3L).count() == 7)
+    intercept[IllegalArgumentException] {
+      Sampling.prependDocStart(toks, "<bos>", keys = Seq("pos"))
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("epochSchedule: ranks complete per level, same epoch " +
       "reproduces exactly, different epochs permute") {
     val pairs = (for (s <- 0L to 3L; q <- 0L to 4L) yield (s, q))
