@@ -96,6 +96,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"the doc-summary window must partition by the group:\n$p")
   }
 
+  test("consumeEpoch never creates a single-partition stage: the " +
+      "schedule's window partitions by shard, the shard-rank side " +
+      "never touches the data") {
+    val seqs = spark.range(200).select(
+      (col("id") / 10).cast("long").as("shard"),
+      pmod(col("id"), lit(10)).cast("long").as("seq"))
+    val p = plan(graft.operators.Sampling.consumeEpoch(seqs, 1L,
+      Some(graft.operators.Sampling.LoaderCursor(1L, 2L, 3L))))
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition stage in the consumed stream:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the intra-shard window must partition by shard:\n$p")
+  }
+
   test("bpeEncodeIds broadcasts the vocabulary; no single-partition " +
       "stage") {
     val m = Seq(("a", "b"))
