@@ -67,6 +67,26 @@ object SequenceLake {
       .reduce(_.unionByName(_))
   }
 
+  /** The complete LOADER ENTRY POINT: the lake read (every live
+    * artifact digest-verified) composed with the deterministic epoch
+    * schedule and the resumable cursor
+    * ([[graft.operators.Sampling.consumeEpoch]]) — what a trainer's
+    * data loader actually calls each epoch. Returns the sequence rows
+    * (ids, spans, n_ids, digest) annotated with (epoch, shard_rank,
+    * seq_rank), strictly after `cursor`, to be read in
+    * (shard_rank, seq_rank) order — whole shards sequentially. The
+    * partition-discovered `shard` column is normalized to long so the
+    * schedule keys and any persisted cursor agree across readers. */
+  def consume(spark: SparkSession, root: String, epoch: Long,
+      cursor: Option[Sampling.LoaderCursor] = None,
+      salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Sampling.consumeEpoch(
+      readSequenceLake(spark, root)
+        .withColumn("shard", col("shard").cast("long")),
+      epoch, cursor, salt)
+  }
+
   /** READER-ISOLATED compaction of closed poll artifacts — the
     * [[StreamLakeIngest]] `_live_v<k>` staged-fold protocol (shared
     * code), with the sequence artifact's TWO-TABLE shape threaded

@@ -684,6 +684,48 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("SequenceLake.consume: lake read x epoch schedule x cursor — " +
+      "the loader entry point walks every landed sequence exactly " +
+      "once per epoch, resumable") {
+    import graft.operators.Sampling
+    import graft.streaming.SequenceLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seqconsume").toString
+    // two polls over DISJOINT shards (the production key discipline)
+    def mk(shard: Long, docs: Range) = {
+      val ids = docs.flatMap(d => (1L to 4L).map(p =>
+        (d.toLong, p, (d * 100 + p).toString)))
+        .toDF("doc_id", "pos", "token")
+        .withColumn("shard", lit(shard))
+      Sampling.packSequences(
+        Sampling.packTokens(ids, seqLen = 4L,
+          groupCol = Some("shard")),
+        groupCol = Some("shard"))
+    }
+    SequenceLake.appendSequences(mk(0L, 0 until 3), root, 0L,
+      groupCol = Some("shard"))
+    SequenceLake.appendSequences(mk(1L, 3 until 6), root, 1L,
+      groupCol = Some("shard"))
+    SequenceLake.compactSequenceLake(spark, root,
+      groupCol = Some("shard"))
+    val all = SequenceLake.consume(spark, root, epoch = 1L)
+      .orderBy("shard_rank", "seq_rank").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"),
+        r.getAs[Long]("shard_rank"), r.getAs[Long]("seq_rank"),
+        r.getAs[String]("ids_digest")))
+    assert(all.length == 6 && all.map(t => (t._1, t._2)).distinct
+      .length == 6)
+    // resume from the cursor after row 2: exactly the rest, in order
+    val c = Sampling.LoaderCursor(1L, all(1)._3, all(1)._4)
+    val rest = SequenceLake.consume(spark, root, 1L, Some(c))
+      .orderBy("shard_rank", "seq_rank").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"),
+        r.getAs[Long]("shard_rank"), r.getAs[Long]("seq_rank"),
+        r.getAs[String]("ids_digest")))
+    assert(rest.toSeq == all.drop(2).toSeq)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("shardAssignOrdered startWeight continues the running weight; " +
       "appendIncrementOrdered streams the curriculum in (batch, " +
       "order, id) order with the cursor threading automatically") {
