@@ -65,7 +65,7 @@ object SparkEntry {
     "q264_stream_sequences_capstone", "q265_curriculum_pack",
     "q267_special_registry", "q268_padded_sequences",
     "q269_loader_consume", "q270_sequence_lake",
-    "q271_bos_eos_pack", "q272_unk_encode")
+    "q271_bos_eos_pack", "q272_unk_encode", "q273_trainer_poll")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3836,6 +3836,54 @@ object SparkEntry {
         .select(col("shard").cast("long").as("shard"), col("seq"),
           col("n_ids").as("n_tokens"), col("ids_digest"))
     }),
+    // ---- WATERMARK-FREE trainer poll (round 18): q270's arc driven
+    // by pollLandedShards — the poll watermark is DERIVED from the
+    // lake itself (max committed landed shard + 1, partition-dir
+    // names only), so a cold trainer restart resumes exactly where
+    // the lake ends with no cursor file to persist or tear. Two polls
+    // around the second ingest batch, a no-op poll in between (proves
+    // nothing double-lands), compaction, and the lake read-back must
+    // equal q270's oracle verbatim. SIDE-EFFECTING.
+    "q273_trainer_poll" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val toks = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "__w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("doc_id").cast("string").as("token"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_tp_layout"
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_tp_lake"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      def land(b: Long): Unit = {
+        val part = docs.where(pmod(col("doc_id"), lit(2)) === b)
+        val a = graft.streaming.StreamShardLayout.appendIncrement(
+          part, root, "doc_id", "n_tokens", shardWeight = 5000L,
+          batchId = b)
+        graft.streaming.StreamShardLayout.appendTokens(
+          toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+          a, root, batchId = b)
+      }
+      land(0L)
+      graft.streaming.SequenceLake.pollLandedShards(s, root, lake,
+        seqLen = 512L)
+      // no new closed shards since -> must be a no-op
+      require(graft.streaming.SequenceLake
+        .pollLandedShards(s, root, lake, seqLen = 512L).isEmpty,
+        "immediate re-poll must be a no-op")
+      land(1L)
+      graft.streaming.SequenceLake.pollLandedShards(s, root, lake,
+        seqLen = 512L)
+      graft.streaming.SequenceLake.compactSequenceLake(s, lake,
+        groupCol = Some("shard"))
+      graft.streaming.SequenceLake.readSequenceLake(s, lake)
+        .select(col("shard").cast("long").as("shard"), col("seq"),
+          col("n_ids").as("n_tokens"), col("ids_digest"))
+    }),
     // ---- BOS + EOS packing (round 18): both boundary tokens from
     // the REGISTERED special block — prependDocStart puts the bos id
     // at position 1 and shifts the document up one (the packTokens
@@ -4880,6 +4928,47 @@ object SparkEntry {
         |    gi % 512 AS soff, token FROM g)
         |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
         |  md5(string_agg(token, ',' ORDER BY soff)) AS tok_digest
+        |FROM p GROUP BY 1, 2""".stripMargin
+
+    // the q256 pack replica with doc_id tokens — shared verbatim by
+    // q270 (manual two-poll lake + compaction) and q273 (the
+    // watermark-derived pollLandedShards twin): both physical routes
+    // must land the exact same lake as the single batch pack
+    val seqLakePackSql: String =
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+        |    CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT) AS n_tokens,
+        |    doc_id % 2 AS b,
+        |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM t),
+        |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
+        |      AS shard,
+        |    before % 5000 AS off FROM c),
+        |cl AS (SELECT * FROM sh
+        |  WHERE shard < (SELECT max(shard) FROM sh)),
+        |cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |st AS (SELECT cl.doc_id, shard,
+        |    coalesce(sum(n) OVER (PARTITION BY shard
+        |      ORDER BY off, cl.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS strt
+        |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+        |g AS (SELECT st.shard, st.doc_id, strt + pos - 1 AS gi
+        |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+        |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
+        |    gi % 512 AS soff,
+        |    CAST(doc_id AS VARCHAR) AS tokid FROM g)
+        |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(tokid, ',' ORDER BY soff)) AS ids_digest
         |FROM p GROUP BY 1, 2""".stripMargin
 
     // the q254 id-encode digest SQL — shared verbatim by q257 (full
@@ -7264,43 +7353,14 @@ object SparkEntry {
           |   OR (shard_rank = 2 AND seq_rank > 3)""".stripMargin,
       // the q256 pack replica with doc_id tokens: the lake union
       // across two poll increments + compaction must equal the
-      // single batch pack of every closed shard
-      "q270_sequence_lake" ->
-        """WITH t AS (SELECT doc_id,
-          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
-          |    CAST(len(string_split_regex(trim(text), '\s+'))
-          |      AS BIGINT) AS n_tokens,
-          |    doc_id % 2 AS b,
-          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
-          |  FROM documents),
-          |c AS (SELECT doc_id, n_tokens,
-          |    coalesce(sum(n_tokens) OVER (ORDER BY b, k, doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS before
-          |  FROM t),
-          |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
-          |      AS shard,
-          |    before % 5000 AS off FROM c),
-          |cl AS (SELECT * FROM sh
-          |  WHERE shard < (SELECT max(shard) FROM sh)),
-          |cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
-          |st AS (SELECT cl.doc_id, shard,
-          |    coalesce(sum(n) OVER (PARTITION BY shard
-          |      ORDER BY off, cl.doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS strt
-          |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
-          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
-          |  FROM (SELECT doc_id, ws,
-          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
-          |g AS (SELECT st.shard, st.doc_id, strt + pos - 1 AS gi
-          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
-          |p AS (SELECT shard, CAST(gi // 512 AS BIGINT) AS seq,
-          |    gi % 512 AS soff,
-          |    CAST(doc_id AS VARCHAR) AS tokid FROM g)
-          |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_tokens,
-          |  md5(string_agg(tokid, ',' ORDER BY soff)) AS ids_digest
-          |FROM p GROUP BY 1, 2""".stripMargin,
+      // single batch pack of every closed shard (shared verbatim by
+      // q273 — the watermark-derived poll must land the exact same
+      // lake)
+      "q270_sequence_lake" -> seqLakePackSql,
+      // the exact q270 replica: the WATERMARK-DERIVED poll
+      // (pollLandedShards — no cursor file, the lake is the state)
+      // must land the identical lake
+      "q273_trainer_poll" -> seqLakePackSql,
       // the q261 id chain with BOTH boundary rows from the reserved
       // block: bos (max+2, registration order eos-then-bos) at pos 1
       // with every real token shifted up one, eos (max+1) after the

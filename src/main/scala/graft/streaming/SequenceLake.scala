@@ -67,6 +67,79 @@ object SequenceLake {
       .reduce(_.unionByName(_))
   }
 
+  /** One SELF-CONTAINED trainer poll, restartable with NO side
+    * state: pack the newly closed layout shards and land them as the
+    * next lake increment. The poll WATERMARK is derived from the
+    * lake itself — (max shard already landed) + 1, read from
+    * `shard=N` partition-directory NAMES under the live increments
+    * (pure filesystem metadata) — so there is no cursor file to
+    * persist, tear, or lose: the artifact IS the state, and a
+    * trainer process restarting cold resumes exactly where the lake
+    * ends. The increment id is the watermark (`inc_b<fromShard>`),
+    * so a crash-replay of the same poll OVERWRITES the same
+    * increment and converges (if more shards closed in between, the
+    * replay lands the wider range under the same id — still exactly
+    * the rows a fresh poll would land). Returns Some((fromShard,
+    * open)) when something landed, None when no shard closed since
+    * the last poll (nothing is written — the empty-increment rule).
+    * Compose with [[consume]] for the read side and
+    * [[compactSequenceLake]] for maintenance; the watermark
+    * derivation resolves the compaction pointer like every other
+    * lake read. */
+  def pollLandedShards(spark: SparkSession, layoutRoot: String,
+      seqRoot: String, seqLen: Long, sep: Option[String] = None,
+      idCol: String = "doc_id", posCol: String = "pos",
+      tokenCol: String = "token",
+      verifyCoverage: Boolean = true): Option[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seqRootP = new Path(seqRoot)
+    val fs = seqRootP.getFileSystem(conf)
+    // watermark = max shard landed in the lake + 1 (0 on a fresh
+    // lake) — shard= names under each increment's sequences/ table.
+    // Only increments whose META write COMMITTED count (_SUCCESS —
+    // writeSequences lands sequences first, meta last): a poll that
+    // crashed mid-landing left no committed meta, so its partial
+    // increment does NOT advance the watermark and the replay
+    // OVERWRITES it under the same id — self-healing, no skipped
+    // shards, no cursor file to tear.
+    val landedShards = StreamShardLayout.liveDirs(fs, seqRootP)
+      .flatMap { d =>
+        val seqDir = new Path(s"$d/sequences")
+        val committed =
+          fs.exists(new Path(s"$d/sequences_meta/_SUCCESS"))
+        if (!committed || !fs.exists(seqDir)) Seq.empty
+        else fs.listStatus(seqDir).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("shard=") =>
+            n.stripPrefix("shard=").toLong }.toSeq
+      }
+    val from = if (landedShards.isEmpty) 0L else landedShards.max + 1
+    // open shard of the LAYOUT (same metadata-only read)
+    val layoutP = new Path(s"$layoutRoot/layout")
+    val open = {
+      val dirs = StreamShardLayout.liveDirs(fs, layoutP)
+      require(dirs.nonEmpty,
+        s"$layoutRoot/layout holds no increments — run appendIncrement")
+      dirs.flatMap { d =>
+        fs.listStatus(new Path(d)).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("shard=") =>
+            n.stripPrefix("shard=").toLong }
+      }.max
+    }
+    if (open <= from) None
+    else {
+      val packed = StreamShardLayout.packLandedShards(spark,
+        layoutRoot, seqLen, idCol, posCol, tokenCol,
+        fromShard = from, sep = sep, verifyCoverage = verifyCoverage)
+      appendSequences(
+        Sampling.packSequences(packed, docIdCol = idCol,
+          tokenCol = tokenCol, groupCol = Some("shard")),
+        seqRoot, from, groupCol = Some("shard"))
+      Some((from, open))
+    }
+  }
+
   /** The complete LOADER ENTRY POINT: the lake read (every live
     * artifact digest-verified) composed with the deterministic epoch
     * schedule and the resumable cursor

@@ -684,6 +684,69 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("pollLandedShards: the watermark IS the lake — cold restart " +
+      "resumes where the lake ends, a no-new-shards poll is a no-op, " +
+      "the lake equals the batch pack, and a torn landing self-heals") {
+    import graft.operators.Sampling
+    import graft.streaming.SequenceLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_polllayout").toString
+    val lakeR = java.nio.file.Files
+      .createTempDirectory("graft_polllake").toString
+    val docs = (0L until 60L).map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val toks = (0L until 60L).flatMap(i => (1L to 4L).map(p =>
+      (i, p, i.toString))).toDF("doc_id", "pos", "token")
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def land(b: Long): Unit = {
+      val part = docs.where(
+        col("doc_id") >= b * 20 && col("doc_id") < (b + 1) * 20)
+      val a = graft.streaming.StreamShardLayout.appendIncrement(
+        part, root, "doc_id", "n_tokens", shardWeight = 16L,
+        batchId = b)
+      graft.streaming.StreamShardLayout.appendTokens(
+        toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+        a, root, batchId = b)
+    }
+    def lakeRows(): Set[(Long, Long, String)] =
+      SequenceLake.readSequenceLake(spark, lakeR)
+        .select(col("shard").cast("long"), col("seq"),
+          col("ids_digest"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+    def batchRows(): Set[(Long, Long, String)] =
+      Sampling.packSequences(graft.streaming.StreamShardLayout
+          .packLandedShards(spark, root, seqLen = 8L),
+          groupCol = Some("shard"))
+        .select(col("shard").cast("long"), col("seq"),
+          col("ids_digest"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+    land(0L)
+    val r1 = SequenceLake.pollLandedShards(spark, root, lakeR,
+      seqLen = 8L)
+    assert(r1.exists(_._1 == 0L), s"$r1")
+    // nothing new closed -> no-op, nothing written
+    assert(SequenceLake.pollLandedShards(spark, root, lakeR, 8L)
+      .isEmpty)
+    land(1L)
+    // a COLD process (no in-memory watermark) resumes from the lake
+    val r2 = SequenceLake.pollLandedShards(spark, root, lakeR, 8L)
+    assert(r2.exists(_._1 == r1.get._2), s"$r1 -> $r2")
+    assert(lakeRows() == batchRows())
+    // torn landing: the meta commit marker vanishes -> the watermark
+    // falls back to before that increment and the replay OVERWRITES
+    // it under the same id, converging on the same lake
+    val before = lakeRows()
+    val fs = new org.apache.hadoop.fs.Path(lakeR)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$lakeR/inc_b${r2.get._1}/sequences_meta/_SUCCESS"), false)
+    val r3 = SequenceLake.pollLandedShards(spark, root, lakeR, 8L)
+    assert(r3 == r2, s"replay must re-land the torn poll: $r3 vs $r2")
+    assert(lakeRows() == before)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("SequenceLake.consume: lake read x epoch schedule x cursor — " +
       "the loader entry point walks every landed sequence exactly " +
       "once per epoch, resumable") {
