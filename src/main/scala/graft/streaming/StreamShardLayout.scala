@@ -654,4 +654,55 @@ object StreamShardLayout {
         graft.operators.Dedup.releaseIntermediates()
       }
       .start()
+
+  /** The COMPLETE streamed trainer arc as ONE query: each micro-batch
+    * lands its layout increment AND its token stream (the
+    * [[ingestWithTokens]] pair), and every `pollEvery` batches the
+    * trainer POLL runs in the same foreachBatch —
+    * [[SequenceLake.pollLandedShards]] packs the newly closed shards
+    * into the sequence lake, with the poll watermark derived FROM the
+    * lake (no state anywhere but the artifacts: source offsets in the
+    * checkpoint, running weight in the versioned cursor, poll
+    * position in the lake's own shard directories). Replay-safe by
+    * composition: layout/token writes are batch-id-derived Overwrite,
+    * and a replayed poll either no-ops (its increment already
+    * committed) or overwrites the same increment (the torn-landing
+    * self-healing rule). The token stream must be id-castable when
+    * the lake feeds [[graft.operators.Sampling.packSequences]] —
+    * i.e. `tokenize` should emit token IDS (a
+    * [[graft.operators.Tokenizer.bpeEncodeIds]] under a persisted
+    * model/vocab, with the registered eos as `sep`). */
+  def ingestTrainerArc(stream: DataFrame, layoutRoot: String,
+      seqRoot: String, checkpointDir: String, idCol: String,
+      weightCol: String, shardWeight: Long,
+      tokenize: DataFrame => DataFrame, seqLen: Long,
+      pollEvery: Int = 1, sep: Option[String] = None,
+      salt: String = "graft", posCol: String = "pos",
+      tokenCol: String = "token"): StreamingQuery = {
+    require(pollEvery >= 1, s"pollEvery must be >= 1 (got $pollEvery)")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val assigned = appendIncrement(batch, layoutRoot, idCol,
+          weightCol, shardWeight, batchId, salt)
+        appendTokens(tokenize(batch), assigned, layoutRoot, batchId,
+          idCol, posCol, tokenCol)
+        Lineage.free(assigned)
+        if ((batchId + 1) % pollEvery == 0) {
+          // skip the poll while the layout holds no increments yet
+          // (a leading run of empty batches) — pollLandedShards
+          // refuses an increment-less layout loudly, which is right
+          // for a direct call but routine here
+          val root = new Path(s"$layoutRoot/layout")
+          val fs = root.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (liveDirs(fs, root).nonEmpty)
+            SequenceLake.pollLandedShards(spark, layoutRoot, seqRoot,
+              seqLen, sep, idCol, posCol, tokenCol)
+        }
+        graft.operators.Dedup.releaseIntermediates()
+      }
+      .start()
+  }
 }

@@ -78,25 +78,20 @@ object ProfTrainerLoop {
         val tP = System.nanoTime()
         val man = graft.streaming.StreamShardLayout
           .readShardManifest(spark, root, "n_tokens")
-        val openNow = man.agg(max(col("shard").cast("long")))
-          .collect().head.getLong(0)
+        man.agg(max(col("shard").cast("long"))).collect()
         val tMan = (System.nanoTime() - tP) / 1e9
-        if (openNow > watermark) {
-          val t2 = System.nanoTime()
-          val packed = graft.streaming.StreamShardLayout
-            .packLandedShards(spark, root, seqLen,
-              fromShard = watermark)
-          // the poll lands as a SEQUENCE-LAKE increment (round 18) so
-          // closed polls compact through the _live_v<k> pointers —
-          // the last increment family now rides the shared protocol
-          graft.streaming.SequenceLake.appendSequences(
-            graft.operators.Sampling.packSequences(packed,
-              groupCol = Some("shard")),
-            seqRoot, poll.toLong, groupCol = Some("shard"))
-          val tPack = (System.nanoTime() - t2) / 1e9
+        // the PRODUCTION poll (round 18): pollLandedShards derives
+        // its watermark from the sequence lake itself (committed
+        // shard= names) — the probe carries no in-memory cursor, so
+        // this measures exactly what a cold-restarting trainer pays
+        val t2 = System.nanoTime()
+        val res = graft.streaming.SequenceLake.pollLandedShards(
+          spark, root, seqRoot, seqLen)
+        val tPack = (System.nanoTime() - t2) / 1e9
+        res.foreach { case (from, open) =>
           val t3 = System.nanoTime()
           val n = graft.operators.Sampling
-            .readSequences(spark, s"$seqRoot/inc_b$poll")
+            .readSequences(spark, s"$seqRoot/inc_b$from")
             .agg(count(lit(1)), sum(col("n_ids"))).collect().head
           val tRead = (System.nanoTime() - t3) / 1e9
           val t4 = System.nanoTime()
@@ -107,9 +102,9 @@ object ProfTrainerLoop {
           println(f"TRAINERLOOP poll=$poll manifest=$tMan%5.2fs " +
             f"pack_land=$tPack%5.2fs readback=$tRead%5.2fs " +
             f"compact=$tComp%5.2fs " +
-            f"shards=[$watermark,$openNow) seqs=${n.getLong(0)} " +
+            f"shards=[$from,$open) seqs=${n.getLong(0)} " +
             f"ids=${n.getLong(1)}")
-          watermark = openNow
+          watermark = open
           graft.operators.Dedup.releaseIntermediates()
         }
       }

@@ -412,6 +412,55 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("ingestTrainerArc: one streaming query lands layout + tokens " +
+      "AND polls the sequence lake — the streamed lake equals the " +
+      "direct batch twin, with zero state outside the artifacts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sampling
+    import graft.streaming.SequenceLake
+    // token ids = the owning doc id (castable — the packSequences
+    // contract), 4 per doc
+    val rows = (0L until 60L).map(i =>
+      (i, 4L, (1L to 4L).map(_ => i.toString).mkString(" ")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arc").toString
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_arclake").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def tokenize(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamShardLayout.ingestTrainerArc(
+      mem.toDF().toDF("doc_id", "n_tokens", "text"), root, lake,
+      java.nio.file.Files.createTempDirectory("graft_arccp").toString,
+      "doc_id", "n_tokens", shardWeight = 16L, tokenize, seqLen = 8L)
+    try {
+      mem.addData(rows.filter(_._1 < 30): _*)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= 30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("shard").cast("long"), col("seq"),
+          col("ids_digest"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+    val streamed = rowsOf(SequenceLake.readSequenceLake(spark, lake))
+    val twin = rowsOf(Sampling.packSequences(
+      graft.streaming.StreamShardLayout.packLandedShards(spark, root,
+        seqLen = 8L),
+      groupCol = Some("shard")))
+    assert(streamed.nonEmpty && streamed == twin)
+    // the consumed stream over the streamed lake covers it all
+    assert(SequenceLake.consume(spark, lake, epoch = 1L).count() ==
+      streamed.size)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("compactLayoutIsolated folds manifest AND token increments " +
       "through the pointer protocol; readShardManifest and " +
       "packLandedShards read back unchanged") {
