@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * whitespace tokens — the id assignment is not under test, the IO
   * and plan shapes are.
   *
-  * Usage: runMain graft.tools.ProfTrainerLoop [dir] [batches] [pollEvery] [shardWeight] [seqLen]
+  * Usage: runMain graft.tools.ProfTrainerLoop [dir] [batches] [pollEvery] [shardWeight] [seqLen] [compactLayout]
+  *
+  * Passing `compactLayout` as arg 6 runs `compactLayoutIsolated`
+  * after every poll — the remedy for the layout-side listing curve
+  * (without it, packLandedShards unions one scan root per landed
+  * batch and the poll wall creeps with batch count; the A/B is the
+  * round-18 SCALE.md measurement).
   */
 object ProfTrainerLoop {
   def main(args: Array[String]): Unit = {
@@ -30,6 +36,7 @@ object ProfTrainerLoop {
     val pollEvery = args.lift(2).map(_.toInt).getOrElse(6)
     val shardWeight = args.lift(3).map(_.toLong).getOrElse(500000L)
     val seqLen = args.lift(4).map(_.toLong).getOrElse(2048L)
+    val compactLayout = args.lift(5).contains("compactLayout")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,6 +105,9 @@ object ProfTrainerLoop {
           if (poll % 2 == 0)
             graft.streaming.SequenceLake.compactSequenceLake(spark,
               seqRoot, groupCol = Some("shard"))
+          if (compactLayout)
+            graft.streaming.StreamShardLayout
+              .compactLayoutIsolated(spark, root)
           val tComp = (System.nanoTime() - t4) / 1e9
           println(f"TRAINERLOOP poll=$poll manifest=$tMan%5.2fs " +
             f"pack_land=$tPack%5.2fs readback=$tRead%5.2fs " +
