@@ -63,7 +63,6 @@ object ProfTrainerLoop {
     val seqRoot = java.nio.file.Files
       .createTempDirectory("graft_trainerloop_seq").toString
     graft.streaming.StreamShardLayout.initLayout(spark, root)
-    var watermark = 0L
     var poll = 0
     (0 until nBatches).foreach { b =>
       val part = docs.where(pmod(col("doc_id"), lit(nBatches)) === b)
@@ -114,7 +113,6 @@ object ProfTrainerLoop {
             f"compact=$tComp%5.2fs " +
             f"shards=[$from,$open) seqs=${n.getLong(0)} " +
             f"ids=${n.getLong(1)}")
-          watermark = open
           graft.operators.Dedup.releaseIntermediates()
         }
       }
