@@ -324,10 +324,13 @@ object Sampling {
     require(orderCol.isEmpty || groupCol.nonEmpty,
       "orderCol orders documents WITHIN a group; pass groupCol with it")
     val docKeys = (groupCol.toSeq ++ orderCol.toSeq :+ docIdCol).distinct
-    // __maxpos rides the same aggregate for the contiguity guard
-    // below — zero extra passes
+    // __maxpos/__minpos/__npos ride the same aggregate for the
+    // contiguity guard below — zero extra passes (the distinct count
+    // adds a partial-distinct to the same shuffle, not a new one)
     val counts = tokens.groupBy(docKeys.map(col): _*)
-      .agg(count(lit(1)).as("__n"), max(col(posCol)).as("__maxpos"))
+      .agg(count(lit(1)).as("__n"), max(col(posCol)).as("__maxpos"),
+        min(col(posCol)).as("__minpos"),
+        count_distinct(col(posCol)).as("__npos"))
     val starts = groupCol match {
       case Some(g) =>
         val w = Window.partitionBy(col(g))
@@ -344,29 +347,37 @@ object Sampling {
     // an upstream filter that drops tokens MID-document (the classic
     // case: a null-id filter under a frozen vocabulary encoding
     // unseen text) leaves pos gaps that would silently produce holey
-    // / overlapping (seq, seq_off) slots. max(pos) == count(pos)
-    // catches every gap and every head-drop (both ride the counts
-    // aggregate — no extra pass); the check is embedded in the seq
-    // expression so column pruning can never drop it, and it raises
-    // per-row with the offending doc named. Callers that legitimately
-    // filter must re-derive positions (row_number over the doc in pos
-    // order) before packing.
+    // / overlapping (seq, seq_off) slots. The EXHAUSTIVE check:
+    // min(pos) == 1 AND max(pos) == count AND count(distinct pos) ==
+    // count together force the multiset to be exactly {1..n} (max
+    // alone lets a duplicate mask a gap — 1,2,2,4 has max=count=4;
+    // distinct-count alone lets 0,2,3,4 pass; the min pins the base).
+    // All three ride the counts aggregate — no extra pass; the check
+    // is embedded in the seq expression so column pruning can never
+    // drop it, and it raises per-row with the offending doc named.
+    // Callers that legitimately filter must re-derive positions
+    // (row_number over the doc in pos order) before packing.
     val guard = coalesce(
-      assert_true(col("__maxpos") === col("__n"),
+      assert_true(col("__maxpos") === col("__n") &&
+          col("__minpos") === lit(1L) && col("__npos") === col("__n"),
         concat(lit("packTokens: non-contiguous positions in document "),
           col(docIdCol).cast("string"),
-          lit(s" — max($posCol)="), col("__maxpos").cast("string"),
-          lit(" vs token count="), col("__n").cast("string"),
+          lit(s" — min/max/distinct($posCol)=("),
+          col("__minpos").cast("string"), lit(","),
+          col("__maxpos").cast("string"), lit(","),
+          col("__npos").cast("string"),
+          lit(") vs token count="), col("__n").cast("string"),
           lit(s"; $posCol must be 1-based consecutive (an upstream " +
             "filter dropped tokens mid-document? re-derive positions " +
             "with row_number before packing)"))).cast("long"),
       lit(0L))
     val gi = col("__start") + col(posCol) - 1 + guard
     tokens.join(starts.select((joinKeys.map(col) :+ col("__start") :+
-        col("__n") :+ col("__maxpos")): _*), joinKeys)
+        col("__n") :+ col("__maxpos") :+ col("__minpos") :+
+        col("__npos")): _*), joinKeys)
       .withColumn("seq", (gi / seqLen).cast("long"))
       .withColumn("seq_off", (gi % seqLen).cast("long"))
-      .drop("__start", "__n", "__maxpos")
+      .drop("__start", "__n", "__maxpos", "__minpos", "__npos")
   }
 
   /** Append one SEPARATOR token (an EOS/document-boundary marker) to
@@ -630,6 +641,9 @@ object Sampling {
   def epochSchedule(seqs: DataFrame, epoch: Long,
       salt: String = "graft", shardCol: String = "shard",
       seqCol: String = "seq"): DataFrame = {
+    // ScheduleAlgo versions THIS key construction (see the val below):
+    // a change to the md5 key layout changes every epoch's order, so
+    // it must version, not drift
     val ek = lit(epoch.toString)
     // '|' between EVERY component (epoch|salt included): without the
     // last delimiter (epoch=1, salt="2x") and (epoch=12, salt="x")
@@ -651,11 +665,107 @@ object Sampling {
       .withColumn("seq_rank", row_number().over(w).cast("long"))
   }
 
+  /** The epoch-schedule ALGORITHM tag — versions the md5 key layout
+    * of [[epochSchedule]] the way [[FoldAlgo]] versions the digest
+    * fold, so a key-construction change is diagnosable as a VERSION
+    * migration instead of an irreproducible order. v2 is the current
+    * fully-'|'-delimited key (`shard|seq|epoch|salt`); the round-17
+    * engine's un-delimited `epoch||salt` tail is retroactively "v1"
+    * (nothing persisted schedules, so no artifact migration — but a
+    * training run RECORDED under v1 cannot be re-derived by a v2
+    * engine; see DEVIATIONS #21). [[readEpochManifest]] refuses a
+    * manifest pinned under a different algo for the same reason
+    * [[readSequences]] refuses a foreign fold tag. */
+  private[graft] val ScheduleAlgo = "md5pipe-v2"
+
+  /** An EPOCH MANIFEST: the shard set an epoch's schedule is ranked
+    * over, PINNED at epoch start — the growth-safe resume contract.
+    * [[epochSchedule]]'s `shard_rank` is a row_number over the md5
+    * order of the CURRENT distinct shard set, so on a LIVE lake
+    * (polls landing new shards while the trainer runs) every rank
+    * shifts whenever a new md5 key sorts into the middle — a cursor
+    * persisted as ranks would silently re-read some shards and skip
+    * others across a restart. Pinning the shard set makes the rank a
+    * pure function of (manifest, epoch, salt): shards that land
+    * mid-epoch are EXCLUDED from this epoch (they join the next
+    * epoch's manifest), and the cursor's (shard_rank, seq_rank) means
+    * the same physical sequences forever. Within a shard the seq set
+    * is stable by construction (polls land whole closed shards,
+    * exactly once), so pinning the SHARD set alone pins the whole
+    * schedule. */
+  final case class EpochManifest(epoch: Long, salt: String,
+      scheduleAlgo: String, shards: Seq[Long]) {
+    require(shards.nonEmpty, "an epoch manifest must pin >= 1 shard")
+    require(shards == shards.sorted && shards.distinct == shards,
+      "manifest shards must be sorted and distinct")
+  }
+
+  /** Pin the epoch's shard set from the live sequence rows (one
+    * narrow distinct — one row per shard, never the data) and persist
+    * it (one row per shard + the epoch/salt/algo identity columns,
+    * Overwrite so a re-started epoch start converges). Returns the
+    * manifest for immediate use. */
+  def writeEpochManifest(seqs: DataFrame, path: String, epoch: Long,
+      salt: String = "graft",
+      shardCol: String = "shard"): EpochManifest = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    val shards = seqs.select(col(shardCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val mf = EpochManifest(epoch, salt, ScheduleAlgo, shards)
+    shards.toDF("shard")
+      .withColumn("epoch", lit(epoch))
+      .withColumn("salt", lit(salt))
+      .withColumn("schedule_algo", lit(ScheduleAlgo))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    mf
+  }
+
+  /** Read back a pinned epoch manifest; refuses a foreign schedule
+    * algo (a v-mismatch is a version problem, not corruption) and an
+    * inconsistent row set (identity columns must agree across rows). */
+  def readEpochManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): EpochManifest = {
+    val rows = spark.read.parquet(path)
+      .select(col("shard"), col("epoch"), col("salt"),
+        col("schedule_algo")).collect()
+    require(rows.nonEmpty, s"$path holds no epoch-manifest rows")
+    val ids = rows.map(r => (r.getLong(1), r.getString(2),
+      r.getString(3))).distinct
+    require(ids.length == 1,
+      s"$path mixes epoch/salt/algo identities: ${ids.mkString(", ")}")
+    val (epoch, salt, algo) = ids.head
+    require(algo == ScheduleAlgo,
+      s"epoch manifest was pinned under schedule algo '$algo' but " +
+        s"this engine schedules '$ScheduleAlgo' — re-pin the epoch " +
+        "(or run the matching engine version); this is a format " +
+        "version mismatch, not corruption")
+    EpochManifest(epoch, salt, algo,
+      rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  /** md5 hex digest of a UTF-8 string — the driver-side twin of
+    * Spark's `md5()` column function (same lowercase-hex encoding),
+    * so manifest-pinned shard ranks computed in the driver land in
+    * exactly the order [[epochSchedule]]'s distributed rank lands. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   /** A trainer loader's RESUMABLE position in the consumed stream:
     * the last (epoch, shard_rank, seq_rank) it fully processed.
     * [[consumeEpoch]] resumes strictly AFTER it, so a trainer
     * restarting mid-epoch re-reads nothing and skips nothing —
-    * persist it with [[writeLoaderCursor]] at checkpoint time. */
+    * persist it with [[writeLoaderCursor]] at checkpoint time.
+    * GROWTH CAVEAT: the ranks mean the same physical sequences across
+    * a restart ONLY under a pinned [[EpochManifest]] — on a live lake
+    * (polls landing shards between checkpoint and resume) an unpinned
+    * schedule re-ranks the grown shard set and the cursor silently
+    * drifts. A LIVE trainer must pass `pinned` to [[consumeEpoch]]
+    * (pin at epoch start with [[writeEpochManifest]]); the unpinned
+    * resume form is correct only for a FROZEN lake (a batch-packed
+    * static corpus), which is exactly what it says on the tin. */
   final case class LoaderCursor(epoch: Long, shardRank: Long,
       seqRank: Long)
 
@@ -674,18 +784,71 @@ object Sampling {
     * shard + shard-bounded windows), so resuming costs the same plan
     * as starting. The loader reads rows in (shard_rank, seq_rank)
     * order — whole shards sequentially, the two-level-shuffle
-    * contract. */
+    * contract.
+    *
+    * `pinned` (an [[EpochManifest]], written at epoch start) is the
+    * GROWTH-SAFE form a live trainer must use: the schedule is ranked
+    * over the manifest's shard set — shard ranks computed in the
+    * DRIVER from the pinned set (same md5-hex order as the
+    * distributed rank; the set is one long per shard, codebook-sized)
+    * and broadcast-joined onto the rows, which both filters the lake
+    * to exactly the pinned shards AND replaces the unpinned distinct+
+    * rank job, so the pinned plan is never more expensive than the
+    * unpinned one. Shards landed after the pin are excluded (they
+    * join the next epoch); a pinned shard MISSING from the live rows
+    * refuses loudly (the lake lost data, or the manifest belongs to
+    * another lake). On an un-grown lake the pinned schedule equals
+    * the unpinned one exactly (spec'd). */
   def consumeEpoch(seqs: DataFrame, epoch: Long,
       cursor: Option[LoaderCursor] = None, salt: String = "graft",
-      shardCol: String = "shard", seqCol: String = "seq"): DataFrame = {
+      shardCol: String = "shard", seqCol: String = "seq",
+      pinned: Option[EpochManifest] = None): DataFrame = {
     cursor.foreach { c =>
       require(c.epoch <= epoch,
         s"loader cursor is at epoch ${c.epoch}, past the requested " +
           s"epoch $epoch — re-consuming a finished epoch would " +
           "double-train its sequences; request epoch >= the cursor's")
     }
-    val sched = epochSchedule(seqs, epoch, salt, shardCol, seqCol)
-      .withColumn("epoch", lit(epoch))
+    val sched = pinned match {
+      case Some(mf) =>
+        require(mf.epoch == epoch && mf.salt == salt,
+          s"epoch manifest pins (epoch ${mf.epoch}, salt " +
+            s"'${mf.salt}') but consumption asked for (epoch $epoch," +
+            s" salt '$salt') — an epoch consumes its OWN manifest")
+        val spark = seqs.sparkSession
+        import spark.implicits._
+        // live shard set: one narrow distinct, one row per shard —
+        // the same bounded pass the unpinned rank job pays
+        val live = seqs.select(col(shardCol).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val missing = mf.shards.filterNot(live)
+        require(missing.isEmpty,
+          s"epoch manifest pins shard(s) ${missing.mkString(",")} " +
+            "absent from the live sequence rows — the lake lost " +
+            "data since the pin (or this manifest belongs to a " +
+            "different lake); refusing a silently partial epoch")
+        // driver-side ranks over the PINNED set — the exact
+        // (md5 asc, shard-string asc) order epochSchedule's
+        // distributed rank lands, stable no matter what lands later
+        val ranked = mf.shards
+          .map(sh => (sh, md5Hex(s"$sh|$epoch|$salt")))
+          .sortBy { case (sh, k) => (k, sh.toString) }
+          .zipWithIndex.map { case ((sh, _), i) => (sh, i + 1L) }
+        val ranks = broadcast(ranked.toDF(shardCol, "shard_rank"))
+        val w = Window.partitionBy(col(shardCol))
+          .orderBy(md5(concat(col(shardCol).cast("string"), lit("|"),
+            col(seqCol).cast("string"), lit("|"),
+            lit(epoch.toString), lit("|"), lit(salt))).asc,
+            col(seqCol).asc)
+        // the inner join IS the pin filter (unpinned shards drop out)
+        seqs.withColumn(shardCol, col(shardCol).cast("long"))
+          .join(ranks, Seq(shardCol))
+          .withColumn("seq_rank", row_number().over(w).cast("long"))
+          .withColumn("epoch", lit(epoch))
+      case None =>
+        epochSchedule(seqs, epoch, salt, shardCol, seqCol)
+          .withColumn("epoch", lit(epoch))
+    }
     cursor match {
       case Some(c) if c.epoch == epoch =>
         sched.where(col("shard_rank") > c.shardRank ||
@@ -695,31 +858,79 @@ object Sampling {
     }
   }
 
-  /** Persist a [[LoaderCursor]] — one row, the
-    * [[graft.streaming.StreamShardLayout]] cursor-snapshot
-    * discipline. Overwrite, so a re-checkpoint converges. */
+  /** Persist a [[LoaderCursor]] — VERSIONED snapshots
+    * (`cursor_v<k>`), the [[graft.streaming.StreamShardLayout]]
+    * cursor-snapshot discipline for real this time: the new snapshot
+    * lands BESIDE the live one and older generations are reaped only
+    * AFTER it commits, so there is no window in which the path holds
+    * no committed cursor. (The earlier single-dir overwrite deleted
+    * the old snapshot before the new write landed — a crash in that
+    * window made [[readLoaderCursor]] return None, "fresh trainer",
+    * and a restarted loader silently re-consumed the whole epoch.) */
   def writeLoaderCursor(spark: org.apache.spark.sql.SparkSession,
       path: String, cursor: LoaderCursor): Unit = {
     import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = cursorVersions(fs, p).map(_._1).sorted.lastOption
+      .getOrElse(0L) + 1L
     Seq((cursor.epoch, cursor.shardRank, cursor.seqRank))
       .toDF("epoch", "shard_rank", "seq_rank")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/cursor_v$next")
+    // reap superseded generations — only now that v<next> committed;
+    // a reap failure just leaves them for the next checkpoint
+    cursorVersions(fs, p).filter(_._1 < next).foreach { case (_, d) =>
+      try fs.delete(d, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
-  /** Load a [[writeLoaderCursor]] snapshot; None when no checkpoint
-    * exists yet (a fresh trainer starts at the epoch head). */
+  private def cursorVersions(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .collect { case d if d.getName.startsWith("cursor_v") =>
+        (d.getName.stripPrefix("cursor_v").toLong, d) }.toSeq
+
+  /** Load the newest COMMITTED [[writeLoaderCursor]] snapshot; None
+    * when no checkpoint exists yet (a fresh trainer starts at the
+    * epoch head). The two are now distinguishable: a cursor directory
+    * holding only UNCOMMITTED snapshots (a torn checkpoint with every
+    * committed generation gone — which the write protocol never
+    * produces on its own) refuses loudly instead of impersonating a
+    * fresh trainer and double-training the epoch. */
   def readLoaderCursor(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[LoaderCursor] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val rows = spark.read.parquet(path)
-      .select(col("epoch"), col("shard_rank"), col("seq_rank"))
-      .collect()
-    require(rows.length == 1,
-      s"$path is not a one-row loader cursor (${rows.length} rows)")
-    Some(LoaderCursor(rows.head.getLong(0), rows.head.getLong(1),
-      rows.head.getLong(2)))
+    val versions = cursorVersions(fs, p)
+    val snapshot =
+      if (versions.nonEmpty) {
+        val committed = versions.filter { case (_, d) =>
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")) }
+        require(committed.nonEmpty,
+          s"$path holds ${versions.length} cursor snapshot(s), none " +
+            "committed — a torn checkpoint directory, NOT a fresh " +
+            "trainer; repair it (restore a committed cursor_v<k> or " +
+            "delete the directory after confirming the trainer " +
+            "really never checkpointed) instead of re-consuming the " +
+            "epoch from its head")
+        Some(committed.maxBy(_._1)._2.toString)
+      } else if (fs.exists(p) &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        Some(path) // legacy single-dir snapshot (pre-versioning)
+      else None
+    snapshot.map { dir =>
+      val rows = spark.read.parquet(dir)
+        .select(col("epoch"), col("shard_rank"), col("seq_rank"))
+        .collect()
+      require(rows.length == 1,
+        s"$dir is not a one-row loader cursor (${rows.length} rows)")
+      LoaderCursor(rows.head.getLong(0), rows.head.getLong(1),
+        rows.head.getLong(2))
+    }
   }
 
   /** The [[shardAssign]] two-pass running sum over an arbitrary

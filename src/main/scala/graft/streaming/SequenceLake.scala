@@ -46,10 +46,31 @@ object SequenceLake {
     * replayed poll rewrites exactly what it wrote (the lake
     * idempotency rule). The caller must skip empty polls
     * (writeSequences refuses them — nothing newly closed means
-    * nothing to land). */
+    * nothing to land).
+    *
+    * DE-COMMIT FIRST: when the increment already exists (a replayed
+    * poll re-overwriting itself), its committed meta is deleted
+    * BEFORE the rewrite starts. writeSequences rewrites `sequences/`
+    * first and lands the meta last, so without this a crash mid-
+    * rewrite would leave PARTIAL shard directories under the OLD
+    * still-committed meta — [[pollLandedShards]]' watermark would
+    * count those dirs and advance past a torn increment it can never
+    * return to (stuck refusing at read, no automated heal). With the
+    * meta gone up front the entire rewrite window is uncommitted: the
+    * watermark ignores the increment and the next poll re-lands it
+    * under the same id — the torn-landing self-heal rule now covers
+    * the replay-overwrite window too. (A reader racing the rewrite
+    * refuses loudly at the missing meta, exactly as it would mid-
+    * first-landing.) */
   def appendSequences(seqs: DataFrame, root: String, pollId: Long,
-      groupCol: Option[String] = None): Unit =
-    Sampling.writeSequences(seqs, s"$root/inc_b$pollId", groupCol)
+      groupCol: Option[String] = None): Unit = {
+    val inc = s"$root/inc_b$pollId"
+    val metaP = new Path(s"$inc/sequences_meta")
+    val fs = metaP.getFileSystem(
+      seqs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaP)) fs.delete(metaP, true)
+    Sampling.writeSequences(seqs, inc, groupCol)
+  }
 
   /** Every live landed sequence — pointer-resolved (base + newer
     * increments), each artifact verified against its own meta row
@@ -149,15 +170,42 @@ object SequenceLake {
     * seq_rank), strictly after `cursor`, to be read in
     * (shard_rank, seq_rank) order — whole shards sequentially. The
     * partition-discovered `shard` column is normalized to long so the
-    * schedule keys and any persisted cursor agree across readers. */
+    * schedule keys and any persisted cursor agree across readers.
+    *
+    * A LIVE lake (this engine's own design point — polls keep landing
+    * shards while the trainer runs) must consume under a PINNED epoch
+    * manifest ([[pinEpoch]] at epoch start, passed as `pinned`):
+    * without it the schedule ranks the CURRENT shard set, so a poll
+    * landing between a cursor checkpoint and the resume shifts every
+    * md5 rank and the cursor silently re-reads/skips whole shards.
+    * Pinned, the epoch covers exactly the manifest's shards — growth
+    * joins the NEXT epoch — and a resume is exactly-once no matter
+    * what landed in between (spec'd across a mid-epoch poll). */
   def consume(spark: SparkSession, root: String, epoch: Long,
       cursor: Option[Sampling.LoaderCursor] = None,
-      salt: String = "graft"): DataFrame = {
+      salt: String = "graft",
+      pinned: Option[Sampling.EpochManifest] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     Sampling.consumeEpoch(
       readSequenceLake(spark, root)
         .withColumn("shard", col("shard").cast("long")),
-      epoch, cursor, salt)
+      epoch, cursor, salt, pinned = pinned)
+  }
+
+  /** Pin THIS epoch's shard set from the live lake — one narrow
+    * distinct over the digest-verified lake read, persisted at
+    * `manifestPath` ([[graft.operators.Sampling.writeEpochManifest]])
+    * — the epoch-start step of the growth-safe loader protocol: pin,
+    * then consume every (re)start of the epoch under the SAME
+    * manifest ([[graft.operators.Sampling.readEpochManifest]] on
+    * restart), checkpointing cursors as usual. */
+  def pinEpoch(spark: SparkSession, root: String, manifestPath: String,
+      epoch: Long, salt: String = "graft"): Sampling.EpochManifest = {
+    import org.apache.spark.sql.functions.col
+    Sampling.writeEpochManifest(
+      readSequenceLake(spark, root)
+        .withColumn("shard", col("shard").cast("long")),
+      manifestPath, epoch, salt)
   }
 
   /** READER-ISOLATED compaction of closed poll artifacts — the

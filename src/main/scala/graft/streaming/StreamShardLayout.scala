@@ -374,20 +374,25 @@ object StreamShardLayout {
       layoutRoot: String): Unit = {
     val root = new Path(s"$layoutRoot/layout")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    StreamLakeIngest.compactDirIsolatedWith(spark,
-      s"$layoutRoot/layout",
-      dirs => readLayoutDirs(spark, fs, dirs),
-      (df, path) => df.write.mode("overwrite").partitionBy("shard")
-        .parquet(path))
+    // fold only families with >= 2 live dirs: the protocol keeps the
+    // newest increment out, so a single-increment family has nothing
+    // to fold and the staged rewrite would refuse ("no lake state") —
+    // routine for a young stream (or one whose empty batches landed
+    // no manifest/token increments), so skip instead of raising
+    def foldable(p: Path): Boolean = liveDirs(fs, p).length >= 2
+    if (foldable(root))
+      StreamLakeIngest.compactDirIsolatedWith(spark,
+        s"$layoutRoot/layout",
+        dirs => readLayoutDirs(spark, fs, dirs),
+        (df, path) => df.write.mode("overwrite").partitionBy("shard")
+          .parquet(path))
     // the MANIFEST increments fold through the same pointer protocol
     // (readShardManifest otherwise unions one parquet read per batch
     // forever — the exact listing curve this compaction exists to
     // kill). Folding is a plain union: the rows keep their `batch`
     // column, so the per-shard order-sensitive digest (which sorts by
     // batch) is unchanged — spec'd equal before/after.
-    val manifest = new Path(s"$layoutRoot/manifest")
-    if (fs.exists(manifest) &&
-        fs.listStatus(manifest).exists(_.isDirectory))
+    if (foldable(new Path(s"$layoutRoot/manifest")))
       StreamLakeIngest.compactDirIsolatedWith(spark,
         s"$layoutRoot/manifest",
         dirs => readLayoutDirs(spark, fs, dirs),
@@ -395,9 +400,7 @@ object StreamShardLayout {
     // LANDED TOKENS ([[appendTokens]]) ride the same protocol: the
     // pack reads them per closed shard, so their listing cost curve
     // is the layout's
-    val tokens = new Path(s"$layoutRoot/tokens")
-    if (fs.exists(tokens) &&
-        fs.listStatus(tokens).exists(_.isDirectory))
+    if (foldable(new Path(s"$layoutRoot/tokens")))
       StreamLakeIngest.compactDirIsolatedWith(spark,
         s"$layoutRoot/tokens",
         dirs => readLayoutDirs(spark, fs, dirs),
@@ -671,15 +674,33 @@ object StreamShardLayout {
     * the lake feeds [[graft.operators.Sampling.packSequences]] —
     * i.e. `tokenize` should emit token IDS (a
     * [[graft.operators.Tokenizer.bpeEncodeIds]] under a persisted
-    * model/vocab, with the registered eos as `sep`). */
+    * model/vocab, with the registered eos as `sep`).
+    *
+    * `compactEvery = N > 0` folds the MAINTENANCE into the arc: every
+    * Nth poll, [[compactLayoutIsolated]] (layout + manifest + tokens)
+    * and [[SequenceLake.compactSequenceLake]] run inside the same
+    * foreachBatch, right after the poll — which satisfies the
+    * single-maintainer "between polls" contract TRIVIALLY (the arc IS
+    * the poller; an out-of-band maintainer can never know when
+    * "between polls" is). Without it the arc's own measured listing
+    * curve creeps ~2x per 24 batches (SCALE.md round 18) and grows
+    * without bound — a year-long unattended run NEEDS this on. Both
+    * compactions are the reader-isolated `_live_v<k>` pointer
+    * protocol, so a trainer consuming either lake concurrently stays
+    * consistent through every fold. Default 0 (off) preserves the
+    * round-18 behavior for callers running maintenance themselves. */
   def ingestTrainerArc(stream: DataFrame, layoutRoot: String,
       seqRoot: String, checkpointDir: String, idCol: String,
       weightCol: String, shardWeight: Long,
       tokenize: DataFrame => DataFrame, seqLen: Long,
       pollEvery: Int = 1, sep: Option[String] = None,
       salt: String = "graft", posCol: String = "pos",
-      tokenCol: String = "token"): StreamingQuery = {
+      tokenCol: String = "token",
+      compactEvery: Int = 0): StreamingQuery = {
     require(pollEvery >= 1, s"pollEvery must be >= 1 (got $pollEvery)")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (got $compactEvery; 0 = no " +
+        "in-arc maintenance)")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -689,17 +710,32 @@ object StreamShardLayout {
         appendTokens(tokenize(batch), assigned, layoutRoot, batchId,
           idCol, posCol, tokenCol)
         Lineage.free(assigned)
+        val conf = spark.sparkContext.hadoopConfiguration
         if ((batchId + 1) % pollEvery == 0) {
           // skip the poll while the layout holds no increments yet
           // (a leading run of empty batches) — pollLandedShards
           // refuses an increment-less layout loudly, which is right
           // for a direct call but routine here
           val root = new Path(s"$layoutRoot/layout")
-          val fs = root.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
+          val fs = root.getFileSystem(conf)
           if (liveDirs(fs, root).nonEmpty)
             SequenceLake.pollLandedShards(spark, layoutRoot, seqRoot,
               seqLen, sep, idCol, posCol, tokenCol)
+        }
+        if (compactEvery > 0 &&
+            (batchId + 1) % (pollEvery.toLong * compactEvery) == 0) {
+          // fold only families with >= 2 live dirs (something to
+          // fold beyond the kept-out newest increment — the protocol
+          // refuses an increment-less fold, which is routine here)
+          def foldable(p: Path): Boolean = {
+            val fs = p.getFileSystem(conf)
+            liveDirs(fs, p).length >= 2
+          }
+          if (foldable(new Path(s"$layoutRoot/layout")))
+            compactLayoutIsolated(spark, layoutRoot)
+          if (foldable(new Path(seqRoot)))
+            SequenceLake.compactSequenceLake(spark, seqRoot,
+              groupCol = Some("shard"))
         }
         graft.operators.Dedup.releaseIntermediates()
       }

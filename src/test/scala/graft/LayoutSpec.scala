@@ -838,6 +838,245 @@ class LayoutSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("pinned epoch manifest: a poll lands between cursor write and " +
+      "resume — pinned consumption is exactly-once over the pinned " +
+      "set, and the unpinned resume demonstrably drifts") {
+    import graft.operators.Sampling
+    import graft.streaming.SequenceLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pinnedlake").toString
+    val manifestP = java.nio.file.Files
+      .createTempDirectory("graft_pinnedmf").toString + "/mf"
+    val cursorP = java.nio.file.Files
+      .createTempDirectory("graft_pinnedcur").toString + "/cur"
+    def mkShard(shard: Long, docs: Range) = {
+      val ids = docs.flatMap(d => (1L to 4L).map(p =>
+        (d.toLong, p, (d * 100 + p).toString)))
+        .toDF("doc_id", "pos", "token")
+        .withColumn("shard", lit(shard))
+      Sampling.packSequences(
+        Sampling.packTokens(ids, seqLen = 4L,
+          groupCol = Some("shard")),
+        groupCol = Some("shard"))
+    }
+    def mkPoll(shards: Range) = shards
+      .map(sh => mkShard(sh, sh * 3 until sh * 3 + 3))
+      .reduce(_.unionByName(_))
+    // poll 0 lands shards 0..4; the epoch pins against THAT set
+    SequenceLake.appendSequences(mkPoll(0 until 5), root, 0L,
+      groupCol = Some("shard"))
+    val mf = SequenceLake.pinEpoch(spark, root, manifestP, epoch = 1L)
+    assert(mf.shards == (0L until 5L).toSeq)
+    type R = (Long, Long, Long, Long, String)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.orderBy("shard_rank", "seq_rank").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"),
+          r.getAs[Long]("shard_rank"), r.getAs[Long]("seq_rank"),
+          r.getAs[String]("ids_digest"))).toSeq
+    val all = rows(SequenceLake.consume(spark, root, 1L,
+      pinned = Some(mf)))
+    assert(all.length == 15 &&
+      all.map(t => (t._1, t._2)).distinct.length == 15)
+    // on the un-grown lake the pinned schedule IS the unpinned one
+    assert(all == rows(SequenceLake.consume(spark, root, 1L)))
+    // trainer checkpoints after 4 rows...
+    Sampling.writeLoaderCursor(spark, cursorP,
+      Sampling.LoaderCursor(1L, all(3)._3, all(3)._4))
+    // ...and a poll lands FIVE NEW SHARDS before it restarts (every
+    // pinned shard's md5 rank shifts under the grown set: 0..4 rank
+    // (2,5,4,3,1) pinned but (4,10,7,5,3) grown)
+    SequenceLake.appendSequences(mkPoll(5 until 10), root, 1L,
+      groupCol = Some("shard"))
+    // restart path: manifest + cursor re-read from disk
+    val mf2 = Sampling.readEpochManifest(spark, manifestP)
+    assert(mf2 == mf)
+    val cur = Sampling.readLoaderCursor(spark, cursorP)
+    val rest = rows(SequenceLake.consume(spark, root, 1L, cur,
+      pinned = Some(mf2)))
+    // exactly-once over the pinned set: precisely the unconsumed
+    // remainder, same ranks, no mid-epoch shard leaks in
+    assert(rest == all.drop(4), s"$rest\nvs\n${all.drop(4)}")
+    assert(rest.map(_._1).toSet.subsetOf((0L until 5L).toSet))
+    // the bug the pin kills: the UNPINNED resume over the grown lake
+    // re-ranks everything — different rows than the true remainder
+    val unpinned = rows(SequenceLake.consume(spark, root, 1L, cur))
+    assert(unpinned.map(t => (t._1, t._2)) !=
+      rest.map(t => (t._1, t._2)))
+    // next epoch re-pins and picks up the growth
+    val mf3 = SequenceLake.pinEpoch(spark, root, manifestP, epoch = 2L)
+    assert(mf3.shards == (0L until 10L).toSeq)
+    assert(rows(SequenceLake.consume(spark, root, 2L,
+      pinned = Some(mf3))).length == 30)
+    // guards: wrong-epoch manifest and lost-shard manifest refuse
+    intercept[IllegalArgumentException] {
+      SequenceLake.consume(spark, root, 2L, pinned = Some(mf))
+        .collect()
+    }
+    val eLost = intercept[IllegalArgumentException] {
+      Sampling.consumeEpoch(
+        SequenceLake.readSequenceLake(spark, root)
+          .withColumn("shard", col("shard").cast("long"))
+          .where(col("shard") =!= 3L),
+        epoch = 1L, pinned = Some(mf))
+    }
+    assert(eLost.getMessage.contains("absent from the live"),
+      eLost.getMessage)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("writeLoaderCursor versions snapshots: a torn re-checkpoint " +
+      "falls back to the newest committed cursor; an uncommitted-" +
+      "only directory refuses instead of impersonating a fresh " +
+      "trainer") {
+    import graft.operators.Sampling
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_vcursor").toString + "/cur"
+    // absent path -> genuinely fresh
+    assert(Sampling.readLoaderCursor(spark, p).isEmpty)
+    Sampling.writeLoaderCursor(spark, p, Sampling.LoaderCursor(1, 2, 3))
+    assert(Sampling.readLoaderCursor(spark, p)
+      .contains(Sampling.LoaderCursor(1, 2, 3)))
+    Sampling.writeLoaderCursor(spark, p, Sampling.LoaderCursor(1, 2, 7))
+    assert(Sampling.readLoaderCursor(spark, p)
+      .contains(Sampling.LoaderCursor(1, 2, 7)))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // superseded generations were reaped after the new commit
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("cursor_v")).sorted
+    assert(gens.toSeq == Seq("cursor_v2"), gens.mkString(","))
+    // torn NEW snapshot (dir exists, no _SUCCESS): reads fall back to
+    // the newest COMMITTED generation — never None, never the torn one
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/cursor_v3"))
+    assert(Sampling.readLoaderCursor(spark, p)
+      .contains(Sampling.LoaderCursor(1, 2, 7)))
+    // every committed generation gone (hand-damage the protocol can't
+    // produce): LOUD refusal, not "fresh trainer"
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/cursor_v2/_SUCCESS"),
+      false)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.readLoaderCursor(spark, p)
+    }
+    assert(e.getMessage.contains("torn checkpoint"), e.getMessage)
+  }
+
+  test("appendSequences de-commits before a replay overwrite: a " +
+      "crash mid-rewrite leaves the increment UNcommitted — the " +
+      "watermark falls back and the next poll re-lands it") {
+    import graft.operators.Sampling
+    import graft.streaming.SequenceLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_decommitlayout").toString
+    val lakeR = java.nio.file.Files
+      .createTempDirectory("graft_decommitlake").toString
+    val docs = (0L until 40L).map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val toks = (0L until 40L).flatMap(i => (1L to 4L).map(p =>
+      (i, p, i.toString))).toDF("doc_id", "pos", "token")
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def land(b: Long): Unit = {
+      val part = docs.where(
+        col("doc_id") >= b * 20 && col("doc_id") < (b + 1) * 20)
+      val a = graft.streaming.StreamShardLayout.appendIncrement(
+        part, root, "doc_id", "n_tokens", shardWeight = 16L,
+        batchId = b)
+      graft.streaming.StreamShardLayout.appendTokens(
+        toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+        a, root, batchId = b)
+    }
+    def lakeRows(): Set[(Long, Long, String)] =
+      SequenceLake.readSequenceLake(spark, lakeR)
+        .select(col("shard").cast("long"), col("seq"),
+          col("ids_digest"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+    land(0L)
+    val r1 = SequenceLake.pollLandedShards(spark, root, lakeR, 8L)
+    land(1L)
+    val r2 = SequenceLake.pollLandedShards(spark, root, lakeR, 8L)
+    assert(r1.nonEmpty && r2.nonEmpty)
+    val before = lakeRows()
+    // the ADVICE round-18 window: a REPLAYED poll re-overwrites its
+    // committed increment and crashes mid-rewrite. Simulate what the
+    // de-commit-first rule leaves on disk: meta gone (appendSequences
+    // deleted it up front), sequences/ partially rewritten (a shard
+    // dir missing)
+    val fs = new org.apache.hadoop.fs.Path(lakeR)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inc = s"$lakeR/inc_b${r2.get._1}"
+    fs.delete(new org.apache.hadoop.fs.Path(s"$inc/sequences_meta"),
+      true)
+    val shardDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$inc/sequences"))
+      .filter(_.getPath.getName.startsWith("shard="))
+    fs.delete(shardDirs.head.getPath, true)
+    // the watermark must NOT count the torn increment's surviving
+    // shard dirs: the next poll returns to r2's fromShard and
+    // re-lands the same range — the lake converges
+    val r3 = SequenceLake.pollLandedShards(spark, root, lakeR, 8L)
+    assert(r3 == r2, s"replay must re-land the torn poll: $r3 vs $r2")
+    assert(lakeRows() == before)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
+  test("ingestTrainerArc compactEvery: the arc runs its own " +
+      "maintenance between polls — pointers exist, digests are " +
+      "unchanged across the folds, and the lake equals the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sampling
+    import graft.streaming.SequenceLake
+    val rows = (0L until 120L).map(i =>
+      (i, 4L, (1L to 4L).map(_ => i.toString).mkString(" ")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arcc").toString
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_arcclake").toString
+    graft.streaming.StreamShardLayout.initLayout(spark, root)
+    def tokenize(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("token"))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamShardLayout.ingestTrainerArc(
+      mem.toDF().toDF("doc_id", "n_tokens", "text"), root, lake,
+      java.nio.file.Files.createTempDirectory("graft_arcccp").toString,
+      "doc_id", "n_tokens", shardWeight = 16L, tokenize, seqLen = 8L,
+      compactEvery = 1)
+    try {
+      (0 until 4).foreach { b =>
+        mem.addData(rows.filter(r => r._1 >= b * 30 &&
+          r._1 < (b + 1) * 30): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the in-arc maintenance really ran: both families are pointer-
+    // maintained now
+    def hasPointer(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .exists(_.getPath.getName.startsWith("_live_v"))
+    assert(hasPointer(s"$root/layout"), "layout pointer missing")
+    assert(hasPointer(s"$root/tokens"), "tokens pointer missing")
+    assert(hasPointer(lake), "sequence-lake pointer missing")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("shard").cast("long"), col("seq"),
+          col("ids_digest"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+    val streamed = rowsOf(SequenceLake.readSequenceLake(spark, lake))
+    val twin = rowsOf(Sampling.packSequences(
+      graft.streaming.StreamShardLayout.packLandedShards(spark, root,
+        seqLen = 8L),
+      groupCol = Some("shard")))
+    assert(streamed.nonEmpty && streamed == twin)
+    assert(SequenceLake.consume(spark, lake, epoch = 1L).count() ==
+      streamed.size)
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("shardAssignOrdered startWeight continues the running weight; " +
       "appendIncrementOrdered streams the curriculum in (batch, " +
       "order, id) order with the cursor threading automatically") {

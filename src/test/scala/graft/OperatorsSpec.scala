@@ -1115,6 +1115,23 @@ class OperatorsSpec extends SparkTestBase {
       Sampling.packTokens(headless, 2L).collect()
     }
     assert(msgs(e2).contains("non-contiguous"), msgs(e2))
+    // a DUPLICATE-masked gap (pos 1,2,2,4: max=count=4) would pass a
+    // max==count check alone and silently produce colliding
+    // (seq, seq_off) slots — the distinct-count leg catches it
+    val dupMasked = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 2L, "b2"),
+      (1L, 4L, "d")).toDF("doc_id", "pos", "token")
+    val e3 = intercept[Exception] {
+      Sampling.packTokens(dupMasked, 2L).collect()
+    }
+    assert(msgs(e3).contains("non-contiguous"), msgs(e3))
+    // and a zero-based run (pos 0..n-1: max<count but distinct=count)
+    // is pinned by the min==1 leg
+    val zeroBased = Seq((1L, 0L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (1L, 4L, "d")).toDF("doc_id", "pos", "token")
+    val e4 = intercept[Exception] {
+      Sampling.packTokens(zeroBased, 2L).collect()
+    }
+    assert(msgs(e4).contains("non-contiguous"), msgs(e4))
     graft.operators.Dedup.releaseIntermediates()
   }
 
