@@ -65,7 +65,8 @@ object SparkEntry {
     "q264_stream_sequences_capstone", "q265_curriculum_pack",
     "q267_special_registry", "q268_padded_sequences",
     "q269_loader_consume", "q270_sequence_lake",
-    "q271_bos_eos_pack", "q272_unk_encode", "q273_trainer_poll")
+    "q271_bos_eos_pack", "q272_unk_encode", "q273_trainer_poll",
+    "q274_pinned_consume", "q275_trainer_arc")
 
   private def out(df: DataFrame): DataFrame = Tables.ntzOut(df)
 
@@ -3884,6 +3885,175 @@ object SparkEntry {
         .select(col("shard").cast("long").as("shard"), col("seq"),
           col("n_ids").as("n_tokens"), col("ids_digest"))
     }),
+    // ---- GROWTH-SAFE loader consumption (round 19): the complete
+    // composition SequenceLake.consume = lake read x pinned epoch
+    // schedule x resumable cursor, ACROSS A MID-EPOCH POLL — the
+    // round-18 verdict's top finding made real: the epoch pins its
+    // shard set at epoch start (pinEpoch manifest), a trainer
+    // checkpoints a cursor, the SECOND batch lands and polls MORE
+    // shards, and the restart (manifest + cursor both re-read from
+    // disk) consumes exactly the pinned remainder — ranks computed
+    // over the PINNED set, the mid-epoch shards invisible until the
+    // next epoch's pin. The oracle replays the batch-0-only layout
+    // (closed shards of the first poll), the q266-style rank CTEs
+    // over THAT shard set, and the cursor predicate — if consume
+    // ranked the grown set instead, every rank would shift and the
+    // hash would catch it. SIDE-EFFECTING.
+    "q274_pinned_consume" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      val toks = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "__w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("doc_id").cast("string").as("token"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_pc_layout"
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_pc_lake"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      def land(b: Long): Unit = {
+        val part = docs.where(pmod(col("doc_id"), lit(2)) === b)
+        val a = graft.streaming.StreamShardLayout.appendIncrement(
+          part, root, "doc_id", "n_tokens", shardWeight = 5000L,
+          batchId = b)
+        graft.streaming.StreamShardLayout.appendTokens(
+          toks.join(part.select("doc_id"), Seq("doc_id"), "left_semi"),
+          a, root, batchId = b)
+      }
+      land(0L)
+      graft.streaming.SequenceLake.pollLandedShards(s, root, lake,
+        seqLen = 512L)
+      // EPOCH START: pin the first poll's shard set, then checkpoint
+      // a cursor (last processed = shard_rank 1, seq_rank 2)
+      graft.streaming.SequenceLake.pinEpoch(s, lake, s"${lake}_mf",
+        epoch = 1L)
+      Sampling.writeLoaderCursor(s, s"${lake}_cur",
+        Sampling.LoaderCursor(1L, 1L, 2L))
+      // MID-EPOCH GROWTH: more shards land and poll into the lake
+      // between the checkpoint and the restart
+      land(1L)
+      graft.streaming.SequenceLake.pollLandedShards(s, root, lake,
+        seqLen = 512L)
+      // RESTART: manifest + cursor from disk; exactly the pinned
+      // remainder, ranks unmoved by the growth
+      val mf = Sampling.readEpochManifest(s, s"${lake}_mf")
+      val cur = Sampling.readLoaderCursor(s, s"${lake}_cur")
+      graft.streaming.SequenceLake.consume(s, lake, epoch = 1L,
+          cursor = cur, pinned = Some(mf))
+        .select(col("shard"), col("seq"), col("n_ids").as("n_tokens"),
+          col("shard_rank"), col("seq_rank"))
+    }),
+    // ---- STREAMED trainer arc, MemoryStream-driven with IN-ARC
+    // maintenance (round 19): ingestTrainerArc(compactEvery = 1) —
+    // one streaming query lands each micro-batch's layout increment
+    // + token stream, polls the sequence lake, AND runs both
+    // reader-isolated compactions inside the same foreachBatch (the
+    // single-maintainer "between polls" contract satisfied where it
+    // is trivially true: the arc IS the poller). Two micro-batches
+    // (even docs, then odd), so the folds really run (pointer
+    // generations exist on layout/tokens/lake); the lake read-back
+    // must land q270/q273's oracle VERBATIM — the packaged streaming
+    // route with maintenance on equals the single batch pack.
+    // SIDE-EFFECTING.
+    "q275_trainer_arc" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = t(s, dir, "documents")
+      val docs = Dedup.tracked(base.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens")))
+      val toksAll = base.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("p0", "__w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("doc_id").cast("string").as("token"))
+      val root =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ta_layout"
+      val lake =
+        s"$LakeRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ta_lake"
+      graft.streaming.StreamShardLayout.initLayout(s, root)
+      // the stream carries ids only (a bounded driver-side id list
+      // per micro-batch — the MemoryStream harness, not a data
+      // collect); weights and tokens come from stream-static joins
+      val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        s.sqlContext
+      import s.implicits._
+      val mem = MemoryStream[Long]
+      val stream = mem.toDF().toDF("doc_id").join(docs, Seq("doc_id"))
+      def tokenize(b: DataFrame): DataFrame =
+        b.select(col("doc_id")).join(toksAll, Seq("doc_id"))
+      val q = graft.streaming.StreamShardLayout.ingestTrainerArc(
+        stream, root, lake,
+        java.nio.file.Files.createTempDirectory("graft_ta_cp")
+          .toString,
+        "doc_id", "n_tokens", shardWeight = 5000L, tokenize,
+        seqLen = 512L, compactEvery = 1)
+      try {
+        mem.addData(ids.filter(_ % 2 == 0).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(ids.filter(_ % 2 == 1).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.SequenceLake.readSequenceLake(s, lake)
+        .select(col("shard").cast("long").as("shard"), col("seq"),
+          col("n_ids").as("n_tokens"), col("ids_digest"))
+    }),
+    // ---- GPT-2-style PRE-TOKENIZATION (round 19): learning AND
+    // encoding under the published contraction/letter-run/digit-run/
+    // punct-run pattern (Tokenizer.PretokPattern — the same literal
+    // regex in Java and DuckDB RE2), byte-fallback retained for
+    // out-of-class code points WITHIN a piece. `don't` segments as
+    // don + 't and `co-op` as co + - + op instead of shattering
+    // mid-word into byte placeholders. Output: per-doc token count +
+    // order-sensitive piece digest — merges, segmentation, and piece
+    // order all have to agree with the oracle's RE2 replay.
+    "q276_pretok_encode" -> ((s, dir) => {
+      val pc = punctCorpus(s, dir)
+      val m = graft.operators.Tokenizer.bpeMerges(pc, "text",
+          merges = 8, byteFallback = true, pretok = true)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer.bpeTokenize(pc, "text", "doc_id", m,
+          byteFallback = true, pretok = true)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(array_sort(collect_list(struct(
+              col("pos"), col("token").as("__t")))),
+            x => x.getField("__t")), ",")).as("tok_digest"))
+    }),
+    // ---- pretok FERTILITY A/B (round 19): class-run vs pretok
+    // segmentation on the punctuated corpus, each under its OWN
+    // 8-merge byte-fallback model, fertility measured against the
+    // same denominator (whitespace words) — the q263-style audit row
+    // that shows where the pretok mode buys its win (the 'punct'
+    // lang's don't/co-op docs stop paying byte-level fertility).
+    "q277_pretok_fertility" -> ((s, dir) => {
+      val pc = Dedup.tracked(punctCorpus(s, dir))
+      def learn(pt: Boolean) = graft.operators.Tokenizer.bpeMerges(
+          pc, "text", merges = 8, byteFallback = true, pretok = pt)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val cr = graft.operators.Tokenizer.bpeTokenCounts(pc, "text",
+        "doc_id", learn(false), byteFallback = true)
+      val pt = graft.operators.Tokenizer.bpeTokenCounts(pc, "text",
+          "doc_id", learn(true), byteFallback = true, pretok = true)
+        .select(col("doc_id"), col("n_tokens").as("pt_tokens"))
+      cr.join(pt, Seq("doc_id"))
+        .join(pc.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("classrun_tokens"),
+          sum(col("pt_tokens")).as("pretok_tokens"),
+          round(sum(col("n_tokens")).cast("double") /
+            sum(col("n_words")).cast("double"), 6)
+            .as("classrun_fertility"),
+          round(sum(col("pt_tokens")).cast("double") /
+            sum(col("n_words")).cast("double"), 6)
+            .as("pretok_fertility"))
+    }),
     // ---- BOS + EOS packing (round 18): both boundary tokens from
     // the REGISTERED special block — prependDocStart puts the bos id
     // at position 1 and shifts the document up one (the packTokens
@@ -4270,20 +4440,25 @@ object SparkEntry {
     // sentinel char per mode: ascii uses '0' (a digit can never be a
     // [a-z]+ symbol); unicode uses '-' (category Pd — outside
     // [\p{L}\p{N}], while '0' IS a unicode-mode symbol)
-    def bpeRoundsGen(n: Int, sentinel: String): String = (1 to n).map { i =>
-      s"""p$i AS (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
+    // `pfx` prefixes every CTE name so TWO independent learning
+    // chains can coexist in one query (the q277 class-run vs pretok
+    // A/B needs both)
+    def bpeRoundsGen(n: Int, sentinel: String,
+        pfx: String = ""): String = (1 to n).map { i =>
+      s"""${pfx}p$i AS (SELECT tk[j] AS lhs, tk[j + 1] AS rhs,
          |    sum(cnt) AS c
          |  FROM (SELECT string_split(trim(seq, '·'), '··') AS tk,
-         |          cnt FROM v${i - 1}),
+         |          cnt FROM ${pfx}v${i - 1}),
          |       unnest(range(1, len(tk))) AS u(j)
          |  GROUP BY 1, 2),
-         |m$i AS (SELECT lhs, rhs, c FROM (
-         |    SELECT lhs, rhs, c FROM p$i WHERE c >= 1
+         |${pfx}m$i AS (SELECT lhs, rhs, c FROM (
+         |    SELECT lhs, rhs, c FROM ${pfx}p$i WHERE c >= 1
          |    UNION ALL SELECT '$sentinel', '$sentinel', 0)
          |  ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |v$i AS (SELECT replace(seq, '·' || lhs || '··' || rhs || '·',
+         |${pfx}v$i AS (SELECT replace(seq,
+         |    '·' || lhs || '··' || rhs || '·',
          |    '·' || lhs || rhs || '·') AS seq, cnt
-         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+         |  FROM ${pfx}v${i - 1} CROSS JOIN ${pfx}m$i)""".stripMargin
     }.mkString(",\n")
     val bpeRounds = bpeRoundsGen(8, "0")
     val bpeRoundsUni = bpeRoundsGen(8, "-")
@@ -4391,6 +4566,27 @@ object SparkEntry {
          |    SELECT w, count(*) AS cnt FROM (
          |      SELECT unnest(string_split_regex(trim(lower(text)),
          |          '\\s+')) AS w
+         |      FROM $src)
+         |    WHERE w <> '' GROUP BY 1))""".stripMargin
+    // GPT-2-style pre-tokenization (round 19): the LITERAL same
+    // pattern as Tokenizer.PretokPattern, SQL-quoted (doubled
+    // apostrophes) — contractions, letter runs, digit runs, punct
+    // runs; whitespace never matches, so regexp_extract_all yields
+    // the pretok pieces in document order. Alternation is
+    // leftmost-first in both Java regex and RE2.
+    val pretokPatternSql: String =
+      "''s|''t|''re|''ve|''m|''ll|''d|" +
+        "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+    // pretok byte-fallback vocab: every pretok PIECE enters, its seq
+    // built by the same fallback expansion (out-of-class code points
+    // within a piece still expand to byte placeholders)
+    def bpeVocab0PretokFrom(src: String, pfx: String = ""): String =
+      s"""${pfx}v0 AS (
+         |  SELECT ${fbSeqExpr("w")} AS seq, cnt
+         |  FROM (
+         |    SELECT w, count(*) AS cnt FROM (
+         |      SELECT unnest(regexp_extract_all(trim(lower(text)),
+         |          '$pretokPatternSql')) AS w
          |      FROM $src)
          |    WHERE w <> '' GROUP BY 1))""".stripMargin
     // the q242/q243 punctuated corpus: punctCorpus's SQL twin
@@ -7361,6 +7557,143 @@ object SparkEntry {
       // (pollLandedShards — no cursor file, the lake is the state)
       // must land the identical lake
       "q273_trainer_poll" -> seqLakePackSql,
+      // growth-safe pinned consumption: the BATCH-0-ONLY layout
+      // replica (the first poll's closed shards — the set the epoch
+      // manifest pinned), the q266-style rank CTEs computed over
+      // THAT set (NOT the grown two-batch lake the Spark side
+      // actually holds at resume time), and the resume-cursor
+      // predicate. A consume that ranked the grown set would shift
+      // every rank and hash-mismatch here.
+      "q274_pinned_consume" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+          |    CAST(len(string_split_regex(trim(text), '\s+'))
+          |      AS BIGINT) AS n_tokens,
+          |    md5(CAST(doc_id AS VARCHAR) || 'graft') AS k
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |c AS (SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before
+          |  FROM t),
+          |sh AS (SELECT doc_id, CAST(before // 5000 AS BIGINT)
+          |      AS shard,
+          |    before % 5000 AS off FROM c),
+          |cl AS (SELECT * FROM sh
+          |  WHERE shard < (SELECT max(shard) FROM sh)),
+          |cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+          |st AS (SELECT cl.doc_id, shard,
+          |    coalesce(sum(n) OVER (PARTITION BY shard
+          |      ORDER BY off, cl.doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS strt
+          |  FROM cl JOIN cnt ON cl.doc_id = cnt.doc_id),
+          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+          |  FROM (SELECT doc_id, ws,
+          |      unnest(generate_series(1, len(ws))) AS i FROM t)),
+          |g AS (SELECT st.shard, strt + pos - 1 AS gi
+          |  FROM tok JOIN st ON tok.doc_id = st.doc_id),
+          |pairs AS (SELECT shard,
+          |    CAST(gi // 512 AS BIGINT) AS seq,
+          |    CAST(count(*) AS BIGINT) AS n_tokens
+          |  FROM g GROUP BY 1, 2),
+          |sr AS (SELECT shard, CAST(row_number() OVER (ORDER BY
+          |      md5(CAST(shard AS VARCHAR) || '|' || '1' || '|'
+          |        || 'graft'),
+          |      CAST(shard AS VARCHAR)) AS BIGINT) AS shard_rank
+          |  FROM (SELECT DISTINCT shard FROM pairs)),
+          |sch AS (SELECT pairs.shard, seq, n_tokens, shard_rank,
+          |  CAST(row_number() OVER (PARTITION BY pairs.shard ORDER BY
+          |    md5(CAST(pairs.shard AS VARCHAR) || '|' ||
+          |      CAST(seq AS VARCHAR) || '|' || '1' || '|' || 'graft'),
+          |    seq) AS BIGINT) AS seq_rank
+          |  FROM pairs JOIN sr USING (shard))
+          |SELECT shard, seq, n_tokens, shard_rank, seq_rank FROM sch
+          |WHERE shard_rank > 1
+          |   OR (shard_rank = 1 AND seq_rank > 2)""".stripMargin,
+      // the MemoryStream-driven arc with in-arc maintenance
+      // (compactEvery = 1) must land the identical lake as q270/q273
+      // — the streamed route + both pointer-protocol folds change
+      // nothing about the content
+      "q275_trainer_arc" -> seqLakePackSql,
+      // pretok learn + encode: the pretok piece stream (the LITERAL
+      // PretokPattern through RE2), the byte-fallback vocab over
+      // pieces, 8 learned rounds, and the per-doc ordered piece
+      // digest — segmentation, merges, and piece order all certified
+      "q276_pretok_encode" -> {
+        val encChain = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMs = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0PretokFrom("pd")},
+           |${bpeRoundsGen(8, "-")},
+           |w AS (SELECT doc_id,
+           |    regexp_extract_all(trim(lower(text)),
+           |      '$pretokPatternSql') AS ws
+           |  FROM pd),
+           |tl AS MATERIALIZED (SELECT doc_id,
+           |    flatten(list_transform(ws, wd ->
+           |      string_split(trim($encChain, '·'), '··'))) AS toks
+           |  FROM w $crossMs)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  md5(array_to_string(toks, ',')) AS tok_digest
+           |FROM tl WHERE len(toks) > 0""".stripMargin
+      },
+      // fertility A/B: BOTH chains in one query (class-run unprefixed,
+      // pretok under the pt-prefix CTEs), joined per doc so both
+      // modes measure against the SAME denominator (whitespace words)
+      "q277_pretok_fertility" -> {
+        val encChainCr = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || m$i.lhs || '··' || m$i.rhs || '·', " +
+            s"'·' || m$i.lhs || m$i.rhs || '·')"
+        }
+        val crossMsCr = (1 to 8).map(i => s"CROSS JOIN m$i")
+          .mkString(" ")
+        val encChainPt = (1 to 8).foldLeft(fbSeqExpr("wd")) { (e, i) =>
+          s"replace($e, '·' || ptm$i.lhs || '··' || ptm$i.rhs || " +
+            s"'·', '·' || ptm$i.lhs || ptm$i.rhs || '·')"
+        }
+        val crossMsPt = (1 to 8).map(i => s"CROSS JOIN ptm$i")
+          .mkString(" ")
+        s"""WITH $punctCorpusSql,
+           |${bpeVocab0FallbackFrom("pd")},
+           |${bpeRoundsGen(8, "-")},
+           |${bpeVocab0PretokFrom("pd", "pt")},
+           |${bpeRoundsGen(8, "-", "pt")},
+           |w AS (SELECT doc_id, lang,
+           |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
+           |      AS wd
+           |  FROM pd),
+           |tc AS (SELECT doc_id, lang,
+           |    CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(len(string_split(trim($encChainCr, '·'),
+           |      '··'))) AS BIGINT) AS n_tokens
+           |  FROM w $crossMsCr
+           |  GROUP BY 1, 2),
+           |wp AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(trim(lower(text)),
+           |      '$pretokPatternSql')) AS wd
+           |  FROM pd),
+           |tp AS (SELECT doc_id,
+           |    CAST(sum(len(string_split(trim($encChainPt, '·'),
+           |      '··'))) AS BIGINT) AS pt_tokens
+           |  FROM wp $crossMsPt
+           |  GROUP BY 1)
+           |SELECT lang,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_tokens) AS BIGINT) AS classrun_tokens,
+           |  CAST(sum(pt_tokens) AS BIGINT) AS pretok_tokens,
+           |  round(CAST(sum(n_tokens) AS DOUBLE)
+           |    / CAST(sum(n_words) AS DOUBLE), 6)
+           |    AS classrun_fertility,
+           |  round(CAST(sum(pt_tokens) AS DOUBLE)
+           |    / CAST(sum(n_words) AS DOUBLE), 6)
+           |    AS pretok_fertility
+           |FROM tc JOIN tp USING (doc_id)
+           |GROUP BY 1""".stripMargin
+      },
       // the q261 id chain with BOTH boundary rows from the reserved
       // block: bos (max+2, registration order eos-then-bos) at pos 1
       // with every real token shifted up one, eos (max+1) after the

@@ -25,6 +25,50 @@ object Tokenizer {
   private def wordPattern(unicode: Boolean): String =
     if (unicode) "^[\\p{L}\\p{N}]+$" else "^[a-z]+$"
 
+  /** GPT-2-STYLE PRE-TOKENIZATION pattern (Radford et al. 2019's
+    * published pattern, adapted): English contractions as their own
+    * pieces, then letter runs, digit runs, and punctuation/symbol
+    * runs — so `don't` segments as `don` + `'t` and `co-op` as
+    * `co` + `-` + `op`, and a merge can never cross the letter/punct
+    * boundary. WHAT THIS MODE IS FOR (measured, SCALE.md round 19):
+    * NOT training-corpus fertility — pretok pieces refine whitespace
+    * words, so its merge space is a strict subset of class-run's and
+    * at equal merge budget its fertility is equal or worse (the
+    * round-18 conjecture to the contrary is refuted by the ProfPretok
+    * A/B; byte-fallback class-run is the fertility-optimal default).
+    * It buys the properties GPT-2 published it for: a BOUNDED piece
+    * inventory, semantically-aligned boundaries (`'t` is the same
+    * piece in don't/won't/can't by construction), and held-out
+    * robustness under shift. Differences from the
+    * verbatim GPT-2 pattern, both forced by cross-engine parity:
+    * no ` ?` leading-space alternates and no `\s+(?!\S)` lookahead —
+    * this engine's pipeline whitespace-normalizes first (the learner
+    * has always consumed `split(\\s+)` streams, and RE2 has no
+    * lookahead), so whitespace simply never matches and pieces are
+    * the non-space segments. Alternation is leftmost-first in BOTH
+    * Java regex and RE2 (DuckDB), and `\p{L}`/`\p{N}` are the same
+    * Unicode classes — the oracle runs the LITERAL same pattern
+    * through `regexp_extract_all` on its side. */
+  private[graft] val PretokPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** The pre-tokenized text: pretok pieces re-joined on single
+    * spaces. Because pieces can never contain whitespace, feeding
+    * THIS to any whitespace-splitting consumer (the learner's
+    * initialVocab, the native BpeTokenize/BpeTokenCount expressions)
+    * makes that consumer operate on exactly the pretok segmentation
+    * — pretok mode composes as one extra per-row projection, ZERO
+    * new shuffle and zero new native code, and byte-fallback keeps
+    * covering out-of-class code points WITHIN a piece. */
+  private def pretokText(textCol: String): org.apache.spark.sql.Column =
+    array_join(regexp_extract_all(trim(lower(col(textCol))),
+      lit(PretokPattern), lit(0)), " ")
+
+  /** The effective text column per segmentation mode. */
+  private def segText(textCol: String,
+      pretok: Boolean): org.apache.spark.sql.Column =
+    if (pretok) pretokText(textCol) else col(textCol)
+
   /** Word vocabulary of the corpus, each word as its initial
     * sentinel-delimited symbol sequence, weighted by corpus frequency
     * — ONE map-side-combined hash aggregate; shared by both learners.
@@ -157,13 +201,19 @@ object Tokenizer {
     */
   def bpeMerges(df: DataFrame, textCol: String, merges: Int,
       minCount: Long = 1L, unicode: Boolean = false,
-      byteFallback: Boolean = false): DataFrame = {
+      byteFallback: Boolean = false,
+      pretok: Boolean = false): DataFrame = {
     require(merges >= 1 && merges <= 512,
       s"merges must be in [1, 512] (got $merges): each merge is a " +
         "driver-coordinated round — for larger vocabularies use " +
         "bpeMergesBatched (top-M disjoint pairs per round)")
+    require(!pretok || byteFallback,
+      "pretok requires byteFallback: pretok pieces include " +
+        "punctuation runs, which only the byte alphabet closes over")
     val spark = df.sparkSession
-    val vocab0 = initialVocab(df, textCol, unicode, byteFallback)
+    val vocab0 = initialVocab(
+      if (pretok) df.select(pretokText(textCol).as(textCol)) else df,
+      textCol, unicode, byteFallback)
 
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -219,7 +269,11 @@ object Tokenizer {
   def bpeMergesBatched(df: DataFrame, textCol: String, rounds: Int,
       batch: Int, minCount: Long = 1L,
       unicode: Boolean = false,
-      byteFallback: Boolean = false): DataFrame = {
+      byteFallback: Boolean = false,
+      pretok: Boolean = false): DataFrame = {
+    require(!pretok || byteFallback,
+      "pretok requires byteFallback: pretok pieces include " +
+        "punctuation runs, which only the byte alphabet closes over")
     // 1024-round ceiling (raised from 512 in round 17): with the
     // adaptive prefix a round is one vocab-bounded aggregate + one
     // bounded collect (~0.5 s measured at 50k words), so the ceiling
@@ -232,8 +286,9 @@ object Tokenizer {
     val spark = df.sparkSession
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, String, String, Long)]
-    val chain =
-      new VocabChain(initialVocab(df, textCol, unicode, byteFallback))
+    val chain = new VocabChain(initialVocab(
+      if (pretok) df.select(pretokText(textCol).as(textCol)) else df,
+      textCol, unicode, byteFallback))
     var step = 1
     var round = 1
     var done = false
@@ -330,15 +385,27 @@ object Tokenizer {
   def bpeTokenCounts(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)],
       unicode: Boolean = false,
-      byteFallback: Boolean = false): DataFrame = {
+      byteFallback: Boolean = false,
+      pretok: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
-    val words = split(trim(lower(col(textCol))), "\\s+")
+    require(!pretok || byteFallback,
+      "pretok requires byteFallback: pretok pieces include " +
+        "punctuation runs, which only the byte alphabet closes over")
+    // pretok: n_words counts pretok PIECES (the segmentation unit of
+    // the mode); the space-joined pretok text feeds the same native
+    // expression — still a pure per-row projection, zero shuffle
+    val words =
+      if (pretok)
+        regexp_extract_all(trim(lower(col(textCol))),
+          lit(PretokPattern), lit(0))
+      else split(trim(lower(col(textCol))), "\\s+")
     val shim = org.apache.spark.sql.graftshim.ColumnShim
     df.select(col(idCol).as("doc_id"),
       size(words).cast("long").as("n_words"),
       shim.column(graft.functions.BpeTokenCount(
-        shim.expression(col(textCol)), merges, unicode, byteFallback))
+        shim.expression(segText(textCol, pretok)), merges, unicode,
+        byteFallback))
         .as("n_tokens"))
   }
 
@@ -354,14 +421,18 @@ object Tokenizer {
       merges: Seq[(String, String)],
       unicode: Boolean = false,
       byteFallback: Boolean = false,
-      wordMarker: Boolean = false): DataFrame = {
+      wordMarker: Boolean = false,
+      pretok: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
+    require(!pretok || byteFallback,
+      "pretok requires byteFallback: pretok pieces include " +
+        "punctuation runs, which only the byte alphabet closes over")
     val shim = org.apache.spark.sql.graftshim.ColumnShim
     df.select(col(idCol).as("doc_id"),
         posexplode(shim.column(graft.functions.BpeTokenize(
-          shim.expression(col(textCol)), merges, unicode, byteFallback,
-          wordMarker)))
+          shim.expression(segText(textCol, pretok)), merges, unicode,
+          byteFallback, wordMarker)))
           .as(Seq("pos", "token")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("token"))
@@ -419,14 +490,19 @@ object Tokenizer {
   def bpeVocabulary(df: DataFrame, textCol: String,
       merges: Seq[(String, String)],
       unicode: Boolean = false,
-      byteFallback: Boolean = false): DataFrame = {
+      byteFallback: Boolean = false,
+      pretok: Boolean = false): DataFrame = {
     require(merges.size <= 65536,
       s"merges must be at most 65536 literal pairs (got ${merges.size})")
+    require(!pretok || byteFallback,
+      "pretok requires byteFallback: pretok pieces include " +
+        "punctuation runs, which only the byte alphabet closes over")
     val spark = df.sparkSession
     import spark.implicits._
     val shim = org.apache.spark.sql.graftshim.ColumnShim
     val baseDf = df.select(explode(shim.column(graft.functions.BpeTokenize(
-        shim.expression(col(textCol)), Nil, unicode, byteFallback)))
+        shim.expression(segText(textCol, pretok)), Nil, unicode,
+        byteFallback)))
         .as("t"))
       .where(length(col("t")) > 0)
       .distinct()
@@ -681,8 +757,10 @@ object Tokenizer {
       merges: Seq[(String, String)], vocab: DataFrame,
       unicode: Boolean = false,
       byteFallback: Boolean = false,
-      unk: Option[Long] = None): DataFrame =
-    bpeTokenize(df, textCol, idCol, merges, unicode, byteFallback)
+      unk: Option[Long] = None,
+      pretok: Boolean = false): DataFrame =
+    bpeTokenize(df, textCol, idCol, merges, unicode, byteFallback,
+      pretok = pretok)
       .join(broadcast(vocab.select(col("token"), col("token_id"))),
         Seq("token"), "left")
       .select(col("doc_id"), col("pos"), col("token"),
@@ -695,7 +773,8 @@ object Tokenizer {
     * The digest is the write-time content attestation (md5 over
     * `step:lhs:rhs` lines in step order), re-verified on read. */
   final case class BpeModel(merges: Seq[(String, String)],
-      unicode: Boolean, byteFallback: Boolean, digest: String)
+      unicode: Boolean, byteFallback: Boolean, digest: String,
+      pretok: Boolean = false)
 
   private def bpeModelDigest(merges: Seq[(String, String)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -718,17 +797,21 @@ object Tokenizer {
     * on the same artifact (the lake versioning discipline). */
   def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
       path: String, merges: Seq[(String, String)],
-      unicode: Boolean = false, byteFallback: Boolean = false): Unit = {
+      unicode: Boolean = false, byteFallback: Boolean = false,
+      pretok: Boolean = false): Unit = {
     require(merges.nonEmpty && merges.size <= 65536,
       s"merges must be 1..65536 pairs (got ${merges.size})")
+    require(!pretok || byteFallback,
+      "pretok requires byteFallback: pretok pieces include " +
+        "punctuation runs, which only the byte alphabet closes over")
     import spark.implicits._
     merges.zipWithIndex
       .map { case ((l, r), i) => ((i + 1).toLong, l, r) }
       .toDF("step", "lhs", "rhs")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
     Seq((unicode, byteFallback, merges.size.toLong,
-        bpeModelDigest(merges)))
-      .toDF("unicode", "byte_fallback", "n_merges", "digest")
+        bpeModelDigest(merges), pretok))
+      .toDF("unicode", "byte_fallback", "n_merges", "digest", "pretok")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -743,16 +826,23 @@ object Tokenizer {
     val merges = spark.read.parquet(s"$path/merges")
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val meta = spark.read.parquet(s"$path/meta").collect()
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val meta = metaDf.collect()
     require(meta.length == 1,
       s"bpe model meta must hold exactly one row (got ${meta.length})")
     val m = meta.head
-    val stored = m.getString(3)
+    val stored = m.getAs[String]("digest")
     val computed = bpeModelDigest(merges)
-    require(m.getLong(2) == merges.size && stored == computed,
-      s"bpe model artifact corrupt: stored n=${m.getLong(2)}/" +
-        s"digest=$stored, read n=${merges.size}/digest=$computed")
-    BpeModel(merges, m.getBoolean(0), m.getBoolean(1), stored)
+    require(m.getAs[Long]("n_merges") == merges.size &&
+      stored == computed,
+      s"bpe model artifact corrupt: stored n=${m.getAs[Long](
+        "n_merges")}/digest=$stored, read n=${merges.size}/" +
+        s"digest=$computed")
+    // pre-round-19 artifacts have no pretok column — class-run mode
+    val pretok = metaDf.columns.contains("pretok") &&
+      m.getAs[Boolean]("pretok")
+    BpeModel(merges, m.getAs[Boolean]("unicode"),
+      m.getAs[Boolean]("byte_fallback"), stored, pretok)
   }
 
   /** The chained-regex encoder the native expression replaced — kept

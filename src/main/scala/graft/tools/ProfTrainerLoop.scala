@@ -163,6 +163,47 @@ object ProfTrainerLoop {
     }
     println("TRAINERLOOP epoch order verified against driver-side " +
       s"md5 replay on shards ${firstShards.mkString(",")}")
+    // ---- FULL-EPOCH PAYLOAD READ (round 19): the number a trainer
+    // actually budgets — one whole epoch's consume INCLUDING the id
+    // payload, read in (shard_rank, seq_rank) order through the
+    // distributed-loader shape (repartition by shard + in-partition
+    // sort — whole shards sequentially, never a global sort). The
+    // .rdd boundary keeps the optimizer from collapsing the ordered
+    // read into a sort-free aggregate, so the wall is the honest
+    // IO + decode + in-order walk. Pinned via the round-19 epoch
+    // manifest (the growth-safe production path). Measured BEFORE and
+    // AFTER a lake compaction: the wall must be flat across
+    // generations (same rows through either pointer generation).
+    val mfPath = java.nio.file.Files
+      .createTempDirectory("graft_trainerloop_mf").toString + "/mf"
+    def epochPayload(tag: String): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val mf = graft.operators.Sampling.readEpochManifest(spark, mfPath)
+      val full = graft.streaming.SequenceLake.consume(spark, seqRoot,
+        3L, pinned = Some(mf))
+      val rdd = full.repartition(col("shard"))
+        .sortWithinPartitions(col("shard_rank"), col("seq_rank"))
+        .select(col("ids")).rdd
+      val (n, s) = rdd.mapPartitions { it =>
+        var n = 0L; var s = 0L
+        it.foreach { r =>
+          val a = r.getSeq[Long](0); n += a.length; s += a.sum }
+        Iterator((n, s))
+      }.collect().foldLeft((0L, 0L)) { case ((an, as), (bn, bs)) =>
+        (an + bn, as + bs) }
+      val tRead = (System.nanoTime() - t0) / 1e9
+      println(f"TRAINERLOOP epoch_payload[$tag] read=$tRead%6.2fs " +
+        f"ids=$n (${n / 1e6 / tRead}%5.1f M ids/s)")
+      graft.operators.Dedup.releaseIntermediates()
+      (n, s)
+    }
+    graft.streaming.SequenceLake.pinEpoch(spark, seqRoot, mfPath, 3L)
+    val pre = epochPayload("pre-compaction")
+    graft.streaming.SequenceLake.compactSequenceLake(spark, seqRoot,
+      groupCol = Some("shard"))
+    val post = epochPayload("post-compaction")
+    require(pre == post,
+      s"epoch payload must be identical across the fold: $pre vs $post")
     spark.stop()
   }
 }

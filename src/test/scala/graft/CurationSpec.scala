@@ -377,6 +377,60 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("bpe pretok: GPT-2-style segmentation — contractions, letter " +
+      "runs, digit runs, punct runs; symbols unchanged at zero " +
+      "merges; merges can no longer cross a piece boundary") {
+    def sym(b: Int) = String.valueOf((0x2500 + b).toChar)
+    val docs = Seq((1L, "don't co-op 3.14 x=1;y=2"))
+      .toDF("doc_id", "text")
+    // at ZERO merges the symbol stream is segmentation-independent
+    // (boundaries only matter once merges exist)
+    def syms(pretok: Boolean) = graft.operators.Tokenizer
+      .bpeTokenize(docs, "text", "doc_id", Nil, byteFallback = true,
+        pretok = pretok)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(syms(pretok = true) == syms(pretok = false))
+    // n_words counts the mode's segmentation unit: 4 whitespace words
+    // vs 15 pretok pieces (don,'t | co,-,op | 3,.,14 | x,=,1,;,y,=,2)
+    val nw = (pt: Boolean) => graft.operators.Tokenizer
+      .bpeTokenCounts(docs, "text", "doc_id", Nil,
+        byteFallback = true, pretok = pt)
+      .collect().head.getLong(1)
+    assert(nw(false) == 4L && nw(true) == 15L)
+    // word markers now mark PIECES: one leading sentinel per pretok
+    // piece
+    val marked = graft.operators.Tokenizer
+      .bpeTokenize(docs, "text", "doc_id", Nil, byteFallback = true,
+        pretok = true, wordMarker = true)
+      .collect().map(_.getString(2)).count(_.startsWith("·"))
+    assert(marked == 15)
+    // merges cannot cross a piece boundary: "n't" class-run learns
+    // the (n, <27>) pair first (ties break on lhs; 'n' < placeholder)
+    // but pretok segments n | 't, so that pair never exists and the
+    // first learned merge is the contraction-internal (<27>, t)
+    val nx = Seq((1L, "n't n't")).toDF("doc_id", "text")
+    def firstMerge(pt: Boolean) = graft.operators.Tokenizer
+      .bpeMerges(nx, "text", merges = 1, byteFallback = true,
+        pretok = pt)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(firstMerge(false) == (("n", sym(0x27))))
+    assert(firstMerge(true) == ((sym(0x27), "t")))
+    // the model artifact carries the mode flag
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_pretokmodel").toString
+    graft.operators.Tokenizer.writeBpeModel(spark, p,
+      Seq((sym(0x27), "x")), byteFallback = true, pretok = true)
+    val model = graft.operators.Tokenizer.readBpeModel(spark, p)
+    assert(model.pretok && model.byteFallback && !model.unicode)
+    // and pretok without byteFallback refuses (punct runs need the
+    // byte alphabet)
+    intercept[IllegalArgumentException] {
+      graft.operators.Tokenizer.bpeTokenize(docs, "text", "doc_id",
+        Nil, pretok = true)
+    }
+    graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("bpe word markers: first piece of every word gets one leading " +
       "sentinel; stripped stream is bit-identical to marker-off") {
     val docs = Seq((1L, "don't co-op 3.14 ab ab"))
