@@ -94,12 +94,37 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of `textCol` as an array column. Pure SQL
-    * higher-order functions: split → transform over a sliding index.
-    * slice+array_join per shingle beats n element_at lookups fused by
-    * concat_ws ~2× (measured on the 100-word test docs — the array ops
-    * are tight copies, the per-element form pays null checks per word). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of `textCol` as an array column — ONE native
+    * codegen'd pass over the string's bytes
+    * ([[graft.functions.WordShingles]]; each shingle a zero-copy byte
+    * slice), replacing the split → transform(sequence) → slice →
+    * array_join higher-order pipeline whose per-shingle array copies
+    * were the largest slice of the PPJoin wall at bench scale
+    * (round-19 profile: shingle materialization ~2.7–4.5 s of a ~9 s
+    * operator at sf0.1). Output is bit-identical to the HOF form
+    * ([[wordShinglesHof]], kept below and spec-pinned equal). */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text),
+        n, distinct = false))
+
+  /** [[wordShingles]] with the in-document `array_distinct` folded
+    * into the same native pass (first-occurrence order — exactly the
+    * `array_distinct(wordShingles(...))` the dedup operators apply). */
+  private[graft] def wordShinglesDistinct(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text),
+        n, distinct = true))
+
+  /** The pure-SQL higher-order-function formulation (kept as the
+    * portability fallback and the equality oracle for the native
+    * kernel's spec). slice+array_join per shingle beats n element_at
+    * lookups fused by concat_ws ~2× (measured on the 100-word test
+    * docs — the array ops are tight copies, the per-element form pays
+    * null checks per word); the native kernel above beats both. */
+  private[graft] def wordShinglesHof(text: Column, n: Int): Column = {
     val words = split(text, " ")
     // index i -> words[i..i+n) joined; sequence is empty when too short
     filter(
@@ -181,7 +206,7 @@ object Dedup {
       bucketCap: Option[Int]): DataFrame = {
     val numHashes = bands * rowsPerBand
     val exploded = df.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), shingleLen)))
+      explode(wordShinglesDistinct(col(textCol), shingleLen))
         .as("shingle"))
     val sig = exploded.groupBy("id").agg(
       array((0 until numHashes).map(i =>
@@ -562,7 +587,7 @@ object Dedup {
     // sum(±1) bit votes per doc id, then one projection assembles the
     // 64-bit signature from the vote signs.
     val exploded = df.select(col(idCol).as("id"),
-        explode(array_distinct(wordShingles(col(textCol), shingleLen)))
+        explode(wordShinglesDistinct(col(textCol), shingleLen))
           .as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("h"))
     val voteCols = (0 until 64).map(i =>
@@ -1071,7 +1096,7 @@ object Dedup {
       shingleLen: Int = 3, minJaccard: Double = 0.5,
       docFreqCap: Int = Int.MaxValue): DataFrame = {
     val shingled = tracked(df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleLen)).as("sh")))
+      wordShinglesDistinct(col(textCol), shingleLen).as("sh")))
     val ex = shingled.where(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
@@ -1125,15 +1150,26 @@ object Dedup {
         max(col("l.n_sh")).as("na"), max(col("r.n_sh")).as("nb"))
       .where(col("__ub") >= ceil(lit(minJaccard / (1 + minJaccard)) *
         (col("na") + col("nb")) - lit(1e-9)))
+    // verification arrays re-sorted per DOC into binary string order
+    // (one array_sort per document), so the per-PAIR |∩| below is a
+    // native merge walk ([[graft.functions.SortedIntersectCount]] —
+    // |sa|+|sb| comparisons, zero allocation) instead of the builtin
+    // array_intersect's per-pair hash build; kept lists are distinct
+    // per doc by construction, so the merge count equals
+    // size(array_intersect(..)) exactly (round-19 profile: the
+    // verification join was ~2 s of the operator's warm wall)
     val arrays = perDoc.select(col("id"),
-      transform(col("ranked"), x => x("shingle")).as("sharr"))
+      array_sort(transform(col("ranked"), x => x("shingle"))).as("sharr"))
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
     cand
       .join(arrays.select(col("id").as("a"), col("sharr").as("sa")),
         Seq("a"))
       .join(arrays.select(col("id").as("b"), col("sharr").as("sb")),
         Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
+        shim.column(graft.functions.SortedIntersectCount(
+          shim.expression(col("sa")), shim.expression(col("sb"))))
+          .as("n_inter"),
         col("na"), col("nb"))
       .select(col("a"), col("b"),
         (col("n_inter") / (col("na") + col("nb") - col("n_inter")))
@@ -1167,7 +1203,7 @@ object Dedup {
     // measured 5× the single-pass cost. At cluster scale this is
     // "materialize the shingle set once", the standard index-build step.
     val shingled = tracked(df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleLen)).as("sh")))
+      wordShinglesDistinct(col(textCol), shingleLen).as("sh")))
     val docs = shingled.withColumn("n_sh", size(col("sh")))
     val inverted = docs.select(col("id"), col("n_sh"),
       explode(col("sh")).as("shingle"))

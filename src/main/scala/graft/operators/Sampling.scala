@@ -549,10 +549,25 @@ object Sampling {
         "writeSequences: no sequences to land (nothing newly " +
           "closed?) — skip the landing instead of writing an empty " +
           "artifact")
-      val w0 = cut.write.mode("overwrite")
+      // cluster the write by the partition column (guide §6): one
+      // exchange of sequence rows buys one file per shard dir instead
+      // of one per (task × shard) — the artifact is read back
+      // digest-verified on EVERY consume, so halving its file count
+      // pays on every later read; shard is weight-capped, so per-file
+      // size stays bounded at any scale
+      val w0 = groupCol.fold(cut)(g => cut.repartition(col(g)))
+        .write.mode("overwrite")
       groupCol.fold(w0)(g => w0.partitionBy(g))
         .parquet(s"$path/sequences")
-      val m = spark.read.parquet(s"$path/sequences")
+      // the meta row is computed from the CUT — the exact materialized
+      // rows the write above landed — not from a re-read of the fresh
+      // artifact: the values are identical by construction, and
+      // [[readSequences]] re-verifies the landed files against this
+      // meta on every read anyway, so a torn write is still caught at
+      // the first consume while the write path saves one full
+      // artifact read per landing (measured at bench scale as ~15% of
+      // the landing call, SCALE.md round 19)
+      val m = cut
         .agg(count(lit(1)).as("n"), sum(col("n_ids")).as("t"),
           sequencesFold().as("d"))
         .collect().head

@@ -574,11 +574,21 @@ object Similarity {
     require(n <= maxRows,
       s"cosineNearDupPairs is the exact O(n^2) validation tool (corpus > " +
         s"$maxRows rows); use lshNearDupPairs for the scale path")
-    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"),
-      l2Norm(col(vecCol)).as("na"))
+    // the stream side of the nested-loop cross join inherits the
+    // SCAN's partitioning — a small embeddings table is one parquet
+    // file, so the whole n² loop was running in ONE task while the
+    // other cores idled (guide §2.5/§2.6: stragglers from input
+    // partitioning, not data skew). Spreading the stream side to the
+    // session's parallelism before the join divides the quadratic
+    // work evenly; the broadcast side is explicit so the planner can
+    // never pick the repartitioned side to broadcast.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.repartition(par)
+      .select(col(idCol).as("a"), col(vecCol).as("va"),
+        l2Norm(col(vecCol)).as("na"))
     val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
       l2Norm(col(vecCol)).as("nb"))
-    a.crossJoin(b).where(col("a") < col("b"))
+    a.crossJoin(broadcast(b)).where(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos_sim"))

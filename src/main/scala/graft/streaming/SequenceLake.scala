@@ -250,7 +250,9 @@ object SequenceLake {
         val expIds = metas.map(_.getLong(1)).sum
         val expD = metas.map(m => BigInt(m.getString(2))).sum.toString
         // land the folded generation; writeSequences re-attests its
-        // meta from the WRITTEN rows (one aggregate)
+        // meta from the MATERIALIZED fold rows (one aggregate over its
+        // lineage cut — a torn write of the files themselves is caught
+        // by the per-artifact verify at the next lake read)
         Sampling.writeSequences(df, path, groupCol)
         val m = spark.read.parquet(s"$path/sequences_meta").collect()
           .head

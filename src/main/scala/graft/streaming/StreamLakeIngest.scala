@@ -86,17 +86,43 @@ object StreamLakeIngest {
     * vecCol); `bench` needs (idCol, textCol). */
   def initLake(hist: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, vecCol: String, lakeRoot: String,
-      p: Params = Params()): Unit = {
-    Dedup.writeBenchWindows(bench, textCol, idCol,
-      s"$lakeRoot/bench_windows", p.windowLen)
-    Dedup.writeContentHashes(hist, textCol, s"$lakeRoot/hashes/base")
-    Dedup.writeBandedSignatures(hist, textCol, idCol,
-      s"$lakeRoot/sigs/base", p.shingleLen, p.bands, p.rowsPerBand,
-      p.bucketCap)
-    Similarity.writeSemDedupArtifacts(
-      hist.select(col(idCol), col(vecCol)), idCol, vecCol,
-      s"$lakeRoot/sem", nlist = p.nlist, keeperCap = p.keeperCap,
-      nassign = p.nassign)
+      p: Params = Params()): Unit =
+    // the four base artifacts are INDEPENDENT (each reads only its own
+    // input, each writes its own directory) — run them as overlapping
+    // jobs from a small driver pool (guide §2.6): while one write's
+    // task tail drains, the next artifact's tasks back-fill the idle
+    // executors. Results identical to the sequential form; failures
+    // propagate through the awaited futures.
+    parallelInits(hist.sparkSession, Seq(
+      () => Dedup.writeBenchWindows(bench, textCol, idCol,
+        s"$lakeRoot/bench_windows", p.windowLen),
+      () => Dedup.writeContentHashes(hist, textCol,
+        s"$lakeRoot/hashes/base"),
+      () => Dedup.writeBandedSignatures(hist, textCol, idCol,
+        s"$lakeRoot/sigs/base", p.shingleLen, p.bands, p.rowsPerBand,
+        p.bucketCap),
+      () => Similarity.writeSemDedupArtifacts(
+        hist.select(col(idCol), col(vecCol)), idCol, vecCol,
+        s"$lakeRoot/sem", nlist = p.nlist, keeperCap = p.keeperCap,
+        nassign = p.nassign)))
+
+  /** Run independent one-shot artifact builders as concurrent driver
+    * jobs (bounded pool; Spark's scheduler interleaves their tasks —
+    * the idle-tail back-fill of guide §2.6). Rethrows the first
+    * failure after all complete or fail. */
+  private def parallelInits(spark: SparkSession,
+      jobs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(jobs.size, 4))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = jobs.map(j => Future(j()))
+      // await each — the first failure propagates after the pool drains
+      fs.foreach(f => Await.result(f, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** Union of every subdirectory of `dir` except the current batch's
@@ -585,10 +611,14 @@ object StreamLakeIngest {
   def initLakeFull(hist: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, vecCol: String, isTarget: Column, lakeRoot: String,
       p: Params = Params(), sp: SelectParams = SelectParams()): Unit = {
-    initLake(hist, bench, textCol, idCol, vecCol, lakeRoot, p)
-    Curation.writeDsirModel(hist, textCol, isTarget, sp.dsirBuckets,
-      sp.dsirSalt, s"$lakeRoot/dsir/model_init")
-    writeEmptyLedger(hist.sparkSession, s"$lakeRoot/budget/used_init")
+    // the stage-6/7 artifacts are independent of the five-stage base
+    // artifacts AND of each other — overlap all three groups (§2.6)
+    parallelInits(hist.sparkSession, Seq(
+      () => initLake(hist, bench, textCol, idCol, vecCol, lakeRoot, p),
+      () => Curation.writeDsirModel(hist, textCol, isTarget,
+        sp.dsirBuckets, sp.dsirSalt, s"$lakeRoot/dsir/model_init"),
+      () => writeEmptyLedger(hist.sparkSession,
+        s"$lakeRoot/budget/used_init")))
   }
 
   /** The budget ledger's schema in one place: (source, tokens). Public

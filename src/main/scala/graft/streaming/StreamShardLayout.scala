@@ -181,48 +181,63 @@ object StreamShardLayout {
       // token stream legitimately drops whole documents (e.g. an
       // id-encode null-filter under a frozen vocabulary) must drop
       // them from the LAYOUT batch too — that is the correct fix, and
-      // this is the moment it's cheap to apply. Cost: one distinct
-      // projection + one join over the increment (the assigned side
-      // is cached).
+      // this is the moment it's cheap to apply.
       val nAssigned = assigned.count()
-      // BOTH directions in one pass over the distinct token-doc set
-      // (a left join to the cached assignment, then matched vs total
-      // counts): (a) every assigned doc has token rows — else its
-      // tokens silently vanish from every pack; (b) every token doc
-      // IS assigned — else a mis-scoped token stream (tokens from the
-      // wrong micro-batch) would partially land, the extras silently
-      // discarded by the landing join below
-      val tokDocs = tokens.select(col(idCol)).distinct()
-        .join(assigned.select(col(idCol), lit(1).as("__a")),
-          Seq(idCol), "left")
-      val cov = tokDocs.agg(count(lit(1)).as("n_tok"),
-        count(col("__a")).as("n_match")).collect().head
-      val (nTokenDocs, nWithTokens) = (cov.getLong(0), cov.getLong(1))
-      require(nWithTokens == nAssigned,
-        s"appendTokens batch $batchId: only $nWithTokens of " +
-          s"$nAssigned assigned documents have token rows — a " +
-          "document with zero tokens must be dropped from the layout " +
-          "batch too (its weight would shift offsets while its " +
-          "content vanishes from every pack)")
-      if (nTokenDocs != nWithTokens) {
-        // failure path only: name a few of the extras
-        val extras = tokDocs.where(col("__a").isNull)
-          .select(col(idCol).cast("string")).limit(5).collect()
-          .map(_.getString(0)).mkString(", ")
-        throw new IllegalArgumentException(
-          s"requirement failed: appendTokens batch $batchId: the " +
-            s"token stream holds ${nTokenDocs - nWithTokens} " +
-            s"document(s) NOT in the assigned batch (e.g. $extras) " +
-            "— a mis-scoped token stream (wrong micro-batch?); the " +
-            "landing join would silently discard their rows")
-      }
-      tokens
-        .select(col(idCol), col(posCol), col(tokenCol))
-        .join(assigned.select(col(idCol),
-          col("shard").cast("long").as("shard"), col("offset")),
-          Seq(idCol))
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(s"$layoutRoot/tokens/inc_b$batchId")
+      // the token stream is evaluated ONCE (eager lineage cut): the
+      // coverage aggregate and the landing join below both read the
+      // cut blocks, where reading the raw stream from both would run
+      // the upstream tokenize (a full BPE id-encode in the trainer
+      // arc) twice per landing — measured at bench scale as the
+      // dominant term of this call (SCALE.md round 19)
+      val toksCut = Lineage.cut(
+        tokens.select(col(idCol), col(posCol), col(tokenCol)))
+      try {
+        // BOTH directions in one pass over the distinct token-doc set
+        // (a left join to the cached assignment, then matched vs total
+        // counts): (a) every assigned doc has token rows — else its
+        // tokens silently vanish from every pack; (b) every token doc
+        // IS assigned — else a mis-scoped token stream (tokens from the
+        // wrong micro-batch) would partially land, the extras silently
+        // discarded by the landing join below
+        val tokDocs = toksCut.select(col(idCol)).distinct()
+          .join(assigned.select(col(idCol), lit(1).as("__a")),
+            Seq(idCol), "left")
+        val cov = tokDocs.agg(count(lit(1)).as("n_tok"),
+          count(col("__a")).as("n_match")).collect().head
+        val (nTokenDocs, nWithTokens) = (cov.getLong(0), cov.getLong(1))
+        require(nWithTokens == nAssigned,
+          s"appendTokens batch $batchId: only $nWithTokens of " +
+            s"$nAssigned assigned documents have token rows — a " +
+            "document with zero tokens must be dropped from the layout " +
+            "batch too (its weight would shift offsets while its " +
+            "content vanishes from every pack)")
+        if (nTokenDocs != nWithTokens) {
+          // failure path only: name a few of the extras
+          val extras = tokDocs.where(col("__a").isNull)
+            .select(col(idCol).cast("string")).limit(5).collect()
+            .map(_.getString(0)).mkString(", ")
+          throw new IllegalArgumentException(
+            s"requirement failed: appendTokens batch $batchId: the " +
+              s"token stream holds ${nTokenDocs - nWithTokens} " +
+              s"document(s) NOT in the assigned batch (e.g. $extras) " +
+              "— a mis-scoped token stream (wrong micro-batch?); the " +
+              "landing join would silently discard their rows")
+        }
+        // cluster the landing by its partition column before the
+        // partitioned write (guide §6): each shard's rows land from
+        // ONE task, so the increment holds one file per shard dir
+        // instead of one per (task × shard) — shards are weight-capped,
+        // so the per-file size stays bounded at any scale, and every
+        // later shard-pruned read (the poll loop's pack) opens half
+        // the files
+        toksCut
+          .join(assigned.select(col(idCol),
+            col("shard").cast("long").as("shard"), col("offset")),
+            Seq(idCol))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$layoutRoot/tokens/inc_b$batchId")
+      } finally Lineage.free(toksCut)
     }
   }
 
@@ -549,10 +564,26 @@ object StreamShardLayout {
       s"layout shards ${missing.toSeq.sorted.mkString(",")} have no " +
         "landed tokens — an ingest batch skipped appendTokens; " +
         "packing would silently drop their documents")
-    val toks = readLayoutDirs(spark, fs, tokenDirs)
+    val toksRaw = readLayoutDirs(spark, fs, tokenDirs)
       .select(col(idCol), col(posCol), col(tokenCol),
         col("shard").cast("long").as("shard"), col("offset"))
       .where(col("shard") >= fromShard && col("shard") < open)
+    // the pruned token stream is scanned ONCE: when coverage
+    // verification is on, both the (doc, shard) distinct count below
+    // and the pack itself would otherwise each read every pruned
+    // token partition — the verify was measured at ~40% of the whole
+    // pack call at bench scale (SCALE.md round 19). A PERSIST (not a
+    // lineage cut): the verify count populates the cache in a single
+    // sequential job before the pack consumes it, and the cached plan
+    // keeps the parquet scan — with its shard PartitionFilters —
+    // visible in the pack's executed plan (the O(new) claim stays
+    // plan-checkable, LayoutSpec pins it). The cache is increment-
+    // bounded (O(newly closed shards) in the steady-state poll) and
+    // registered with the operator-intermediate registry, so the
+    // session's between-queries release reclaims it.
+    val toks =
+      if (verifyCoverage) graft.operators.Dedup.tracked(toksRaw)
+      else toksRaw
     // (2) exact per-document coverage (opt-out via verifyCoverage —
     // e.g. a poll loop that trusts the appendTokens-time per-batch
     // require, which is where the gap is actually created AND still

@@ -1384,6 +1384,46 @@ class OperatorsSpec extends SparkTestBase {
       (huge / (4L << 20)) > BigInt(Long.MaxValue))
   }
 
+  test("native wordShingles is bit-identical to the HOF formulation " +
+      "(multi-space, empties, unicode, short docs, distinct fold)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, col}
+    // edge zoo: consecutive/leading/trailing spaces (empty words),
+    // repeated shingles (distinct path), non-BMP text, shorter than n,
+    // empty and single-word strings
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",
+      "x  y   z", // empty words from double/triple spaces
+      " leading and trailing ",
+      "数据 模型 数据 模型 训练",
+      "😀 «mot» 😀 «mot» naïve",
+      "one two", "solo", "",
+      "dup pair dup pair dup pair dup pair").toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = docs.select(
+        Dedup.wordShingles(col("text"), n).as("native"),
+        Dedup.wordShinglesHof(col("text"), n).as("hof"),
+        Dedup.wordShinglesDistinct(col("text"), n).as("nd"),
+        array_distinct(Dedup.wordShinglesHof(col("text"), n)).as("hd"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"plain n=$n: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        assert(r.getSeq[String](2) == r.getSeq[String](3),
+          s"distinct n=$n: ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+      }
+    }
+    // null input -> EMPTY ARRAY on both paths (the HOF's filter over a
+    // literal index sequence empties the all-null transform, and the
+    // native kernel mirrors that)
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(Dedup.wordShingles(col("text"), 3).as("native"),
+        Dedup.wordShinglesHof(col("text"), 3).as("hof")).collect().head
+    assert(!nr.isNullAt(0) && nr.getSeq[String](0).isEmpty)
+    assert(!nr.isNullAt(1) && nr.getSeq[String](1).isEmpty)
+  }
+
   implicit class MediaOps(m: Multimodal.MediaFeature) {
     def sha_eq(o: Multimodal.MediaFeature): Boolean =
       m.n_bytes == o.n_bytes && m.width == o.width && m.height == o.height
