@@ -3176,16 +3176,12 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val vocab = graft.operators.Tokenizer.bpeVocabulary(pc, "text",
         m, byteFallback = true)
-      // encode lineage-cut once: packTokens' counts aggregate and its
-      // pack join are two plan branches that would each re-run the
-      // full BPE encode (round-19 profile); results identical
-      val ids = graft.operators.Dedup.tracked(
-        graft.operators.Lineage.cut(graft.operators.Tokenizer
-          .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
-            byteFallback = true)
-          .where(col("token_id").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            col("token_id").cast("string").as("token"))))
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
       Sampling.packTokens(ids, seqLen = 64L)
         .groupBy(col("seq"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -3274,14 +3270,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"))
       val asg = Sampling.shardAssign(counts, "doc_id", "n_tokens",
         shardWeight = 5000L)
-      // tokenize+join lineage-cut once — packTokens' two plan
-      // branches re-ran the native piece stream otherwise (r19 profile)
-      val toks = graft.operators.Dedup.tracked(
-        graft.operators.Lineage.cut(graft.operators.Tokenizer
-          .bpeTokenize(docs, "text", "doc_id", model.merges,
-            unicode = model.unicode, byteFallback = model.byteFallback)
-          .join(asg.select(col("doc_id"), col("shard"), col("offset")),
-            Seq("doc_id"))))
+      val toks = graft.operators.Tokenizer
+        .bpeTokenize(docs, "text", "doc_id", model.merges,
+          unicode = model.unicode, byteFallback = model.byteFallback)
+        .join(asg.select(col("doc_id"), col("shard"), col("offset")),
+          Seq("doc_id"))
       Sampling.packTokens(toks, seqLen = 512L,
           groupCol = Some("shard"), orderCol = Some("offset"))
         .groupBy(col("shard"), col("seq"))
@@ -3541,17 +3534,12 @@ object SparkEntry {
         specials = Seq("eos"))
       val eosId = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
         .validateAgainst(vocab).eos
-      // the encode is lineage-cut ONCE: the separator builder's union
-      // branches and packTokens' counts+join sides otherwise re-run
-      // the full BPE encode per plan branch (4x in one action —
-      // round-19 profile); results identical, released between queries
-      val ids = graft.operators.Dedup.tracked(
-        graft.operators.Lineage.cut(graft.operators.Tokenizer
-          .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
-            byteFallback = true)
-          .where(col("token_id").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            col("token_id").cast("string").as("token"))))
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
       val withSep = Sampling.appendDocSeparator(ids, eosId.toString,
         keys = Seq("doc_id"))
       val packed = Sampling.packTokens(withSep, seqLen = 64L)
@@ -3733,14 +3721,12 @@ object SparkEntry {
         specials = Seq("eos", "pad"))
       val reg = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
         .validateAgainst(vocab)
-      // encode lineage-cut once — see q261 (4x re-encode otherwise)
-      val ids = graft.operators.Dedup.tracked(
-        graft.operators.Lineage.cut(graft.operators.Tokenizer
-          .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
-            byteFallback = true)
-          .where(col("token_id").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            col("token_id").cast("string").as("token"))))
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
       val withSep = Sampling.appendDocSeparator(ids, reg.eos.toString,
         keys = Seq("doc_id"))
       val packed = Sampling.packTokens(withSep, seqLen = 64L)
@@ -4089,16 +4075,12 @@ object SparkEntry {
         specials = Seq("eos", "bos"))
       val reg = graft.operators.Tokenizer.readBpeSpecials(s, vpath)
         .validateAgainst(vocab)
-      // encode lineage-cut once — the NESTED bos+eos union builders
-      // plus packTokens' two plan branches re-ran the encode up to 8x
-      // in one action before (round-19 profile); results identical
-      val ids = graft.operators.Dedup.tracked(
-        graft.operators.Lineage.cut(graft.operators.Tokenizer
-          .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
-            byteFallback = true)
-          .where(col("token_id").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            col("token_id").cast("string").as("token"))))
+      val ids = graft.operators.Tokenizer
+        .bpeEncodeIds(pc, "text", "doc_id", m, vocab,
+          byteFallback = true)
+        .where(col("token_id").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          col("token_id").cast("string").as("token"))
       val withBos = Sampling.prependDocStart(ids,
         reg.bos.get.toString, keys = Seq("doc_id"))
       val withSep = Sampling.appendDocSeparator(withBos,
