@@ -215,6 +215,50 @@ object Tokenizer {
       if (pretok) df.select(pretokText(textCol).as(textCol)) else df,
       textCol, unicode, byteFallback)
 
+    // SIZE-GATED routing (round-19 optimization): the classic BPE loop
+    // runs over the WORD VOCABULARY, and the engine already treats a
+    // vocabulary of <= 2^21 rows as driver-artifact-sized (writeBpeVocab
+    // collects exactly that). Within the same bound the whole learning
+    // loop runs DRIVER-LOCALLY over the collected (seq, cnt) rows —
+    // zero Spark jobs for the rounds instead of one vocab aggregate +
+    // one bounded argmax collect per merge (the measured wall of every
+    // 8-merge oracle query: ~0.3 s/round x 8 rounds x ~20 queries).
+    // The local loop replicates the distributed rounds EXACTLY —
+    // same adjacent-pair counts, same (count desc, lhs, rhs) argmax
+    // with UTF-8-BINARY string order (Spark's StringType ordering; a
+    // Java compareTo would diverge on supplementary planes), same
+    // left-to-right non-overlapping doubled-sentinel replace — so the
+    // learned list is bit-identical (spec-pinned against the
+    // distributed loop in all modes). Above the bound the distributed
+    // loop below is unchanged: the 100 TB byte-fallback path, where
+    // the vocabulary is corpus-scale, never collects.
+    val n = vocab0.count() // one job; also pins the tracked persist
+    val learned: Seq[(Int, String, String, String, Long)] =
+      if (n <= LocalLearnMaxVocab) {
+        val rows = vocab0.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        localMerges(rows, merges, minCount)
+      } else distributedMerges(vocab0, merges, minCount)
+    import spark.implicits._
+    learned
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .select(col("step").cast("long"), col("lhs"), col("rhs"),
+        col("merged"), col("pair_count"))
+  }
+
+  /** The vocabulary-size bound under which BPE learning runs driver-
+    * locally — the SAME 2^21-row bound [[writeBpeVocab]] enforces for
+    * the vocabulary artifact's driver collect, so the local learner
+    * never collects anything the artifact path wouldn't. */
+  private val LocalLearnMaxVocab = 1L << 21
+
+  /** The original distributed learning loop — the > 2^21-vocabulary
+    * path (corpus-scale byte-fallback vocabularies at 100 TB), and the
+    * equality oracle for [[localMerges]]' spec. One vocab-bounded
+    * pair-count aggregate + one bounded argmax collect per merge. */
+  private[operators] def distributedMerges(vocab0: DataFrame,
+      merges: Int, minCount: Long)
+      : Seq[(Int, String, String, String, Long)] = {
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     val chain = new VocabChain(vocab0)
@@ -233,11 +277,163 @@ object Tokenizer {
         case _ => done = true
       }
     }
-    import spark.implicits._
     learned.toSeq
-      .toDF("step", "lhs", "rhs", "merged", "pair_count")
-      .select(col("step").cast("long"), col("lhs"), col("rhs"),
-        col("merged"), col("pair_count"))
+  }
+
+  /** Spec-only entry: run the DISTRIBUTED learning loop regardless of
+    * vocabulary size — the equality oracle the local-learner spec
+    * compares [[bpeMerges]]' gated routing against, mode for mode. */
+  private[graft] def bpeMergesDistributed(df: DataFrame,
+      textCol: String, merges: Int, minCount: Long = 1L,
+      unicode: Boolean = false, byteFallback: Boolean = false,
+      pretok: Boolean = false)
+      : Seq[(Int, String, String, String, Long)] =
+    distributedMerges(initialVocab(
+      if (pretok) df.select(pretokText(textCol).as(textCol)) else df,
+      textCol, unicode, byteFallback), merges, minCount)
+
+  /** UTF-8 binary comparison — Spark's StringType ordering (and
+    * DuckDB's binary collation), which Java's UTF-16 compareTo does
+    * NOT match on supplementary planes; the local argmax tie-break
+    * must sort exactly as the distributed `orderBy(l, r)` did. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String
+        .fromString(b)) < 0
+
+  /** Split a sentinel-delimited symbol sequence (`·c··h··a·`) into its
+    * symbols — the driver-local twin of the distributed
+    * `split(trim(seq, S), S+S)` (one sentinel at each end by
+    * construction; symbols can never contain the sentinel). */
+  private def splitSymbols(seq: String): Array[String] = {
+    // strip the single leading/trailing sentinel, split on the doubled
+    // sentinel between symbols
+    val inner = seq.substring(1, seq.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var from = 0
+    var i = inner.indexOf(S + S)
+    while (i >= 0) {
+      out += inner.substring(from, i)
+      from = i + 2
+      i = inner.indexOf(S + S, from)
+    }
+    out += inner.substring(from)
+    out.toArray
+  }
+
+  /** Driver-local BPE learning over a collected (seq, cnt) vocabulary
+    * — bit-identical to [[distributedMerges]] (spec-pinned): per round,
+    * weighted adjacent-pair counts into one hash map, argmax by
+    * (count desc, lhs, rhs) in UTF-8 binary order, then the doubled-
+    * sentinel literal replace (Java `String.replace` scans left-to-
+    * right non-overlapping — exactly the distributed
+    * `regexp_replace(quote(...))` semantics). */
+  private[operators] def localMerges(vocab0: Array[(String, Long)],
+      merges: Int, minCount: Long)
+      : Seq[(Int, String, String, String, Long)] = {
+    var vocab = vocab0
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val counts =
+        new java.util.HashMap[(String, String), java.lang.Long]()
+      vocab.foreach { case (seq, cnt) =>
+        val tk = splitSymbols(seq)
+        var i = 0
+        while (i < tk.length - 1) {
+          counts.merge((tk(i), tk(i + 1)), cnt, (a, b) => a + b)
+          i += 1
+        }
+      }
+      var bestL: String = null
+      var bestR: String = null
+      var bestC = 0L
+      counts.forEach { (k, boxed) =>
+        val c = boxed.longValue()
+        if (c >= minCount && (bestL == null || c > bestC ||
+            (c == bestC && (utf8Lt(k._1, bestL) ||
+              (k._1 == bestL && utf8Lt(k._2, bestR)))))) {
+          bestL = k._1; bestR = k._2; bestC = c
+        }
+      }
+      if (bestL == null) done = true
+      else {
+        learned += ((step, bestL, bestR, bestL + bestR, bestC))
+        val pat = S + bestL + S + S + bestR + S
+        val rep = S + bestL + bestR + S
+        vocab = vocab.map { case (seq, cnt) =>
+          (seq.replace(pat, rep), cnt)
+        }
+        step += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** Driver-local twin of the BATCHED learner — the full-list greedy
+    * the distributed adaptive-prefix + exact-fallback loop provably
+    * equals: per round, all pair counts, full sort by (count desc,
+    * lhs, rhs) in UTF-8 binary order, top-`batch` mutually-DISJOINT
+    * picks, then the picks applied as sequential literal-replace
+    * passes in pick order (exactly [[graft.functions.BpeSeqApply]]'s
+    * semantics). Spec-pinned equal to the distributed loop. */
+  private[operators] def localMergesBatched(vocab0: Array[(String, Long)],
+      rounds: Int, batch: Int, minCount: Long)
+      : Seq[(Int, Int, String, String, String, Long)] = {
+    var vocab = vocab0
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var step = 1
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val counts =
+        new java.util.HashMap[(String, String), java.lang.Long]()
+      vocab.foreach { case (seq, cnt) =>
+        val tk = splitSymbols(seq)
+        var i = 0
+        while (i < tk.length - 1) {
+          counts.merge((tk(i), tk(i + 1)), cnt, (a, b) => a + b)
+          i += 1
+        }
+      }
+      val ordered = {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        counts.forEach { (k, c) =>
+          if (c.longValue() >= minCount) buf += ((k._1, k._2, c)) }
+        buf.sortWith { case ((l1, r1, c1), (l2, r2, c2)) =>
+          c1 > c2 || (c1 == c2 && (utf8Lt(l1, l2) ||
+            (l1 == l2 && utf8Lt(r1, r2))))
+        }
+      }
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      ordered.foreach { case (l, r, c) =>
+        if (picks.length < batch && !used(l) && !used(r)) {
+          picks += ((l, r, c)); used += l; used += r
+        }
+      }
+      if (picks.isEmpty) done = true
+      else {
+        picks.foreach { case (l, r, c) =>
+          learned += ((step, round, l, r, l + r, c))
+          step += 1
+        }
+        // sequential passes in pick order — BpeSeqApply semantics
+        vocab = vocab.map { case (seq, cnt) =>
+          var s = seq
+          picks.foreach { case (l, r, _) =>
+            s = s.replace(S + l + S + S + r + S, S + l + r + S) }
+          (s, cnt)
+        }
+        round += 1
+      }
+    }
+    learned.toSeq
   }
 
   /** BATCHED BPE merge learning — the standard scalable approximation
@@ -284,11 +480,28 @@ object Tokenizer {
     require(batch >= 1 && batch <= 128,
       s"batch must be in [1, 128] (got $batch)")
     val spark = df.sparkSession
+    val vocab0 = initialVocab(
+      if (pretok) df.select(pretokText(textCol).as(textCol)) else df,
+      textCol, unicode, byteFallback)
+    // size-gated driver-local routing — same bound and same exactness
+    // argument as [[bpeMerges]]: the batched greedy is DEFINED as the
+    // full-list greedy (the adaptive prefix + exact fallback provably
+    // equal it), and a round's merges apply as sequential passes in
+    // pick order — both directly replayable over the collected
+    // vocabulary with zero per-round Spark jobs.
+    val nv = vocab0.count()
+    if (nv <= LocalLearnMaxVocab) {
+      val rows = vocab0.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      import spark.implicits._
+      return localMergesBatched(rows, rounds, batch, minCount)
+        .toDF("step", "round", "lhs", "rhs", "merged", "pair_count")
+        .select(col("step").cast("long"), col("round").cast("long"),
+          col("lhs"), col("rhs"), col("merged"), col("pair_count"))
+    }
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, String, String, Long)]
-    val chain = new VocabChain(initialVocab(
-      if (pretok) df.select(pretokText(textCol).as(textCol)) else df,
-      textCol, unicode, byteFallback))
+    val chain = new VocabChain(vocab0)
     var step = 1
     var round = 1
     var done = false

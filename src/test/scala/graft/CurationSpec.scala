@@ -706,6 +706,36 @@ class CurationSpec extends SparkTestBase {
     graft.operators.Dedup.releaseIntermediates()
   }
 
+  test("driver-local BPE learning equals the distributed loop merge " +
+      "for merge, in every mode (the round-19 size-gated routing)") {
+    // fixture engineered for ties (equal-count pairs exercising the
+    // UTF-8-binary tie-break), multi-byte symbols, byte-fallback
+    // placeholders, and pretok punctuation splits
+    val docs = Seq(
+      (1L, "low low lower lowest ab ab ba ba"),
+      (2L, "naïve naïve café café don't don't"),
+      (3L, "数据 模型 数据 模型 x=1;y=2 co-op co-op"),
+      (4L, "aa aa bb bb ab ba 😀ok 😀ok")).toDF("doc_id", "text")
+    val modes = Seq(
+      ("ascii", false, false, false),
+      ("unicode", true, false, false),
+      ("bytefb", false, true, false),
+      ("pretok", false, true, true))
+    modes.foreach { case (name, uni, fb, pre) =>
+      val local = graft.operators.Tokenizer.bpeMerges(docs, "text",
+          merges = 12, unicode = uni, byteFallback = fb, pretok = pre)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val dist = graft.operators.Tokenizer.bpeMergesDistributed(docs,
+          "text", merges = 12, unicode = uni, byteFallback = fb,
+          pretok = pre)
+        .map { case (s, l, r2, m, c) => (s.toLong, l, r2, m, c) }
+      assert(local == dist, s"mode $name: local $local vs dist $dist")
+      graft.operators.Dedup.releaseIntermediates()
+    }
+  }
+
   test("bpeMergesBatched: learned list is well-formed for the " +
       "rank-priority encoder and the encode matches the chained " +
       "reference") {
