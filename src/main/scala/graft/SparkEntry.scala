@@ -168,8 +168,15 @@ object SparkEntry {
     val inc = docs.where(col("doc_id") >= 10 &&
       pmod(col("doc_id"), lit(2)) === 1)
     Dedup.writeContentHashes(hist, "text", s"$lake/hashes")
-    val contaminated = Dedup.contaminatedDocs(inc, bench, "text",
-      "doc_id", windowLen = 50).select(col("id").as("doc_id"))
+    // contaminated/rem3/rem4 are LAZY TRACKED PERSISTS (round 20,
+    // guide §1.2/§5): the stage cuts below compute them anyway (s1's
+    // anti-join, s3/s4's removal joins), populating the cache en
+    // route at zero extra jobs — and q221's disposition union, which
+    // CONSUMES all three at sink time, reads the cache instead of
+    // re-running the decon probe, the PPJoin, and the cosine cross
+    // (the r19 plan audit: q221 was re-scanning all three chains).
+    val contaminated = Dedup.tracked(Dedup.contaminatedDocs(inc, bench,
+      "text", "doc_id", windowLen = 50).select(col("id").as("doc_id")))
     val s1 = cut(inc.join(contaminated, Seq("doc_id"), "left_anti"))
     val s2 = cut(Dedup.exactCrossFromArtifacts(s1,
       s.read.parquet(s"$lake/hashes"), "text", "doc_id"))
@@ -180,12 +187,12 @@ object SparkEntry {
       .unionByName(hist.select(col("doc_id"), col("text")))
     val pairs = Dedup.ngramJaccardPairsPrefix(pool, "text", "doc_id",
       shingleLen = 3, minJaccard = 0.5, docFreqCap = 1000)
-    val rem3 = pairs.select(
+    val rem3 = Dedup.tracked(pairs.select(
       when(pmod(col("a"), lit(2)) === 1 &&
           pmod(col("b"), lit(2)) === 0, col("a"))
         .when(pmod(col("b"), lit(2)) === 1, col("b"))
         .as("doc_id"))
-      .where(col("doc_id").isNotNull).distinct()
+      .where(col("doc_id").isNotNull).distinct())
     val s3 = cut(s2.join(rem3, Seq("doc_id"), "left_anti"))
     // exact semantic cross: cosine pairs over the full embedding
     // table, membership resolved by joins (bench and already-removed
@@ -196,7 +203,7 @@ object SparkEntry {
     val s3b = s3.select(col("doc_id").as("b"), lit(1).as("__b3"))
     val ha = hist.select(col("doc_id").as("a"), lit(1).as("__ah"))
     val hb = hist.select(col("doc_id").as("b"), lit(1).as("__bh"))
-    val rem4 = cp.join(s3a, Seq("a"), "left")
+    val rem4 = Dedup.tracked(cp.join(s3a, Seq("a"), "left")
       .join(s3b, Seq("b"), "left")
       .join(ha, Seq("a"), "left").join(hb, Seq("b"), "left")
       .select(
@@ -204,7 +211,7 @@ object SparkEntry {
             (col("__ah") === 1 || col("__a3") === 1), col("b"))
           .when(col("__a3") === 1 && col("__bh") === 1, col("a"))
           .as("doc_id"))
-      .where(col("doc_id").isNotNull).distinct()
+      .where(col("doc_id").isNotNull).distinct())
     val s4 = cut(s3.join(rem4, Seq("doc_id"), "left_anti"))
     val s5 = cut(s4
       .withColumn("__r", TextOps.repetitionScores(col("text")))

@@ -385,6 +385,25 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 2, minEstJaccard: Double = 0.5,
       bucketCap: Int = 2000,
       dedupWithinIncrement: Boolean = false): DataFrame = {
+    val (survivors, fold) = minhashLshLakeStepDeferred(newDf, refSigs,
+      textCol, idCol, writePath, writeMode, shingleLen, bands,
+      rowsPerBand, minEstJaccard, bucketCap, dedupWithinIncrement)
+    fold()
+    survivors
+  }
+
+  /** [[minhashLshLakeStepAt]] with the signature fold-in returned as a
+    * deferred thunk — see [[exactLakeStepDeferred]]; the thunk reads
+    * the survivors' cut blocks and the step's tracked banded rows, so
+    * it must complete before the caller frees the survivors (the
+    * tracked rows live until `releaseIntermediates`). */
+  private[graft] def minhashLshLakeStepDeferred(newDf: DataFrame,
+      refSigs: DataFrame, textCol: String, idCol: String,
+      writePath: String, writeMode: org.apache.spark.sql.SaveMode,
+      shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5, bucketCap: Int = 2000,
+      dedupWithinIncrement: Boolean = false)
+      : (DataFrame, () => Unit) = {
     require(refSigs.columns.toSet == Set("id", "sig", "band", "bucket"),
       "refSigs must hold a writeBandedSignatures table " +
         s"(id, sig, band, bucket); got ${refSigs.columns.mkString(",")}")
@@ -423,10 +442,11 @@ object Dedup {
       .where(col("__rk") <= lit(bucketCap.toLong) -
         coalesce(col("__stored"), lit(0L)))
       .select(col("id"), col("sig"), col("band"), col("bucket"))
-    val cut = Lineage.cut(capped)
-    cut.write.mode(writeMode).parquet(writePath)
-    Lineage.free(cut)
-    survivors
+    (survivors, () => {
+      val cut = Lineage.cut(capped)
+      cut.write.mode(writeMode).parquet(writePath)
+      Lineage.free(cut)
+    })
   }
 
   /** Job 2 of the incremental-dedup contract: dedup an increment
@@ -540,11 +560,25 @@ object Dedup {
     * The returned cut frame is the caller's to [[Lineage.free]]. */
   def exactLakeStepAt(newDf: DataFrame, refHashes: DataFrame,
       textCol: String, idCol: String, foldDir: String): DataFrame = {
+    val (survivors, fold) = exactLakeStepDeferred(newDf, refHashes,
+      textCol, idCol, foldDir)
+    fold()
+    survivors
+  }
+
+  /** [[exactLakeStepAt]] with the fold-in write returned as a DEFERRED
+    * thunk instead of run inline — the streamed chain overlaps it with
+    * the next stage's compute (guide §2.6). The thunk reads the
+    * returned survivors' materialized blocks: it MUST complete before
+    * the caller frees them. */
+  private[graft] def exactLakeStepDeferred(newDf: DataFrame,
+      refHashes: DataFrame, textCol: String, idCol: String,
+      foldDir: String): (DataFrame, () => Unit) = {
     val survivors = Lineage.cut(
       exactCrossFromArtifacts(newDf, refHashes, textCol, idCol))
-    survivors.select(md5(col(textCol)).as("h")).distinct()
-      .write.mode("overwrite").parquet(foldDir)
-    survivors
+    (survivors,
+      () => survivors.select(md5(col(textCol)).as("h")).distinct()
+        .write.mode("overwrite").parquet(foldDir))
   }
 
   /** SimHash fingerprint: 64-bit signature where bit i is the sign of the

@@ -159,7 +159,18 @@ object Sampling {
     */
   def shardAssign(df: DataFrame, idCol: String, weightCol: String,
       shardWeight: Long, salt: String = "graft",
-      startWeight: Long = 0L): DataFrame = {
+      startWeight: Long = 0L): DataFrame =
+    shardAssignCounted(df, idCol, weightCol, shardWeight, salt,
+      startWeight)._1
+
+  /** [[shardAssign]] that ALSO returns (row count, total weight) of the
+    * batch — both are already computed by the running sum's bounded
+    * per-partition pass, so a caller that needs them (the streaming
+    * layout's landing stats) saves one whole aggregate job per call
+    * (guide §1.2: don't compute things twice). */
+  private[graft] def shardAssignCounted(df: DataFrame, idCol: String,
+      weightCol: String, shardWeight: Long, salt: String = "graft",
+      startWeight: Long = 0L): (DataFrame, Long, Long) = {
     require(shardWeight > 0, s"shardWeight must be > 0 (got $shardWeight)")
     require(startWeight >= 0,
       s"startWeight must be >= 0 (got $startWeight)")
@@ -190,7 +201,16 @@ object Sampling {
     * that needs a strict global curriculum must lay out in batch). */
   def shardAssignOrdered(df: DataFrame, idCol: String,
       weightCol: String, orderCol: String,
-      shardWeight: Long, startWeight: Long = 0L): DataFrame = {
+      shardWeight: Long, startWeight: Long = 0L): DataFrame =
+    shardAssignOrderedCounted(df, idCol, weightCol, orderCol,
+      shardWeight, startWeight)._1
+
+  /** [[shardAssignOrdered]] returning (assignment, row count, total
+    * weight) — see [[shardAssignCounted]]. */
+  private[graft] def shardAssignOrderedCounted(df: DataFrame,
+      idCol: String, weightCol: String, orderCol: String,
+      shardWeight: Long, startWeight: Long = 0L)
+      : (DataFrame, Long, Long) = {
     require(shardWeight > 0, s"shardWeight must be > 0 (got $shardWeight)")
     require(startWeight >= 0,
       s"startWeight must be >= 0 (got $startWeight)")
@@ -208,12 +228,17 @@ object Sampling {
     * partition-locally. `startWeight` continues an existing layout's
     * running weight (the streaming append's cursor). */
   private def assignSorted(sorted: DataFrame, shardWeight: Long,
-      startWeight: Long): DataFrame = {
+      startWeight: Long): (DataFrame, Long, Long) = {
     val spark = sorted.sparkSession
     val rdd = sorted.rdd
-    val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
+    // one bounded job: per-partition weight totals AND row counts —
+    // the counts ride for free, so callers never re-aggregate them
+    val partStats = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; var n = 0L
+      it.foreach { r => s += r.getLong(1); n += 1L }
+      Iterator((i, s, n))
+    }.collect().sortBy(_._1)
+    val partTotals = partStats.map(_._2)
     val prefixes = partTotals.scanLeft(startWeight)(_ + _)
     val bc = spark.sparkContext.broadcast(prefixes)
     val schema = org.apache.spark.sql.types.StructType(
@@ -222,7 +247,7 @@ object Sampling {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("offset",
           org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(
+    (spark.createDataFrame(
       rdd.mapPartitionsWithIndex { case (i, it) =>
         var cum = bc.value(i)
         it.map { r =>
@@ -230,7 +255,8 @@ object Sampling {
           org.apache.spark.sql.Row.fromSeq(r.toSeq ++
             Seq(before / shardWeight, before % shardWeight))
         }
-      }, schema)
+      }, schema),
+      partStats.map(_._3).sum, partTotals.sum)
   }
 
   /** Physical shard layout writer — land a [[shardAssign]] result as a
@@ -530,16 +556,26 @@ object Sampling {
     * sequence count, total ids, and an order-insensitive fold of the
     * per-row digests — the artifact-level attestation [[readSequences]]
     * re-verifies, the writeBpeModel/writeBpeVocab discipline).
-    * Overwrite semantics, so replays converge on the same artifact. */
+    * Overwrite semantics, so replays converge on the same artifact.
+    * Returns the landed meta values (count, id total, digest fold) —
+    * already computed for the meta row, so a caller verifying its own
+    * fold (the sequence-lake compaction) never re-reads the artifact
+    * it just wrote (guide §1.2). */
   def writeSequences(seqs: DataFrame, path: String,
-      groupCol: Option[String] = None): Unit = {
+      groupCol: Option[String] = None): SequencesMeta = {
     val spark = seqs.sparkSession
     import spark.implicits._
-    // ONE execution of the (two-aggregate) packSequences plan: cut
-    // the lineage, probe emptiness on the materialized snapshot, and
-    // write from it — probing the raw plan would run both shuffles
-    // once for the probe and again for the write
-    val cut = Dedup.tracked(Lineage.cut(seqs))
+    // ONE execution of the (two-aggregate) packSequences plan: a lazy
+    // tracked PERSIST — the emptiness probe computes (and caches) the
+    // first partitions, the write completes the cache reusing the
+    // probe's shuffle stages, and the meta aggregate reads cached
+    // blocks. Round 20 swapped the previous EAGER lineage cut for
+    // this: same single evaluation of the packing shuffles, one fewer
+    // full pass + driver job per landing (the cut's standalone
+    // materialization — guide §1.2/§5). Probing the raw plan would
+    // still run both shuffles once for the probe and again for the
+    // write — the persist is what prevents that.
+    val cut = Dedup.tracked(seqs)
     try {
       // loud on empty: a poll where nothing newly closed has nothing
       // to land (an empty parquet dir would also brick later reads,
@@ -575,8 +611,14 @@ object Sampling {
         .toDF("n_sequences", "n_ids", "digest", "fold_algo")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/sequences_meta")
+      SequencesMeta(m.getLong(0), m.getLong(1), m.getString(2))
     } finally Lineage.free(cut)
   }
+
+  /** The meta values a [[writeSequences]] landing attested — what the
+    * artifact's `sequences_meta` row stores. */
+  final case class SequencesMeta(nSequences: Long, nIds: Long,
+      digest: String)
 
   /** The attestation fold's algorithm tag, stored in the meta row so
     * a future fold change VERSIONS instead of misdiagnosing every
@@ -604,38 +646,72 @@ object Sampling {
     * landing refuses loudly instead of feeding a trainer a silently
     * different batch set). */
   def readSequences(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val seqs = spark.read.parquet(s"$path/sequences")
-    val metaDf = spark.read.parquet(s"$path/sequences_meta")
-    val meta = metaDf.collect()
-    require(meta.length == 1,
-      s"sequences meta must hold exactly one row (got ${meta.length})")
-    // algorithm tag first: a fold-format mismatch is a VERSION
-    // problem, not corruption — refuse with the right diagnosis
-    val storedAlgo =
-      if (metaDf.columns.contains("fold_algo"))
-        meta.head.getAs[String]("fold_algo")
-      else "(untagged pre-v1)"
-    require(storedAlgo == FoldAlgo,
-      s"sequences meta was attested with fold '$storedAlgo' but this " +
-        s"reader verifies '$FoldAlgo' — re-land the artifact (or " +
-        "read it with the matching engine version); this is a format " +
-        "version mismatch, not corruption")
-    // coalesce the sum/fold: a tampered directory holding ZERO rows
-    // yields null aggregates that would NPE at getLong before the
-    // corrupt-artifact require could fire — refuse with the same
-    // descriptive diagnosis instead
-    val m = seqs.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("n_ids")), lit(0L)).as("t"),
-      coalesce(sequencesFold(), lit("(empty)")).as("d")).collect().head
-    require(m.getLong(0) == meta.head.getLong(0) &&
-      m.getLong(1) == meta.head.getLong(1) &&
-      m.getString(2) == meta.head.getAs[String]("digest"),
-      s"sequences artifact corrupt: stored (n=${meta.head.getLong(0)}," +
-        s" ids=${meta.head.getLong(1)}, digest=${meta.head.getString(2)})" +
-        s" vs read (n=${m.getLong(0)}, ids=${m.getLong(1)}," +
-        s" digest=${m.getString(2)})")
-    seqs
+      path: String): DataFrame =
+    readSequencesBatched(spark, Seq(path))
+
+  /** Read back SEVERAL [[writeSequences]] artifacts as one union, each
+    * verified against its own meta row — the SAME three checks
+    * [[readSequences]] runs per artifact (exactly one meta row, fold
+    * algo tag, count+ids+digest equality), batched into TWO jobs total
+    * (one meta-union collect, one dir-grouped verify aggregate)
+    * instead of two jobs PER artifact (guide §1.2: the sequence lake's
+    * per-poll artifact count made the 2-jobs-each verification the
+    * dominant fixed cost of every lake read at bench scale). */
+  private[graft] def readSequencesBatched(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readSequencesBatched needs >= 1 artifact")
+    // metas: one narrow union collect (each meta is a one-row table).
+    // The fold-algo column is resolved per artifact BEFORE the union
+    // (schema-only — a legacy untagged artifact must refuse with the
+    // version diagnosis, not break the union's analysis).
+    val metas = paths.map { p =>
+      val m = spark.read.parquet(s"$p/sequences_meta")
+      val algo =
+        if (m.columns.contains("fold_algo")) col("fold_algo")
+        else lit("(untagged pre-v1)")
+      m.select(lit(p).as("__dir"), col("n_sequences"), col("n_ids"),
+        col("digest"), algo.as("fold_algo"))
+    }.reduce(_.unionByName(_)).collect()
+    val metaByDir = metas.groupBy(_.getString(0))
+    paths.foreach { p =>
+      val rows = metaByDir.getOrElse(p, Array.empty)
+      require(rows.length == 1,
+        s"sequences meta must hold exactly one row (got ${rows.length}" +
+          s") at $p/sequences_meta")
+      // algorithm tag first: a fold-format mismatch is a VERSION
+      // problem, not corruption — refuse with the right diagnosis
+      val storedAlgo = rows.head.getAs[String]("fold_algo")
+      require(storedAlgo == FoldAlgo,
+        s"sequences meta was attested with fold '$storedAlgo' but this " +
+          s"reader verifies '$FoldAlgo' — re-land the artifact (or " +
+          "read it with the matching engine version); this is a format " +
+          "version mismatch, not corruption")
+    }
+    // one dir-tagged verify aggregate over every artifact's rows. A
+    // dir whose data directory holds ZERO rows produces no group —
+    // read back as (0, 0, "(empty)"), the same refusal the per-
+    // artifact aggregate's coalesced nulls produced.
+    def seqsOf(p: String) = spark.read.parquet(s"$p/sequences")
+    val got = paths.map(p => seqsOf(p)
+        .select(lit(p).as("__dir"), col("n_ids"), col("ids_digest")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("__dir"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("n_ids")), lit(0L)).as("t"),
+        coalesce(sequencesFold(), lit("(empty)")).as("d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    paths.foreach { p =>
+      val meta = metaByDir(p).head
+      val (n, t, d) = got.getOrElse(p, (0L, 0L, "(empty)"))
+      require(n == meta.getLong(1) && t == meta.getLong(2) &&
+        d == meta.getAs[String]("digest"),
+        s"sequences artifact corrupt: stored (n=${meta.getLong(1)}," +
+          s" ids=${meta.getLong(2)}, digest=${meta.getString(3)})" +
+          s" vs read (n=$n, ids=$t, digest=$d) at $p")
+    }
+    paths.map(seqsOf).reduce(_.unionByName(_))
   }
 
   /** Deterministic EPOCH SCHEDULE over packed training sequences —

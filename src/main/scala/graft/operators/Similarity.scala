@@ -570,10 +570,17 @@ object Similarity {
     * join above is the 100 TB path. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Int = 100000): DataFrame = {
-    val n = df.limit(maxRows + 1).count()
+    // one bounded probe job: the row-cap count AND the vector width
+    // (the width gates the broadcast below; riding the existing limit
+    // probe costs nothing — round 20, the r19 ADVICE finding)
+    val probe = df.limit(maxRows + 1)
+      .agg(count(lit(1)).as("n"), max(size(col(vecCol))).as("d"))
+      .collect().head
+    val n = probe.getLong(0)
     require(n <= maxRows,
       s"cosineNearDupPairs is the exact O(n^2) validation tool (corpus > " +
         s"$maxRows rows); use lshNearDupPairs for the scale path")
+    val dim = if (probe.isNullAt(1)) 1L else probe.getInt(1).toLong
     // the stream side of the nested-loop cross join inherits the
     // SCAN's partitioning — a small embeddings table is one parquet
     // file, so the whole n² loop was running in ONE task while the
@@ -588,7 +595,18 @@ object Similarity {
         l2Norm(col(vecCol)).as("na"))
     val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
       l2Norm(col(vecCol)).as("nb"))
-    a.crossJoin(broadcast(b)).where(col("a") < col("b"))
+    // SIZE-GATED broadcast (round 20, the r19 ADVICE medium): at the
+    // documented row cap a high-dimensional vector table is hundreds
+    // of MB materialized on the driver and replicated to every
+    // executor — past ~256 MB estimated (rows × dim × 8 B plus row
+    // overhead) fall back to the non-broadcast cartesian join, which
+    // spreads the same n² work without driver/executor OOM risk.
+    // Results identical either way (same join, same predicate).
+    val estBytes = n * (dim * 8L + 32L)
+    val joined =
+      if (estBytes <= (256L << 20)) a.crossJoin(broadcast(b))
+      else a.crossJoin(b)
+    joined.where(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos_sim"))
@@ -932,6 +950,26 @@ object Similarity {
       outDir: String, threshold: Double, keepFarthest: Boolean = true,
       keeperCap: Int = 1000, nassign: Int = 1,
       dedupWithinIncrement: Boolean = false): DataFrame = {
+    val (survivors, fold) = semDedupLakeStepDeferred(newDf, idCol,
+      vecCol, centroids, stored, outDir, threshold, keepFarthest,
+      keeperCap, nassign, dedupWithinIncrement)
+    fold()
+    survivors
+  }
+
+  /** [[semDedupLakeStepAt]] with the keeper-snapshot rewrite returned
+    * as a deferred thunk — safe ONLY for the streaming form where
+    * `outDir` is a FRESH versioned snapshot (never the directory
+    * `stored` reads): the thunk's merge plan reads `stored` and the
+    * survivors' cut blocks, so it must complete before the caller
+    * frees the survivors or rewrites `stored`'s directory. The
+    * in-place batch form keeps the inline call above. */
+  private[graft] def semDedupLakeStepDeferred(newDf: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Double]],
+      stored: DataFrame, outDir: String, threshold: Double,
+      keepFarthest: Boolean = true, keeperCap: Int = 1000,
+      nassign: Int = 1, dedupWithinIncrement: Boolean = false)
+      : (DataFrame, () => Unit) = {
     require(stored.columns.toSet == Set("cell", "keeper", "kv", "kn",
       "kok"), "keepers must be a writeSemDedupArtifacts table; got " +
       stored.columns.mkString(","))
@@ -958,8 +996,8 @@ object Similarity {
         "left_semi")
       .select(col("cell"), col("id").as("keeper"), col("v").as("kv"),
         col("n").as("kn"), col("ok").as("kok"))
-    overwriteMergedKeepers(stored, incoming, keeperCap, outDir)
-    survivors
+    (survivors,
+      () => overwriteMergedKeepers(stored, incoming, keeperCap, outDir))
   }
 
   /** Shared fold-in tail: rank-merge incoming keeper-candidate rows

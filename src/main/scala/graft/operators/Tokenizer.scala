@@ -232,7 +232,12 @@ object Tokenizer {
     // distributed loop in all modes). Above the bound the distributed
     // loop below is unchanged: the 100 TB byte-fallback path, where
     // the vocabulary is corpus-scale, never collects.
-    val n = vocab0.count() // one job; also pins the tracked persist
+    // LIMIT-PROBE gate (round 20, the r19 ADVICE finding): the routing
+    // decision only needs "<= 2^21 rows or not", so probe with a
+    // bounded limit instead of a full count — on the >2^21 distributed
+    // path the old count was a pure extra full-vocabulary pass; on the
+    // local path the collect below completes the tracked persist.
+    val n = vocab0.limit(LocalLearnMaxVocab.toInt + 1).count()
     val learned: Seq[(Int, String, String, String, Long)] =
       if (n <= LocalLearnMaxVocab) {
         val rows = vocab0.collect()
@@ -489,16 +494,41 @@ object Tokenizer {
     // equal it), and a round's merges apply as sequential passes in
     // pick order — both directly replayable over the collected
     // vocabulary with zero per-round Spark jobs.
-    val nv = vocab0.count()
-    if (nv <= LocalLearnMaxVocab) {
-      val rows = vocab0.collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      import spark.implicits._
-      return localMergesBatched(rows, rounds, batch, minCount)
-        .toDF("step", "round", "lhs", "rhs", "merged", "pair_count")
-        .select(col("step").cast("long"), col("round").cast("long"),
-          col("lhs"), col("rhs"), col("merged"), col("pair_count"))
-    }
+    // limit-probe gate — same rationale as [[bpeMerges]]'s (round 20)
+    val nv = vocab0.limit(LocalLearnMaxVocab.toInt + 1).count()
+    import spark.implicits._
+    val learned =
+      if (nv <= LocalLearnMaxVocab) {
+        val rows = vocab0.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        localMergesBatched(rows, rounds, batch, minCount)
+      } else distributedMergesBatched(vocab0, rounds, batch, minCount)
+    learned
+      .toDF("step", "round", "lhs", "rhs", "merged", "pair_count")
+      .select(col("step").cast("long"), col("round").cast("long"),
+        col("lhs"), col("rhs"), col("merged"), col("pair_count"))
+  }
+
+  /** Spec-only entry: the DISTRIBUTED batched learning loop regardless
+    * of vocabulary size — the equality oracle the local batched
+    * learner's spec compares [[bpeMergesBatched]]'s gated routing
+    * against (the r19 ADVICE finding: the distributed batched loop was
+    * unreachable in CI once the gate landed). */
+  private[graft] def bpeMergesBatchedDistributed(df: DataFrame,
+      textCol: String, rounds: Int, batch: Int, minCount: Long = 1L,
+      unicode: Boolean = false, byteFallback: Boolean = false,
+      pretok: Boolean = false)
+      : Seq[(Int, Int, String, String, String, Long)] =
+    distributedMergesBatched(initialVocab(
+      if (pretok) df.select(pretokText(textCol).as(textCol)) else df,
+      textCol, unicode, byteFallback), rounds, batch, minCount)
+
+  /** The distributed adaptive-prefix + exact-fallback batched loop —
+    * the > 2^21-vocabulary path of [[bpeMergesBatched]] and the spec
+    * oracle for [[localMergesBatched]]. */
+  private[operators] def distributedMergesBatched(vocab0: DataFrame,
+      rounds: Int, batch: Int, minCount: Long)
+      : Seq[(Int, Int, String, String, String, Long)] = {
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, String, String, Long)]
     val chain = new VocabChain(vocab0)
@@ -566,11 +596,7 @@ object Tokenizer {
         round += 1
       }
     }
-    import spark.implicits._
     learned.toSeq
-      .toDF("step", "round", "lhs", "rhs", "merged", "pair_count")
-      .select(col("step").cast("long"), col("round").cast("long"),
-        col("lhs"), col("rhs"), col("merged"), col("pair_count"))
   }
 
   /** Tokenizer-aware token counting — encode every document under an
@@ -840,18 +866,23 @@ object Tokenizer {
           !n.contains("\n"))),
       s"specials must be distinct ':'-free names including 'eos' " +
         s"(got ${specials.mkString(",")})")
-    rows.toSeq.toDF("token_id", "token", "is_base")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
     val maxId = rows.last._1
     val reserved = specials.zipWithIndex
       .map { case (n, i) => (n, maxId + 1 + i.toLong) }
+    // vocab and specials tables are independent directories — their
+    // writes overlap (round 20, guide §2.6); the meta row still lands
+    // strictly LAST (it is the artifact's commit attestation: a crash
+    // before it leaves a digest-less partial the readers refuse)
+    graft.operators.DriverPool.all[Unit](
+      (() => rows.toSeq.toDF("token_id", "token", "is_base")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/vocab")) +:
+      (if (specials.isEmpty) Seq.empty[() => Unit]
+       else Seq(() => reserved.toDF("name", "token_id").coalesce(1)
+         .write.mode("overwrite").parquet(s"$path/specials"))))
     val reg =
       if (specials.isEmpty) None
-      else {
-        reserved.toDF("name", "token_id").coalesce(1)
-          .write.mode("overwrite").parquet(s"$path/specials")
-        Some(BpeSpecials(reserved.toMap, maxId + 1 + specials.size))
-      }
+      else Some(BpeSpecials(reserved.toMap, maxId + 1 + specials.size))
     Seq((rows.length.toLong, vocabDigest(rows),
         specials.size.toLong,
         reg.map(_.embeddingSize).getOrElse(rows.length.toLong),
@@ -896,16 +927,23 @@ object Tokenizer {
         "max(token_id) + 1 (a stale derivation collides with real " +
         "vocabulary ids)")
     val nSpecials = meta.head.getAs[Long]("n_specials")
-    val reserved = spark.read.parquet(s"$path/specials")
-      .select(col("name"), col("token_id")).orderBy("token_id")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the registry read and the vocab max are INDEPENDENT bounded
+    // jobs — overlapped (round 20, guide §2.6): readBpeSpecials runs
+    // once per artifact consumer and its three sequential driver round
+    // trips were pure fixed cost
+    val two = graft.operators.DriverPool.all[AnyRef](Seq(
+      () => spark.read.parquet(s"$path/specials")
+        .select(col("name"), col("token_id")).orderBy("token_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+      () => java.lang.Long.valueOf(spark.read.parquet(s"$path/vocab")
+        .agg(max(col("token_id"))).collect().head.getLong(0))))
+    val reserved = two.head.asInstanceOf[Seq[(String, Long)]]
     val stored = meta.head.getAs[String]("specials_digest")
     val computed = specialsDigest(reserved)
     require(reserved.size.toLong == nSpecials && stored == computed,
       s"special-token registry corrupt: stored n=$nSpecials/" +
         s"digest=$stored, read n=${reserved.size}/digest=$computed")
-    val maxVocabId = spark.read.parquet(s"$path/vocab")
-      .agg(max(col("token_id"))).collect().head.getLong(0)
+    val maxVocabId = two(1).asInstanceOf[java.lang.Long].longValue()
     val ids = reserved.map(_._2)
     require(ids.min == maxVocabId + 1 &&
       ids.max == maxVocabId + reserved.size,

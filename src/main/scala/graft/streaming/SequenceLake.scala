@@ -84,8 +84,12 @@ object SequenceLake {
     require(dirs.nonEmpty,
       s"$root holds no landed sequence artifacts — land one with " +
         "appendSequences")
-    dirs.map(d => Sampling.readSequences(spark, d))
-      .reduce(_.unionByName(_))
+    // BATCHED verification (round 20, guide §1.2): the same per-
+    // artifact meta checks as before, but two jobs TOTAL across the
+    // live set instead of two per artifact — at bench scale the
+    // per-job fixed cost of the 2k verification jobs was the dominant
+    // term of every lake read (ProfTrainerLoop readback slices).
+    Sampling.readSequencesBatched(spark, dirs)
   }
 
   /** One SELF-CONTAINED trainer poll, restartable with NO side
@@ -232,38 +236,44 @@ object SequenceLake {
           .reduce(_.unionByName(_))
       },
       (df, path) => {
+        // source metas: ONE union collect across the folded dirs
+        // (round 20 — each is a one-row table; the per-dir collects
+        // were one driver job apiece, pure fixed cost, guide §1.2)
+        val metaRows = srcDirs.map { d =>
+          import org.apache.spark.sql.functions.{col, lit}
+          spark.read.parquet(s"$d/sequences_meta")
+            .select(lit(d).as("__dir"), col("n_sequences"),
+              col("n_ids"), col("digest"), col("fold_algo"))
+        }.reduce(_.unionByName(_)).collect()
+        val byDir = metaRows.groupBy(_.getString(0))
         val metas = srcDirs.map { d =>
-          val rows = spark.read.parquet(s"$d/sequences_meta")
-            .select("n_sequences", "n_ids", "digest", "fold_algo")
-            .collect()
+          val rows = byDir.getOrElse(d, Array.empty)
           require(rows.length == 1,
             s"$d/sequences_meta must hold exactly one row " +
               s"(got ${rows.length})")
           rows.head
         }
         metas.foreach(m => require(
-          m.getString(3) == Sampling.FoldAlgo,
+          m.getString(4) == Sampling.FoldAlgo,
           s"sequence-lake fold: increment attested with fold " +
-            s"'${m.getString(3)}' but this engine folds " +
+            s"'${m.getString(4)}' but this engine folds " +
             s"'${Sampling.FoldAlgo}' — format version mismatch"))
-        val expN = metas.map(_.getLong(0)).sum
-        val expIds = metas.map(_.getLong(1)).sum
-        val expD = metas.map(m => BigInt(m.getString(2))).sum.toString
+        val expN = metas.map(_.getLong(1)).sum
+        val expIds = metas.map(_.getLong(2)).sum
+        val expD = metas.map(m => BigInt(m.getString(3))).sum.toString
         // land the folded generation; writeSequences re-attests its
         // meta from the MATERIALIZED fold rows (one aggregate over its
         // lineage cut — a torn write of the files themselves is caught
-        // by the per-artifact verify at the next lake read)
-        Sampling.writeSequences(df, path, groupCol)
-        val m = spark.read.parquet(s"$path/sequences_meta").collect()
-          .head
-        require(m.getAs[Long]("n_sequences") == expN &&
-          m.getAs[Long]("n_ids") == expIds &&
-          m.getAs[String]("digest") == expD,
+        // by the per-artifact verify at the next lake read) and
+        // RETURNS the attested values, so the fold check no longer
+        // re-reads the artifact it just wrote (round 20, guide §1.2)
+        val m = Sampling.writeSequences(df, path, groupCol)
+        require(m.nSequences == expN && m.nIds == expIds &&
+          m.digest == expD,
           s"sequence-lake fold corrupted data: folded source metas " +
             s"say (n=$expN, ids=$expIds, digest=$expD) but the " +
-            s"staged generation re-attests (n=${m.getAs[Long](
-              "n_sequences")}, ids=${m.getAs[Long]("n_ids")}, " +
-            s"digest=${m.getAs[String]("digest")}) — refusing before " +
+            s"staged generation re-attests (n=${m.nSequences}, " +
+            s"ids=${m.nIds}, digest=${m.digest}) — refusing before " +
             "the pointer swap")
       })
   }

@@ -108,21 +108,16 @@ object StreamLakeIngest {
 
   /** Run independent one-shot artifact builders as concurrent driver
     * jobs (bounded pool; Spark's scheduler interleaves their tasks —
-    * the idle-tail back-fill of guide §2.6). Rethrows the first
-    * failure after all complete or fail. */
+    * the idle-tail back-fill of guide §2.6). Every job is awaited to
+    * COMPLETION before the first failure rethrows (round 20, the r19
+    * ADVICE finding: rethrowing while sibling artifact jobs still run
+    * would let a caller's catch-and-retry race still-writing stale
+    * jobs over the same lakeRoot) — [[graft.operators.DriverPool]]
+    * owns that contract. */
   private def parallelInits(spark: SparkSession,
       jobs: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(jobs.size, 4))
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(pool)
-    try {
-      val fs = jobs.map(j => Future(j()))
-      // await each — the first failure propagates after the pool drains
-      fs.foreach(f => Await.result(f, Duration.Inf))
-    } finally pool.shutdown()
+    graft.operators.DriverPool.all[Unit](jobs)
+    ()
   }
 
   /** Union of every subdirectory of `dir` except the current batch's
@@ -505,47 +500,73 @@ object StreamLakeIngest {
   }
 
   /** Stages 1-5 without the admitted write — the shared core of
-    * [[curateIncrement]] and [[curateIncrementFull]]. */
+    * [[curateIncrement]] and [[curateIncrementFull]].
+    *
+    * FOLD-IN OVERLAP (round 20, guide §2.6): each stage's lake fold-in
+    * write (hash increment, signature increment, keeper snapshot) only
+    * feeds the NEXT BATCH — this batch's later stages never read it —
+    * so the write runs on a driver side thread while the next stage's
+    * survivors materialize on the main thread, and is awaited exactly
+    * before the blocks it reads are freed. Failure semantics are the
+    * crash-replay ones the layout already guarantees: a fold-in that
+    * fails after a later stage started leaves only batch-id-derived
+    * Overwrite directories behind, which the replayed batch rewrites
+    * verbatim. Results are byte-identical to the sequential form. */
   private def fiveStages(batch: DataFrame, lakeRoot: String,
       textCol: String, idCol: String, vecCol: String, batchId: Long,
       p: Params): DataFrame = {
     val spark = batch.sparkSession
-    // 1. decontamination — stateless probe of the immutable artifact
-    val contaminated = Dedup.contaminatedDocsFromArtifact(batch,
-        spark.read.parquet(s"$lakeRoot/bench_windows"), textCol, idCol,
-        p.windowLen)
-      .select(col("id").as(idCol))
-    val s1 = batch.join(contaminated, Seq(idCol), "left_anti")
-    // 2. exact dedup vs the hash lake, fold survivors' hashes in
-    val s2 = Dedup.exactLakeStepAt(s1,
-      visibleIncrements(spark, s"$lakeRoot/hashes", batchId),
-      textCol, idCol, s"$lakeRoot/hashes/inc_b$batchId")
-    // 3. near-dup dedup vs the signature lake, fold signatures in
-    val s3 = Dedup.minhashLshLakeStepAt(s2,
-      visibleIncrements(spark, s"$lakeRoot/sigs", batchId),
-      textCol, idCol, s"$lakeRoot/sigs/inc_b$batchId",
-      SaveMode.Overwrite, p.shingleLen, p.bands, p.rowsPerBand,
-      p.minEstJaccard, p.bucketCap, dedupWithinIncrement = true)
-    Lineage.free(s2)
-    // 4. semantic dedup vs the latest keeper snapshot, rewrite a new one
-    val semDir = s"$lakeRoot/sem"
-    val s4 = Similarity.semDedupLakeStepAt(s3, idCol, vecCol,
-      Similarity.readSemCodebook(spark, semDir),
-      spark.read.parquet(keepersBefore(spark, semDir, batchId)),
-      s"$semDir/keepers_b$batchId", p.semThreshold,
-      keeperCap = p.keeperCap, nassign = p.nassign,
-      dedupWithinIncrement = true)
-    Lineage.free(s3)
-    // 5. quality filters — stateless, AFTER the fold-ins (see scaladoc)
-    val admitted = Lineage.cut(s4
-      .withColumn("__r", TextOps.repetitionScores(col(textCol)))
-      .withColumn("__q", TextOps.qualityScore(col(textCol)))
-      .where(col("__q") >= p.minQuality &&
-        col("__r")("top_bigram_frac") <= p.maxTopBigramFrac &&
-        TextOps.langId(col(textCol)) === p.lang)
-      .drop("__r", "__q"))
-    Lineage.free(s4)
-    admitted
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      // 1. decontamination — stateless probe of the immutable artifact
+      val contaminated = Dedup.contaminatedDocsFromArtifact(batch,
+          spark.read.parquet(s"$lakeRoot/bench_windows"), textCol, idCol,
+          p.windowLen)
+        .select(col("id").as(idCol))
+      val s1 = batch.join(contaminated, Seq(idCol), "left_anti")
+      // 2. exact dedup vs the hash lake, fold survivors' hashes in
+      val (s2, fold2) = Dedup.exactLakeStepDeferred(s1,
+        visibleIncrements(spark, s"$lakeRoot/hashes", batchId),
+        textCol, idCol, s"$lakeRoot/hashes/inc_b$batchId")
+      val f2 = Future(fold2())
+      // 3. near-dup dedup vs the signature lake, fold signatures in
+      val (s3, fold3) = Dedup.minhashLshLakeStepDeferred(s2,
+        visibleIncrements(spark, s"$lakeRoot/sigs", batchId),
+        textCol, idCol, s"$lakeRoot/sigs/inc_b$batchId",
+        SaveMode.Overwrite, p.shingleLen, p.bands, p.rowsPerBand,
+        p.minEstJaccard, p.bucketCap, dedupWithinIncrement = true)
+      Await.result(f2, Duration.Inf) // fold2 reads s2's blocks
+      Lineage.free(s2)
+      val f3 = Future(fold3())
+      // 4. semantic dedup vs the latest keeper snapshot, rewrite a new
+      // one (a FRESH versioned snapshot dir — the deferred form's
+      // requirement)
+      val semDir = s"$lakeRoot/sem"
+      val (s4, fold4) = Similarity.semDedupLakeStepDeferred(s3, idCol,
+        vecCol, Similarity.readSemCodebook(spark, semDir),
+        spark.read.parquet(keepersBefore(spark, semDir, batchId)),
+        s"$semDir/keepers_b$batchId", p.semThreshold,
+        keeperCap = p.keeperCap, nassign = p.nassign,
+        dedupWithinIncrement = true)
+      Await.result(f3, Duration.Inf) // fold3 reads s3's blocks
+      Lineage.free(s3)
+      val f4 = Future(fold4())
+      // 5. quality filters — stateless, AFTER the fold-ins (see scaladoc)
+      val admitted = Lineage.cut(s4
+        .withColumn("__r", TextOps.repetitionScores(col(textCol)))
+        .withColumn("__q", TextOps.qualityScore(col(textCol)))
+        .where(col("__q") >= p.minQuality &&
+          col("__r")("top_bigram_frac") <= p.maxTopBigramFrac &&
+          TextOps.langId(col(textCol)) === p.lang)
+        .drop("__r", "__q"))
+      Await.result(f4, Duration.Inf) // fold4 reads s4's blocks
+      Lineage.free(s4)
+      admitted
+    } finally pool.shutdown()
   }
 
   /** Drive a stream of (idCol, textCol, vecCol) rows through the
@@ -746,10 +767,13 @@ object StreamLakeIngest {
       .unionByName(admitted.groupBy(col(sourceCol).as("source"))
         .agg(sum(col("n_tokens")).as("tokens")))
       .groupBy("source").agg(sum(col("tokens")).as("tokens"))
-    ledger.repartition(1).write.mode("overwrite")
-      .parquet(s"$lakeRoot/budget/used_b$batchId")
-    admitted.write.mode("overwrite")
-      .parquet(s"$admittedDir/inc_b$batchId")
+    // both final writes read the materialized `admitted` cut and land
+    // in independent directories — overlapped (round 20, guide §2.6)
+    graft.operators.DriverPool.both(
+      ledger.repartition(1).write.mode("overwrite")
+        .parquet(s"$lakeRoot/budget/used_b$batchId"),
+      admitted.write.mode("overwrite")
+        .parquet(s"$admittedDir/inc_b$batchId"))
     admitted
   }
 

@@ -87,7 +87,7 @@ object StreamShardLayout {
       idCol: String, weightCol: String, shardWeight: Long,
       batchId: Long, salt: String = "graft"): DataFrame =
     landIncrement(batch, layoutRoot, idCol, weightCol, batchId,
-      start => Sampling.shardAssign(batch, idCol, weightCol,
+      start => Sampling.shardAssignCounted(batch, idCol, weightCol,
         shardWeight, salt, startWeight = start))
 
   /** The CURRICULUM twin of [[appendIncrement]]: the batch lays out
@@ -106,40 +106,48 @@ object StreamShardLayout {
       idCol: String, weightCol: String, orderCol: String,
       shardWeight: Long, batchId: Long): DataFrame =
     landIncrement(batch, layoutRoot, idCol, weightCol, batchId,
-      start => Sampling.shardAssignOrdered(batch, idCol, weightCol,
-        orderCol, shardWeight, startWeight = start))
+      start => Sampling.shardAssignOrderedCounted(batch, idCol,
+        weightCol, orderCol, shardWeight, startWeight = start))
 
   /** The shared landing tail of both append forms: cursor read,
     * assignment, layout + manifest increment writes, cursor write —
     * all batch-id-derived Overwrite (replay-idempotent). */
   private def landIncrement(batch: DataFrame, layoutRoot: String,
       idCol: String, weightCol: String, batchId: Long,
-      assign: Long => DataFrame): DataFrame = {
+      assign: Long => (DataFrame, Long, Long)): DataFrame = {
     val spark = batch.sparkSession
     val cursorPath = StreamLakeIngest.versionBefore(spark,
       s"$layoutRoot/cursor", "cursor", batchId)
     val start = readCursor(spark, cursorPath)
-    val assigned = Lineage.cut(assign(start))
-    val stats = assigned.agg(count(lit(1)).as("n"),
-      coalesce(sum(col(weightCol)), lit(0L)).as("w")).collect().head
-    val (nRows, batchWeight) = (stats.getLong(0), stats.getLong(1))
+    // the batch's row count and weight ride the running sum's bounded
+    // per-partition pass (round 20) — the separate stats aggregate
+    // this landing used to run per batch is gone (guide §1.2)
+    val (asg, nRows, batchWeight) = assign(start)
+    val assigned = Lineage.cut(asg)
     if (nRows > 0L) {
-      // the assignment is range-ordered by the layout key, so this
-      // write fans out task-locally with ZERO shuffle (the
-      // writeShards shape)
-      assigned.write.mode("overwrite").partitionBy("shard")
-        .parquet(s"$layoutRoot/layout/inc_b$batchId")
-      assigned.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col(weightCol)).as(weightCol),
-          array_join(transform(
-            array_sort(collect_list(struct(col("offset"),
-              col(idCol).cast("string").as("__id")))),
-            s => s.getField("__id")), ",").as("ids"))
-        .withColumn("batch", lit(batchId))
-        .withColumn("inc", lit(s"inc_b$batchId"))
-        .write.mode("overwrite")
-        .parquet(s"$layoutRoot/manifest/inc_b$batchId")
+      // layout and manifest writes both read the materialized cut and
+      // write INDEPENDENT directories — overlapped (guide §2.6), so
+      // one write's task tail back-fills with the other's tasks. The
+      // cursor still lands strictly AFTER both (commit order
+      // unchanged: a crash before the cursor leaves the batch
+      // uncommitted and the replay overwrites both increments).
+      graft.operators.DriverPool.both(
+        // the assignment is range-ordered by the layout key, so this
+        // write fans out task-locally with ZERO shuffle (the
+        // writeShards shape)
+        assigned.write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$layoutRoot/layout/inc_b$batchId"),
+        assigned.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col(weightCol)).as(weightCol),
+            array_join(transform(
+              array_sort(collect_list(struct(col("offset"),
+                col(idCol).cast("string").as("__id")))),
+              s => s.getField("__id")), ",").as("ids"))
+          .withColumn("batch", lit(batchId))
+          .withColumn("inc", lit(s"inc_b$batchId"))
+          .write.mode("overwrite")
+          .parquet(s"$layoutRoot/manifest/inc_b$batchId"))
     }
     writeCursor(spark, s"$layoutRoot/cursor/cursor_b$batchId",
       start + batchWeight)
@@ -167,12 +175,14 @@ object StreamShardLayout {
   def appendTokens(tokens: DataFrame, assigned: DataFrame,
       layoutRoot: String, batchId: Long, idCol: String = "doc_id",
       posCol: String = "pos", tokenCol: String = "token"): Unit = {
-    // emptiness is probed on the ASSIGNED side (lineage-cut by
-    // landIncrement, so the probe is a cached-scan count, and an
-    // empty batch ⇒ an empty token stream) — probing the joined
-    // result would execute the doc-keyed join twice, doubling the
-    // one increment-sized shuffle this landing budgets for
-    if (!assigned.isEmpty) {
+    // emptiness and the coverage denominator are ONE cached-scan count
+    // over the ASSIGNED side (lineage-cut by landIncrement; an empty
+    // batch ⇒ an empty token stream) — round 20 merged the previous
+    // separate isEmpty probe into this count (guide §1.2). Probing the
+    // joined result would execute the doc-keyed join twice, doubling
+    // the one increment-sized shuffle this landing budgets for.
+    val nAssigned = assigned.count()
+    if (nAssigned > 0L) {
       // per-batch coverage, validated AT INGEST where the failure is
       // still remediable (replay the batch with the right stream) and
       // both sides are in hand, increment-sized: every assigned
@@ -182,14 +192,17 @@ object StreamShardLayout {
       // id-encode null-filter under a frozen vocabulary) must drop
       // them from the LAYOUT batch too — that is the correct fix, and
       // this is the moment it's cheap to apply.
-      val nAssigned = assigned.count()
-      // the token stream is evaluated ONCE (eager lineage cut): the
-      // coverage aggregate and the landing join below both read the
-      // cut blocks, where reading the raw stream from both would run
+      //
+      // the token stream is evaluated ONCE: a tracked PERSIST whose
+      // cache the coverage aggregate below populates while it runs —
       // the upstream tokenize (a full BPE id-encode in the trainer
-      // arc) twice per landing — measured at bench scale as the
-      // dominant term of this call (SCALE.md round 19)
-      val toksCut = Lineage.cut(
+      // arc, measured at bench scale as the dominant term of this
+      // call, SCALE.md round 19) runs once, and the landing join
+      // reads the cached blocks. Round 20 swapped the previous EAGER
+      // lineage cut for this lazy persist: same single evaluation,
+      // one fewer full pass + driver job per landing (the cut's
+      // standalone materialization — guide §1.2/§5).
+      val toksCut = graft.operators.Dedup.tracked(
         tokens.select(col(idCol), col(posCol), col(tokenCol)))
       try {
         // BOTH directions in one pass over the distinct token-doc set

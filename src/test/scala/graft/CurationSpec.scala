@@ -736,6 +736,37 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("driver-local BATCHED BPE learning equals the distributed " +
+      "adaptive-prefix loop pick for pick, in every mode (the r19 " +
+      "ADVICE gap: the distributed batched loop must stay reachable " +
+      "and equal)") {
+    val docs = Seq(
+      (1L, "low low lower lowest ab ab ba ba"),
+      (2L, "naïve naïve café café don't don't"),
+      (3L, "数据 模型 数据 模型 x=1;y=2 co-op co-op"),
+      (4L, "aa aa bb bb ab ba 😀ok 😀ok")).toDF("doc_id", "text")
+    val modes = Seq(
+      ("ascii", false, false, false),
+      ("unicode", true, false, false),
+      ("bytefb", false, true, false),
+      ("pretok", false, true, true))
+    modes.foreach { case (name, uni, fb, pre) =>
+      val local = graft.operators.Tokenizer.bpeMergesBatched(docs,
+          "text", rounds = 4, batch = 3, unicode = uni,
+          byteFallback = fb, pretok = pre)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getLong(5))).toSeq
+      val dist = graft.operators.Tokenizer
+        .bpeMergesBatchedDistributed(docs, "text", rounds = 4,
+          batch = 3, unicode = uni, byteFallback = fb, pretok = pre)
+        .map { case (s, rd, l, r2, m, c) =>
+          (s.toLong, rd.toLong, l, r2, m, c) }
+      assert(local == dist, s"mode $name: local $local vs dist $dist")
+      graft.operators.Dedup.releaseIntermediates()
+    }
+  }
+
   test("bpeMergesBatched: learned list is well-formed for the " +
       "rank-priority encoder and the encode matches the chained " +
       "reference") {
